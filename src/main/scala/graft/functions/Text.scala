@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: token stats,
+  * quality scoring, language-ID heuristic, fingerprinting. Built-ins
+  * only — every expression stays codegen'd, per-row linear work, no
+  * shuffle, so the functions scale with the scan.
+  */
+object Text {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace-robust token split (multiple spaces / tabs collapse). */
+  def tokensWs(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish subword count: word-boundary pieces plus punctuation as
+    * separate tokens (a cheap, deterministic proxy for tokenizer cost).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio — vocabulary diversity in [0,1]. */
+  def typeTokenRatio(text: Column): Column =
+    uniqueTokenCount(text).cast("double") / tokenCount(text)
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Punctuation density — fraction of non-alphanumeric-non-space chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  /** Composite quality gate in the C4/Gopher style: enough tokens, sane
+    * mean token length, some stopword signal, bounded punctuation.
+    */
+  def qualityFlag(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanLen = length(text).cast("double") / nTok
+    nTok >= 10 && meanLen >= 2.0 && meanLen <= 12.0 && punctRatio(text) < 0.2
+  }
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — this is the deterministic, dependency
+    * -free tier; a real model slots in behind the same column signature.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "los", "las", "una", "está", "por", "para", "como"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "不", "人"))
+
+  /** Language guess: the language whose marker lexicon hits the most
+    * tokens; ties and zero-hit rows fall back to "und". Pure column
+    * expressions — at scale this is a map-side-only pass.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical content fingerprint: md5 of case-folded, punctuation-
+    * stripped, whitespace-collapsed text. Exact-dedup key robust to
+    * formatting noise.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Rolling-hash (Rabin-Karp flavored) document fingerprint: the min of
+    * xxhash64 over character 16-grams — a winnowing-style signature that
+    * is stable under small edits far from the minimizing window.
+    */
+  def rollingMinFingerprint(text: Column): Column = {
+    val n = 16
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => xxhash64(substr(text, i, lit(n))))
+    array_min(grams)
+  }
+}

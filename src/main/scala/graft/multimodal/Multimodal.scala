@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns next to a typed metadata struct, and decode /
+  * feature-extract runs batch-wise inside `mapPartitions` so a real
+  * decoder (JNI image lib, ffmpeg pipe, ONNX runtime) amortizes its init
+  * cost per partition, not per row.
+  *
+  * The decode kernel itself is STUBBED with a deterministic fake (this
+  * container has no image/audio codecs); everything Spark-side — schema,
+  * binary handling, partition batching, the mapPartitions signature — is
+  * real and tested. Swap `fakeDecode` for a codec call and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a binary payload. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Int,
+      sha256_hex: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  private case class BinRow(doc_id: Long, payload: Array[Byte])
+
+  /** Attach a binary payload column (here: utf-8 bytes of `text`; in a
+    * real corpus this is the stored image/audio blob).
+    */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Deterministic fake decode — stands in for the codec. Derives
+    * "media" dimensions from the payload bytes only, so results are
+    * reproducible and oracle-checkable.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (64 + n % 512, 64 + (n * 31) % 512, 1 + n % 16)
+  }
+
+  /** Batch decode: one `mapPartitions` pass; per-partition iterator keeps
+    * the (stubbed) decoder warm. Output is a flat typed Dataset.
+    */
+  def decodeMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        // real impl: val codec = Codec.open() — once per partition
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          digest.reset()
+          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+          val (w, h, f) = fakeDecode(r.payload)
+          MediaMeta(r.doc_id, r.payload.length, sha, w, h, f)
+        }
+      }
+  }
+
+  /** Frame sampling shape: explode n_frames into (doc_id, frame_idx)
+    * rows — the layout a video pipeline feeds to a per-frame model.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+    meta.toDF().select(col("doc_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

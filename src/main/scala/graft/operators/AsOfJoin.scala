@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the most recent right
+  * row with the same key and right.ts <= left.ts.
+  *
+  * This is J6 in SURVEY.md §2.4 — the natural weather⋈station_status
+  * correlation the reference leaves to downstream consumers
+  * (`README.md:10` states the purpose; the DAG never joins,
+  * `airflow/dags/etl_dag.py:409`). Spark has no built-in as-of join, so
+  * this composes built-ins the scalable way:
+  *
+  * union both sides tagged → single hash-partition shuffle on the key →
+  * one in-partition sort by (ts, tag) → `last(..., ignoreNulls)` window
+  * carries the latest right values forward → keep left rows.
+  *
+  * Cost at scale: exactly ONE shuffle of (|L|+|R|) rows and one sort —
+  * the same cost profile as a sort-merge join, with no range-explosion
+  * and no broadcast/crossJoin. Skewed keys behave like any skewed
+  * window partition (salt upstream if a single key dominates).
+  *
+  * Tie semantics: right rows sort before left rows at equal ts (tag 0 < 1),
+  * so an exactly-simultaneous right row IS matched — same as
+  * `ASOF JOIN ... ON l.ts >= r.ts`.
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side
+    * @param key        equality key column name present on both sides
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right columns to carry (renamed as given)
+    * @param inner      true = drop left rows with no match (ASOF inner)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Map[String, String],
+      inner: Boolean = true): DataFrame = {
+
+    val leftValueCols =
+      left.columns.filterNot(c => c == key || c == leftTs).toSeq
+    val carried = rightCols.values.toSeq
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .select(
+        Seq(col(key), col("__ts"), col("__tag")) ++
+          leftValueCols.map(col) ++
+          carried.map(c => lit(null).as(c)): _*)
+
+    val rTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(0))
+      .select(
+        Seq(col(key), col("__ts"), col("__tag")) ++
+          leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = lTagged.unionByName(rTagged)
+      .select(
+        (Seq(col(key), col("__ts"), col("__tag")) ++ leftValueCols.map(col) ++
+          carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__tag") === 1)
+
+    val matched = if (inner) filled.filter(col(carried.head).isNotNull) else filled
+    matched.drop("__tag").withColumnRenamed("__ts", leftTs)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All variants are built so the candidate-generation step is an
+  * equi-join / hash-aggregation on a derived key — NEVER an all-pairs
+  * crossJoin and never a driver-side collect — so the same plan shape
+  * survives a 1000-executor, 100 TB corpus:
+  *
+  *  - exact:     groupBy(md5(text))                — one shuffle
+  *  - MinHash:   explode band keys → self-join on band key — shuffle on
+  *               band hash; only same-bucket docs ever meet
+  *  - n-gram:    inverted index (explode shingles) → self-join on
+  *               shingle → count-based exact Jaccard — shuffle on shingle
+  *  - SimHash:   64-bit signature per doc; bucket on 4×16-bit bands
+  *
+  * Everything is `org.apache.spark.sql.functions` higher-order functions
+  * (codegen'd); no UDFs.
+  */
+object Dedup {
+
+  /** Tokens on single space — matches the corpus format of
+    * `documents.parquet` (TESTDATA.md) and the DuckDB oracle's
+    * `string_split(text, ' ')`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles. Documents shorter than n tokens yield an
+    * empty set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))
+    array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Exact duplicate groups keyed on md5(text): one row per distinct
+    * content, carrying the smallest doc_id (the canonical survivor) and
+    * the duplicate count. Single hash shuffle on the digest — uniform by
+    * construction, no skew at any scale.
+    */
+  def exactDuplicateGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** 128-permutation MinHash signature over 3-word shingles.
+    *
+    * h_k(s) = (a_k * x + b_k) mod P with x = xxhash64(shingle) mod P,
+    * P = 2^31 - 1 (Mersenne prime), a_k/b_k from a fixed seeded PRNG —
+    * fully deterministic, per-row linear work, no shuffle.
+    */
+  val NumPerms = 128
+  val LshBands = 32 // 32 bands × 4 rows: P(miss | jaccard=0.8) ≈ 5e-8
+  private val P = 2147483647L
+  private val permParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSignature(shingleCol: Column): Column = {
+    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(permParams.map { case (a, b) =>
+      coalesce(
+        array_min(transform(hashed, x => pmod(lit(a) * x + lit(b), lit(P)))),
+        lit(P)) // empty shingle set → sentinel
+    }: _*)
+  }
+
+  /** LSH band keys: hash each 4-row slice of the signature together with
+    * its band index so buckets from different bands never collide.
+    */
+  def lshBandKeys(sig: Column): Column = {
+    val rows = NumPerms / LshBands
+    array((0 until LshBands).map { b =>
+      hash(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH with exact-Jaccard
+    * verification on the candidates.
+    *
+    * Plan shape: per-row signature (narrow) → explode 32 band keys →
+    * self-equi-join on band key (shuffle on band hash) → distinct pairs →
+    * re-attach the two shingle sets → exact Jaccard filter. The only
+    * quadratic work is within a bucket, which LSH keeps tiny; the
+    * verification join is two hash joins on doc_id.
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
+    */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val withShingles = docs.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+    val banded = withShingles
+      .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh")))).as("bk"))
+
+    val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, withShingles, threshold)
+  }
+
+  /** Exact n-gram-Jaccard near-duplicates via an inverted shingle index —
+    * no hashing approximation. |A∩B| is counted by self-joining the
+    * exploded (shingle, doc) index; |A∪B| = |A| + |B| - |A∩B|. The join
+    * shuffles on the shingle value; rare long shingles (n=5 here by
+    * default in callers) keep per-key fan-out small. For corpora with
+    * hot shingles, add a document-frequency cap on the index before the
+    * self-join (classic prefix-filter refinement).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val withShingles = docs.select(
+      col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sizes = withShingles.select(
+      col("doc_id"), size(col("sh")).as("n_sh"))
+    val index = withShingles.select(
+      col("doc_id"), explode(col("sh")).as("shingle"))
+
+    val common = index.as("x").join(index.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: re-attach shingle
+    * sets (two equi-joins on doc_id) and compute |∩|/|∪| with array
+    * built-ins.
+    */
+  private def verifyJaccard(
+      pairs: DataFrame, withShingles: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(withShingles.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(withShingles.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** 64-bit SimHash over word unigrams: bit j of the signature is the
+    * sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+    * Near-duplicate docs land within small Hamming distance; bucketing
+    * the 4 16-bit bands gives an equi-join candidate step that finds all
+    * pairs within Hamming distance 3 (pigeonhole).
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      // per-bit vote: count of tokens with bit j set, vs total
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
+    }
+    val n = size(toks)
+    (0 until 64).map { j =>
+      when(bits(j) * lit(2) >= n.cast("long"), shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Candidate pairs within Hamming distance <= 3 of the 64-bit SimHash,
+    * via 16-bit band bucketing (any pair differing in <= 3 bits agrees on
+    * at least one of the 4 bands), verified with an exact popcount.
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bk"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bk"))
+
+    val hamming = {
+      // popcount of xor via bit_count
+      bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
+    }
+
+    banded.as("x").join(banded.as("y"), Seq("band", "bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Two tiers (SURVEY.md build plan step 7 / north-star extras):
+  *
+  *  - `bruteForceTopK`: exact cosine top-k for a bounded probe set. The
+  *    probe set is broadcast (it is small by contract); the corpus side
+  *    streams through a single scan — at 100 TB this is one pass, no
+  *    shuffle of the corpus, and the per-probe top-k is a
+  *    `TakeOrderedAndProject`-shaped window, not a global sort.
+  *
+  *  - `lshTopK`: random-hyperplane (sign) LSH — corpus is bucketed by
+  *    16-bit signatures split into 4 bands; probes only meet corpus rows
+  *    sharing a band bucket (equi-join on (band, bucket)), then exact
+  *    cosine re-ranks the candidates. The scale path: candidate
+  *    generation is a hash join on bucket ids, never a crossJoin.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each probe row.
+    *
+    * @param corpus (id, vec) rows
+    * @param probes (probe_id, vec) rows — must be small (broadcast side)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(probes.as("p")), col("c.id") =!= col("p.probe_id"))
+      .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
+        VectorOps.cosineSimilarity(col("c.vec"), col("p.vec")).as("cos_raw"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), dim × nBits. */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** 16-bit sign signature of a vector under the fixed hyperplanes,
+    * exposed as 4 × 4-bit band buckets for the candidate join.
+    */
+  private def bandKeys(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+    val bits = planes.map { plane =>
+      val planeCol = array(plane.map(lit): _*)
+      when(VectorOps.dot(vec, planeCol) >= 0, 1).otherwise(0)
+    }
+    val bandsOf = 4 // 4 bits per band
+    (0 until planes.length / bandsOf).map { b =>
+      val bucket = (0 until bandsOf)
+        .map(i => bits(b * bandsOf + i) * lit(1 << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+  }
+
+  /** Approximate top-k: candidates share >= 1 of 4 sign-LSH bands with
+    * the probe, re-ranked by exact cosine.
+    */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, 16, seed)
+
+    def banded(df: DataFrame, idCol: String) = df.select(
+      col(idCol), col("vec"),
+      explode(array(bandKeys(col("vec"), planes): _*)).as("bb"))
+      .select(col(idCol), col("vec"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = banded(corpus, "id").as("c")
+      .join(banded(probes, "probe_id").as("p"), Seq("band", "bucket"))
+      .filter(col("c.id") =!= col("p.probe_id"))
+      .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
+        col("c.vec").as("cvec"), col("p.vec").as("pvec"))
+      .dropDuplicates("probe_id", "neighbor_id")
+
+    val scored = candidates.select(col("probe_id"), col("neighbor_id"),
+      VectorOps.cosineSimilarity(col("cvec"), col("pvec")).as("cos_raw"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas.RunContext
+import graft.sources.Sources
+import graft.transform.{Velib, Weather}
+
+/** Reference-pipeline queries over the committed raw fixtures
+  * (`fixtures/*.json` — deterministic payloads reproducing the observed
+  * API shapes, FIXTURES.md). The oracle side is a literal VALUES table:
+  * the fixture is tiny and fixed, so the expected output is spelled out
+  * exactly — no reliance on DuckDB JSON extensions.
+  *
+  * These exercise S3 (schema'd JSON read), P3-P6, P9, P11, the §2.8
+  * dedup fix, and A5/W1 over the reference's own data shapes.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FixtureDir = "/root/repo/fixtures"
+  private val Ctx = RunContext("2024-02-01 01:00:00", "velib_spark", "transform_station_data")
+
+  private def velibCurated(s: SparkSession): DataFrame =
+    Velib.curateStations(Velib.flattenStations(
+      Sources.readVelibRaw(s, s"$FixtureDir/station_status.json")))
+
+  val queries: Map[String, Q] = Map(
+    // P3 explode + P4 project + P5 epoch→ts + P6 metadata (the core
+    // hourly transform, `etl_dag.py:225-242` + `s3_to_postgres.py:63-69`).
+    "q_velib_flatten" -> ((s, _) => {
+      Velib.withRunMetadata(velibCurated(s), Ctx)
+        .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // §2.8 dedup + W1 latest-per-station (the correctness fix the
+    // reference lacks: stale re-reports are dropped, then one row per
+    // station survives).
+    "q_velib_latest" -> ((s, _) => {
+      Velib.latestPerStation(Velib.dedupSnapshots(velibCurated(s)))
+        .orderBy(col("station_id"))
+    }),
+
+    // A5 time-bucketed availability over the deduped curated rows.
+    "q_velib_hourly" -> ((s, _) => {
+      Velib.hourlyAvailability(Velib.dedupSnapshots(velibCurated(s)))
+        .orderBy(col("hour_start"), col("station_id"))
+    }),
+
+    // F5/2.9 array-of-single-key-maps flatten: mechanical/ebike split.
+    "q_velib_bike_types" -> ((s, _) => {
+      Velib.withBikeTypes(
+        Velib.flattenStations(Sources.readVelibRaw(s, s"$FixtureDir/station_status.json")))
+        .select(col("station_id"), col("stationCode"),
+          col("num_bikes_mechanical"), col("num_bikes_ebike"), col("last_reported"))
+        .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // P9 surrogate key from the notebook prototype (`research.ipynb` cell 4).
+    "q_velib_surrogate" -> ((s, _) => {
+      Velib.withSurrogateKey(Velib.dedupSnapshots(velibCurated(s)))
+        .select(col("id"), col("station_id"), col("num_bikes_available"))
+        .orderBy(col("station_id"), col("id"))
+    }),
+
+    // P1 nested projection + P2 array index (`etl_dag.py:84-99`).
+    "q_weather_project" -> ((s, _) => {
+      Weather.projectWeather(Sources.readWeatherRaw(s, s"$FixtureDir/weather.json"))
+        .orderBy(col("timestamp"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_velib_flatten" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),
+        | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),
+        | (CAST(213688169 AS BIGINT), 5, 30, 1, 1, 1, CAST('2024-01-31 23:50:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),
+        | (CAST(213688169 AS BIGINT), 4, 31, 1, 1, 1, CAST('2024-02-01 00:50:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),
+        | (CAST(19179944124 AS BIGINT), 12, 8, 1, 0, 1, CAST('2024-01-31 22:45:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),
+        | (CAST(19179944124 AS BIGINT), 11, 9, 1, 0, 1, CAST('2024-02-01 00:55:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data')
+        |) AS t(station_id, num_bikes_available, num_docks_available, is_installed, is_returning, is_renting, last_reported, execution_date, dag_id, task_id)
+        |ORDER BY station_id, last_reported""".stripMargin,
+    "q_velib_latest" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 4, 31, 1, 1, 1, CAST('2024-02-01 00:50:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), 11, 9, 1, 0, 1, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
+        |) AS t(station_id, num_bikes_available, num_docks_available, is_installed, is_returning, is_renting, last_reported)
+        |ORDER BY station_id""".stripMargin,
+    "q_velib_hourly" ->
+      """SELECT * FROM (VALUES
+        | (CAST('2024-01-31 22:00:00' AS TIMESTAMP), CAST(19179944124 AS BIGINT), 12, 12, CAST(1 AS BIGINT)),
+        | (CAST('2024-01-31 23:00:00' AS TIMESTAMP), CAST(99950133 AS BIGINT), 0, 0, CAST(1 AS BIGINT)),
+        | (CAST('2024-01-31 23:00:00' AS TIMESTAMP), CAST(213688169 AS BIGINT), 5, 5, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(213688169 AS BIGINT), 4, 4, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(19179944124 AS BIGINT), 11, 11, CAST(1 AS BIGINT))
+        |) AS t(hour_start, station_id, max_bikes, min_bikes, n_reports)
+        |ORDER BY hour_start, station_id""".stripMargin,
+    "q_velib_bike_types" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), '31104', 0, 0, CAST(1706744700 AS BIGINT)),
+        | (CAST(99950133 AS BIGINT), '31104', 0, 0, CAST(1706744700 AS BIGINT)),
+        | (CAST(213688169 AS BIGINT), '16107', 3, 2, CAST(1706745000 AS BIGINT)),
+        | (CAST(213688169 AS BIGINT), '16107', 2, 2, CAST(1706748600 AS BIGINT)),
+        | (CAST(19179944124 AS BIGINT), '9020', 7, 5, CAST(1706741100 AS BIGINT)),
+        | (CAST(19179944124 AS BIGINT), '9020', 6, 5, CAST(1706748900 AS BIGINT))
+        |) AS t(station_id, stationCode, num_bikes_mechanical, num_bikes_ebike, last_reported)
+        |ORDER BY station_id, last_reported""".stripMargin,
+    "q_velib_surrogate" ->
+      """SELECT * FROM (VALUES
+        | ('99950133_1706744700', CAST(99950133 AS BIGINT), 0),
+        | ('213688169_1706745000', CAST(213688169 AS BIGINT), 5),
+        | ('213688169_1706748600', CAST(213688169 AS BIGINT), 4),
+        | ('19179944124_1706741100', CAST(19179944124 AS BIGINT), 12),
+        | ('19179944124_1706748900', CAST(19179944124 AS BIGINT), 11)
+        |) AS t(id, station_id, num_bikes_available)
+        |ORDER BY station_id, id""".stripMargin,
+    "q_weather_project" ->
+      """SELECT * FROM (VALUES
+        | (CAST(277.99 AS DOUBLE), CAST(274.47 AS DOUBLE), 1029, 86, CAST(4.63 AS DOUBLE), 'light rain', CAST('2024-02-01 00:00:00' AS TIMESTAMP)),
+        | (CAST(278.5 AS DOUBLE), CAST(275.0 AS DOUBLE), 1030, 80, CAST(3.1 AS DOUBLE), 'clear sky', CAST('2024-02-01 01:00:00' AS TIMESTAMP))
+        |) AS t(temp, feels_like, pressure, humidity, wind_speed, weather_description, timestamp)
+        |ORDER BY timestamp""".stripMargin)
+}

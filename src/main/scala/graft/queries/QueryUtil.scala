@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query registry.
+  *
+  * Determinism rules (SURVEY.md §7.4.5 — DuckDB parity traps):
+  *  - Every aggregate over doubles goes through an exact DECIMAL(18,2/4)
+  *    cast so the sum is order-independent (shuffle order differs between
+  *    engines; double addition does not commute). The testdata money/qty
+  *    columns carry <= 2 decimals (verified), so the cast is lossless.
+  *  - Every query ends in a total-order ORDER BY.
+  *  - Column names are aliased identically in Spark and oracle SQL.
+  */
+object QueryUtil {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Order-independent sum of a <=2-decimal double column, as double. */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Order-independent sum for derived 4-decimal expressions. */
+  def dsum4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Deterministic average: exact decimal sum (as double) over count. */
+  def davg(c: Column): Column =
+    dsum(c) / count(lit(1))
+}

@@ -1,0 +1,485 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.AsOfJoin
+import QueryUtil._
+
+/** The relational capability envelope (SURVEY.md §2.4-2.9 [E] operators)
+  * over the harness tables. Each query has an ANSI-SQL oracle in
+  * `oracleSql`, hash-compared by the driver against DuckDB.
+  *
+  * Scale notes are per-query in comments: which side broadcasts, where
+  * the one shuffle lands, why no plan node degenerates to a cartesian
+  * product.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1 + F6: partial (map-side) + final hash aggregation; one shuffle
+    // on the 6-value group key. At 100 TB the partial agg collapses the
+    // scan to ~6 rows per task before the exchange.
+    "q_agg_pricing" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          davg(col("l_quantity")).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A2: exact distinct counts — Catalyst plans expand + two-phase agg.
+    "q_agg_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A3: rollup — grouping-set expansion happens before the shuffle, so
+    // the exchange still carries only aggregated rows.
+    "q_agg_rollup" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // A5: tumbling 1-hour buckets via window() — bucket key is computed
+    // map-side; one shuffle on (hour, type).
+    "q_agg_timebucket" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // J1 inner: orders⋈customer. customer is the small side → Catalyst
+    // broadcasts it (verified in plan); no shuffle of orders.
+    "q_join_inner" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J1 left outer + A1: customers keep their zero-order rows.
+    "q_join_left" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: explicit broadcast of the dim chain region→nation — the fact
+    // side never shuffles for the joins, only for the final group-by.
+    "q_join_broadcast" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J3 semi: EXISTS — no duplication of the left side, right side only
+    // ships its join key.
+    "q_join_semi" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3 anti: customers with no order above 400 — NOT EXISTS against a
+    // pre-filtered (pushed-down) right side.
+    "q_join_anti" -> ((s, dir) => {
+      val bigOrders = table(s, dir, "orders").filter(col("o_totalprice") > 400.0)
+      table(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4 theta: equi part (nationkey) carries the join — the inequality
+    // is a post-join filter, so this stays a hash join, NOT a
+    // BroadcastNestedLoop/cartesian.
+    "q_join_theta" -> ((s, dir) => {
+      table(s, dir, "supplier").as("sp")
+        .join(table(s, dir, "customer").as("cu"),
+          col("sp.s_nationkey") === col("cu.c_nationkey") &&
+            col("sp.s_acctbal") > col("cu.c_acctbal"))
+        .groupBy(col("sp.s_suppkey").as("s_suppkey"), col("sp.s_name").as("s_name"))
+        .agg(count(lit(1)).as("n_poorer"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J5 range: equi key + time interval band — sort-merge on the equi
+    // key with a range residual; never quadratic.
+    "q_join_range" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // J6 as-of: most recent 'click' at or before each 'purchase', per
+    // user. Composed union+window implementation — exactly one shuffle
+    // on user_id (see graft.operators.AsOfJoin).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+        Map("ts" -> "click_ts", "value" -> "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W1: dedup-latest via row_number — the pattern that replaces the
+    // reference's duplicate-appending loads (SURVEY.md §2.8).
+    "q_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W2: lag delta — the bikes-delta analytic shape from SURVEY §2.6.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W3: running sum over an explicit ROWS frame (decimal-exact).
+    "q_window_runsum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("run_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O2 top-k: planned as TakeOrderedAndProject — per-partition heaps,
+    // no global sort, no full shuffle.
+    "q_topk" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // O1 full sort: range-partitioned sort (sampled bounds) — scales as
+    // a standard distributed sort.
+    "q_sort" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    }),
+
+    // U1: unionByName over aligned projections.
+    "q_union" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_custkey").as("entity_id"), col("c_name").as("entity_name"),
+        lit("customer").as("kind"))
+      val sup = table(s, dir, "supplier").select(
+        col("s_suppkey").as("entity_id"), col("s_name").as("entity_name"),
+        lit("supplier").as("kind"))
+      c.unionByName(sup).orderBy(col("kind"), col("entity_id"))
+    }),
+
+    // U2 intersect (set semantics both engines).
+    "q_intersect" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // U3: dropDuplicates — hash aggregation on the pair.
+    "q_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F1 date/time family.
+    "q_fn_datetime" -> ((s, dir) => {
+      table(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        year(col("ts")).as("yr"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"),
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F2 string family.
+    "q_fn_string" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("_", col("c_mktsegment"), col("c_custkey").cast("string")).as("seg_key"),
+        substring_index(col("c_name"), "#", 1).as("name_stem"),
+        substring(col("c_name"), 10, 9).as("name_num"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F3 casts + F6 math: FLOOR/CEIL/SQRT/ABS/% are IEEE-deterministic
+    // cross-engine (unlike double→int casts, which truncate in Spark and
+    // round in DuckDB — deliberately avoided).
+    "q_fn_cast" -> ((s, dir) => {
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        abs(col("l_extendedprice") - 500.0).as("abs_diff"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        col("l_linenumber").cast("string").as("line_str"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // F4 json-in-string access.
+    "q_fn_json" -> ((s, dir) => {
+      table(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F7 null handling.
+    "q_fn_null" -> ((s, dir) => {
+      table(s, dir, "events").select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("type_clean"),
+        when(col("value") > 150, "high").when(col("value") > 75, "mid")
+          .otherwise("low").as("value_band"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F5 array access + higher-order-function norm.
+    "q_fn_array" -> ((s, dir) => {
+      table(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(col("embedding"), -1).cast("double").as("last_val"),
+        round(VectorOps.norm(col("embedding")), 6).as("l2_norm"),
+        col("label"))
+        .orderBy(col("vec_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_timebucket" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_poorer
+        |FROM supplier JOIN customer
+        | ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders
+        | ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_window_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        | value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_runsum" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_sort" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, entity_id""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_fn_datetime" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | CAST(year(ts) AS INT) AS yr,
+        | CAST(month(ts) AS INT) AS mo,
+        | CAST(day(ts) AS INT) AS dom,
+        | CAST(hour(ts) AS INT) AS hr,
+        | date_trunc('hour', ts) AS hour_ts,
+        | CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_string" ->
+      """SELECT c_custkey,
+        | UPPER(c_name) AS name_upper,
+        | CAST(LENGTH(c_name) AS INT) AS name_len,
+        | CONCAT_WS('_', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+        | SPLIT_PART(c_name, '#', 1) AS name_stem,
+        | SUBSTRING(c_name, 10, 9) AS name_num,
+        | LPAD(CAST(c_custkey AS VARCHAR), 9, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        | SQRT(l_quantity) AS qty_sqrt,
+        | ABS(l_extendedprice - 500.0) AS abs_diff,
+        | l_orderkey % 7 AS key_mod,
+        | CAST(l_linenumber AS VARCHAR) AS line_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fn_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_null" ->
+      """SELECT event_id,
+        | COALESCE(NULLIF(event_type, 'error'), 'unknown') AS type_clean,
+        | CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid' ELSE 'low' END AS value_band
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_array" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_val,
+        | CAST(embedding[-1] AS DOUBLE) AS last_val,
+        | ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        | label
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

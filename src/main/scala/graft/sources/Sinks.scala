@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink writers mirroring the reference's raw/staging/warehouse zones
+  * (SURVEY.md §2.2).
+  */
+object Sinks {
+
+  /** Raw-zone JSON: non-replacing, like the reference's S3 upload without
+    * `replace` (`airflow/dags/etl_dag.py:51-55`) — a re-run against the
+    * same key fails rather than silently overwriting raw history.
+    */
+  def writeRawJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists).json(path)
+
+  /** Staging-zone CSV: header + overwrite, mirroring `replace=True`
+    * (`etl_dag.py:106-112`) which is what makes the reference's
+    * transform task idempotent.
+    */
+  def writeCsvOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Curated-zone parquet partitioned by ingest date — replaces the
+    * reference's timestamped flat S3 keys (`etl_dag.py:46`) with a
+    * partition layout Catalyst can prune (SURVEY.md §4.2).
+    */
+  def writeCuratedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Idempotent DDL (`etl_dag.py:116-139`, `:266-280`): CREATE TABLE IF
+    * NOT EXISTS against the session catalog, parquet-backed.
+    */
+  def ensureTable(spark: SparkSession, table: String, ddlColumns: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($ddlColumns) USING parquet")
+
+  /** Warehouse append (`airflow/plugins/s3_to_postgres.py:76-82`):
+    * by-name column alignment, then a batched JDBC append — replacing the
+    * reference's one-INSERT-per-row loop with executor-parallel batched
+    * writes. Not executable in the offline harness (no database); the
+    * call shape is complete.
+    */
+  def jdbcAppend(
+      df: DataFrame, url: String, table: String,
+      targetFields: Seq[String], props: java.util.Properties): Unit =
+    df.select(targetFields.head, targetFields.tail: _*)
+      .write.mode(SaveMode.Append)
+      .option("batchsize", 10000)
+      .jdbc(url, table, props)
+}

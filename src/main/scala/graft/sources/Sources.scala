@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/** Source readers. Every raw read declares its schema explicitly and
+  * fails fast on malformed input, mirroring the reference's
+  * crash-on-missing-field behavior (`airflow/dags/etl_dag.py:81`,
+  * retries at `:331-332`) instead of silently nulling.
+  *
+  * S3 note: the reference downloads objects to /tmp first
+  * (`etl_dag.py:74-78`); Spark reads `s3a://` paths natively through the
+  * Hadoop filesystem layer, so the same helpers serve local, HDFS, and
+  * object-store paths unchanged.
+  */
+object Sources {
+
+  /** Raw vélib GBFS snapshots (JSON lines, one snapshot per line).
+    * Mirrors `etl_dag.py:221-222`.
+    */
+  def readVelibRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.velibRaw)
+      .option("mode", "FAILFAST").json(path)
+
+  /** Raw OpenWeatherMap snapshots. Mirrors `etl_dag.py:80-81`. */
+  def readWeatherRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.weatherRaw)
+      .option("mode", "FAILFAST").json(path)
+
+  /** Headered CSV with explicit schema — the staging-zone re-read
+    * (`airflow/plugins/s3_to_postgres.py:60`), minus the reference's
+    * dtype re-inference (SURVEY.md §1.3: inference only as compat
+    * fallback).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Compat fallback: schema-inferring CSV read, byte-for-byte the
+    * reference loader's behavior.
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Harness table loader (TESTDATA.md layout). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** JDBC scan shape (S7): reads a table back from an RDBMS with
+    * partitioned parallelism. Not exercised in the offline harness (no
+    * database), but this is the complete call surface.
+    */
+  def readJdbc(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: java.util.Properties): DataFrame =
+    spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+}

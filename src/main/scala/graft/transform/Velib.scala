@@ -1,0 +1,101 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas.RunContext
+
+/** Pure DataFrame => DataFrame transforms for the vélib station branch.
+  *
+  * Reference behavior: `airflow/dags/etl_dag.py:221-242` —
+  * `pd.json_normalize(raw["data"]["stations"])`, keep 7 of 12 columns,
+  * epoch seconds → `"%Y-%m-%d %H:%M:%S"`. Spark-first re-expression:
+  * `explode` (the native flatten), column pruning pushed into the scan by
+  * Catalyst, `timestamp_seconds` in the session (UTC) zone — this also
+  * removes the reference's weather-vs-station timezone divergence
+  * (SURVEY.md §1.3).
+  */
+object Velib {
+
+  /** One row per station per snapshot (`etl_dag.py:225-226`).
+    * `explode` distributes: each snapshot row fans out to its stations and
+    * downstream operators see a flat relation — no driver-side loop, and
+    * nested-schema pruning keeps the scan narrow.
+    */
+  def flattenStations(raw: DataFrame): DataFrame =
+    raw.select(explode(col("data.stations")).as("s"))
+      .select(col("s.*"))
+
+  /** Keep the 7 curated columns (`etl_dag.py:228-238` keeps exactly these)
+    * and convert `last_reported` epoch seconds to a UTC timestamp
+    * (`etl_dag.py:240-242`).
+    */
+  def curateStations(flat: DataFrame): DataFrame =
+    flat.select(
+      col("station_id"),
+      col("num_bikes_available"),
+      col("num_docks_available"),
+      col("is_installed"),
+      col("is_returning"),
+      col("is_renting"),
+      timestamp_seconds(col("last_reported")).as("last_reported"))
+
+  /** Mechanical / ebike split from `num_bikes_available_types` — the
+    * array-of-single-key-maps shape observed at `research.ipynb` cell 3:
+    * `[{mechanical: n}, {ebike: n}]`.
+    */
+  def withBikeTypes(flat: DataFrame): DataFrame =
+    flat
+      .withColumn("num_bikes_mechanical",
+        element_at(element_at(col("num_bikes_available_types"), 1), "mechanical"))
+      .withColumn("num_bikes_ebike",
+        element_at(element_at(col("num_bikes_available_types"), 2), "ebike"))
+
+  /** Loader-injected run metadata (`airflow/plugins/s3_to_postgres.py:63-69`). */
+  def withRunMetadata(df: DataFrame, ctx: RunContext): DataFrame =
+    df.withColumn("execution_date", lit(ctx.executionDate).cast("timestamp"))
+      .withColumn("dag_id", lit(ctx.dagId))
+      .withColumn("task_id", lit(ctx.taskId))
+
+  /** Surrogate key the reference prototyped but never used
+    * (`research/research.ipynb` cell 4): station_id + "_" + last_reported.
+    */
+  def withSurrogateKey(df: DataFrame): DataFrame =
+    df.withColumn("id",
+      concat_ws("_", col("station_id"), unix_timestamp(col("last_reported"))))
+
+  /** Drop exact re-reports: hourly snapshots re-deliver stations whose
+    * `last_reported` did not change; the reference appends them as
+    * duplicate facts (nothing dedups between `etl_dag.py:225-242` and the
+    * insert at `s3_to_postgres.py:80-82`). Shuffles once on the dedup key —
+    * at 100 TB this is a hash-partitioned exchange on (station_id,
+    * last_reported), no skew (keys are near-unique).
+    */
+  def dedupSnapshots(df: DataFrame): DataFrame =
+    df.dropDuplicates("station_id", "last_reported")
+
+  /** Latest report per station — the window-dedup pattern replacing the
+    * notebook's surrogate-key intent. Single shuffle on station_id.
+    */
+  def latestPerStation(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("station_id"))
+      .orderBy(col("last_reported").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Hourly availability per station — the canonical query over this data
+    * (SURVEY.md §2.5 A5): tumbling 1-hour buckets on the report time.
+    */
+  def hourlyAvailability(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(
+        window(col("last_reported"), "1 hour").getField("start").as("hour_start"),
+        col("station_id"))
+      .agg(
+        max(col("num_bikes_available")).as("max_bikes"),
+        min(col("num_bikes_available")).as("min_bikes"),
+        count(lit(1)).as("n_reports"))
+}
