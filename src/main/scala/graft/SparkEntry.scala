@@ -1,13 +1,27 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.sources.Sources
+import graft.transform.Velib
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query: the reference's core hourly slice
+    * (flatten -> curate -> dedup -> latest-per-station,
+    * /root/reference/airflow/dags/etl_dag.py:225-242 + the §2.8 dedup fix)
+    * over the committed raw fixture. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Velib.latestPerStation(Velib.dedupSnapshots(Velib.curateStations(
+      Velib.flattenStations(
+        Sources.readVelibRaw(spark, "/root/repo/fixtures/station_status.json")))))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
 }

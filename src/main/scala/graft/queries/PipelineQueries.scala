@@ -8,8 +8,9 @@ import graft.sources.Sources
 import graft.transform.{Velib, Weather}
 
 /** Reference-pipeline queries over the committed raw fixtures
-  * (`fixtures/*.json` — deterministic payloads reproducing the observed
-  * API shapes, FIXTURES.md). The oracle side is a literal VALUES table:
+  * (the JSON files under fixtures/ — deterministic payloads reproducing
+  * the observed API shapes, FIXTURES.md). The oracle side is a literal
+  * VALUES table:
   * the fixture is tiny and fixed, so the expected output is spelled out
   * exactly — no reliance on DuckDB JSON extensions.
   *

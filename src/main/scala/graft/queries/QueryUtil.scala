@@ -16,8 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object QueryUtil {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+    // timestamp type and rejects the file outright (PARQUET_TYPE_ILLEGAL)
+    // unless the legacy conf surfaces it as an epoch-nanos long. Cast it
+    // back to microsecond TimestampType (integral `div` — no double
+    // round-trip), which is exactly DuckDB's ns->us truncation, so the
+    // oracle compare sees identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.collectFirst {
+      case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }.getOrElse(df)
+  }
 
   /** Order-independent sum of a <=2-decimal double column, as double. */
   def dsum(c: Column): Column =
