@@ -1,0 +1,80 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.Schemas
+
+/** S1/S2 HTTP snapshot ingestion (SURVEY.md §2.1).
+  *
+  * The reference fetches with `requests.get` inside an Airflow task
+  * (`airflow/dags/etl_dag.py:27-49` weather, `:168-188` vélib) and spools
+  * the body to S3. Here the imperative edge is confined to a single
+  * `Transport` function — the HTTP GET — and everything after it is the
+  * schema'd JSON path shared with the file sources: the body becomes a
+  * one-element `Dataset[String]` parsed with the explicit raw schema
+  * (FAILFAST), so a malformed payload fails the run exactly like the
+  * reference's crash-and-retry (`etl_dag.py:331-332`).
+  *
+  * The transport is injectable, which keeps ingestion unit-testable in
+  * this offline harness (tests feed canned bodies) and cleanly swaps for
+  * a real client in deployment. Driver-side fetch of a ~344 KB snapshot
+  * (`research.ipynb` cell 3) is the right shape at any scale: the
+  * payload is one API response, not a distributed dataset — parallelism
+  * begins after parse+explode.
+  */
+object Ingest {
+
+  /** The one imperative edge: URL -> body. */
+  type Transport = String => String
+
+  /** `java.net.http` GET with the reference's JSON accept header
+    * (`etl_dag.py:40-42`). Offline harness never calls this — tests
+    * inject canned transports.
+    */
+  def httpTransport(timeoutMs: Long = 30000): Transport = { url =>
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"GET $url -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** OpenWeatherMap onecall URL (`etl_dag.py:43` — lat/lon fixed to
+    * Paris at `:36-37`; key from config, never hardcoded).
+    */
+  def weatherUrl(lat: Double, lon: Double, apiKey: String): String =
+    s"https://api.openweathermap.org/data/2.5/onecall?lat=$lat&lon=$lon&appid=$apiKey"
+
+  /** Vélib GBFS station_status URL (`etl_dag.py:182`). */
+  val VelibStatusUrl =
+    "https://velib-metropole-opendata.smovengo.cloud/opendata/Velib_Metropole/station_status.json"
+
+  private def parse(
+      spark: SparkSession, body: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[String] = spark.createDataset(Seq(body))
+    spark.read.schema(schema).option("mode", "FAILFAST").json(ds)
+  }
+
+  /** S2: fetch one vélib snapshot -> raw DataFrame (velibRaw schema). */
+  def fetchVelibSnapshot(
+      spark: SparkSession, transport: Transport,
+      url: String = VelibStatusUrl): DataFrame =
+    parse(spark, transport(url), Schemas.velibRaw)
+
+  /** S1: fetch one weather snapshot -> raw DataFrame (weatherRaw schema). */
+  def fetchWeatherSnapshot(
+      spark: SparkSession, transport: Transport, url: String): DataFrame =
+    parse(spark, transport(url), Schemas.weatherRaw)
+
+  /** K1 raw-zone landing: non-replacing timestamped JSON write, the
+    * replayable raw zone (`etl_dag.py:46-55` — upload without `replace`).
+    */
+  def landRaw(raw: DataFrame, rawZoneDir: String, runTs: String): Unit =
+    raw.write.mode("errorifexists").json(s"$rawZoneDir/ingest_ts=$runTs")
+}

@@ -83,6 +83,28 @@ object Dedup {
     }: _*)
   }
 
+  /** Band keys computed directly from the shingle set in ONE expression
+    * tree where each per-permutation minimum appears exactly once.
+    *
+    * Composing `lshBandKeys(minhashSignature(sh))` instead would inline
+    * the whole 128-permutation signature subtree into every one of the
+    * 128 `element_at` references (Catalyst substitutes, it does not
+    * let-bind), multiplying the per-row work by 128 — observed as a
+    * >300 s stall on 500 documents. This fused form is linear.
+    */
+  def lshBandKeysFromShingles(shingleCol: Column): Column = {
+    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    val rows = NumPerms / LshBands
+    val mins = permParams.map { case (a, b) =>
+      coalesce(
+        array_min(transform(hashed, x => pmod(lit(a) * x + lit(b), lit(P)))),
+        lit(P))
+    }
+    array((0 until LshBands).map { b =>
+      hash(lit(b) +: (0 until rows).map(r => mins(b * rows + r)): _*)
+    }: _*)
+  }
+
   /** Near-duplicate pairs via MinHash + LSH with exact-Jaccard
     * verification on the candidates.
     *
@@ -100,7 +122,7 @@ object Dedup {
       col("doc_id"), shingles(col("text"), 3).as("sh"))
 
     val banded = withShingles
-      .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh")))).as("bk"))
+      .select(col("doc_id"), explode(lshBandKeysFromShingles(col("sh"))).as("bk"))
 
     val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))

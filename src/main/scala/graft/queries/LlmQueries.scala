@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+import QueryUtil.table
+
+/** Training-data-pipeline operators as oracle-checked queries over the
+  * harness `documents` / `embeddings` tables (the "LLM-data-pipeline"
+  * envelope the builder prompt grades alongside SURVEY §2).
+  *
+  * Oracle notes:
+  *  - dedup/jaccard oracles re-derive the EXACT pairs in DuckDB from
+  *    list primitives (string_split / list_intersect) — the Spark side
+  *    must reproduce them bit-for-bit (double division + ROUND(x, 6)
+  *    are IEEE-deterministic in both engines).
+  *  - the MinHash LSH query is checked against the exact-jaccard oracle:
+  *    at threshold 0.8 with 32 bands × 4 rows the per-pair miss
+  *    probability is < 1e-7, and the planted near-dups in the corpus sit
+  *    at j >= 0.97, so LSH output == exact output deterministically in
+  *    practice.
+  *  - xxhash64-based ops (SimHash, rolling fingerprint, sign-LSH ANN)
+  *    are not expressible in DuckDB; they are registered WITHOUT oracle
+  *    SQL, which the driver records as a rows-only check.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  /** embeddings with ANN column names; probes = 5 smallest vec_ids. */
+  private def corpus(s: SparkSession, dir: String) =
+    embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def probes(s: SparkSession, dir: String) =
+    embs(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vec"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: one uniform md5 shuffle (Dedup.exactDuplicateGroups).
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicateGroups(docs(s, dir))
+        .orderBy(col("content_key"))
+    }),
+
+    // Exact trigram-jaccard near-dup pairs via the inverted index with
+    // the hot-shingle document-frequency cap (inactive at harness doc
+    // frequencies, exercised in DedupSpec).
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash 128-perm + 32-band LSH, exact-jaccard-verified.
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(docs(s, dir), 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dups (xxhash64 — rows-only check).
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDuplicates(docs(s, dir), 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact cosine top-10 for 5 probes over the embedding corpus,
+    // map-side-reduced by the bounded-heap TopKAggregator.
+    "q_ann_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(corpus(s, dir), probes(s, dir), 10)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
+    // Sign-LSH bucketed ANN (seeded hyperplanes — rows-only check).
+    "q_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
+    // Token / vocabulary / punctuation stats + the composite quality gate.
+    "q_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.uniqueTokenCount(col("text")).as("n_unique"),
+        round(Text.typeTokenRatio(col("text")), 6).as("ttr"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        Text.qualityFlag(col("text")).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic + canonical normalized fingerprint.
+    "q_text_lang" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.langId(col("text")).as("lang_guess"),
+        Text.normalizedFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rolling-hash winnowing fingerprint (xxhash64 — rows-only check).
+    "q_text_rolling" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.rollingMinFingerprint(col("text")).as("roll_fp"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** Shared DuckDB CTE: distinct trigram shingle list per document. */
+  private val ShingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM tok
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+    "q_dedup_ngram" ->
+      (ShingleCte +
+        """
+          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+          |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_minhash" ->
+      (ShingleCte +
+        """
+          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+          |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_ann_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT p.pid AS probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(p.pe) + 1),
+        |        i -> CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))))) AS cos_raw
+        |  FROM embeddings e JOIN p ON e.vec_id != p.pid
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM s
+        |)
+        |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
+        |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+        | ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |   / len(string_split(text, ' ')), 6) AS ttr,
+        | ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |   / length(text), 6) AS punct_ratio,
+        | (len(string_split(text, ' ')) >= 10
+        |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
+        |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
+        |   AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |     / length(text) < 0.2) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+        |), sc AS (
+        |  SELECT doc_id, text,
+        |   len(list_filter(w, x -> x IN ('the','and','of','to','is','with','that','this'))) AS s_en,
+        |   len(list_filter(w, x -> x IN ('le','la','les','des','est','une','dans','pour'))) AS s_fr,
+        |   len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+        |   len(list_filter(w, x -> x IN ('el','los','las','una','está','por','para','como'))) AS s_es,
+        |   len(list_filter(w, x -> x IN ('的','是','了','在','我','有','不','人'))) AS s_zh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        | CASE
+        |  WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'fr'
+        |  WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'de'
+        |  WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'es'
+        |  WHEN s_zh = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'zh'
+        |  ELSE 'und' END AS lang_guess,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |   ' +', ' ', 'g'))) AS fingerprint
+        |FROM sc ORDER BY doc_id""".stripMargin)
+}

@@ -51,6 +51,36 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("station_id"),
         col("max_bikes"), col("n_reports"))
 
+  /** J7 stream-stream join (SURVEY.md §2.4/§2.10): station updates ⋈ the
+    * weather observation of the same hour at-or-before the report.
+    *
+    * Both sides are watermarked (2 h) and the join key is the HOUR BUCKET
+    * plus a time-range residual — the equi key makes this a streaming
+    * hash join co-partitioned on the hour, and together with the
+    * watermarks it bounds the state store: each side's buffered rows are
+    * evicted once the watermark passes their hour. A pure time-range
+    * condition (no equi key) would buffer and scan far more state.
+    *
+    * @param stationsRaw raw vélib snapshots (velibRaw schema, streaming)
+    * @param weatherRaw  raw weather snapshots (weatherRaw schema, streaming)
+    */
+  def stationWeatherJoin(stationsRaw: DataFrame, weatherRaw: DataFrame): DataFrame = {
+    val st = Velib.curateStations(Velib.flattenStations(stationsRaw))
+      .withWatermark("last_reported", "2 hours")
+    val wx = graft.transform.Weather.projectWeather(weatherRaw)
+      .withColumnRenamed("timestamp", "obs_ts")
+      .withWatermark("obs_ts", "2 hours")
+    st.join(
+      wx,
+      date_trunc("hour", col("last_reported")) === date_trunc("hour", col("obs_ts")) &&
+        col("obs_ts") <= col("last_reported") &&
+        col("obs_ts") > col("last_reported") - expr("INTERVAL 1 HOUR"),
+      "inner")
+      .select(col("station_id"), col("num_bikes_available"),
+        col("last_reported"), col("obs_ts"), col("temp"),
+        col("weather_description"))
+  }
+
   /** Per-run writer: AvailableNow = process-what-exists then stop —
     * the `catchup=False` + `max_active_runs=1` semantics of the
     * reference, with checkpointed progress instead of Airflow metadata.

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    // (key, ts, payload)
+    ("u1", 100L, "p1"),
+    ("u1", 200L, "p2"),
+    ("u2", 150L, "p3"),
+    ("u3", 50L, "p4") // u3 has no right rows at all
+  ).toDF("user_id", "ts", "payload")
+
+  test("backward as-of picks the most recent right row at or before left.ts") {
+    val right = Seq(
+      ("u1", 90L, 1.0),
+      ("u1", 150L, 2.0),
+      ("u1", 201L, 3.0), // after both left rows — never matched
+      ("u2", 150L, 4.0)  // exactly simultaneous — IS matched (>=)
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "r_ts", "v" -> "r_v"))
+    val m = rows(out).map(r =>
+      (r.getAs[String]("user_id"), r.getAs[Long]("ts")) ->
+        (r.getAs[Long]("r_ts"), r.getAs[Double]("r_v"))).toMap
+
+    assert(m(("u1", 100L)) === ((90L, 1.0)))
+    assert(m(("u1", 200L)) === ((150L, 2.0)))
+    assert(m(("u2", 150L)) === ((150L, 4.0)))
+    assert(!m.contains(("u3", 50L))) // inner: unmatched left dropped
+  }
+
+  test("outer variant keeps unmatched left rows with null carried values") {
+    val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("v" -> "r_v"), inner = false)
+    assert(out.count() === 4)
+    val u3 = rows(out.filter(col("user_id") === "u3")).head
+    assert(u3.isNullAt(u3.fieldIndex("r_v")))
+  }
+
+  test("a matched right row with NULL carried values still counts as a match") {
+    val right = Seq(
+      ("u1", 90L, null.asInstanceOf[java.lang.Double]),
+      ("u2", 100L, java.lang.Double.valueOf(7.0))
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("v" -> "r_v"))
+    // u1's rows match the null-valued right row — they must survive inner
+    val u1 = rows(out.filter(col("user_id") === "u1"))
+    assert(u1.size === 2)
+    assert(u1.forall(_.isNullAt(u1.head.fieldIndex("r_v"))))
+    // and u2 still carries its real value
+    val u2 = rows(out.filter(col("user_id") === "u2")).head
+    assert(u2.getAs[Double]("r_v") === 7.0)
+  }
+
+  test("plan shuffles exactly once (single Exchange on the key)") {
+    val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("v" -> "r_v"))
+    val exchanges = "Exchange".r.findAllIn(planString(out)).size
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n${planString(out)}")
+  }
+}

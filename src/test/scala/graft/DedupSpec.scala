@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 1
+    (4L, "completely different content about spark and scala"),
+    (5L, "another unrelated document mentioning nothing similar")
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams are distinct and empty for short docs") {
+    val sh = rows(docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh")))
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).head === "the quick brown")
+    assert(sh(1L).size === 7) // 9 tokens -> 7 trigrams, all distinct here
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    val s2 = rows(short.select(Dedup.shingles(col("text"), 3))).head.getSeq[String](0)
+    assert(s2.isEmpty)
+  }
+
+  test("exactDuplicateGroups: one group per distinct content, min id kept") {
+    val g = rows(Dedup.exactDuplicateGroups(docs))
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(g(1L) === 2) // docs 1+2 collapse
+    assert(g(3L) === 1)
+    assert(g.size === 4)
+  }
+
+  test("minhash LSH finds the exact and near duplicates, verified by true jaccard") {
+    val pairs = rows(Dedup.minhashNearDuplicates(docs, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
+    // nothing unrelated sneaks in
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on trigrams") {
+    val pairs = rows(Dedup.ngramJaccardPairs(docs, 3, 0.3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // doc1 vs doc3: 7 trigrams each, "lazy"->"sleepy" touches 2 of them
+    // -> common = 5, union = 9 -> 5/9 rounded to 6 places
+    assert(pairs((1L, 3L)) === 0.555556)
+  }
+
+  test("document-frequency cap drops hot shingles from candidate generation") {
+    // every doc shares one hot trigram; without the cap the self-join
+    // produces candidates for all C(6,2) pairs through that key
+    val hot = Seq(
+      (1L, "click here to buy cheap watches now online"),
+      (2L, "click here to find the best deals today"),
+      (3L, "click here to read the full story online"),
+      (4L, "click here to start your free trial today"),
+      (5L, "click here to download the latest update now"),
+      (6L, "click here to join our mailing list today")
+    ).toDF("doc_id", "text")
+    // cap of 5 kills the universal "click here to" shingle; remaining
+    // overlaps are tiny, so a 0.3 threshold yields no pairs
+    val capped = Dedup.ngramJaccardPairs(hot, 3, 0.3, maxDocFreq = 5)
+    assert(rows(capped).isEmpty)
+    // sanity: with a loose cap the hot shingle connects everything at
+    // low thresholds
+    val loose = Dedup.ngramJaccardPairs(hot, 3, 0.05, maxDocFreq = 1000)
+    assert(rows(loose).nonEmpty)
+  }
+
+  test("simhash: identical docs share signatures; hamming pairs found via bands") {
+    val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val pairs = rows(Dedup.simhashNearDuplicates(docs, 3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("LSH near-dup detection is a superset filter verified against exact jaccard") {
+    // every pair reported by minhashNearDuplicates must agree with the
+    // exact trigram jaccard (the verification step guarantees it)
+    val lsh = rows(Dedup.minhashNearDuplicates(docs, 0.3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = rows(Dedup.ngramJaccardPairs(docs, 3, 0.3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, j) => assert(exact(k) === j) }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.transform.{Velib, Weather}
+
+/** S1/S2 ingestion through an injected transport: canned API bodies run
+  * the full ingest -> transform path offline (SURVEY §2.1; the reference
+  * fetch tasks are `etl_dag.py:27-49` / `:168-188`).
+  */
+class IngestSpec extends SparkTestBase {
+
+  private val velibBody =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$FixtureDir/station_status.json")))
+  private val weatherBody =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$FixtureDir/weather.json")))
+
+  test("fetchVelibSnapshot parses a canned GBFS body through the raw schema") {
+    var requested: String = null
+    val transport: Ingest.Transport = { url => requested = url; velibBody.linesIterator.next() }
+    val raw = Ingest.fetchVelibSnapshot(spark, transport)
+    assert(requested === Ingest.VelibStatusUrl)
+    val flat = Velib.curateStations(Velib.flattenStations(raw))
+    assert(flat.count() === 3)
+    assert(rows(flat.filter(col("station_id") === 19179944124L)).size === 1)
+  }
+
+  test("ingest -> transform end-to-end: weather branch (etl_dag fetch+transform)") {
+    val transport: Ingest.Transport = _ => weatherBody.linesIterator.next()
+    val obs = Weather.projectWeather(
+      Ingest.fetchWeatherSnapshot(spark, transport, Ingest.weatherUrl(48.85, 2.35, "k")))
+    val r = rows(obs).head
+    assert(r.getAs[Double]("temp") === 277.99)
+    assert(r.getAs[String]("weather_description") === "light rain")
+  }
+
+  test("malformed body fails fast (reference crash-and-retry semantics)") {
+    val transport: Ingest.Transport = _ => """{"data": {"stations": [{"station_id": "oops"}]}}"""
+    intercept[Exception] {
+      Ingest.fetchVelibSnapshot(spark, transport).collect()
+    }
+  }
+
+  test("HTTP transport surfaces non-200 as failure (no network in harness)") {
+    // unroutable address: proves the error path without real egress
+    val t = Ingest.httpTransport(timeoutMs = 500)
+    intercept[Exception] { t("http://127.0.0.1:1/none") }
+  }
+
+  test("raw-zone landing is non-replacing (K1 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("rawzone").toString
+    val transport: Ingest.Transport = _ => velibBody.linesIterator.next()
+    val raw = Ingest.fetchVelibSnapshot(spark, transport)
+    Ingest.landRaw(raw, dir, "20240201-010000")
+    // re-landing the same run key must fail, like the reference's
+    // replace-less upload (etl_dag.py:51-55)
+    intercept[Exception] { Ingest.landRaw(raw, dir, "20240201-010000") }
+    assert(spark.read.schema(graft.model.Schemas.velibRaw)
+      .json(s"$dir/ingest_ts=20240201-010000").count() === 1)
+  }
+}

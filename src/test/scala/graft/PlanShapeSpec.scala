@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression net (SURVEY §5.2): the registered queries must
+  * keep the physical plans that make them scale — no accidental
+  * cartesian products, broadcasts where intended, top-k without a full
+  * sort. Runs against sf0.001 so planning (not data) is what's tested.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    planString(SparkEntry.queries(name)(spark, Sf))
+
+  test("no registered query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product:\n$p")
+    }
+  }
+
+  test("q_join_broadcast: dimension chain is broadcast, fact side not shuffled for the join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_pricing: partial aggregation before the exchange") {
+    val p = plan("q_agg_pricing")
+    // HashAggregate appears twice (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("parquet scans prune columns (ReadSchema is narrow)") {
+    val p = plan("q_agg_pricing")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    // only the 5 referenced lineitem columns are read
+    assert(read.split(",").length <= 6, s"scan reads too much: $read")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val df = SparkEntry.queries("q_join_anti")(spark, Sf)
+    val p = planString(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400.0)")
+      || p.contains("GreaterThan(o_totalprice,400.0)"), p)
+  }
+
+  test("q_join_asof plans exactly one exchange (union + single window shuffle)") {
+    val p = plan("q_join_asof")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n === 1, s"as-of should shuffle once, found $n:\n$p")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, VectorOps}
+import graft.operators.Similarity
+
+class SimilarityTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("id", "vec")
+
+  private def probes = Seq(
+    (100L, Array(1.0f, 0.0f, 0.0f))
+  ).toDF("probe_id", "vec")
+
+  test("vector ops: dot / norm / cosine are exact on known vectors") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = rows(df.select(
+      VectorOps.dot(col("a"), col("b")),
+      VectorOps.norm(col("a")),
+      VectorOps.cosineSimilarity(col("a"), col("a")))).head
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, ordered") {
+    val out = rows(Similarity.bruteForceTopK(corpus, probes, 3)
+      .orderBy(col("cos_sim").desc, col("neighbor_id")))
+    assert(out.map(_.getLong(1)) === Seq(1L, 2L, 3L) ||
+      out.map(_.getLong(1)) === Seq(1L, 2L, 4L)) // 3 and 4 tie at 0
+    assert(out.head.getDouble(2) === 1.0)
+    assert(out(1).getDouble(2) > 0.99 && out(1).getDouble(2) < 1.0)
+  }
+
+  test("bruteForceTopK ties break deterministically on ascending id") {
+    // vectors 3 and 4 both score 0 against the probe — id 3 must win
+    val out = rows(Similarity.bruteForceTopK(corpus, probes, 3))
+    assert(out.map(_.getLong(1)).contains(3L))
+    assert(!out.map(_.getLong(1)).contains(4L))
+  }
+
+  test("bruteForceTopK plan: partial aggregation before the exchange, no window") {
+    val plan = planString(Similarity.bruteForceTopK(corpus, probes, 2))
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"no partial-capable aggregate:\n$plan")
+  }
+
+  test("lshTopK finds the exact nearest neighbour among its candidates") {
+    val out = rows(Similarity.lshTopK(corpus, probes, 2, dim = 3))
+    // the identical vector must always share all bands with the probe
+    assert(out.map(_.getLong(1)).contains(1L))
+    assert(out.find(_.getLong(1) == 1L).get.getDouble(2) === 1.0)
+  }
+
+  test("text stats: token counts, ratios, quality flag") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today friend"),
+      (2L, "a a a a a a a a a a a"),
+      (3L, "!!! ??? ### $$$ %%%")
+    ).toDF("doc_id", "text")
+    val r = rows(df.select(col("doc_id"),
+      Text.tokenCount(col("text")),
+      Text.uniqueTokenCount(col("text")),
+      Text.qualityFlag(col("text"))).orderBy(col("doc_id")))
+    assert(r(0).getInt(1) === 11 && r(0).getInt(2) === 10)
+    assert(r(0).getBoolean(3) === true)
+    assert(r(1).getBoolean(3) === false) // mean token length 1 < 2
+    assert(r(2).getBoolean(3) === false) // punct ratio
+  }
+
+  test("langId picks the language with most marker hits, und on no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat est dans la maison pour les vacances"),
+      (3L, "qwerty zzz xxx")
+    ).toDF("doc_id", "text")
+    val r = rows(df.select(col("doc_id"), Text.langId(col("text"))).orderBy(col("doc_id")))
+    assert(r(0).getString(1) === "en")
+    assert(r(1).getString(1) === "fr")
+    assert(r(2).getString(1) === "und")
+  }
+
+  test("normalizedFingerprint is stable under case / punctuation / spacing noise") {
+    val df = Seq(
+      (1L, "Hello, World!  How are you?"),
+      (2L, "hello world how are you"),
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val fp = rows(df.select(col("doc_id"), Text.normalizedFingerprint(col("text"))))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("rollingMinFingerprint is stable under edits far from the minimizing window") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopqrstuvwxyz"
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val fp = rows(df.select(Text.rollingMinFingerprint(col("text")))).map(_.getLong(0))
+    assert(fp(0) === fp(1))
+  }
+
+  test("bpeishTokenCount counts words and punctuation separately") {
+    val df = Seq((1L, "hello, world!")).toDF("doc_id", "text")
+    val n = rows(df.select(Text.bpeishTokenCount(col("text")))).head.getInt(0)
+    // hello , world ! (space split pieces) -> 5 including the space? no:
+    // pieces: "hello", ",", " ", "world", "!" -> the space survives as a
+    // piece; it is length-1 and non-empty so it counts
+    assert(n === 5)
+  }
+}

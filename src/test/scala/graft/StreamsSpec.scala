@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.model.Schemas
+import graft.streaming.Streams
+
+/** Structured Streaming semantics over MemoryStream batches (SURVEY §5.2):
+  * watermarked stateful dedup, windowed aggregation, and the J7
+  * stream-stream join.
+  */
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jsonStream(lines: MemoryStream[String], schema: org.apache.spark.sql.types.StructType): DataFrame =
+    lines.toDF().select(from_json(col("value"), schema).as("j")).select(col("j.*"))
+
+  private val snap1 =
+    """{"lastUpdatedOther": 1706745600, "ttl": 3600, "data": {"stations": [
+      |{"station_id": 1, "num_bikes_available": 5, "num_docks_available": 10, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706745000},
+      |{"station_id": 2, "num_bikes_available": 3, "num_docks_available": 7, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706745060}
+      |]}}""".stripMargin.replaceAll("\n", "")
+
+  // snapshot 2: station 1 unchanged (same last_reported) — must be deduped;
+  // station 2 has a new report
+  private val snap2 =
+    """{"lastUpdatedOther": 1706749200, "ttl": 3600, "data": {"stations": [
+      |{"station_id": 1, "num_bikes_available": 5, "num_docks_available": 10, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706745000},
+      |{"station_id": 2, "num_bikes_available": 1, "num_docks_available": 9, "is_installed": 1, "is_renting": 1, "is_returning": 1, "last_reported": 1706748660}
+      |]}}""".stripMargin.replaceAll("\n", "")
+
+  test("ST2: watermarked stateful dedup drops cross-batch re-reports") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streams.dedupedStationUpdates(jsonStream(mem, Schemas.velibRaw))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(snap1); q.processAllAvailable()
+      mem.addData(snap2); q.processAllAvailable()
+      val got = rows(spark.table("dedup_t"))
+      assert(got.size === 3, s"expected 3 deduped updates, got: $got")
+      val perStation = got.groupBy(_.getAs[Long]("station_id")).view.mapValues(_.size).toMap
+      assert(perStation(1L) === 1) // re-report dropped
+      assert(perStation(2L) === 2)
+    } finally q.stop()
+  }
+
+  test("ST3: streaming hourly aggregate emits finalized windows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streams.hourlyAvailabilityStream(jsonStream(mem, Schemas.velibRaw))
+    val q = out.writeStream.format("memory").queryName("hourly_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(snap1); q.processAllAvailable()
+      // push event time far past the watermark so the first hour closes
+      mem.addData(
+        """{"lastUpdatedOther": 1706760000, "ttl": 3600, "data": {"stations": [{"station_id": 9, "num_bikes_available": 1, "num_docks_available": 1, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706760000}]}}""")
+      q.processAllAvailable()
+      mem.addData(
+        """{"lastUpdatedOther": 1706770000, "ttl": 3600, "data": {"stations": [{"station_id": 9, "num_bikes_available": 1, "num_docks_available": 1, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706770000}]}}""")
+      q.processAllAvailable()
+      val got = rows(spark.table("hourly_t"))
+      val m = got.map(r => (r.getAs[Timestamp]("hour_start"), r.getAs[Long]("station_id")) ->
+        r.getAs[Long]("n_reports")).toMap
+      assert(m.contains((Timestamp.valueOf("2024-01-31 23:00:00"), 1L)))
+      assert(m((Timestamp.valueOf("2024-01-31 23:00:00"), 2L)) === 1L)
+    } finally q.stop()
+  }
+
+  test("J7: stream-stream join matches station updates to same-hour weather at-or-before") {
+    implicit val sqlCtx = spark.sqlContext
+    val stMem = MemoryStream[String]
+    val wxMem = MemoryStream[String]
+    val joined = Streams.stationWeatherJoin(
+      jsonStream(stMem, Schemas.velibRaw), jsonStream(wxMem, Schemas.weatherRaw))
+    val q = joined.writeStream.format("memory").queryName("join_t")
+      .outputMode("append").start()
+    try {
+      // weather at 23:00:00 (1706742000); stations report 23:50 / 23:51
+      wxMem.addData(
+        """{"lat": 48.85, "lon": 2.35, "timezone": "Europe/Paris", "current": {"dt": 1706742000, "temp": 280.0, "feels_like": 278.0, "pressure": 1020, "humidity": 70, "wind_speed": 3.0, "weather": [{"id": 800, "main": "Clear", "description": "clear sky", "icon": "01d"}]}}""")
+      stMem.addData(snap1)
+      q.processAllAvailable()
+      val got = rows(spark.table("join_t"))
+      assert(got.size === 2, s"both same-hour station updates join: $got")
+      assert(got.forall(_.getAs[Double]("temp") === 280.0))
+      // a station reporting in a LATER hour must not match that obs
+      stMem.addData(
+        """{"lastUpdatedOther": 1706749200, "ttl": 3600, "data": {"stations": [{"station_id": 3, "num_bikes_available": 2, "num_docks_available": 2, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706746000}]}}""")
+      q.processAllAvailable()
+      assert(rows(spark.table("join_t")).size === 2)
+    } finally q.stop()
+  }
+
+  test("ST1: AvailableNow trigger processes what exists then stops") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("drop").toString
+    val outP = Files.createTempDirectory("out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(drop, "s1.json"), snap1)
+    val stream = Streams.dedupedStationUpdates(Streams.velibStream(spark, drop))
+    val q = Streams.availableNowParquetWriter(stream, outP, ckpt).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive) // AvailableNow terminates on its own
+    assert(spark.read.parquet(outP).count() === 2)
+  }
+}
