@@ -26,7 +26,10 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  private case class BinRow(doc_id: Long, payload: Array[Byte])
+  /** Not private: the Catalyst encoder's generated SafeProjection must
+    * be able to construct it from outside this object.
+    */
+  case class BinRow(doc_id: Long, payload: Array[Byte])
 
   /** Attach a binary payload column (here: utf-8 bytes of `text`; in a
     * real corpus this is the stored image/audio blob).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 import QueryUtil.table
 
@@ -106,6 +107,22 @@ object LlmQueries {
         col("doc_id"),
         Text.rollingMinFingerprint(col("text")).as("roll_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing: binary payload -> mapPartitions batch decode
+    // (deterministic fake kernel; the Spark-side schema/batching is the
+    // real contract) -> typed metadata.
+    "q_media_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(s, Multimodal.withBinaryPayload(docs(s, dir)))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // Frame-sampling explode over the decoded metadata.
+    "q_media_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(s, Multimodal.withBinaryPayload(docs(s, dir))),
+        stride = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   /** Shared DuckDB CTE: distinct trigram shingle list per document. */
@@ -194,5 +211,17 @@ object LlmQueries {
         |  ELSE 'und' END AS lang_guess,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |   ' +', ' ', 'g'))) AS fingerprint
-        |FROM sc ORDER BY doc_id""".stripMargin)
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | sha256(text) AS sha256_hex,
+        | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS height,
+        | CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id, CAST(unnest(generate_series(0,
+        |   (1 + octet_length(encode(text)) % 16) - 1, 4)) AS INT) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
 }

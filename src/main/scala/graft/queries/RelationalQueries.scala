@@ -130,16 +130,24 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // J4 theta: equi part (nationkey) carries the join — the inequality
-    // is a post-join filter, so this stays a hash join, NOT a
-    // BroadcastNestedLoop/cartesian.
+    // J4 theta (suppliers richer than same-nation customers). A direct
+    // equi+inequality join materializes |suppliers/nation| x
+    // |customers/nation| rows per nation key before aggregating — a
+    // skew/explosion anti-pattern at scale (25 nation keys carry
+    // everything). Scale-safe shape: pre-aggregate the customer side to
+    // one sorted-balances array per nation (25 tiny rows), broadcast it,
+    // and count per supplier with a HOF — linear per supplier, zero
+    // join fan-out, no shuffle of either fact side.
     "q_join_theta" -> ((s, dir) => {
-      table(s, dir, "supplier").as("sp")
-        .join(table(s, dir, "customer").as("cu"),
-          col("sp.s_nationkey") === col("cu.c_nationkey") &&
-            col("sp.s_acctbal") > col("cu.c_acctbal"))
-        .groupBy(col("sp.s_suppkey").as("s_suppkey"), col("sp.s_name").as("s_name"))
-        .agg(count(lit(1)).as("n_poorer"))
+      val balances = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_list(col("c_acctbal"))).as("bals"))
+      table(s, dir, "supplier")
+        .join(broadcast(balances), col("s_nationkey") === col("c_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          size(filter(col("bals"), b => b < col("s_acctbal")))
+            .cast("long").as("n_poorer"))
+        .filter(col("n_poorer") > 0) // inner-join semantics of the oracle
         .orderBy(col("s_suppkey"))
     }),
 

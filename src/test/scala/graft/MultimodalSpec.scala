@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary columns, mapPartitions batch decode,
+  * frame-sampling explode. The decode kernel is the documented
+  * deterministic stub; what's under test is the Spark-side contract.
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world"),
+    (2L, "a much longer document body with many more bytes in it"),
+    (3L, "x")
+  ).toDF("doc_id", "text")
+
+  test("withBinaryPayload produces a binary column of the utf-8 bytes") {
+    val df = Multimodal.withBinaryPayload(docs)
+    assert(df.schema("payload").dataType.typeName === "binary")
+    val r = rows(df.filter(col("doc_id") === 1L)).head
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "hello world")
+  }
+
+  test("decodeMeta: one metadata row per payload, deterministic dims, real sha256") {
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withBinaryPayload(docs))
+    val m = meta.collect().map(x => x.doc_id -> x).toMap
+    assert(m.size === 3)
+    assert(m(1L).n_bytes === 11)
+    assert(m(1L).width === 64 + 11 % 512 && m(1L).n_frames === 1 + 11 % 16)
+    // sha256 of "hello world" (well-known digest)
+    assert(m(1L).sha256_hex ===
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+  }
+
+  test("sampleFrames explodes stride-sampled frame indices") {
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withBinaryPayload(docs))
+    val frames = Multimodal.sampleFrames(meta, stride = 4)
+    val byDoc = rows(frames).groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(1)).sorted).toMap
+    assert(byDoc(1L) === Seq(0, 4, 8)) // n_frames = 12 -> 0,4,8
+    assert(byDoc(3L) === Seq(0))       // n_frames = 2  -> 0
+  }
+}
