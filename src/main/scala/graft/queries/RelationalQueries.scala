@@ -66,6 +66,29 @@ object RelationalQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // A3 via the SQL surface: explicit GROUPING SETS through spark.sql —
+    // exercises the engine's SQL entry point end-to-end.
+    "q_agg_groupingsets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // A2 approximate distinct (HLL++). Sketch estimates are
+    // engine-specific, so there is no DuckDB oracle — registered as a
+    // rows-only check; the exact-vs-approx relative error is asserted in
+    // the test suite instead.
+    "q_agg_approx" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A5: tumbling 1-hour buckets via window() — bucket key is computed
     // map-side; one shuffle on (hour, type).
     "q_agg_timebucket" -> ((s, dir) => {
@@ -355,6 +378,11 @@ object RelationalQueries {
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_agg_timebucket" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

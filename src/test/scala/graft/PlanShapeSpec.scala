@@ -53,6 +53,20 @@ class PlanShapeSpec extends SparkTestBase {
       || p.contains("GreaterThan(o_totalprice,400.0)"), p)
   }
 
+  test("q_agg_approx: HLL++ estimate within 5% of exact distinct count") {
+    import org.apache.spark.sql.functions._
+    val approx = rows(SparkEntry.queries("q_agg_approx")(spark, Sf))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows(spark.read.parquet(s"$Sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"flag $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("q_join_asof plans exactly one exchange (union + single window shuffle)") {
     val p = plan("q_join_asof")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
