@@ -88,6 +88,7 @@ object LlmQueries {
         Text.uniqueTokenCount(col("text")).as("n_unique"),
         round(Text.typeTokenRatio(col("text")), 6).as("ttr"),
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         Text.qualityFlag(col("text")).as("quality_ok"))
         .orderBy(col("doc_id"))
     }),
@@ -183,6 +184,9 @@ object LlmQueries {
         |   / len(string_split(text, ' ')), 6) AS ttr,
         | ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
         |   / length(text), 6) AS punct_ratio,
+        | ROUND(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
+        |   / len(string_split(text, ' ')), 6) AS stopword_ratio,
         | (len(string_split(text, ' ')) >= 10
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0

@@ -70,6 +70,18 @@ object PipelineQueries {
     "q_weather_project" -> ((s, _) => {
       Weather.projectWeather(Sources.readWeatherRaw(s, s"$FixtureDir/weather.json"))
         .orderBy(col("timestamp"))
+    }),
+
+    // F5 map access + F7 null handling over the reference's optional
+    // rain/snow maps (`research.ipynb` cell 1: {"rain": {"1h": 0.15}},
+    // absent on dry observations) — element_at on a MapType column with
+    // coalesce for the missing case.
+    "q_weather_rain" -> ((s, _) => {
+      Sources.readWeatherRaw(s, s"$FixtureDir/weather.json").select(
+        timestamp_seconds(col("current.dt")).as("obs_ts"),
+        coalesce(element_at(col("current.rain"), "1h"), lit(0.0)).as("rain_1h"),
+        col("current.rain").isNotNull.as("raining"))
+        .orderBy(col("obs_ts"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -123,5 +135,11 @@ object PipelineQueries {
         | (CAST(277.99 AS DOUBLE), CAST(274.47 AS DOUBLE), 1029, 86, CAST(4.63 AS DOUBLE), 'light rain', CAST('2024-02-01 00:00:00' AS TIMESTAMP)),
         | (CAST(278.5 AS DOUBLE), CAST(275.0 AS DOUBLE), 1030, 80, CAST(3.1 AS DOUBLE), 'clear sky', CAST('2024-02-01 01:00:00' AS TIMESTAMP))
         |) AS t(temp, feels_like, pressure, humidity, wind_speed, weather_description, timestamp)
-        |ORDER BY timestamp""".stripMargin)
+        |ORDER BY timestamp""".stripMargin,
+    "q_weather_rain" ->
+      """SELECT * FROM (VALUES
+        | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(0.15 AS DOUBLE), TRUE),
+        | (CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(0.0 AS DOUBLE), FALSE)
+        |) AS t(obs_ts, rain_1h, raining)
+        |ORDER BY obs_ts""".stripMargin)
 }

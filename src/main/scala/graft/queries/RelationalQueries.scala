@@ -89,6 +89,23 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A5/ST: session windows — per-user activity sessions with a 30-min
+    // inactivity gap. session_window is computed map-side, merged in the
+    // aggregation; one shuffle on user_id. The oracle reproduces the
+    // semantics with gaps-and-islands SQL (new island when the gap from
+    // the previous event exceeds 30 min; session end = last event + gap).
+    "q_agg_session" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // A5: tumbling 1-hour buckets via window() — bucket key is computed
     // map-side; one shuffle on (hour, type).
     "q_agg_timebucket" -> ((s, dir) => {
@@ -384,6 +401,28 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+    |    -- session intervals are end-exclusive: a gap of exactly 30 min
+        |    -- does NOT merge (Spark merges only when next.ts < prev end)
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), i AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM i GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_agg_timebucket" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,
