@@ -105,14 +105,41 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-document MinHash signature computed through the AGGREGATION
+    * ENGINE instead of one mega-expression: explode shingles to rows,
+    * xxhash64 each once, then 128 `min(...)` aggregates in a single
+    * codegen'd HashAggregate.
+    *
+    * Why not the Column-expression form (`minhashSignature`): a
+    * 128-permutation fold over the shingle array exceeds whole-stage
+    * codegen limits and falls back to INTERPRETED eval — observed via
+    * jstack as StringSplit re-evaluated inside ArrayAggregate, hundreds
+    * of CPU-seconds per task. The row-based form is fully codegen'd,
+    * partial-aggregates map-side (the exchange carries 128 longs per
+    * doc), and is the shape that scales to 100 TB.
+    *
+    * Output: (doc_id, m0..m127) — one column per permutation minimum,
+    * sentinel P for empty shingle sets (via the left join in callers).
+    */
+  private def minhashColumns(withShingles: DataFrame): DataFrame = {
+    val hashed = withShingles.select(col("doc_id"),
+      explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("x"))
+    val aggs = permParams.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P))).as(s"m$k")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Near-duplicate pairs via MinHash + LSH with exact-Jaccard
     * verification on the candidates.
     *
-    * Plan shape: per-row signature (narrow) → explode 32 band keys →
-    * self-equi-join on band key (shuffle on band hash) → distinct pairs →
-    * re-attach the two shingle sets → exact Jaccard filter. The only
-    * quadratic work is within a bucket, which LSH keeps tiny; the
-    * verification join is two hash joins on doc_id.
+    * Plan shape: explode shingles → one codegen'd HashAggregate
+    * producing the 128 per-permutation minima (partial agg before its
+    * only shuffle) → 32 band keys → explode → self-equi-join on band key
+    * → distinct pairs → re-attach the two shingle sets → exact Jaccard
+    * filter. The only quadratic work is within a bucket, which LSH keeps
+    * tiny; the verification join is two hash joins on doc_id.
     *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
@@ -121,8 +148,12 @@ object Dedup {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-    val banded = withShingles
-      .select(col("doc_id"), explode(lshBandKeysFromShingles(col("sh"))).as("bk"))
+    val rows = NumPerms / LshBands
+    val bandKeyArr = array((0 until LshBands).map { b =>
+      hash(lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }: _*)
+    val banded = minhashColumns(withShingles)
+      .select(col("doc_id"), explode(bandKeyArr).as("bk"))
 
     val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -223,12 +254,36 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Per-document SimHash signatures through the aggregation engine:
+    * explode distinct tokens, xxhash64 once per token, then 64 bit-vote
+    * `sum(...)` aggregates in one codegen'd HashAggregate (partial agg
+    * map-side), and a final projection assembles the signature. Same
+    * values as the Column-expression `simhash`, but never interpreted —
+    * the mega-expression form falls out of codegen and was observed
+    * burning hundreds of CPU-seconds per task on 5k docs.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val aggs = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j")
+    }
+    val counts = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), aggs: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") * lit(2) >= col("n_toks"), shiftleft(lit(1L), j))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    counts.select(col("doc_id"), sig.as("sig"))
+  }
+
   /** Candidate pairs within Hamming distance <= 3 of the 64-bit SimHash,
     * via 16-bit band bucketing (any pair differing in <= 3 bits agrees on
     * at least one of the 4 bands), verified with an exact popcount.
     */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigs = simhashSignatures(docs)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>

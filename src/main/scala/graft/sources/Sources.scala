@@ -43,9 +43,12 @@ object Sources {
   def readCsvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
-  /** Harness table loader (TESTDATA.md layout). */
+  /** Harness table loader (TESTDATA.md layout). Delegates to
+    * `QueryUtil.table`, which also normalizes TIMESTAMP(NANOS) parquet
+    * columns Spark cannot otherwise read (events.ts).
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.queries.QueryUtil.table(spark, sfDir, name)
 
   /** JDBC scan shape (S7): reads a table back from an RDBMS with
     * partitioned parallelism. Not exercised in the offline harness (no

@@ -79,6 +79,11 @@ class DedupSpec extends SparkTestBase {
     val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
+    // the aggregation-engine signature path must agree bit-for-bit with
+    // the Column-expression definition
+    val rowSigs = rows(Dedup.simhashSignatures(docs))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowSigs === sigs)
     val pairs = rows(Dedup.simhashNearDuplicates(docs, 3))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
