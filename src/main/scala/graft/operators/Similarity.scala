@@ -49,6 +49,24 @@ object Similarity {
         round(col("n.score"), 6).as("cos_sim"))
   }
 
+  /** Exact embedding-cosine similar/near-duplicate pairs: broadcast
+    * upper-triangle self-join + codegen'd cosine, thresholded AFTER the
+    * 6-place rounding so the cut is reproducible against the oracle.
+    *
+    * This exact O(n²) form is for corpora whose id side fits a broadcast
+    * (≲ 1e5 rows); beyond that, the scale path is the sign-LSH bucketed
+    * candidate join (`lshTopK`'s machinery) which replaces the n² pair
+    * stream with per-bucket equi-join candidates.
+    */
+  def cosineSimilarPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = embs.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = embs.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineSimilarity(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), dim × nBits. */
   private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

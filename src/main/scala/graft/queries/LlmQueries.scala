@@ -74,6 +74,14 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     }),
 
+    // Exact embedding-cosine similar pairs (the embedding-space analog
+    // of near-dup mining; this harness corpus has no planted embedding
+    // duplicates, so the threshold is set where the corpus has pairs).
+    "q_embed_pairs" -> ((s, dir) => {
+      Similarity.cosineSimilarPairs(corpus(s, dir), 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Sign-LSH bucketed ANN (seeded hyperplanes — rows-only check).
     "q_ann_lsh" -> ((s, dir) => {
       Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
@@ -176,6 +184,21 @@ object LlmQueries {
         |)
         |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
         |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_embed_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
