@@ -15,10 +15,24 @@ object VectorOps {
 
   private def d(c: Column): Column = c.cast("double")
 
-  def dot(a: Column, b: Column): Column =
+  private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.Bridge.column(e)
+
+  /** Native codegen'd dot product (see FloatVecDot — >100× the HOF
+    * form on the pairwise-similarity hot path, same bits).
+    */
+  def dot(a: Column, b: Column): Column = col(FloatVecDot(expr(a), expr(b)))
+
+  /** HOF reference implementation, kept for cross-checking the native
+    * expression in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
 
-  def normSq(a: Column): Column =
+  def normSq(a: Column): Column = col(FloatVecNormSq(expr(a)))
+
+  def normSqHof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + d(x) * d(x))
 
   def norm(a: Column): Column = sqrt(normSq(a))

@@ -59,11 +59,17 @@ object Similarity {
     * stream with per-bucket equi-join candidates.
     */
   def cosineSimilarPairs(embs: DataFrame, threshold: Double): DataFrame = {
-    val a = embs.select(col("id").as("id_a"), col("vec").as("va"))
-    val b = embs.select(col("id").as("id_b"), col("vec").as("vb"))
+    // norms are per-vector: compute them once per side BEFORE the pair
+    // join (the same doubles as computing them per pair, so the rounded
+    // cosine is bit-identical to the oracle's formula).
+    val a = embs.select(col("id").as("id_a"), col("vec").as("va"),
+      VectorOps.norm(col("vec")).as("na"))
+    val b = embs.select(col("id").as("id_b"), col("vec").as("vb"),
+      VectorOps.norm(col("vec")).as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.cosineSimilarity(col("va"), col("vb")), 6).as("cos_sim"))
+        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -79,7 +85,10 @@ object Similarity {
   private def bandKeys(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
     val bits = planes.map { plane =>
       val planeCol = array(plane.map(lit): _*)
-      when(VectorOps.dot(vec, planeCol) >= 0, 1).otherwise(0)
+      // HOF dot here: the hyperplane side is an array<double> literal,
+      // which the float-specialized native expression rejects; 16 small
+      // projections per row are not a hot path.
+      when(VectorOps.dotHof(vec, planeCol) >= 0, 1).otherwise(0)
     }
     val bandsOf = 4 // 4 bits per band
     (0 until planes.length / bandsOf).map { b =>

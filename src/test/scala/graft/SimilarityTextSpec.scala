@@ -20,6 +20,28 @@ class SimilarityTextSpec extends SparkTestBase {
     (100L, Array(1.0f, 0.0f, 0.0f))
   ).toDF("probe_id", "vec")
 
+  test("native vector expressions match the HOF reference bit-for-bit on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = embs.as("a").join(embs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorOps.dot(col("a.embedding"), col("b.embedding")).as("nat"),
+        VectorOps.dotHof(col("a.embedding"), col("b.embedding")).as("hof"),
+        VectorOps.normSq(col("a.embedding")).as("natn"),
+        VectorOps.normSqHof(col("a.embedding")).as("hofn"))
+      .filter(col("nat") =!= col("hof") || col("natn") =!= col("hofn"))
+    assert(rows(diff).isEmpty)
+  }
+
+  test("native dot: length mismatch and null elements yield null (zip_with semantics)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val out = rows(df.select(VectorOps.dot(col("a"), col("b")).as("d")))
+    assert(out.head.isNullAt(0))   // mismatched dims
+    assert(out(1).getDouble(0) === 11.0)
+  }
+
   test("vector ops: dot / norm / cosine are exact on known vectors") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val r = rows(df.select(
