@@ -99,6 +99,78 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
+    * path alongside `lshTopK`.
+    *
+    * Index build: every corpus vector is assigned to its nearest centroid
+    * (broadcast nested-loop over the small codebook + a map-side
+    * `max(struct(score, -centroid))` partial aggregate — the corpus is
+    * never shuffled for the assignment, and ties break to the lowest
+    * centroid id deterministically). At scale the assignment column is
+    * what you'd persist/bucket the corpus BY, turning every later probe
+    * into a partition-pruned read of `nProbe` inverted lists.
+    *
+    * Search: each probe ranks the codebook, keeps its `nProbe` nearest
+    * centroids, and meets only the corpus rows assigned to those
+    * centroids (equi-join on `centroid_id`; the probe→centroid list is
+    * tiny and broadcast). Exact cosine re-ranks the candidates through
+    * the bounded-heap `TopKAggregator`, so at most k rows per probe per
+    * partition cross the final exchange.
+    *
+    * Unlike LSH banding, assignment is a partition of the corpus — each
+    * candidate appears exactly once, so no dedup pass is needed. The
+    * whole operator is deterministic given a deterministic codebook
+    * (callers derive one, e.g. lowest-id corpus vectors standing in for
+    * a trained k-means codebook), which keeps it DuckDB-oracle-checkable.
+    *
+    * @param corpus    (id, vec) rows
+    * @param centroids (centroid_id, vec) codebook — must be small
+    *                  (broadcast side)
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val code = centroids.select(
+      col("centroid_id"), col("vec").as("cvec"))
+
+    // Nearest centroid per corpus row: broadcast-NLJ score + argmax via
+    // an ordered struct (score desc, centroid_id asc) — partial-agg'd
+    // map-side, no corpus shuffle beyond the groupBy on its own id.
+    val assigned = corpus.as("e")
+      .join(broadcast(code))
+      .select(col("e.id"), col("e.vec"),
+        struct(
+          VectorOps.cosineSimilarity(col("e.vec"), col("cvec")).as("s"),
+          (-col("centroid_id")).as("negc")).as("cand"))
+      .groupBy(col("id"))
+      .agg(max(col("cand")).as("best"), first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), (-col("best.negc")).as("centroid_id"))
+
+    // Each probe's nProbe nearest centroids (tiny: |probes| × nProbe).
+    val probed = probes.as("p")
+      .join(broadcast(code))
+      .select(col("p.probe_id"), col("p.vec"),
+        col("centroid_id"),
+        VectorOps.cosineSimilarity(col("p.vec"), col("cvec")).as("cs"))
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(nProbe)(col("centroid_id"), col("cs")).as("cl"),
+        first(col("vec")).as("pvec"))
+      .select(col("probe_id"), col("pvec"),
+        explode(col("cl.id")).as("centroid_id"))
+
+    // Probe meets only its probed inverted lists; exact cosine re-rank.
+    assigned
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        VectorOps.cosineSimilarity(col("vec"), col("pvec")).as("cos_raw"))
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos_raw")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.score"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates share >= 1 of 4 sign-LSH bands with
     * the probe, re-ranked by exact cosine.
     */

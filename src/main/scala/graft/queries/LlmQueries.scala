@@ -88,6 +88,18 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     }),
 
+    // IVF centroid-bucketed ANN. The codebook is the 16 lowest-id corpus
+    // vectors (a deterministic stand-in for a trained k-means codebook),
+    // which keeps the whole operator DuckDB-reproducible — the oracle
+    // re-derives the same assignment, probe lists, and re-rank.
+    "q_ann_ivf" -> ((s, dir) => {
+      val centroids = embs(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(corpus(s, dir), probes(s, dir), centroids,
+        k = 10, nProbe = 4)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
     // Token / vocabulary / punctuation stats + the composite quality gate.
     "q_text_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -176,6 +188,55 @@ object LlmQueries {
         |     * sqrt(list_sum(list_transform(range(1, len(p.pe) + 1),
         |        i -> CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))))) AS cos_raw
         |  FROM embeddings e JOIN p ON e.vec_id != p.pid
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM s
+        |)
+        |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
+        |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+        |), asn AS (
+        |  SELECT id, cid FROM (
+        |    SELECT e.vec_id AS id, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(cb.ce) + 1),
+        |            i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))))
+        |        DESC, cb.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cb
+        |  ) WHERE rn = 1
+        |), pl AS (
+        |  SELECT probe_id, cid FROM (
+        |    SELECT p.vec_id AS probe_id, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(p.embedding) + 1),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(p.embedding) + 1),
+        |            i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(cb.ce) + 1),
+        |            i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))))
+        |        DESC, cb.cid) AS rn
+        |    FROM embeddings p CROSS JOIN cb WHERE p.vec_id < 5
+        |  ) WHERE rn <= 4
+        |), s AS (
+        |  SELECT pl.probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(p.embedding) + 1),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM asn JOIN pl ON asn.cid = pl.cid
+        |  JOIN embeddings e ON e.vec_id = asn.id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  WHERE asn.id != pl.probe_id
         |), r AS (
         |  SELECT probe_id, neighbor_id, cos_raw,
         |    ROW_NUMBER() OVER (PARTITION BY probe_id

@@ -83,6 +83,47 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.find(_.getLong(1) == 1L).get.getDouble(2) === 1.0)
   }
 
+  test("ivfTopK searches only probed inverted lists, each candidate once") {
+    // codebook: x-axis (cid 0) and y-axis (cid 1). nProbe=1 means a probe
+    // along x must meet exactly the x-assigned corpus rows {1,2,5}.
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "vec")
+    val out = rows(Similarity.ivfTopK(corpus, probes, centroids,
+      k = 10, nProbe = 1).orderBy(col("cos_sim").desc, col("neighbor_id")))
+    // vec 4 (z-axis) ties 0.0 to both centroids -> lowest cid (x) wins;
+    // vec 5 (-x) scores -1 vs x but 0 vs y, so it lands in the y list.
+    // x list = {1, 2, 4}; y list = {3, 5} and is never probed.
+    assert(out.map(_.getLong(1)) === Seq(1L, 2L, 4L))
+    assert(out.map(_.getLong(1)).distinct.size === out.size)
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
+  test("ivfTopK with full probe width recovers the exact brute-force top-k") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = embs.filter(col("id") < 3)
+      .select(col("id").as("probe_id"), col("vec"))
+    val centroids = embs.filter(col("id") < 8)
+      .select(col("id").as("centroid_id"), col("vec"))
+    // nProbe == |codebook|: every inverted list is probed, so IVF must
+    // equal exact brute force row-for-row.
+    val ivf = rows(Similarity.ivfTopK(embs, p, centroids, k = 5, nProbe = 8)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id")))
+    val bf = rows(Similarity.bruteForceTopK(embs, p, 5)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id")))
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      === bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("ivfTopK plan: no shuffle of the corpus for assignment, no window") {
+    val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("centroid_id", "vec")
+    val plan = planString(Similarity.ivfTopK(corpus, probes, centroids, 2, 1))
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
   test("text stats: token counts, ratios, quality flag") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today friend"),
