@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,61 +102,81 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
     * path alongside `lshTopK`.
     *
-    * Index build: every corpus vector is assigned to its nearest centroid
-    * (broadcast nested-loop over the small codebook + a map-side
-    * `max(struct(score, -centroid))` partial aggregate — the corpus is
-    * never shuffled for the assignment, and ties break to the lowest
-    * centroid id deterministically). At scale the assignment column is
-    * what you'd persist/bucket the corpus BY, turning every later probe
-    * into a partition-pruned read of `nProbe` inverted lists.
+    * The codebook is collected to the driver once and baked into the
+    * plan as literals — a codebook is by definition the small learned
+    * compression of the corpus (k-means centroids), and shipping it with
+    * the plan is exactly how a trained model broadcasts. That makes
+    * BOTH index build and probe routing pure codegen'd projections:
     *
-    * Search: each probe ranks the codebook, keeps its `nProbe` nearest
-    * centroids, and meets only the corpus rows assigned to those
-    * centroids (equi-join on `centroid_id`; the probe→centroid list is
-    * tiny and broadcast). Exact cosine re-ranks the candidates through
-    * the bounded-heap `TopKAggregator`, so at most k rows per probe per
-    * partition cross the final exchange.
+    *  - Assignment: each corpus row computes its cosine to every literal
+    *    centroid and takes `array_max(struct(score, -cid))` — highest
+    *    score, ties to the lowest centroid id. Map-side only; the corpus
+    *    is scanned once and NEVER shuffled. At scale the assignment
+    *    column is what you'd persist/bucket the corpus BY, turning every
+    *    later probe into a partition-pruned read of `nProbe` lists.
+    *  - Probe routing: each probe sorts the same literal codebook by
+    *    `struct(-score, cid)` and keeps its `nProbe` nearest lists —
+    *    again a projection, no shuffle of the probe side.
+    *
+    * The probe→list table (|probes| × nProbe rows) broadcasts into an
+    * equi-join on `centroid_id`, and exact cosine re-ranks candidates
+    * through the bounded-heap `TopKAggregator`. The ONLY exchange in the
+    * whole operator is that final aggregation, carrying at most k rows
+    * per probe per partition (asserted by the plan-shape test).
     *
     * Unlike LSH banding, assignment is a partition of the corpus — each
     * candidate appears exactly once, so no dedup pass is needed. The
-    * whole operator is deterministic given a deterministic codebook
-    * (callers derive one, e.g. lowest-id corpus vectors standing in for
-    * a trained k-means codebook), which keeps it DuckDB-oracle-checkable.
+    * operator is deterministic given a deterministic codebook (callers
+    * derive one, e.g. lowest-id corpus vectors standing in for a trained
+    * k-means codebook), which keeps it DuckDB-oracle-checkable: scores
+    * use the same left-fold double arithmetic as the oracle's list math.
     *
     * @param corpus    (id, vec) rows
-    * @param centroids (centroid_id, vec) codebook — must be small
-    *                  (broadcast side)
+    * @param probes    (probe_id, vec) rows
+    * @param centroids (centroid_id, vec) codebook — collected; must be
+    *                  small (≤ 256 — beyond that, unrolled per-centroid
+    *                  expressions stop fitting codegen method limits and
+    *                  the assignment should be persisted/bucketed instead)
     */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val code = centroids.select(
-      col("centroid_id"), col("vec").as("cvec"))
+    val code: Array[(Long, Array[Float], Double)] = centroids
+      .select(col("centroid_id").cast("long"), col("vec"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        // Same left-to-right double fold as FloatVecNormSq / the oracle.
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        (r.getLong(0), v, math.sqrt(s))
+      }
+      .sortBy(_._1)
+    require(code.nonEmpty && code.length <= 256,
+      s"codebook size ${code.length} outside [1, 256]")
 
-    // Nearest centroid per corpus row: broadcast-NLJ score + argmax via
-    // an ordered struct (score desc, centroid_id asc) — partial-agg'd
-    // map-side, no corpus shuffle beyond the groupBy on its own id.
-    val assigned = corpus.as("e")
-      .join(broadcast(code))
-      .select(col("e.id"), col("e.vec"),
-        struct(
-          VectorOps.cosineSimilarity(col("e.vec"), col("cvec")).as("s"),
-          (-col("centroid_id")).as("negc")).as("cand"))
-      .groupBy(col("id"))
-      .agg(max(col("cand")).as("best"), first(col("vec")).as("vec"))
+    // score_i = cos(vec, c_i) with the row norm let-bound behind a
+    // projection boundary (computed once, not once per centroid).
+    def scoreTo(cv: Array[Float], cn: Double, norm: Column): Column =
+      VectorOps.dot(col("vec"), typedlit(cv)) / (norm * lit(cn))
+
+    val assigned = corpus
+      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
+      .select(col("id"), col("vec"),
+        array_max(array(code.map { case (cid, cv, cn) =>
+          struct(scoreTo(cv, cn, col("_n")).as("s"), lit(-cid).as("negc"))
+        }: _*)).as("best"))
       .select(col("id"), col("vec"), (-col("best.negc")).as("centroid_id"))
 
-    // Each probe's nProbe nearest centroids (tiny: |probes| × nProbe).
-    val probed = probes.as("p")
-      .join(broadcast(code))
-      .select(col("p.probe_id"), col("p.vec"),
-        col("centroid_id"),
-        VectorOps.cosineSimilarity(col("p.vec"), col("cvec")).as("cs"))
-      .groupBy(col("probe_id"))
-      .agg(TopK.topK(nProbe)(col("centroid_id"), col("cs")).as("cl"),
-        first(col("vec")).as("pvec"))
-      .select(col("probe_id"), col("pvec"),
-        explode(col("cl.id")).as("centroid_id"))
+    // Each probe's nProbe nearest lists: sort the literal codebook by
+    // (score desc, cid asc) via ascending struct(-s, cid), slice, explode.
+    val probed = probes
+      .select(col("probe_id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
+      .select(col("probe_id"), col("vec").as("pvec"),
+        explode(slice(array_sort(array(code.map { case (cid, cv, cn) =>
+          struct((-scoreTo(cv, cn, col("_n"))).as("negs"), lit(cid).as("cid"))
+        }: _*)), 1, nProbe)).as("c"))
+      .select(col("probe_id"), col("pvec"), col("c.cid").as("centroid_id"))
 
     // Probe meets only its probed inverted lists; exact cosine re-rank.
     assigned

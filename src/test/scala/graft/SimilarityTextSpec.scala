@@ -117,9 +117,13 @@ class SimilarityTextSpec extends SparkTestBase {
       === bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
-  test("ivfTopK plan: no shuffle of the corpus for assignment, no window") {
+  test("ivfTopK plan: map-side assignment, exactly one shuffle in the operator") {
     val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("centroid_id", "vec")
     val plan = planString(Similarity.ivfTopK(corpus, probes, centroids, 2, 1))
+    // The only exchange allowed is the final bounded top-k aggregation;
+    // assignment and probe routing must stay pure projections.
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(shuffles === 1, s"expected 1 shuffle exchange, got $shuffles:\n$plan")
     assert(!plan.contains("Window"), s"window survived:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
