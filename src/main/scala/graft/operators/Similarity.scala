@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -193,6 +192,14 @@ object Similarity {
 
   /** Approximate top-k: candidates share >= 1 of 4 sign-LSH bands with
     * the probe, re-ranked by exact cosine.
+    *
+    * A candidate pair can surface from up to 4 bands, and the bounded
+    * heap must not count it more than once, so pairs are deduped first —
+    * as an aggregation on (probe_id, neighbor_id) whose map-side partial
+    * combine collapses same-partition repeats (cheaper than the old
+    * dropDuplicates + row_number() window, which shuffled and sorted the
+    * FULL candidate set by probe alone). The final exchange then carries
+    * at most k rows per probe per partition through `TopKAggregator`.
     */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, k: Int,
@@ -205,20 +212,17 @@ object Similarity {
       .select(col(idCol), col("vec"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val candidates = banded(corpus, "id").as("c")
+    banded(corpus, "id").as("c")
       .join(banded(probes, "probe_id").as("p"), Seq("band", "bucket"))
       .filter(col("c.id") =!= col("p.probe_id"))
       .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
-        col("c.vec").as("cvec"), col("p.vec").as("pvec"))
-      .dropDuplicates("probe_id", "neighbor_id")
-
-    val scored = candidates.select(col("probe_id"), col("neighbor_id"),
-      VectorOps.cosineSimilarity(col("cvec"), col("pvec")).as("cos_raw"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+        VectorOps.cosineSimilarity(col("c.vec"), col("p.vec")).as("cos_raw"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(first(col("cos_raw")).as("cos_raw"))
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos_raw")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.score"), 6).as("cos_sim"))
   }
 }

@@ -83,6 +83,12 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.find(_.getLong(1) == 1L).get.getDouble(2) === 1.0)
   }
 
+  test("lshTopK plan: no window — dedup and top-k are partial-agg'd aggregations") {
+    val plan = planString(Similarity.lshTopK(corpus, probes, k = 2, dim = 3))
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
   test("ivfTopK searches only probed inverted lists, each candidate once") {
     // codebook: x-axis (cid 0) and y-axis (cid 1). nProbe=1 means a probe
     // along x must meet exactly the x-assigned corpus rows {1,2,5}.
