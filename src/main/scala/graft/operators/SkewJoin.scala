@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equi-joins (SURVEY §4.2 / the 100 TB playbook).
+  *
+  * A shuffled equi-join hashes every row with the same key to the same
+  * reducer; one hot key (a viral product, a null-heavy foreign key, a
+  * default enum) turns a 1000-executor join into a single straggler
+  * task. Salting splits each key into `salts` synthetic sub-keys: the
+  * skewed side adds a deterministic per-row salt, the other side fans
+  * out every row to ALL salt values, and the join runs on
+  * (key, salt) — the hot key's rows now spread across `salts` reducers.
+  *
+  * This is the static-plan fallback when AQE's runtime skew-join split
+  * (`spark.sql.adaptive.skewJoin.enabled`) cannot kick in — e.g. when
+  * the skewed relation is freshly computed and has no stats, or the
+  * skew is within one AQE-indivisible block. The join RESULT is
+  * byte-identical to the plain join (every matching pair still meets on
+  * exactly one salt), which makes the transform fully oracle-checkable.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `skewed` (big, hot-keyed) with `other`
+    * (smaller, but too big or too late-bound to broadcast).
+    *
+    * @param skewed    the relation whose key distribution is skewed
+    * @param other     the relation replicated `salts`× (keep it the
+    *                  smaller one; replication is the price of spread)
+    * @param skewedKey equi-key column name on `skewed`
+    * @param otherKey  equi-key column name on `other`
+    * @param salts     sub-keys per key — the straggler task shrinks by
+    *                  this factor, the replicated side grows by it
+    * @param entropy   deterministic per-row expression on `skewed` rows
+    *                  (e.g. a line number or rowid) the salt is hashed
+    *                  from; determinism keeps every run and every retry
+    *                  assigning the same salt, so the operator stays
+    *                  reproducible and oracle-comparable
+    */
+  def saltedEquiJoin(
+      skewed: DataFrame, other: DataFrame,
+      skewedKey: String, otherKey: String,
+      salts: Int, entropy: Column): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val salted = skewed.withColumn(
+      "__salt_s", pmod(xxhash64(entropy), lit(salts.toLong)))
+    val fanned = other.withColumn(
+      "__salt_o", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    // shuffle_hash: a broadcast would make the salt a no-op (that case
+    // needs no salting), and sort-merge would pay an avoidable sort on
+    // the widened key.
+    salted.join(fanned.hint("shuffle_hash"),
+        col(skewedKey) === col(otherKey) && col("__salt_s") === col("__salt_o"))
+      .drop("__salt_s", "__salt_o")
+  }
+}

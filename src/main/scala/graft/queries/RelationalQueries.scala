@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SkewJoin}
 import QueryUtil._
 
 /** The relational capability envelope (SURVEY.md §2.4-2.9 [E] operators)
@@ -149,6 +149,22 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J1 under skew: salted shuffled-hash join — lineitem's per-row salt
+    // spreads any hot supplier key over 8 reducers; supplier fans out
+    // 8x. Salting must not change the join result, so the oracle is the
+    // plain join. Plan shape (asserted in tests): the exchange
+    // partitions on (suppkey, salt), no broadcast.
+    "q_join_salted" -> ((s, dir) => {
+      SkewJoin.saltedEquiJoin(
+          table(s, dir, "lineitem"), table(s, dir, "supplier"),
+          "l_suppkey", "s_suppkey", salts = 8,
+          entropy = col("l_orderkey") * lit(8191) + col("l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("s_nationkey"))
     }),
 
     // J3 semi: EXISTS — no duplication of the left side, right side only
@@ -445,6 +461,11 @@ object RelationalQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_salted" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

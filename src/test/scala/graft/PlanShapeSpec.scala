@@ -53,6 +53,27 @@ class PlanShapeSpec extends SparkTestBase {
       || p.contains("GreaterThan(o_totalprice,400.0)"), p)
   }
 
+  test("q_join_salted: shuffled-hash join keyed on (suppkey, salt), not broadcast") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("__salt"), s"salt column missing from the join plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salt demo:\n$p")
+  }
+
+  test("saltedEquiJoin returns exactly the plain join result") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val supp = spark.read.parquet(s"$Sf/supplier.parquet")
+    val salted = rows(graft.operators.SkewJoin.saltedEquiJoin(
+        li, supp, "l_suppkey", "s_suppkey", salts = 8,
+        entropy = col("l_orderkey") * lit(8191) + col("l_linenumber"))
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s_suppkey")))
+    val plain = rows(li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s_suppkey")))
+    assert(salted === plain)
+  }
+
   test("q_agg_approx: HLL++ estimate within 5% of exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = rows(SparkEntry.queries("q_agg_approx")(spark, Sf))
