@@ -1,7 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.model.Schemas.RunContext
 import graft.sources.Sinks
@@ -27,6 +27,19 @@ object Pipeline {
 
   final case class BranchResult(rawRows: Long, curatedRows: Long)
 
+  /** Attach an `observe` metric so the row count is collected DURING the
+    * write job (the reference's XCom metric, `s3_to_postgres.py:84-86`) —
+    * a `df.count()` after the write would re-run the whole plan, which at
+    * 100 TB doubles every branch.
+    */
+  private def observed(df: DataFrame): (DataFrame, Observation) = {
+    val obs = Observation()
+    (df.observe(obs, count(lit(1)).as("rows")), obs)
+  }
+
+  private def rowsOf(obs: Observation): Long =
+    obs.get("rows").asInstanceOf[Long]
+
   /** Vélib branch (`etl_dag.py:366-405`). */
   def runStationBranch(
       spark: SparkSession,
@@ -36,14 +49,15 @@ object Pipeline {
       curatedPath: String,
       url: String = Ingest.VelibStatusUrl): BranchResult = {
     val raw = Ingest.fetchVelibSnapshot(spark, transport, url)
-    Ingest.landRaw(raw, rawZone, ctx.executionDate.replaceAll("[^0-9]", ""))
+    val (rawObs, rawMetric) = observed(raw)
+    Ingest.landRaw(rawObs, rawZone, ctx.executionDate.replaceAll("[^0-9]", ""))
     val curated = Velib.withRunMetadata(
       Velib.dedupSnapshots(
         Velib.curateStations(Velib.flattenStations(raw))), ctx)
-    Sinks.writeCuratedParquet(
-      curated.withColumn("ingest_date", col("execution_date").cast("date")),
-      curatedPath, Seq("ingest_date"))
-    BranchResult(raw.count(), curated.count())
+    val (curObs, curMetric) = observed(
+      curated.withColumn("ingest_date", col("execution_date").cast("date")))
+    Sinks.writeCuratedParquet(curObs, curatedPath, Seq("ingest_date"))
+    BranchResult(rowsOf(rawMetric), rowsOf(curMetric))
   }
 
   /** Weather branch (`etl_dag.py:325-364`). */
@@ -55,12 +69,13 @@ object Pipeline {
       curatedPath: String,
       url: String): BranchResult = {
     val raw = Ingest.fetchWeatherSnapshot(spark, transport, url)
-    Ingest.landRaw(raw, rawZone, ctx.executionDate.replaceAll("[^0-9]", ""))
+    val (rawObs, rawMetric) = observed(raw)
+    Ingest.landRaw(rawObs, rawZone, ctx.executionDate.replaceAll("[^0-9]", ""))
     val curated = Velib.withRunMetadata(Weather.projectWeather(raw), ctx)
-    Sinks.writeCuratedParquet(
-      curated.withColumn("ingest_date", col("execution_date").cast("date")),
-      curatedPath, Seq("ingest_date"))
-    BranchResult(raw.count(), curated.count())
+    val (curObs, curMetric) = observed(
+      curated.withColumn("ingest_date", col("execution_date").cast("date")))
+    Sinks.writeCuratedParquet(curObs, curatedPath, Seq("ingest_date"))
+    BranchResult(rowsOf(rawMetric), rowsOf(curMetric))
   }
 
   /** Both branches, like start >> [weather, stations] >> end
