@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+import graft.functions.{FloatVecDot, FloatVecNormSq}
+
+/** Session extension making the engine's native vector expressions
+  * available to the SQL surface — `spark.sql("SELECT fvec_dot(a, b)")`
+  * — not just the Scala Column DSL (`VectorOps`). Register with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * The functions resolve to the same codegen'd Catalyst expressions the
+  * DSL uses (`functions/VectorExpressions.scala`), so SQL callers get
+  * the tight-loop whole-stage-codegen form, not an interpreted HOF.
+  *
+  * This is the engine's one `SparkSessionExtensions` hook by design:
+  * SURVEY §4.2's finding is that reference parity needs ZERO custom
+  * planner surface, and every operator here stays a declarative
+  * DataFrame plan Catalyst can optimize — extensions are reserved for
+  * where built-ins measurably fail (the vector hot path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fvec_dot"),
+      info(classOf[FloatVecDot], "fvec_dot",
+        "fvec_dot(a, b) - dot product of two array<float> in double, " +
+          "left-to-right accumulation; null on length mismatch or null element"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("fvec_normsq"),
+      info(classOf[FloatVecNormSq], "fvec_normsq",
+        "fvec_normsq(a) - squared L2 norm of an array<float> in double"),
+      (children: Seq[Expression]) => FloatVecNormSq(children.head)))
+
+    // Composed form, same arithmetic as VectorOps.cosineSimilarity —
+    // dot / (sqrt(normsq(a)) * sqrt(normsq(b))).
+    ext.injectFunction((
+      FunctionIdentifier("fvec_cos"),
+      info(classOf[FloatVecDot], "fvec_cos",
+        "fvec_cos(a, b) - cosine similarity of two array<float>"),
+      (children: Seq[Expression]) => Divide(
+        FloatVecDot(children(0), children(1)),
+        Multiply(Sqrt(FloatVecNormSq(children(0))),
+          Sqrt(FloatVecNormSq(children(1)))))))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions exposes fvec_dot/fvec_normsq/fvec_cos to SQL, same values as the DSL") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // New session on the shared context — extensions apply at session
+      // construction, so the suite-wide session can't be reused here.
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(50).createOrReplaceTempView("e")
+
+      val viaSql = s.sql(
+        """SELECT a.vec_id AS ia, b.vec_id AS ib,
+          |  fvec_dot(a.embedding, b.embedding) AS d,
+          |  fvec_normsq(a.embedding) AS n,
+          |  fvec_cos(a.embedding, b.embedding) AS c
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |ORDER BY ia, ib""".stripMargin).collect().toSeq
+
+      val viaDsl = {
+        val e = s.table("e")
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+            VectorOps.dot(col("a.embedding"), col("b.embedding")).as("d"),
+            VectorOps.normSq(col("a.embedding")).as("n"),
+            VectorOps.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+          .orderBy(col("ia"), col("ib")).collect().toSeq
+      }
+
+      assert(viaSql.nonEmpty)
+      assert(viaSql === viaDsl) // identical expression trees -> identical bits
+
+      // Sanity: self-cosine is 1 up to the sqrt(x)*sqrt(x) ulp.
+      val self = s.sql(
+        "SELECT fvec_cos(embedding, embedding) AS c FROM e").collect()
+      assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
