@@ -23,8 +23,16 @@ case class ScoredNeighbor(id: Long, score: Double)
 class TopKAggregator(k: Int)
   extends Aggregator[ScoredNeighbor, Array[ScoredNeighbor], Array[ScoredNeighbor]] {
 
-  private def better(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Total order via Double.compare so NaN ranks greatest — the same
+  // place Spark's ORDER BY score DESC and the DuckDB oracle put it.
+  // Plain `>` is false for NaN on either side, which would silently
+  // rank a NaN-scored candidate (e.g. cosine of a zero-norm vector)
+  // LAST instead of first and diverge from the window form this
+  // aggregator replaces.
+  private def better(a: ScoredNeighbor, b: ScoredNeighbor): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Array[ScoredNeighbor] = Array.empty
 
