@@ -50,8 +50,12 @@ object SkewJoin {
     // shuffle_hash: a broadcast would make the salt a no-op (that case
     // needs no salting), and sort-merge would pay an avoidable sort on
     // the widened key.
+    // Keys resolve against their own side's DataFrame so the operator
+    // also works when both sides name the key identically (the common
+    // equi-join case) instead of raising AMBIGUOUS_REFERENCE.
     salted.join(fanned.hint("shuffle_hash"),
-        col(skewedKey) === col(otherKey) && col("__salt_s") === col("__salt_o"))
+        salted(skewedKey) === fanned(otherKey) &&
+          salted("__salt_s") === fanned("__salt_o"))
       .drop("__salt_s", "__salt_o")
   }
 }

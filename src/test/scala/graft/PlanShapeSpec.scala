@@ -74,6 +74,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("saltedEquiJoin works when both sides name the key identically") {
+    // The common equi-join case: same column name on both sides. Keys
+    // must resolve per-side or the join condition is AMBIGUOUS_REFERENCE.
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val supp = spark.read.parquet(s"$Sf/supplier.parquet")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    val n = graft.operators.SkewJoin.saltedEquiJoin(
+        li, supp, "suppkey", "suppkey", salts = 4,
+        entropy = col("l_orderkey") * lit(8191) + col("l_linenumber"))
+      .count()
+    val plain = li.join(supp, li("suppkey") === supp("suppkey")).count()
+    assert(n === plain)
+  }
+
   test("q_agg_approx: HLL++ estimate within 5% of exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = rows(SparkEntry.queries("q_agg_approx")(spark, Sf))
