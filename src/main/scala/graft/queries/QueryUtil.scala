@@ -16,19 +16,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object QueryUtil {
 
+  /** Tables whose parquet carries TIMESTAMP(NANOS) columns (here: the
+    * harness's `events.ts`). Scoped by table name so the generic loader
+    * never reinterprets an ordinary bigint that happens to be named
+    * `ts` (epoch-seconds logs etc.) as nanoseconds.
+    */
+  private val NanosTimestampCols: Map[String, Seq[String]] =
+    Map("events" -> Seq("ts"))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    // timestamp type and rejects the file outright (PARQUET_TYPE_ILLEGAL)
-    // unless the legacy conf surfaces it as an epoch-nanos long. Cast it
-    // back to microsecond TimestampType (integral `div` — no double
-    // round-trip), which is exactly DuckDB's ns->us truncation, so the
-    // oracle compare sees identical values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosCols = NanosTimestampCols.getOrElse(name, Nil)
+    // TIMESTAMP(NANOS) parquet: Spark has no nanosecond timestamp type
+    // and rejects the file outright (PARQUET_TYPE_ILLEGAL) unless the
+    // legacy conf surfaces it as an epoch-nanos long. Cast it back to
+    // microsecond TimestampType (integral `div` — no double round-trip),
+    // which is exactly DuckDB's ns->us truncation, so the oracle compare
+    // sees identical values. The conf is session-wide and sticks — set
+    // only when such a table is actually loaded.
+    if (nanosCols.nonEmpty) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.collectFirst {
-      case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    }.getOrElse(df)
+    nanosCols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c))
+        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
   }
 
   /** Order-independent sum of a <=2-decimal double column, as double. */
