@@ -75,62 +75,27 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  def minhashSignature(shingleCol: Column): Column = {
-    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    array(permParams.map { case (a, b) =>
-      coalesce(
-        array_min(transform(hashed, x => pmod(lit(a) * x + lit(b), lit(P)))),
-        lit(P)) // empty shingle set → sentinel
-    }: _*)
-  }
-
-  /** LSH band keys: hash each 4-row slice of the signature together with
-    * its band index so buckets from different bands never collide.
-    */
-  def lshBandKeys(sig: Column): Column = {
-    val rows = NumPerms / LshBands
-    array((0 until LshBands).map { b =>
-      hash(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
-    }: _*)
-  }
-
-  /** Band keys computed directly from the shingle set in ONE expression
-    * tree where each per-permutation minimum appears exactly once.
-    *
-    * Composing `lshBandKeys(minhashSignature(sh))` instead would inline
-    * the whole 128-permutation signature subtree into every one of the
-    * 128 `element_at` references (Catalyst substitutes, it does not
-    * let-bind), multiplying the per-row work by 128 — observed as a
-    * >300 s stall on 500 documents. This fused form is linear.
-    */
-  def lshBandKeysFromShingles(shingleCol: Column): Column = {
-    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    val rows = NumPerms / LshBands
-    val mins = permParams.map { case (a, b) =>
-      coalesce(
-        array_min(transform(hashed, x => pmod(lit(a) * x + lit(b), lit(P)))),
-        lit(P))
-    }
-    array((0 until LshBands).map { b =>
-      hash(lit(b) +: (0 until rows).map(r => mins(b * rows + r)): _*)
-    }: _*)
-  }
-
   /** Per-document MinHash signature computed through the AGGREGATION
     * ENGINE instead of one mega-expression: explode shingles to rows,
     * xxhash64 each once, then 128 `min(...)` aggregates in a single
     * codegen'd HashAggregate.
     *
-    * Why not the Column-expression form (`minhashSignature`): a
-    * 128-permutation fold over the shingle array exceeds whole-stage
-    * codegen limits and falls back to INTERPRETED eval — observed via
-    * jstack as StringSplit re-evaluated inside ArrayAggregate, hundreds
-    * of CPU-seconds per task. The row-based form is fully codegen'd,
+    * Why not a Column-expression form (a 128-way `array_min(transform(
+    * ...))` over the shingle array): it exceeds whole-stage codegen
+    * limits and falls back to INTERPRETED eval — observed via jstack as
+    * StringSplit re-evaluated inside ArrayAggregate, hundreds of
+    * CPU-seconds per task. (And composing band keys over a separate
+    * signature Column inlines the whole 128-permutation subtree into
+    * every reference — Catalyst substitutes, it does not let-bind —
+    * for a further 128× blowup.) The row-based form is fully codegen'd,
     * partial-aggregates map-side (the exchange carries 128 longs per
     * doc), and is the shape that scales to 100 TB.
     *
-    * Output: (doc_id, m0..m127) — one column per permutation minimum,
-    * sentinel P for empty shingle sets (via the left join in callers).
+    * Output: (doc_id, m0..m127) — one column per permutation minimum.
+    * A document with NO shingles (shorter than the shingle width) has
+    * no rows after the explode, so it gets no signature and never
+    * appears as a candidate — correct, since an empty shingle set has
+    * Jaccard 0 against everything.
     */
   private def minhashColumns(withShingles: DataFrame): DataFrame = {
     val hashed = withShingles.select(col("doc_id"),
