@@ -27,15 +27,16 @@ object Ingest {
   /** The one imperative edge: URL -> body. */
   type Transport = String => String
 
-  /** `java.net.http` GET with the reference's JSON accept header
-    * (`etl_dag.py:40-42`). Offline harness never calls this — tests
-    * inject canned transports.
+  /** `java.net.http` GET negotiating JSON, as the reference's fetch
+    * does (`etl_dag.py:40-42`). Content negotiation on a body-less GET
+    * is the `Accept` header, not `Content-Type`. Offline harness never
+    * calls this — tests inject canned transports.
     */
   def httpTransport(timeoutMs: Long = 30000): Transport = { url =>
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .header("Content-Type", "application/json")
+      .header("Accept", "application/json")
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)

@@ -44,10 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => FloatVecNormSq(children.head)))
 
     // Composed form, same arithmetic as VectorOps.cosineSimilarity —
-    // dot / (sqrt(normsq(a)) * sqrt(normsq(b))).
+    // dot / (sqrt(normsq(a)) * sqrt(normsq(b))). No single implementing
+    // expression class exists, so DESCRIBE FUNCTION points at the
+    // builder (this class) rather than misattributing one component.
     ext.injectFunction((
       FunctionIdentifier("fvec_cos"),
-      info(classOf[FloatVecDot], "fvec_cos",
+      info(classOf[GraftExtensions], "fvec_cos",
         "fvec_cos(a, b) - cosine similarity of two array<float>"),
       (children: Seq[Expression]) => Divide(
         FloatVecDot(children(0), children(1)),

@@ -28,7 +28,10 @@ class SimilarityTextSpec extends SparkTestBase {
         VectorOps.dotHof(col("a.embedding"), col("b.embedding")).as("hof"),
         VectorOps.normSq(col("a.embedding")).as("natn"),
         VectorOps.normSqHof(col("a.embedding")).as("hofn"))
-      .filter(col("nat") =!= col("hof") || col("natn") =!= col("hofn"))
+      // null-safe inequality: `=!=` is null when either side is null,
+      // which would FILTER OUT a row where one form wrongly returns
+      // null — exactly the disagreement this test exists to catch.
+      .filter(!(col("nat") <=> col("hof")) || !(col("natn") <=> col("hofn")))
     assert(rows(diff).isEmpty)
   }
 
