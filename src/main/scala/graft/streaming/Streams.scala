@@ -1,12 +1,31 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.model.Schemas
 import graft.transform.Velib
+
+/** One curated station observation, typed for the stateful operator.
+  * Top-level (not nested/private) so Spark's encoder-generated code can
+  * construct it.
+  */
+case class StationPing(
+    station_id: Long, num_bikes_available: Int,
+    last_reported: java.sql.Timestamp)
+
+/** Per-station state carried between micro-batches: last availability
+  * and its event time. One tiny record per live station — eviction via
+  * event-time timeout keeps the store bounded by the ACTIVE station
+  * population, not the stream's history.
+  */
+case class StockoutState(bikes: Int, asOf: java.sql.Timestamp)
+
+/** Emitted exactly when a station crosses empty↔stocked. */
+case class StockoutEvent(
+    station_id: Long, event: String, at: java.sql.Timestamp, bikes: Int)
 
 /** Structured Streaming variant of the ingest→transform pipeline
   * (SURVEY.md §2.10). The reference "streams" by hourly cron
@@ -79,6 +98,78 @@ object Streams {
       .select(col("station_id"), col("num_bikes_available"),
         col("last_reported"), col("obs_ts"), col("temp"),
         col("weather_description"))
+  }
+
+  /** How long a silent station's state survives before event-time
+    * timeout evicts it. Vélib stations report at least hourly when
+    * alive (`schedule_interval="@hourly"`, ttl=3600 s — BASELINE.md);
+    * 24 h of silence means decommissioned.
+    */
+  private val IdleRetentionMs: Long = 24L * 3600 * 1000
+
+  /** ST4 — custom keyed state via `flatMapGroupsWithState`: emit a row
+    * exactly when a station transitions empty↔stocked (a "stockout" /
+    * "restock" event stream derived from the raw update stream).
+    *
+    * This is the semantics windowed aggregation can NOT express: the
+    * event depends on the PREVIOUS observation, across micro-batch
+    * boundaries, per key. State per station is one (bikes, asOf) pair;
+    * the operator scales as O(live stations), not O(history):
+    *  - the stream is hash-partitioned on station_id by groupByKey —
+    *    each executor owns a key range's state, no cross-talk;
+    *  - event-time timeout (watermark-driven) evicts stations silent
+    *    for [[IdleRetentionMs]], so dead keys cannot accumulate;
+    *  - within-batch rows are sorted by event time (micro-batch order
+    *    is not guaranteed), and cross-batch stragglers older than the
+    *    current state are ignored rather than re-ordering history.
+    *
+    * Input: any DataFrame with (station_id, num_bikes_available,
+    * last_reported) — `dedupedStationUpdates` output or the curated
+    * batch table in tests.
+    */
+  def stockoutTransitions(updates: DataFrame): Dataset[StockoutEvent] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .select(col("station_id"), col("num_bikes_available"), col("last_reported"))
+      .withWatermark("last_reported", "2 hours")
+      .as[StationPing]
+      .groupByKey(_.station_id)
+      .flatMapGroupsWithState[StockoutState, StockoutEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(trackStockouts)
+  }
+
+  private def trackStockouts(
+      stationId: Long, rows: Iterator[StationPing],
+      state: GroupState[StockoutState]): Iterator[StockoutEvent] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = Seq.newBuilder[StockoutEvent]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.last_reported.getTime).foreach { p =>
+        val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
+        if (!late) {
+          cur.foreach { s =>
+            if ((s.bikes == 0) != (p.num_bikes_available == 0)) {
+              out += StockoutEvent(
+                stationId,
+                if (p.num_bikes_available == 0) "stockout" else "restock",
+                p.last_reported, p.num_bikes_available)
+            }
+          }
+          cur = Some(StockoutState(p.num_bikes_available, p.last_reported))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // Timeout must land strictly beyond the current watermark.
+        state.setTimeoutTimestamp(math.max(
+          s.asOf.getTime + IdleRetentionMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.result().iterator
+    }
   }
 
   /** Per-run writer: AvailableNow = process-what-exists then stop —

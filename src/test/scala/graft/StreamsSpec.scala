@@ -97,6 +97,55 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST4: flatMapGroupsWithState emits stockout/restock transitions with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val t0 = 1706745000L
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val out = Streams.stockoutTransitions(
+      mem.toDF().toDF("station_id", "num_bikes_available", "last_reported"))
+    val q = out.writeStream.format("memory").queryName("stockout_t")
+      .outputMode("append").start()
+    try {
+      def events() = rows(spark.table("stockout_t"))
+        .map(r => (r.getAs[Long]("station_id"), r.getAs[String]("event"),
+          r.getAs[Timestamp]("at")))
+
+      // init: station 1 stocked, station 2 empty — first sight, no events
+      mem.addData((1L, 2, ts(t0)), (2L, 0, ts(t0)))
+      q.processAllAvailable()
+      assert(events().isEmpty)
+
+      // transitions; station 3 arrives with TWO rows out of order in one
+      // batch — the function must sort by event time, so 3 inits at t0
+      // with 3 bikes and stocks out at t0+600, not the reverse.
+      mem.addData((1L, 0, ts(t0 + 600)), (2L, 4, ts(t0 + 600)),
+        (3L, 0, ts(t0 + 600)), (3L, 3, ts(t0)))
+      q.processAllAvailable()
+      assert(events().toSet === Set(
+        (1L, "stockout", ts(t0 + 600)),
+        (2L, "restock", ts(t0 + 600)),
+        (3L, "stockout", ts(t0 + 600))))
+
+      // cross-batch straggler older than station 2's state: ignored, no
+      // spurious transition. Station 1 still empty: no event either.
+      mem.addData((2L, 0, ts(t0)), (1L, 0, ts(t0 + 1200)))
+      q.processAllAvailable()
+      assert(events().size === 3)
+
+      // advance the watermark ~30 h with a sentinel station, then once
+      // more so station 1's 24 h idle timeout fires and evicts its state
+      val far = t0 + 30L * 3600
+      mem.addData((9L, 1, ts(far))); q.processAllAvailable()
+      mem.addData((9L, 1, ts(far + 60))); q.processAllAvailable()
+      // station 1 reports stocked after eviction: fresh init, NO restock
+      // (with live state this would emit one — state must be gone)
+      mem.addData((1L, 5, ts(far + 120))); q.processAllAvailable()
+      assert(events().size === 3,
+        s"evicted station must re-init silently, got: ${events()}")
+    } finally q.stop()
+  }
+
   test("ST1: AvailableNow trigger processes what exists then stops") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("drop").toString
