@@ -37,6 +37,22 @@ object Sinks {
   def ensureTable(spark: SparkSession, table: String, ddlColumns: String): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($ddlColumns) USING parquet")
 
+  /** Bucketed warehouse table (the co-located-join path of the 100 TB
+    * playbook): rows are hash-clustered into `buckets` files per
+    * partition by `keyCol` at WRITE time, so an equi-join or aggregation
+    * on that key later runs with NO exchange — the dominant shuffle of
+    * a fact-to-fact join is paid once, at load, instead of per query.
+    * `sortCol` additionally sorts within each bucket, letting a
+    * sort-merge join skip its sort. Requires `saveAsTable` (bucket
+    * metadata lives in the catalog, not the files).
+    */
+  def writeBucketedTable(
+      df: DataFrame, table: String, buckets: Int, keyCol: String,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+
   /** Warehouse append (`airflow/plugins/s3_to_postgres.py:76-82`):
     * by-name column alignment, then a batched JDBC append — replacing the
     * reference's one-INSERT-per-row loop with executor-parallel batched

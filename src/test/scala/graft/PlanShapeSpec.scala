@@ -89,6 +89,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(n === plain)
   }
 
+  test("bucketed tables join with zero exchanges — the shuffle was paid at write time") {
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Sinks.writeBucketedTable(
+        spark.read.parquet(s"$Sf/lineitem.parquet"), "li_bkt", 8, "l_orderkey",
+        sortCol = Some("l_orderkey"))
+      graft.sources.Sinks.writeBucketedTable(
+        spark.read.parquet(s"$Sf/orders.parquet"), "ord_bkt", 8, "o_orderkey",
+        sortCol = Some("o_orderkey"))
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      // grouping on the bucket key keeps even the aggregation
+      // exchange-free — the clustering survives the join
+      val agged = joined.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      Seq(planString(joined), planString(agged)).foreach { p =>
+        assert(!p.contains("Exchange"),
+          s"bucketed join must not shuffle either side:\n$p")
+        // same bucket count on both sides -> sort-merge join, co-located
+        assert(p.contains("SortMergeJoin"), p)
+      }
+      assert(joined.count() === spark.read.parquet(s"$Sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$Sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("q_agg_approx: HLL++ estimate within 5% of exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = rows(SparkEntry.queries("q_agg_approx")(spark, Sf))
