@@ -35,16 +35,23 @@ class SinksSpec extends SparkTestBase {
 
   test("curated parquet partitioned write appends and prunes by partition") {
     val dir = Files.createTempDirectory("cur").toString + "/station"
-    val ctx = RunContext("2024-02-01 01:00:00", "d", "t")
-    val withMeta = Velib.withRunMetadata(curated, ctx)
-      .withColumn("ingest_date", col("execution_date").cast("date"))
-    Sinks.writeCuratedParquet(withMeta, dir, Seq("ingest_date"))
-    Sinks.writeCuratedParquet(withMeta, dir, Seq("ingest_date")) // append
+    def run(date: String) = {
+      val ctx = RunContext(s"$date 01:00:00", "d", "t")
+      Velib.withRunMetadata(curated, ctx)
+        .withColumn("ingest_date", col("execution_date").cast("date"))
+    }
+    Sinks.writeCuratedParquet(run("2024-02-01"), dir, Seq("ingest_date"))
+    Sinks.writeCuratedParquet(run("2024-02-02"), dir, Seq("ingest_date")) // append
     val back = spark.read.parquet(dir)
     assert(back.count() === 12)
     val pruned = back.filter(col("ingest_date") === "2024-02-01")
-    // partition filter must reach the scan, not a post-filter
+    assert(pruned.count() === 6) // only the matching partition's rows
+    // the date predicate must prune at the SCAN (directory level) — a
+    // post-scan Filter would read every partition at 100 TB
     val ex = pruned.queryExecution.executedPlan.toString
-    assert(ex.contains("PartitionFilters") || pruned.count() === 12)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(ex).map(_.group(1)).getOrElse("")
+    assert(pf.contains("ingest_date"),
+      s"partition filter did not reach the scan:\n$ex")
   }
 }
