@@ -89,6 +89,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A1 percentiles — EXACT `percentile` (linear interpolation, the
+    // same definition as DuckDB's quantile_cont, so the oracle matches).
+    // Exact percentile holds a per-group value-count map in the
+    // aggregation buffer — fine when groups are few and value domains
+    // bounded (here: 3 flags × prices); at 100 TB per-key cardinality,
+    // the scale path is `approx_percentile` (t-digest sketch, map-side
+    // mergeable, bounded memory), following q_agg_approx's
+    // sketch-instead-of-exact pattern.
+    "q_agg_percentile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A5/ST: session windows — per-user activity sessions with a 30-min
     // inactivity gap. session_window is computed map-side, merged in the
     // aggregation; one shuffle on user_id. The oracle reproduces the
@@ -417,6 +435,12 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,
