@@ -286,6 +286,20 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // W1 distribution ranks: ntile / percent_rank / cume_dist — exact
+    // integer-ratio doubles, deterministic cross-engine given the
+    // total-order ORDER BY (ties broken by custkey).
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("bal_quartile"),
+          percent_rank().over(w).as("bal_prank"),
+          cume_dist().over(w).as("bal_cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // O2 top-k: planned as TakeOrderedAndProject — per-partition heaps,
     // no global sort, no full shuffle.
     "q_topk" -> ((s, dir) => {
@@ -359,6 +373,18 @@ object RelationalQueries {
         substring_index(col("c_name"), "#", 1).as("name_stem"),
         substring(col("c_name"), 10, 9).as("name_num"),
         lpad(col("c_custkey").cast("string"), 9, "0").as("padded"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F2 regex family: extract / global replace / match. Both engines
+    // return '' on a non-matching extract; DuckDB's replace needs the
+    // 'g' flag to match Spark's replace-all semantics (in the oracle).
+    "q_fn_regex" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#([0-9]+)", 1).as("name_id"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        col("c_name").rlike("[13579]$").cast("int").as("id_is_odd"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -533,6 +559,14 @@ object RelationalQueries {
         |   PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(NTILE(4) OVER w AS INT) AS bal_quartile,
+        | PERCENT_RANK() OVER w AS bal_prank,
+        | CUME_DIST() OVER w AS bal_cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
@@ -575,6 +609,12 @@ object RelationalQueries {
         | SPLIT_PART(c_name, '#', 1) AS name_stem,
         | SUBSTRING(c_name, 10, 9) AS name_num,
         | LPAD(CAST(c_custkey AS VARCHAR), 9, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_regex" ->
+      """SELECT c_custkey,
+        | regexp_extract(c_name, '#([0-9]+)', 1) AS name_id,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        | CAST(regexp_matches(c_name, '[13579]$') AS INT) AS id_is_odd
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_cast" ->
       """SELECT l_orderkey, l_linenumber,
