@@ -14,6 +14,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Pick the reported (time, error) for one query across passes: min
+    * time over SUCCESSFUL passes — a failed pass's fast
+    * elapsed-until-throw must never stand in for a slow success. Only
+    * when every pass failed does the failure time count. An error in
+    * ANY pass is still reported.
+    */
+  private[graft] def pick(
+      runs: Seq[(Double, Option[String])]): (Double, Option[String]) = {
+    val ok = runs.filter(_._2.isEmpty)
+    val picked = if (ok.nonEmpty) ok else runs
+    (picked.map(_._1).min, runs.flatMap(_._2).headOption)
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,14 +89,8 @@ object Bench {
 
     val passes = (1 to Passes).map(onePass)
     val results = names.map { name =>
-      val runs = passes.map(_(name))
-      // min time across SUCCESSFUL passes — a failed pass's fast
-      // elapsed-until-throw must never stand in for a slow success.
-      // Only when every pass failed does the failure time count.
-      // An error in ANY pass is still reported.
-      val ok = runs.filter(_._2.isEmpty)
-      val picked = if (ok.nonEmpty) ok else runs
-      (name, picked.map(_._1).min, runs.flatMap(_._2).headOption)
+      val (t, err) = pick(passes.map(_(name)))
+      (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
