@@ -183,4 +183,23 @@ object Streams {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** ST5 — `foreachBatch` load: route each micro-batch through an
+    * arbitrary BATCH sink — the streaming form of the reference's
+    * warehouse load step (`s3_to_postgres.py:76-82` would be
+    * `Sinks.jdbcAppend` here), or any multi-sink fan-out the built-in
+    * streaming sinks can't express.
+    *
+    * The checkpoint makes delivery at-least-once with NO re-delivery of
+    * committed batches across restarts: a batch replays only if the job
+    * dies between the loader call and the commit. A loader that keys on
+    * `batchId` (e.g. an idempotent MERGE, or a staging table keyed by
+    * batch_id) upgrades that to exactly-once end-to-end.
+    */
+  def foreachBatchLoad(df: DataFrame, checkpoint: String)(
+      load: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch(load)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
 }

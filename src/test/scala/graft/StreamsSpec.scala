@@ -146,6 +146,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST5: foreachBatch loads each batch once, never re-delivers across restarts") {
+    import java.nio.file.{Files, Paths}
+    val drop = Files.createTempDirectory("fbdrop").toString
+    val ckpt = Files.createTempDirectory("fbckpt").toString
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, station_id)
+
+    def runOnce(): Unit = {
+      val stream = Streams.dedupedStationUpdates(Streams.velibStream(spark, drop))
+      val q = Streams.foreachBatchLoad(stream, ckpt) { (batch, id) =>
+        batch.collect().foreach(r => loaded += ((id, r.getAs[Long]("station_id"))))
+      }.start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    Files.writeString(Paths.get(drop, "s1.json"), snap1)
+    runOnce()
+    assert(loaded.map(_._2).sorted === Seq(1L, 2L))
+
+    // restart with the same checkpoint and no new data: nothing replays
+    runOnce()
+    assert(loaded.size === 2, s"committed batch was re-delivered: $loaded")
+
+    // new file: only the new data arrives, in a later batch
+    Files.writeString(Paths.get(drop, "s2.json"), snap2)
+    runOnce()
+    val newRows = loaded.drop(2)
+    assert(newRows.map(_._2) === Seq(2L), s"expected only station 2's new report: $loaded")
+    assert(newRows.head._1 > loaded.head._1) // strictly later batch id
+  }
+
   test("ST1: AvailableNow trigger processes what exists then stops") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("drop").toString
