@@ -70,4 +70,34 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** A resized payload with its new dimensions. */
+  case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Batch resize to fit a `maxDim` bounding box, preserving aspect
+    * ratio — binary in, binary out, the transform an image-training
+    * pipeline runs between decode and feature extraction. Same
+    * `mapPartitions` batching as `decodeMeta` (a real resampler inits
+    * once per partition); the pixel kernel is the same documented stub
+    * (deterministic byte slice proportional to the area change), so the
+    * output payload sizes and dimensions are reproducible and testable.
+    */
+  def resize(
+      spark: SparkSession, withPayload: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        // real impl: val resampler = Resampler.open() — once per partition
+        rows.map { r =>
+          val (w, h, _) = fakeDecode(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // stub kernel: keep bytes proportional to the area change
+          val nBytes = math.max(1,
+            (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
+          ResizedMedia(r.doc_id, nw, nh, r.payload.take(nBytes))
+        }
+      }
+  }
 }

@@ -144,6 +144,16 @@ object LlmQueries {
         Multimodal.decodeMeta(s, Multimodal.withBinaryPayload(docs(s, dir))),
         stride = 4)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Batch resize: binary->binary mapPartitions with the deterministic
+    // stub kernel — dimensions and byte counts are oracle-reproducible.
+    "q_media_resize" -> ((s, dir) => {
+      Multimodal.resize(s, Multimodal.withBinaryPayload(docs(s, dir)), maxDim = 128)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("int").as("n_bytes"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Shared DuckDB CTE: distinct trigram shingle list per document. */
@@ -311,5 +321,20 @@ object LlmQueries {
     "q_media_frames" ->
       """SELECT doc_id, CAST(unnest(generate_series(0,
         |   (1 + octet_length(encode(text)) % 16) - 1, 4)) AS INT) AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CAST(64 + octet_length(encode(text)) % 512 AS INT) AS w,
+        |    CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n, w, h,
+        |    CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 128.0 / GREATEST(w, h)))) AS INT) AS nw,
+        |    CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 128.0 / GREATEST(w, h)))) AS INT) AS nh
+        |  FROM m
+        |)
+        |SELECT doc_id, nw AS width, nh AS height,
+        | CAST(GREATEST(1, (CAST(n AS BIGINT) * nw * nh) // (CAST(w AS BIGINT) * h)) AS INT) AS n_bytes
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -35,6 +35,25 @@ class MultimodalSpec extends SparkTestBase {
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
   }
 
+  test("resize fits the bounding box, preserves aspect, scales bytes with area") {
+    val out = Multimodal.resize(spark, Multimodal.withBinaryPayload(docs), maxDim = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.size === 3)
+    docs.collect().foreach { d =>
+      val n = d.getString(1).getBytes("UTF-8").length
+      val (w, h, _) = Multimodal.fakeDecode(d.getString(1).getBytes("UTF-8"))
+      val r = out(d.getLong(0))
+      assert(math.max(r.width, r.height) <= 64) // fits the box either way
+      assert(r.width <= w && r.height <= h)     // never upscales
+      assert(r.payload.length ===
+        math.max(1, (n.toLong * r.width * r.height / (w.toLong * h)).toInt))
+    }
+    // payload is a prefix of the original bytes (stub kernel contract)
+    val one = out(1L)
+    assert(new String(one.payload, "UTF-8") ===
+      "hello world".take(one.payload.length))
+  }
+
   test("sampleFrames explodes stride-sampled frame indices") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.withBinaryPayload(docs))
     val frames = Multimodal.sampleFrames(meta, stride = 4)
