@@ -117,6 +117,12 @@ object Dedup {
     * filter. The only quadratic work is within a bucket, which LSH keeps
     * tiny; the verification join is two hash joins on doc_id.
     *
+    * The self-join references the banded signatures twice, so the
+    * signature pipeline is computed once per side in this single-query
+    * form. At 100 TB the signature table is the thing you'd persist
+    * (write it once, dedup against it incrementally) — within one query,
+    * `.persist()` on the banded frame trades memory for that recompute.
+    *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
     */
