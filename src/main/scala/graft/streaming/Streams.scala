@@ -132,6 +132,13 @@ object Streams {
     import spark.implicits._
     updates
       .select(col("station_id"), col("num_bikes_available"), col("last_reported"))
+      // The JSON-sourced schema is nullable; a single null in a
+      // primitive-typed field would fail `.as[StationPing]`, kill the
+      // query, and REPLAY the same poisoned batch on every restart. A
+      // report with no count or no time carries no transition signal —
+      // drop it instead of wedging the pipeline.
+      .filter(col("station_id").isNotNull &&
+        col("num_bikes_available").isNotNull && col("last_reported").isNotNull)
       .withWatermark("last_reported", "2 hours")
       .as[StationPing]
       .groupByKey(_.station_id)
