@@ -29,19 +29,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
+  /** Arity check at analysis time: without it a wrong-arity SQL call
+    * dies inside the builder with a raw IndexOutOfBoundsException
+    * instead of a readable error.
+    */
+  private def arity(name: String, n: Int)(children: Seq[Expression]): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
       info(classOf[FloatVecDot], "fvec_dot",
         "fvec_dot(a, b) - dot product of two array<float> in double, " +
           "left-to-right accumulation; null on length mismatch or null element"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("fvec_dot", 2)(children)
+        FloatVecDot(children(0), children(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("fvec_normsq"),
       info(classOf[FloatVecNormSq], "fvec_normsq",
         "fvec_normsq(a) - squared L2 norm of an array<float> in double"),
-      (children: Seq[Expression]) => FloatVecNormSq(children.head)))
+      (children: Seq[Expression]) => {
+        arity("fvec_normsq", 1)(children)
+        FloatVecNormSq(children.head)
+      }))
 
     // Composed form, same arithmetic as VectorOps.cosineSimilarity —
     // dot / (sqrt(normsq(a)) * sqrt(normsq(b))). No single implementing
@@ -51,9 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fvec_cos"),
       info(classOf[GraftExtensions], "fvec_cos",
         "fvec_cos(a, b) - cosine similarity of two array<float>"),
-      (children: Seq[Expression]) => Divide(
-        FloatVecDot(children(0), children(1)),
-        Multiply(Sqrt(FloatVecNormSq(children(0))),
-          Sqrt(FloatVecNormSq(children(1)))))))
+      (children: Seq[Expression]) => {
+        arity("fvec_cos", 2)(children)
+        Divide(
+          FloatVecDot(children(0), children(1)),
+          Multiply(Sqrt(FloatVecNormSq(children(0))),
+            Sqrt(FloatVecNormSq(children(1)))))
+      }))
   }
 }

@@ -47,6 +47,13 @@ class ExtensionsSpec extends SparkTestBase {
       val self = s.sql(
         "SELECT fvec_cos(embedding, embedding) AS c FROM e").collect()
       assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+
+      // Wrong arity surfaces as a readable error, not an index crash
+      val err = intercept[Throwable](
+        s.sql("SELECT fvec_dot(embedding) FROM e").collect())
+      val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("fvec_dot expects 2"), msgs)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
