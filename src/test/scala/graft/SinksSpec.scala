@@ -42,10 +42,13 @@ class SinksSpec extends SparkTestBase {
     }
     Sinks.writeCuratedParquet(run("2024-02-01"), dir, Seq("ingest_date"))
     Sinks.writeCuratedParquet(run("2024-02-02"), dir, Seq("ingest_date")) // append
+    // re-running the SAME date must append within that partition, not
+    // replace it (the reference's duplicate-fact append semantics)
+    Sinks.writeCuratedParquet(run("2024-02-01"), dir, Seq("ingest_date"))
     val back = spark.read.parquet(dir)
-    assert(back.count() === 12)
+    assert(back.count() === 18)
     val pruned = back.filter(col("ingest_date") === "2024-02-01")
-    assert(pruned.count() === 6) // only the matching partition's rows
+    assert(pruned.count() === 12) // only the matching partition's rows
     // the date predicate must prune at the SCAN (directory level) — a
     // post-scan Filter would read every partition at 100 TB
     val ex = pruned.queryExecution.executedPlan.toString
