@@ -43,7 +43,9 @@ object Multimodal {
     */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
-    (64 + n % 512, 64 + (n * 31) % 512, 1 + n % 16)
+    // n * 31 in LONG: Int would wrap for payloads >= ~69 MB and diverge
+    // from the DuckDB oracle's 64-bit arithmetic (negative "height").
+    (64 + n % 512, 64 + (n.toLong * 31 % 512).toInt, 1 + n % 16)
   }
 
   /** Batch decode: one `mapPartitions` pass; per-partition iterator keeps
