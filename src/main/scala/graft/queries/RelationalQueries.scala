@@ -101,8 +101,8 @@ object RelationalQueries {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_price"),
-          round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95_price"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
