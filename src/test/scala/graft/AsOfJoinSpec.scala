@@ -62,6 +62,31 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(u2.getAs[Double]("r_v") === 7.0)
   }
 
+  test("asof agrees with a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val leftRows = Seq.fill(300)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000), rnd.nextInt(100)))
+      // unique (key, ts) on the right: simultaneous right duplicates have
+      // no defined winner (any total order would be arbitrary), so the
+      // operator's contract assumes event streams deduped on the key+time
+      val rightRows = Seq.fill(150)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(1000), rnd.nextInt(100)))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val got = AsOfJoin.asof(
+        leftRows.toDF("k", "lts", "lval"), rightRows.toDF("k", "rts", "rv"),
+        "k", "lts", "rts", Map("rv" -> "rv"))
+        .collect().map(r =>
+          (r.getAs[Long]("k"), r.getAs[Int]("lts"),
+            r.getAs[Int]("lval"), r.getAs[Int]("rv"))).sorted.toSeq
+      val expected = leftRows.flatMap { case (k, lts, lv) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= lts)
+        if (cands.isEmpty) None else Some((k, lts, lv, cands.maxBy(_._2)._3))
+      }.sorted
+      assert(got === expected, s"trial $trial diverged from brute force")
+    }
+  }
+
   test("plan shuffles exactly once (single Exchange on the key)") {
     val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
     val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("v" -> "r_v"))
