@@ -89,6 +89,41 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A6 pivot: long->wide reshaping. The explicit value list keeps the
+    // plan a single pass (no distinct-values pre-query) and makes the
+    // output schema static — the form that scales; `pivot(col)` without
+    // values runs an extra job to discover them. Empty combinations
+    // yield NULL counts in Spark; coalesce to 0 to match the oracle's
+    // COUNT FILTER semantics.
+    "q_agg_pivot" -> ((s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", statuses)
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority") +:
+          statuses.map(st => coalesce(col(st), lit(0L)).as(s"n_$st")): _*)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A6 unpivot (melt): wide->long — the inverse reshaping, built-in
+    // since Spark 3.4. Values become (metric, value) rows; map-side
+    // only, no shuffle beyond the final presentation sort.
+    "q_agg_unpivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "metric_value")
+        // metric_value is part of the sort: (orderkey, linenumber) is
+        // NOT unique in the testdata, so the order must be total for
+        // the row-order-sensitive hash compare
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("metric_value"))
+    }),
+
     // A1 percentiles — EXACT `percentile` (linear interpolation, the
     // same definition as DuckDB's quantile_cont, so the oracle matches).
     // Exact percentile holds a per-group value-count map in the
@@ -400,7 +435,12 @@ object RelationalQueries {
         abs(col("l_extendedprice") - 500.0).as("abs_diff"),
         (col("l_orderkey") % 7).as("key_mod"),
         col("l_linenumber").cast("string").as("line_str"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata; sort
+        // by the derived columns too so any remaining ties are fully
+        // identical rows and the row-order-sensitive hash is stable
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("price_floor"), col("disc_pct_ceil"), col("qty_sqrt"),
+          col("abs_diff"))
     }),
 
     // F4 json-in-string access.
@@ -461,6 +501,22 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_F,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_O,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, metric_value
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |           FROM lineitem)
+        |  ON l_quantity, l_discount, l_tax
+        |  INTO NAME metric VALUE metric_value
+        |)
+        |ORDER BY l_orderkey, l_linenumber, metric, metric_value""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
@@ -624,7 +680,9 @@ object RelationalQueries {
         | ABS(l_extendedprice - 500.0) AS abs_diff,
         | l_orderkey % 7 AS key_mod,
         | CAST(l_linenumber AS VARCHAR) AS line_str
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_floor, disc_pct_ceil,
+        |  qty_sqrt, abs_diff""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
