@@ -83,7 +83,7 @@ object Similarity {
     */
   private def bandKeys(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
     val bits = planes.map { plane =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       // HOF dot here: the hyperplane side is an array<double> literal,
       // which the float-specialized native expression rejects; 16 small
       // projections per row are not a hot path.
@@ -162,7 +162,7 @@ object Similarity {
     val assigned = corpus
       .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
       .select(col("id"), col("vec"),
-        array_max(array(code.map { case (cid, cv, cn) =>
+        array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
           struct(scoreTo(cv, cn, col("_n")).as("s"), lit(-cid).as("negc"))
         }: _*)).as("best"))
       .select(col("id"), col("vec"), (-col("best.negc")).as("centroid_id"))
@@ -172,7 +172,7 @@ object Similarity {
     val probed = probes
       .select(col("probe_id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
       .select(col("probe_id"), col("vec").as("pvec"),
-        explode(slice(array_sort(array(code.map { case (cid, cv, cn) =>
+        explode(slice(array_sort(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
           struct((-scoreTo(cv, cn, col("_n"))).as("negs"), lit(cid).as("cid"))
         }: _*)), 1, nProbe)).as("c"))
       .select(col("probe_id"), col("pvec"), col("c.cid").as("centroid_id"))

@@ -26,6 +26,11 @@ import graft.functions.{FloatVecDot, FloatVecNormSq}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // The non-deprecated ExpressionInfo constructors either drop the
+  // usage text or validate "source"/"group" against built-in-only
+  // vocabularies; the deprecated 5-arg form is the one that carries
+  // free-form usage for DESCRIBE FUNCTION.
+  @scala.annotation.nowarn("cat=deprecation")
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
