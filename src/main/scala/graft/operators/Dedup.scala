@@ -117,11 +117,12 @@ object Dedup {
     * filter. The only quadratic work is within a bucket, which LSH keeps
     * tiny; the verification join is two hash joins on doc_id.
     *
-    * The self-join references the banded signatures twice, so the
-    * signature pipeline is computed once per side in this single-query
-    * form. At 100 TB the signature table is the thing you'd persist
-    * (write it once, dedup against it incrementally) — within one query,
-    * `.persist()` on the banded frame trades memory for that recompute.
+    * The self-join references the banded signatures twice; the banded
+    * frame is `persist()`ed (MEMORY_AND_DISK) so the signature pipeline
+    * runs once, not once per side — the in-query analog of what a
+    * 100 TB deployment does structurally (write the signature table
+    * once, dedup against it incrementally). Cache cost is one (long,
+    * int) pair per doc per band, evicted LRU with the session.
     *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
@@ -136,6 +137,7 @@ object Dedup {
     }: _*)
     val banded = minhashColumns(withShingles)
       .select(col("doc_id"), explode(bandKeyArr).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
