@@ -117,12 +117,16 @@ object Dedup {
     * filter. The only quadratic work is within a bucket, which LSH keeps
     * tiny; the verification join is two hash joins on doc_id.
     *
-    * The self-join references the banded signatures twice; the banded
-    * frame is `persist()`ed (MEMORY_AND_DISK) so the signature pipeline
-    * runs once, not once per side — the in-query analog of what a
-    * 100 TB deployment does structurally (write the signature table
-    * once, dedup against it incrementally). Cache cost is one (long,
-    * int) pair per doc per band, evicted LRU with the session.
+    * The shingle sets and the banded signatures are each referenced
+    * twice (band self-join; the two verification joins), so both frames
+    * are `persist()`ed MEMORY_ONLY: blocks are LRU-evictable (and just
+    * recompute if evicted), never spilled to local disk, so a
+    * long-lived session can't accumulate disk blocks. The caches are
+    * not explicitly unpersisted — the returned DataFrame stays lazy and
+    * may be re-executed. A service calling this repeatedly over large
+    * corpora should do what a 100 TB deployment does structurally:
+    * WRITE the signature table once and dedup against it incrementally,
+    * rather than re-deriving it per call.
     *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
@@ -130,6 +134,7 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     val rows = NumPerms / LshBands
     val bandKeyArr = array((0 until LshBands).map { b =>
@@ -137,7 +142,7 @@ object Dedup {
     }: _*)
     val banded = minhashColumns(withShingles)
       .select(col("doc_id"), explode(bandKeyArr).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -117,6 +117,11 @@ object RelationalQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "metric", "metric_value")
+        // Spark's unpivot RETAINS null values; DuckDB's UNPIVOT excludes
+        // them by default. The measures here are non-null in the data,
+        // but the filter pins the exclude-nulls semantics explicitly
+        // instead of leaving parity data-dependent.
+        .filter(col("metric_value").isNotNull)
         // metric_value is part of the sort: (orderkey, linenumber) is
         // NOT unique in the testdata, so the order must be total for
         // the row-order-sensitive hash compare
