@@ -117,13 +117,16 @@ object Dedup {
     * filter. The only quadratic work is within a bucket, which LSH keeps
     * tiny; the verification join is two hash joins on doc_id.
     *
-    * The shingle sets and the banded signatures are each referenced
-    * twice (band self-join; the two verification joins), so both frames
-    * are `persist()`ed MEMORY_ONLY: blocks are LRU-evictable (and just
-    * recompute if evicted), never spilled to local disk, so a
-    * long-lived session can't accumulate disk blocks. The caches are
-    * not explicitly unpersisted — the returned DataFrame stays lazy and
-    * may be re-executed. A service calling this repeatedly over large
+    * The banded signatures are referenced twice by the self-join, so
+    * that frame is `persist()`ed MEMORY_ONLY (small: one (long, int)
+    * pair per doc per band; LRU-evictable and recomputed if evicted,
+    * never spilled to disk — a long-lived session can't accumulate disk
+    * blocks). The shingle sets are deliberately NOT cached: they are
+    * re-derived map-side for the two verification joins, and caching
+    * the heavy string arrays measured SLOWER than recomputing them
+    * (deserialized-object cache churn beats a codegen'd split+transform
+    * scan). The cache is not explicitly unpersisted — the returned
+    * DataFrame stays lazy. A service calling this repeatedly over large
     * corpora should do what a 100 TB deployment does structurally:
     * WRITE the signature table once and dedup against it incrementally,
     * rather than re-deriving it per call.
@@ -134,7 +137,6 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     val rows = NumPerms / LshBands
     val bandKeyArr = array((0 until LshBands).map { b =>
