@@ -209,6 +209,22 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // J1 full outer: customers limited to half the nations so BOTH
+    // sides have unmatched rows (customers with no orders; orders of
+    // excluded customers). Keys are unique per side, so
+    // coalesce(c_custkey, o_custkey) is a total order.
+    "q_join_full" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").filter(col("c_nationkey") < 13)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = table(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"), col("sum_price"))
+        .orderBy(col("custkey"))
+    }),
+
     // J1 under skew: salted shuffled-hash join — lineitem's per-row salt
     // spreads any hot supplier key over 8 reducers; supplier fans out
     // 8x. Salting must not change the join result, so the oracle is the
@@ -572,6 +588,18 @@ object RelationalQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_full" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_nationkey < 13
+        |), ords AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  n_orders, sum_price
+        |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_join_salted" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
