@@ -120,6 +120,18 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sortWithinPartitions plans a partition-local sort, no exchange") {
+    // write-layout control (SURVEY §2.7): order rows inside each
+    // partition (e.g. for parquet run-length/delta encoding) WITHOUT
+    // the global range shuffle a full orderBy pays
+    val df = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .sortWithinPartitions(col("l_suppkey"), col("l_shipdate"))
+    val p = planString(df)
+    assert(p.contains("Sort") && p.contains("false"), p) // global=false sort
+    assert(!p.contains("Exchange"),
+      s"partition-local sort must not shuffle:\n$p")
+  }
+
   test("q_agg_approx: HLL++ estimate within 5% of exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = rows(SparkEntry.queries("q_agg_approx")(spark, Sf))
