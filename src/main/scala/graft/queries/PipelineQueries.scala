@@ -72,6 +72,25 @@ object PipelineQueries {
         .orderBy(col("timestamp"))
     }),
 
+    // J6 over the reference's own data: each station report enriched
+    // with the most recent weather observation at-or-before it — the
+    // correlation the reference's README promises ("up-to-date
+    // information about weather conditions and bike availability",
+    // README.md:10) but its DAG never ships (the two branches land in
+    // separate tables, etl_dag.py:409). City-wide weather = constant
+    // join key; reports before the first observation drop (ASOF inner).
+    "q_velib_weather_asof" -> ((s, _) => {
+      val st = Velib.dedupSnapshots(velibCurated(s)).withColumn("city", lit("paris"))
+      val wx = Weather.projectWeather(
+        Sources.readWeatherRaw(s, s"$FixtureDir/weather.json"))
+        .withColumn("city", lit("paris"))
+      graft.operators.AsOfJoin.asof(st, wx, "city", "last_reported", "timestamp",
+        Map("temp" -> "temp", "weather_description" -> "weather_description"))
+        .select(col("station_id"), col("last_reported"),
+          col("num_bikes_available"), col("temp"), col("weather_description"))
+        .orderBy(col("station_id"), col("last_reported"))
+    }),
+
     // F5 map access + F7 null handling over the reference's optional
     // rain/snow maps (`research.ipynb` cell 1: {"rain": {"1h": 0.15}},
     // absent on dry observations) — element_at on a MapType column with
@@ -136,6 +155,12 @@ object PipelineQueries {
         | (CAST(278.5 AS DOUBLE), CAST(275.0 AS DOUBLE), 1030, 80, CAST(3.1 AS DOUBLE), 'clear sky', CAST('2024-02-01 01:00:00' AS TIMESTAMP))
         |) AS t(temp, feels_like, pressure, humidity, wind_speed, weather_description, timestamp)
         |ORDER BY timestamp""".stripMargin,
+    "q_velib_weather_asof" ->
+      """SELECT * FROM (VALUES
+        | (CAST(213688169 AS BIGINT), CAST('2024-02-01 00:50:00' AS TIMESTAMP), 4, CAST(277.99 AS DOUBLE), 'light rain'),
+        | (CAST(19179944124 AS BIGINT), CAST('2024-02-01 00:55:00' AS TIMESTAMP), 11, CAST(277.99 AS DOUBLE), 'light rain')
+        |) AS t(station_id, last_reported, num_bikes_available, temp, weather_description)
+        |ORDER BY station_id, last_reported""".stripMargin,
     "q_weather_rain" ->
       """SELECT * FROM (VALUES
         | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(0.15 AS DOUBLE), TRUE),
