@@ -40,10 +40,16 @@ object Text {
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast("double") / tokenCount(text)
 
-  /** Punctuation density — fraction of non-alphanumeric-non-space chars. */
+  /** Punctuation density — fraction of non-alphanumeric-non-space chars.
+    * Empty text is defined as 0.0 (Spark's Divide would yield NULL for
+    * 0/0 where IEEE engines yield NaN — pinning the empty case keeps the
+    * column engine-portable and lets quality filters classify rather
+    * than drop empty docs).
+    */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
-      .cast("double") / length(text)
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        .cast("double") / length(text))
 
   /** Composite quality gate in the C4/Gopher style: enough tokens, sane
     * mean token length, some stopword signal, bounded punctuation.

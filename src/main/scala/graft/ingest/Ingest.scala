@@ -32,9 +32,13 @@ object Ingest {
     * is the `Accept` header, not `Content-Type`. Offline harness never
     * calls this — tests inject canned transports.
     */
-  def httpTransport(timeoutMs: Long = 30000): Transport = { url =>
+  def httpTransport(timeoutMs: Long = 30000): Transport = {
+    // One client per transport, not per request: HttpClient owns a
+    // selector thread + connection pool and has no close() on Java 17,
+    // so a per-call client leaks threads until GC under periodic fetch.
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    url =>
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Accept", "application/json")
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()

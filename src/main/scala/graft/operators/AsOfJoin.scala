@@ -49,6 +49,19 @@ object AsOfJoin {
       left.columns.filterNot(c => c == key || c == leftTs).toSeq
     val carried = rightCols.values.toSeq
 
+    // Fail fast on name collisions instead of emitting a frame with
+    // duplicate column names (unusable by name downstream) or silently
+    // clobbering a left column with an internal scratch column.
+    val reserved = Seq("__ts", "__tag", "__r")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} collide with asof internals")
+    require(carried.distinct.length == carried.length,
+      s"duplicate carried destination names: ${carried.mkString(", ")}")
+    val dup = carried.intersect(left.columns)
+    require(dup.isEmpty,
+      s"carried destination names ${dup.mkString(", ")} already exist on the left side")
+
     // The carried right values travel inside ONE struct through the
     // window fill. A left row is matched iff a right row preceded it in
     // its key partition — tested on the struct itself being non-null, so

@@ -25,9 +25,10 @@ object Dedup {
 
   /** Tokens on single space — matches the corpus format of
     * `documents.parquet` (TESTDATA.md) and the DuckDB oracle's
-    * `string_split(text, ' ')`.
+    * `string_split(text, ' ')`. Delegates to [[graft.functions.Text.tokens]]
+    * so dedup keys and text stats share ONE tokenization contract.
     */
-  def tokens(text: Column): Column = split(text, " ")
+  def tokens(text: Column): Column = graft.functions.Text.tokens(text)
 
   /** Distinct n-word shingles. Documents shorter than n tokens yield an
     * empty set.

@@ -156,8 +156,17 @@ object Similarity {
 
     // score_i = cos(vec, c_i) with the row norm let-bound behind a
     // projection boundary (computed once, not once per centroid).
+    // A degenerate score — a zero-norm row or centroid (divide-by-zero:
+    // a runtime error under ANSI, NULL otherwise), or NaN from NaN
+    // vector elements — is pinned to -2, below any real cosine, so
+    // degenerate vectors rank WORST consistently in both assignment
+    // (array_max) and probe routing (array_sort) instead of crashing
+    // the scan or silently emptying neighbor lists.
     def scoreTo(cv: Array[Float], cn: Double, norm: Column): Column =
-      VectorOps.dot(col("vec"), typedlit(cv)) / (norm * lit(cn))
+      coalesce(
+        nanvl(try_divide(VectorOps.dot(col("vec"), typedlit(cv)), norm * lit(cn)),
+          lit(-2.0)),
+        lit(-2.0))
 
     val assigned = corpus
       .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))

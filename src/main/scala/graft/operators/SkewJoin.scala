@@ -52,10 +52,15 @@ object SkewJoin {
     // the widened key.
     // Keys resolve against their own side's DataFrame so the operator
     // also works when both sides name the key identically (the common
-    // equi-join case) instead of raising AMBIGUOUS_REFERENCE.
-    salted.join(fanned.hint("shuffle_hash"),
+    // equi-join case) instead of raising AMBIGUOUS_REFERENCE. In that
+    // case the replicated side's key is dropped from the output (its
+    // values equal the kept key on every inner-join row), so the result
+    // has ONE key column addressable by name — like join(other,
+    // Seq(key)) — not two same-named columns usable only positionally.
+    val joined = salted.join(fanned.hint("shuffle_hash"),
         salted(skewedKey) === fanned(otherKey) &&
           salted("__salt_s") === fanned("__salt_o"))
+    (if (skewedKey == otherKey) joined.drop(fanned(otherKey)) else joined)
       .drop("__salt_s", "__salt_o")
   }
 }

@@ -276,8 +276,9 @@ object LlmQueries {
         | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
         | ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS ttr,
-        | ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-        |   / length(text), 6) AS punct_ratio,
+        | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |   (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |   / length(text) END, 6) AS punct_ratio,
         | ROUND(len(list_filter(string_split(text, ' '),
         |     t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS stopword_ratio,

@@ -45,6 +45,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(u3.isNullAt(u3.fieldIndex("r_v")))
   }
 
+  test("name collisions fail fast instead of emitting duplicate or clobbered columns") {
+    val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
+    // carried destination shadows an existing left column
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("v" -> "payload"))
+    }
+    assert(e1.getMessage.contains("payload"))
+    // two sources carried to the same destination
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+        Map("v" -> "x", "ts" -> "x"))
+    }
+    assert(e2.getMessage.contains("x"))
+    // left column named like an internal scratch column
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left.withColumn("__r", lit(1)), right,
+        "user_id", "ts", "ts", Map("v" -> "r_v"))
+    }
+    assert(e3.getMessage.contains("__r"))
+  }
+
   test("a matched right row with NULL carried values still counts as a match") {
     val right = Seq(
       ("u1", 90L, null.asInstanceOf[java.lang.Double]),

@@ -81,11 +81,15 @@ class PlanShapeSpec extends SparkTestBase {
       .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"))
     val supp = spark.read.parquet(s"$Sf/supplier.parquet")
       .select(col("s_suppkey").as("suppkey"), col("s_name"))
-    val n = graft.operators.SkewJoin.saltedEquiJoin(
+    val out = graft.operators.SkewJoin.saltedEquiJoin(
         li, supp, "suppkey", "suppkey", salts = 4,
         entropy = col("l_orderkey") * lit(8191) + col("l_linenumber"))
-      .count()
-    val plain = li.join(supp, li("suppkey") === supp("suppkey")).count()
+    // The colliding key collapses to ONE column, so by-name references
+    // on the result work (no AMBIGUOUS_REFERENCE, no positional-only use)
+    assert(out.columns.count(_ == "suppkey") === 1)
+    val n = out.groupBy(col("suppkey")).agg(count(lit(1))).count()
+    val plain = li.join(supp, li("suppkey") === supp("suppkey"))
+      .groupBy(li("suppkey")).agg(count(lit(1))).count()
     assert(n === plain)
   }
 

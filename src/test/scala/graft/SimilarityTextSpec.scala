@@ -192,4 +192,57 @@ class SimilarityTextSpec extends SparkTestBase {
     // piece; it is length-1 and non-empty so it counts
     assert(n === 5)
   }
+
+  test("punctRatio pins empty text to 0.0, never NULL") {
+    // Spark's Divide yields NULL on a zero divisor; an unguarded ratio
+    // would make quality filters silently DROP empty docs instead of
+    // classifying them (and diverge from IEEE engines that yield NaN).
+    val df = Seq((1L, ""), (2L, "!!")).toDF("doc_id", "text")
+    val r = rows(df.select(col("doc_id"),
+      Text.punctRatio(col("text")).as("pr"),
+      Text.qualityFlag(col("text")).as("ok")).orderBy(col("doc_id")))
+    assert(!r(0).isNullAt(1) && r(0).getDouble(1) === 0.0)
+    assert(r(0).getBoolean(2) === false) // classified, not dropped
+    assert(r(1).getDouble(1) === 1.0)
+  }
+
+  test("tokensWs collapses runs of mixed whitespace; tokens does not") {
+    val df = Seq((1L, "  a \t b   c ")).toDF("doc_id", "text")
+    val r = rows(df.select(Text.tokensWs(col("text")).as("w"),
+      size(Text.tokens(col("text"))).as("raw"))).head
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(r.getInt(1) > 3) // single-space split keeps empty pieces
+  }
+
+  test("euclideanDistSq matches hand-computed distance and complements cosine") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(0.0f, 0.0f, 2.0f)))
+      .toDF("a", "b")
+    val r = rows(df.select(
+      VectorOps.euclideanDistSq(col("a"), col("b")).as("d2"),
+      VectorOps.normSq(col("a")).as("na2"))).head
+    assert(r.getDouble(0) === 5.0) // 1 + 4 + 0
+    assert(r.getDouble(1) === 9.0)
+  }
+
+  test("ivfTopK: an all-zeros codebook entry ranks worst on both paths") {
+    // A zero-norm centroid scores NULL (Spark divide-by-zero) against
+    // every row. Pinned to -2 it must neither swallow the corpus at
+    // assignment nor be probed first at routing — results with the
+    // degenerate entry present equal results without it.
+    val clean = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "vec")
+    val dirty = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("centroid_id", "vec")
+    def run(cb: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.ivfTopK(corpus, probes, cb, k = 10, nProbe = 1)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id")))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run(dirty) === run(clean))
+    assert(run(dirty).nonEmpty)
+  }
 }
