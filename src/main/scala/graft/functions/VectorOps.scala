@@ -37,8 +37,27 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
+  /** Degenerate-score sentinel: below any real cosine, so zero-norm /
+    * NaN / null vectors rank WORST under every ordering in the engine
+    * (brute-force, LSH, IVF all sort descending by this column).
+    */
+  val DegenerateCos = -2.0
+
+  /** Cosine similarity, total over degenerate inputs. `try_divide`
+    * returns bits identical to `/` whenever the divisor is nonzero, so
+    * oracle parity on real vectors is unchanged; a zero-norm vector —
+    * which under Spark 4's default ANSI mode would otherwise kill the
+    * whole query with DIVIDE_BY_ZERO — yields NULL, NaN elements yield
+    * NaN, and both are pinned to [[DegenerateCos]].
+    */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    guardCos(try_divide(dot(a, b), norm(a) * norm(b)))
+
+  /** Pin a possibly-NULL / possibly-NaN cosine to [[DegenerateCos]].
+    * For callers that pre-compute norms per side and divide themselves.
+    */
+  def guardCos(c: Column): Column =
+    coalesce(nanvl(c, lit(DegenerateCos)), lit(DegenerateCos))
 
   def euclideanDistSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),

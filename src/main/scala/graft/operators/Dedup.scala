@@ -160,20 +160,22 @@ object Dedup {
     * exploded (shingle, doc) index; |A∪B| = |A| + |B| - |A∩B|. The join
     * shuffles on the shingle value.
     *
-    * Skew guard: a shingle present in more than `maxDocFreq` documents is
-    * dropped from the index BEFORE the self-join (classic prefix-filter /
-    * stop-shingle refinement) — one hot shingle ("click here to") would
-    * otherwise produce df² candidate rows on a single shuffle key. The
-    * intersection count is computed only over surviving shingles, so the
-    * reported jaccard is a LOWER bound for pairs touching dropped
-    * shingles; with the default cap (1000) and near-dup thresholds
-    * >= 0.5 this never drops a true near-dup pair at harness scales, and
-    * at 100 TB the cap is the difference between a uniform shuffle and a
-    * quadratic hot-key stall.
+    * Skew guard (OPT-IN): a shingle present in more than `maxDocFreq`
+    * documents is dropped from the index BEFORE the self-join (classic
+    * prefix-filter / stop-shingle refinement) — one hot shingle ("click
+    * here to") would otherwise produce df² candidate rows on a single
+    * shuffle key. The intersection count is then computed only over
+    * surviving shingles, so the reported jaccard becomes a LOWER bound
+    * for pairs touching dropped shingles. Because that diverges from
+    * this function's exact-Jaccard contract, the DEFAULT is no cap
+    * (`Long.MaxValue`) — exact semantics exactly as named. A 100 TB
+    * deployment facing hot-key stalls passes an explicit cap and accepts
+    * the documented lower-bound semantics (DedupSpec exercises it with a
+    * stop-shingle corpus).
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), n).as("sh"))
     val sizes = withShingles.select(
@@ -184,11 +186,15 @@ object Dedup {
     // Document frequency per shingle; hot shingles are excluded from
     // candidate generation. Window-count over the shingle key — same
     // single shuffle the self-join needs, no extra pass over the corpus.
-    val dfW = Window.partitionBy(col("shingle"))
-    val filteredIndex = index
-      .withColumn("__df", count(lit(1)).over(dfW))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
+    // Skipped entirely when no cap is set (the default): the exact path
+    // carries no window operator at all.
+    val filteredIndex = if (maxDocFreq == Long.MaxValue) index else {
+      val dfW = Window.partitionBy(col("shingle"))
+      index
+        .withColumn("__df", count(lit(1)).over(dfW))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    }
 
     val common = filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))

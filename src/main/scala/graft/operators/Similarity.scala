@@ -67,7 +67,69 @@ object Similarity {
       VectorOps.norm(col("vec")).as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        round(VectorOps.guardCos(
+          try_divide(VectorOps.dot(col("va"), col("vb")), col("na") * col("nb"))), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Scale path for similar-pair mining: sign-LSH banded candidate
+    * generation + exact-cosine verify — the pair-mining analog of
+    * `Dedup.minhashNearDuplicates`. No all-pairs step anywhere: the
+    * candidate join is an equi-join on (band, bucket), so the plan is a
+    * single shuffle regardless of corpus size, and the quadratic term is
+    * confined to within-bucket collisions.
+    *
+    * A pair sharing several bands must still surface exactly ONCE. That
+    * is done with zero extra shuffle: each side carries its full
+    * band-bucket signature array, and a joined row survives only if the
+    * band it met on is the FIRST band both signatures agree on
+    * (`array_position` over the pairwise-equality zip). Cheaper than
+    * the `groupBy(pair)` dedup `lshTopK` needs — pure filter, fully
+    * pipelined, and the exact cosine is computed once per unique pair.
+    *
+    * Recall tuning: P(pair at cosine c shares a band) =
+    * 1 - (1 - p^b)^(nPlanes/b) with p = 1 - acos(c)/π and b =
+    * `bitsPerBand`. Near-dup mining (threshold >= 0.8) wants b = 4+,
+    * which prunes hard. The default (16 planes × 2-bit bands) is the
+    * wide-net configuration for LOW thresholds: at c = 0.45 the per-pair
+    * miss probability is ~1.3% and random pairs are pruned only
+    * modestly — at such thresholds "similar" covers most of the sphere
+    * and NO metric index prunes well; the value here is the plan shape,
+    * which stays one equi-join at any corpus size. Planes are seeded and
+    * deterministic, so a given corpus either recalls a pair or misses it
+    * reproducibly — never flakily.
+    */
+  def lshSimilarPairs(
+      embs: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 16, bitsPerBand: Int = 2, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bitsPerBand == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bitsPerBand ($bitsPerBand)")
+    val planes = hyperplanes(dim, nPlanes, seed)
+
+    val banded = embs.select(
+      col("id"), col("vec"), VectorOps.norm(col("vec")).as("nrm"),
+      bandSignature(col("vec"), planes, bitsPerBand).as("sig"))
+      .select(col("id"), col("vec"), col("nrm"), col("sig"),
+        posexplode(col("sig")).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"), col("sig").as("sigb"))
+
+    // First band both signatures agree on (1-based); the join key
+    // guarantees agreement at `band`, so the position is always found.
+    val firstCommonBand =
+      array_position(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+        true)
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        firstCommonBand === col("band").cast("long") + lit(1L))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.guardCos(
+          try_divide(VectorOps.dot(col("va"), col("vb")), col("na") * col("nb"))), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
@@ -96,6 +158,23 @@ object Similarity {
         .reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
+  }
+
+  /** Band-bucket signature as one `array<int>` column (length
+    * nPlanes / bitsPerBand), for operators that need to compare whole
+    * signatures row-side (`lshSimilarPairs`' first-common-band dedup).
+    */
+  private def bandSignature(
+      vec: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
+    val bits = planes.map { plane =>
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+      when(VectorOps.dotHof(vec, planeCol) >= 0, 1).otherwise(0)
+    }
+    array((0 until planes.length / bitsPerBand).map { b =>
+      (0 until bitsPerBand)
+        .map(i => bits(b * bitsPerBand + i) * lit(1 << i))
+        .reduce(_ + _)
+    }: _*)
   }
 
   /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
@@ -163,10 +242,8 @@ object Similarity {
     // (array_max) and probe routing (array_sort) instead of crashing
     // the scan or silently emptying neighbor lists.
     def scoreTo(cv: Array[Float], cn: Double, norm: Column): Column =
-      coalesce(
-        nanvl(try_divide(VectorOps.dot(col("vec"), typedlit(cv)), norm * lit(cn)),
-          lit(-2.0)),
-        lit(-2.0))
+      VectorOps.guardCos(
+        try_divide(VectorOps.dot(col("vec"), typedlit(cv)), norm * lit(cn)))
 
     val assigned = corpus
       .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))

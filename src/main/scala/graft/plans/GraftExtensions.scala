@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, EvalMode, Expression, ExpressionInfo, Literal, Multiply, NaNvl, Sqrt}
 
 import graft.functions.{FloatVecDot, FloatVecNormSq}
 
@@ -63,20 +63,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecNormSq(children.head)
       }))
 
-    // Composed form, same arithmetic as VectorOps.cosineSimilarity —
-    // dot / (sqrt(normsq(a)) * sqrt(normsq(b))). No single implementing
-    // expression class exists, so DESCRIBE FUNCTION points at the
-    // builder (this class) rather than misattributing one component.
+    // Composed form, same tree as VectorOps.cosineSimilarity —
+    // coalesce(nanvl(try_divide(dot, |a||b|), -2), -2): identical bits
+    // to a plain division on real vectors, and degenerate (zero-norm /
+    // NaN) vectors pin to the -2 sentinel instead of raising ANSI
+    // DIVIDE_BY_ZERO (ExtensionsSpec asserts SQL == DSL bit-for-bit).
+    // No single implementing expression class exists, so DESCRIBE
+    // FUNCTION points at the builder (this class) rather than
+    // misattributing one component.
     ext.injectFunction((
       FunctionIdentifier("fvec_cos"),
       info(classOf[GraftExtensions], "fvec_cos",
-        "fvec_cos(a, b) - cosine similarity of two array<float>"),
+        "fvec_cos(a, b) - cosine similarity of two array<float>; " +
+          "-2.0 on zero-norm, NaN, or null input"),
       (children: Seq[Expression]) => {
         arity("fvec_cos", 2)(children)
-        Divide(
-          FloatVecDot(children(0), children(1)),
-          Multiply(Sqrt(FloatVecNormSq(children(0))),
-            Sqrt(FloatVecNormSq(children(1)))))
+        val sentinel = Literal(graft.functions.VectorOps.DegenerateCos)
+        Coalesce(Seq(
+          NaNvl(
+            Divide(
+              FloatVecDot(children(0), children(1)),
+              Multiply(Sqrt(FloatVecNormSq(children(0))),
+                Sqrt(FloatVecNormSq(children(1)))),
+              EvalMode.TRY),
+            sentinel),
+          sentinel))
       }))
   }
 }

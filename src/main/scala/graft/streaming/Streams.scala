@@ -70,8 +70,17 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("station_id"),
         col("max_bikes"), col("n_reports"))
 
-  /** J7 stream-stream join (SURVEY.md §2.4/§2.10): station updates ⋈ the
-    * weather observation of the same hour at-or-before the report.
+  /** J7 stream-stream join (SURVEY.md §2.4/§2.10): station updates ⋈
+    * their hour's weather observation (at-or-before the report).
+    *
+    * The weather side is first deduplicated to ONE observation per hour
+    * (`dropDuplicatesWithinWatermark` on the hour bucket — the first to
+    * arrive for that hour wins; the reference feed emits exactly one per
+    * hour, so for it this is the identity, and for denser feeds it both
+    * bounds the join fan-out to <= 1 weather row per report and keeps
+    * the output cardinality equal to the station stream. A report whose
+    * hour's representative observation lands after it gets no row — the
+    * price of one-per-hour semantics.)
     *
     * Both sides are watermarked (2 h) and the join key is the HOUR BUCKET
     * plus a time-range residual — the equi key makes this a streaming
@@ -88,10 +97,12 @@ object Streams {
       .withWatermark("last_reported", "2 hours")
     val wx = graft.transform.Weather.projectWeather(weatherRaw)
       .withColumnRenamed("timestamp", "obs_ts")
+      .withColumn("obs_hour", date_trunc("hour", col("obs_ts")))
       .withWatermark("obs_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("obs_hour")
     st.join(
       wx,
-      date_trunc("hour", col("last_reported")) === date_trunc("hour", col("obs_ts")) &&
+      date_trunc("hour", col("last_reported")) === col("obs_hour") &&
         col("obs_ts") <= col("last_reported") &&
         col("obs_ts") > col("last_reported") - expr("INTERVAL 1 HOUR"),
       "inner")

@@ -150,6 +150,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_embed_pairs: banded equi-join candidates, never a broadcast nested loop") {
+    val p = plan("q_embed_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair mining degenerated to all-pairs:\n$p")
+  }
+
+  test("saltedEquiJoin fails fast when an input column collides with a salt column") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .withColumn("__salt_s", lit(1))
+    val supp = spark.read.parquet(s"$Sf/supplier.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedEquiJoin(
+        li, supp, "l_suppkey", "s_suppkey", salts = 4, entropy = col("l_orderkey"))
+    }
+    assert(e.getMessage.contains("__salt_s"))
+  }
+
   test("q_join_asof plans exactly one exchange (union + single window shuffle)") {
     val p = plan("q_join_asof")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size

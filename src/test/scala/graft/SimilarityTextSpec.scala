@@ -224,6 +224,66 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(r.getDouble(1) === 9.0)
   }
 
+  test("cosine is total under ANSI mode: zero-norm and NaN vectors pin to -2, never throw") {
+    // Spark 4 defaults to ANSI: a plain division would raise
+    // DIVIDE_BY_ZERO on the zero-norm row and kill the whole query.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 0.0f)),
+      (3L, Array(Float.NaN, 1.0f), Array(1.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val r = rows(df.select(col("id"),
+      VectorOps.cosineSimilarity(col("a"), col("b")).as("c")).orderBy(col("id")))
+    assert(r(0).getDouble(1) === 1.0)
+    assert(r(1).getDouble(1) === VectorOps.DegenerateCos)
+    assert(r(2).getDouble(1) === VectorOps.DegenerateCos)
+  }
+
+  test("topK pipelines rank a zero-norm corpus vector worst instead of crashing") {
+    val dirty = corpus.union(Seq((6L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val out = rows(Similarity.bruteForceTopK(dirty, probes, 6)
+      .orderBy(col("cos_sim").desc, col("neighbor_id")))
+    assert(out.map(_.getLong(1)).last === 6L)
+    assert(out.last.getDouble(2) === VectorOps.DegenerateCos)
+  }
+
+  test("lshSimilarPairs equals the exact all-pairs miner on the real corpus") {
+    // Same configuration as q_embed_pairs (wide-net banding, seed 7):
+    // every qualifying pair must be recalled, and the verify step makes
+    // surviving scores exactly the brute-force scores — so the two
+    // operators must agree row-for-row.
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val lsh = rows(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, seed = 7L)
+      .orderBy(col("id_a"), col("id_b"))).map(key)
+    val exact = rows(Similarity.cosineSimilarPairs(embs, 0.45)
+      .orderBy(col("id_a"), col("id_b"))).map(key)
+    assert(lsh.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("lshSimilarPairs emits each pair exactly once (first-common-band dedup)") {
+    // Identical vectors share EVERY band; without the first-common-band
+    // filter the pair would surface once per band.
+    val dup = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val out = rows(Similarity.lshSimilarPairs(dup, 0.9, dim = 3))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
+  test("lshSimilarPairs plan: equi-join candidates, no broadcast nested loop, no all-pairs") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = planString(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, seed = 7L))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
   test("ivfTopK: an all-zeros codebook entry ranks worst on both paths") {
     // A zero-norm centroid scores NULL (Spark divide-by-zero) against
     // every row. Pinned to -2 it must neither swallow the corpus at
