@@ -94,15 +94,40 @@ object Text {
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
-  /** Rolling-hash (Rabin-Karp flavored) document fingerprint: the min of
-    * xxhash64 over character 16-grams — a winnowing-style signature that
-    * is stable under small edits far from the minimizing window.
+  /** Portable 64-bit content hash: the first 16 hex chars of md5,
+    * assembled from two 32-bit halves (a direct 16-hex-digit parse can
+    * exceed Long range under ANSI). md5 exists in every engine, so any
+    * oracle (here: DuckDB via `('0x' || substr(md5(x),1,16))::UBIGINT`)
+    * reproduces the exact bit pattern — unlike xxhash64, whose seed and
+    * implementation are Spark-specific. The bits land in a SIGNED long;
+    * comparisons that need unsigned order should mask with
+    * [[md5Long63]].
+    */
+  def md5Long64(c: Column): Column = {
+    val hex = md5(c)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** [[md5Long64]] masked to 63 bits: always non-negative, so signed
+    * (Spark long) and unsigned (DuckDB UBIGINT) engines agree on
+    * ordering — required for min/max-style fingerprints.
+    */
+  def md5Long63(c: Column): Column =
+    md5Long64(c).bitwiseAND(lit(Long.MaxValue))
+
+  /** Rolling document fingerprint: the min of a portable 64-bit hash
+    * over character 16-grams — a winnowing-style signature that is
+    * stable under small edits far from the minimizing window. Uses
+    * [[md5Long63]] so the min is taken over non-negative values and the
+    * DuckDB oracle's unsigned min agrees bit-for-bit.
     */
   def rollingMinFingerprint(text: Column): Column = {
     val n = 16
     val grams = transform(
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-      i => xxhash64(substr(text, i, lit(n))))
+      i => md5Long63(substr(text, i, lit(n))))
     array_min(grams)
   }
 }

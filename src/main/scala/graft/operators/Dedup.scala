@@ -227,14 +227,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** 64-bit SimHash over word unigrams: bit j of the signature is the
-    * sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+    * sign of Σ_tokens (±1 depending on bit j of the md5-derived token
+    * hash — portable across engines, see `Text.md5Long64`).
     * Near-duplicate docs land within small Hamming distance; bucketing
     * the 4 16-bit bands gives an equi-join candidate step that finds all
     * pairs within Hamming distance 3 (pigeonhole).
     */
   def simhash(text: Column): Column = {
     val toks = array_distinct(tokens(text))
-    val hashes = transform(toks, t => xxhash64(t))
+    // Portable md5-derived hash (not xxhash64) so the DuckDB oracle can
+    // rebuild identical signatures — see Text.md5Long64.
+    val hashes = transform(toks, t => graft.functions.Text.md5Long64(t))
     // 64 independent primitive folds, one per signature bit. Measured
     // AGAINST the "single-pass" alternative (one fold accumulating a
     // 64-long vote array via zip_with): that shape allocates a fresh
@@ -263,7 +266,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), graft.functions.Text.md5Long64(col("tok")).as("h"))
     val aggs = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j")
     }

@@ -134,10 +134,26 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), dim × nBits. */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic hyperplanes, dim × nBits: component (j, d) is
+    * uniform in [-0.5, 0.5) derived from `md5("seed_j_d")` — the same
+    * bytes-to-double recipe an external oracle can replay
+    * (`('0x' || substr(md5(s||'_'||j||'_'||d), 1, 8))::UBIGINT /
+    * 4294967296.0 - 0.5` in DuckDB), making every sign-LSH operator's
+    * bucketing — and therefore its full output — reproducible outside
+    * Spark. Uniform components instead of gaussians cost a little
+    * spherical symmetry at dim 64 (immaterial for bucketing; candidates
+    * are always exact-cosine verified) and buy engine portability.
+    */
+  private[operators] def hyperplanes(
+      dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits) { j =>
+      Array.tabulate(dim) { d =>
+        val hex = md.digest(s"${seed}_${j}_${d}".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 - 0.5
+      }
+    }
   }
 
   /** 16-bit sign signature of a vector under the fixed hyperplanes,

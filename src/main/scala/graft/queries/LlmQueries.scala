@@ -22,9 +22,12 @@ import QueryUtil.table
   *    probability is < 1e-7, and the planted near-dups in the corpus sit
   *    at j >= 0.97, so LSH output == exact output deterministically in
   *    practice.
-  *  - xxhash64-based ops (SimHash, rolling fingerprint, sign-LSH ANN)
-  *    are not expressible in DuckDB; they are registered WITHOUT oracle
-  *    SQL, which the driver records as a rows-only check.
+  *  - hash-seeded ops (SimHash, rolling fingerprint, sign-LSH ANN)
+  *    derive their bits from md5 — the one hash every engine shares —
+  *    specifically so DuckDB can rebuild the identical signatures,
+  *    buckets, candidates and scores (`('0x' || substr(md5(x),1,16))
+  *    ::UBIGINT` is bit-for-bit `Text.md5Long64`). That upgrades all
+  *    three from rows-only checks to full hash-matched oracles.
   */
 object LlmQueries {
 
@@ -61,7 +64,7 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dups (xxhash64 — rows-only check).
+    // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(docs(s, dir), 3)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -79,15 +82,17 @@ object LlmQueries {
     // broadcast nested-loop — PlanShapeSpec asserts). Checked against
     // the EXACT all-pairs oracle: this corpus has no planted embedding
     // duplicates, so the threshold sits where the corpus has pairs
-    // (cos 0.45-0.52) and the wide-net banding (16 planes × 2-bit
-    // bands, seed 7) deterministically recalls every qualifying pair —
-    // verified against the exact all-pairs set at sf 0.001/0.01/0.1.
+    // (cos 0.45-0.52) and the wide-net banding (24 planes = 12 × 2-bit
+    // bands; per-pair miss probability ~1.4e-3 at cos 0.45) recalls
+    // every qualifying pair — verified exhaustively against the exact
+    // all-pairs set at sf 0.001/0.01/0.1, for eight different seeds.
     "q_embed_pairs" -> ((s, dir) => {
-      Similarity.lshSimilarPairs(corpus(s, dir), 0.45, dim = 64, seed = 7L)
+      Similarity.lshSimilarPairs(corpus(s, dir), 0.45, dim = 64, nPlanes = 24)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Sign-LSH bucketed ANN (seeded hyperplanes — rows-only check).
+    // Sign-LSH bucketed ANN (md5-derived hyperplanes — full DuckDB
+    // oracle reproduces buckets, candidates, and the re-ranked top-k).
     "q_ann_lsh" -> ((s, dir) => {
       Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
@@ -127,7 +132,8 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Rolling-hash winnowing fingerprint (xxhash64 — rows-only check).
+    // Rolling winnowing fingerprint (md5-derived gram hash — full
+    // DuckDB oracle).
     "q_text_rolling" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -176,7 +182,95 @@ object LlmQueries {
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
       |)""".stripMargin
 
+  /** DuckDB replica of `Text.md5Long64` (full 64 bits, as UBIGINT). */
+  private def duckMd5Long64(e: String): String =
+    s"('0x' || substr(md5($e), 1, 16))::UBIGINT"
+
+  /** DuckDB replica of `Similarity.hyperplanes`' component derivation. */
+  private def duckPlaneW(seed: Long): String =
+    s"(('0x' || substr(md5($seed || '_' || j || '_' || d), 1, 8))::UBIGINT" +
+      " / 4294967296.0 - 0.5)"
+
+  /** Shared DuckDB CTE: left-fold cosine of two embedding columns —
+    * same arithmetic as the Spark side's FloatVecDot / norm product.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${duckMd5Long64("t")} AS h FROM tok
+         |), votes AS (
+         |  SELECT doc_id, j, SUM((h >> CAST(j AS INT)) & 1::UBIGINT) AS v,
+         |    COUNT(*) AS n
+         |  FROM h CROSS JOIN range(64) r(j) GROUP BY doc_id, j
+         |), sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN 2 * v >= n
+         |      THEN (1::UBIGINT << CAST(j AS INT)) ELSE 0::UBIGINT END)
+         |      AS UBIGINT) AS sig
+         |  FROM votes GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, b, (sig >> CAST(16 * b AS INT)) & 65535::UBIGINT AS bk
+         |  FROM sig CROSS JOIN range(4) r(b)
+         |), pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH pw AS (
+         |  SELECT j, d, ${duckPlaneW(42L)} AS w
+         |  FROM range(16) a(j) CROSS JOIN range(64) b(d)
+         |), pl AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
+         |), bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN pl
+         |), bkt AS (
+         |  SELECT vec_id, CAST(j // 4 AS INT) AS band,
+         |    CAST(SUM(bit * (1 << CAST(j % 4 AS INT))) AS INT) AS bucket
+         |  FROM bits GROUP BY vec_id, band
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bkt c JOIN bkt p ON c.band = p.band AND c.bucket = p.bucket
+         |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |), s AS (
+         |  SELECT cand.probe_id, cand.neighbor_id,
+         |    ${duckCos("e.embedding", "q.embedding")} AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), r AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
+         |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_text_rolling" ->
+      s"""SELECT doc_id,
+         | CAST(list_min(list_transform(
+         |   range(1, greatest(length(text) - 15, 1) + 1),
+         |   i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 16))::UBIGINT
+         |     & 9223372036854775807::UBIGINT)) AS BIGINT) AS roll_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies

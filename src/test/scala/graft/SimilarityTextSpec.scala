@@ -248,14 +248,14 @@ class SimilarityTextSpec extends SparkTestBase {
   }
 
   test("lshSimilarPairs equals the exact all-pairs miner on the real corpus") {
-    // Same configuration as q_embed_pairs (wide-net banding, seed 7):
+    // Same configuration as q_embed_pairs (wide-net 12 × 2-bit banding):
     // every qualifying pair must be recalled, and the verify step makes
     // surviving scores exactly the brute-force scores — so the two
     // operators must agree row-for-row.
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-    val lsh = rows(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, seed = 7L)
+    val lsh = rows(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, nPlanes = 24)
       .orderBy(col("id_a"), col("id_b"))).map(key)
     val exact = rows(Similarity.cosineSimilarPairs(embs, 0.45)
       .orderBy(col("id_a"), col("id_b"))).map(key)
@@ -279,7 +279,7 @@ class SimilarityTextSpec extends SparkTestBase {
   test("lshSimilarPairs plan: equi-join candidates, no broadcast nested loop, no all-pairs") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val p = planString(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, seed = 7L))
+    val p = planString(Similarity.lshSimilarPairs(embs, 0.45, dim = 64, nPlanes = 24))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept back:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
