@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries, StreamQueries}
 import graft.sources.Sources
 import graft.transform.Velib
 
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++
+      LlmQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ LlmQueries.oracleSql
+    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      LlmQueries.oracleSql ++ StreamQueries.oracleSql
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Schemas
+import graft.streaming.Streams
+
+/** Driver-visible correctness for the streaming operators: each query
+  * runs a REAL Structured Streaming query (file-drop source over the
+  * committed fixtures under fixtures/stream/, `Trigger.AvailableNow`,
+  * memory sink), waits for it to finish, and returns the sink contents
+  * as an ordinary batch DataFrame the driver can hash against a literal
+  * VALUES oracle — the same pattern `PipelineQueries` uses for the
+  * batch pipeline.
+  *
+  * This closes the gap where ST2/ST4 and the J7 stream-stream join were
+  * exercised only by unit tests: the driver now checks their end-to-end
+  * output row-for-row.
+  *
+  * The collected result is re-wrapped as a local DataFrame and the
+  * memory-sink view is dropped, so repeated invocations (Bench runs
+  * each query at least twice) cannot collide on sink names or leak
+  * temp views; the sink holds a handful of rows by construction.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val StationsDir = "/root/repo/fixtures/stream/stations"
+  private val WeatherDir = "/root/repo/fixtures/stream/weather"
+
+  /** Run `df` (a streaming frame) to completion under AvailableNow into
+    * a uniquely-named memory sink; hand back its rows as a batch frame.
+    */
+  private def runToBatch(s: SparkSession, df: DataFrame): DataFrame = {
+    val sink = "graft_stream_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val collected = s.table(sink)
+    val schema = collected.schema
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(collected.collect(): _*)),
+      schema)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ST2 (watermarked stateful dedup) -> ST4 (flatMapGroupsWithState
+    // empty<->stocked transitions) chained — two stateful operators in
+    // one streaming query, end-to-end over the fixture drop-dir. The
+    // fixture's third snapshot restocks station 99950133 (0 -> 3) and
+    // stocks out 213688169 (4 -> 0); 19179944124 never crosses, and the
+    // duplicated 99950133 report must be dropped by the dedup, not
+    // re-processed.
+    "q_stream_stockouts" -> ((s, _) => {
+      runToBatch(s,
+        Streams.stockoutTransitions(
+          Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)))
+          .toDF())
+        .orderBy(col("station_id"), col("at"))
+    }),
+
+    // J7 stream-stream join: station reports x their hour's weather
+    // observation, both sides file-drop streams, hour-bucket equi key +
+    // range residual, weather deduped to one observation per hour.
+    "q_stream_join" -> ((s, _) => {
+      runToBatch(s,
+        Streams.stationWeatherJoin(
+          Streams.velibStream(s, StationsDir),
+          s.readStream.schema(Schemas.weatherRaw).json(WeatherDir)))
+        .orderBy(col("station_id"), col("last_reported"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_stockouts" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 'restock', CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3),
+        | (CAST(213688169 AS BIGINT), 'stockout', CAST('2024-02-01 01:15:00' AS TIMESTAMP), 0)
+        |) AS t(station_id, event, at, bikes)
+        |ORDER BY station_id, at""".stripMargin,
+    "q_stream_join" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 3, CAST('2024-02-01 01:10:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(278.5 AS DOUBLE), 'clear sky'),
+        | (CAST(213688169 AS BIGINT), 4, CAST('2024-02-01 00:50:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain'),
+        | (CAST(213688169 AS BIGINT), 0, CAST('2024-02-01 01:15:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(278.5 AS DOUBLE), 'clear sky'),
+        | (CAST(19179944124 AS BIGINT), 11, CAST('2024-02-01 00:55:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain')
+        |) AS t(station_id, num_bikes_available, last_reported, obs_ts, temp, weather_description)
+        |ORDER BY station_id, last_reported""".stripMargin)
+}

@@ -138,10 +138,20 @@ object Streams {
     * last_reported) — `dedupedStationUpdates` output or the curated
     * batch table in tests.
     */
+  /** True when the plan already carries an event-time watermark — e.g.
+    * the input is `dedupedStationUpdates` output. Spark disallows
+    * REDEFINING a watermark mid-stream (even with identical column and
+    * delay) once multiple stateful operators are chained, so operators
+    * that compose must only add one when none exists.
+    */
+  private def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark])
+
   def stockoutTransitions(updates: DataFrame): Dataset[StockoutEvent] = {
     val spark = updates.sparkSession
     import spark.implicits._
-    updates
+    val cleaned = updates
       .select(col("station_id"), col("num_bikes_available"), col("last_reported"))
       // The JSON-sourced schema is nullable; a single null in a
       // primitive-typed field would fail `.as[StationPing]`, kill the
@@ -150,7 +160,8 @@ object Streams {
       // drop it instead of wedging the pipeline.
       .filter(col("station_id").isNotNull &&
         col("num_bikes_available").isNotNull && col("last_reported").isNotNull)
-      .withWatermark("last_reported", "2 hours")
+    (if (hasWatermark(cleaned)) cleaned
+     else cleaned.withWatermark("last_reported", "2 hours"))
       .as[StationPing]
       .groupByKey(_.station_id)
       .flatMapGroupsWithState[StockoutState, StockoutEvent](
