@@ -33,20 +33,32 @@ object StreamQueries {
 
   /** Run `df` (a streaming frame) to completion under AvailableNow into
     * a uniquely-named memory sink; hand back its rows as a batch frame.
+    *
+    * Shuffle partitions are scoped down for the run: each stateful
+    * operator maintains one state store PER shuffle partition PER
+    * micro-batch, so the session default (32) costs ~100 store commits
+    * per batch on a fixture of a few rows — pure fixed overhead. A real
+    * deployment sizes this to the stream's key cardinality; the conf is
+    * restored afterwards (state-store parallelism is read per batch
+    * inside the run, so it cannot be set via a plan-level hint).
     */
   private def runToBatch(s: SparkSession, df: DataFrame): DataFrame = {
     val sink = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt_").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val collected = s.table(sink)
     val schema = collected.schema
     val out = s.createDataFrame(

@@ -25,6 +25,14 @@ class BenchSpec extends AnyFunSuite {
     assert(err === Some("a"))
   }
 
+  test("spread is max/min over successful passes only") {
+    assert(Bench.spread(Seq((1.0, None), (3.0, None))) === 3.0)
+    // the failed fast pass must not count toward spread
+    assert(Bench.spread(Seq((0.1, Some("boom")), (2.0, None))) === 1.0)
+    assert(Bench.spread(Seq((2.0, None))) === 1.0)
+    assert(Bench.spread(Seq((0.2, Some("a")), (0.4, Some("b")))) === 1.0)
+  }
+
   test("JSON escaper handles quotes, backslashes, and control chars") {
     assert(Jsons.str("a\"b\\c") === "\"a\\\"b\\\\c\"")
     assert(Jsons.str("x\n\t\ry") === "\"x\\n\\t\\ry\"")
