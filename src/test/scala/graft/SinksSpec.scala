@@ -26,10 +26,25 @@ class SinksSpec extends SparkTestBase {
     assert(Sources.readCsvInferred(spark, dir).count() === 6)
   }
 
-  test("K4: CREATE TABLE IF NOT EXISTS is idempotent") {
+  test("K2: overwrite REPLACES prior content — no merge, no append, no stale rows") {
+    val dir = Files.createTempDirectory("csv").toString + "/stage"
+    Sinks.writeCsvOverwrite(curated, dir)
+    val subset = curated.filter(col("station_id") === 213688169L)
+    Sinks.writeCsvOverwrite(subset, dir)
+    val back = Sources.readCsv(spark, dir, curated.schema)
+    assert(back.count() === 2) // only the second write's rows survive
+    assert(rows(back.select(col("station_id")).distinct())
+      .map(_.getLong(0)) === Seq(213688169L))
+  }
+
+  test("K4: CREATE TABLE IF NOT EXISTS is idempotent and preserves the original schema") {
     Sinks.ensureTable(spark, "t_sink_spec", "id BIGINT, v DOUBLE")
     Sinks.ensureTable(spark, "t_sink_spec", "id BIGINT, v DOUBLE") // no error
     assert(spark.catalog.tableExists("t_sink_spec"))
+    // IF NOT EXISTS with a DIFFERENT schema is a no-op, never a silent
+    // redefinition: the original column set must survive
+    Sinks.ensureTable(spark, "t_sink_spec", "other STRING")
+    assert(spark.table("t_sink_spec").schema.fieldNames.toSeq === Seq("id", "v"))
     spark.sql("DROP TABLE t_sink_spec")
   }
 
