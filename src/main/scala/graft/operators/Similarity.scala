@@ -105,28 +105,58 @@ object Similarity {
       nPlanes: Int = 16, bitsPerBand: Int = 2, seed: Long = 42L): DataFrame = {
     require(nPlanes % bitsPerBand == 0,
       s"nPlanes ($nPlanes) must be a multiple of bitsPerBand ($bitsPerBand)")
+    require(nPlanes <= 60, s"nPlanes ($nPlanes) must fit a packed long")
     val planes = hyperplanes(dim, nPlanes, seed)
+    val nBands = nPlanes / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
 
-    val banded = embs.select(
-      col("id"), col("vec"), VectorOps.norm(col("vec")).as("nrm"),
-      bandSignature(col("vec"), planes, bitsPerBand).as("sig"))
-      .select(col("id"), col("vec"), col("nrm"), col("sig"),
-        posexplode(col("sig")).as(Seq("band", "bucket")))
+    // The whole signature packs into ONE long (bitsPerBand bits per
+    // band), so the band self-join carries only (band, bucket, id,
+    // packed-sig) — never the vectors — and the dedup filter below is
+    // pure codegen'd bit arithmetic instead of a per-row array HOF.
+    val sigd = embs.select(col("id"), col("vec"),
+      VectorOps.norm(col("vec")).as("nrm"),
+      bandSignature(col("vec"), planes, bitsPerBand).as("sigArr"))
+      .select(col("id"), col("vec"), col("nrm"),
+        (0 until nBands).map(b =>
+          shiftleft(element_at(col("sigArr"), b + 1).cast("long"),
+            b * bitsPerBand))
+          .reduce((x, y) => x.bitwiseOR(y)).as("sig"))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("va"), col("nrm").as("na"), col("sig").as("siga"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vb"), col("nrm").as("nb"), col("sig").as("sigb"))
+    def bucketOf(sig: Column, b: Int): Column =
+      shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask))
 
-    // First band both signatures agree on (1-based); the join key
-    // guarantees agreement at `band`, so the position is always found.
-    val firstCommonBand =
-      array_position(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-        true)
+    val banded = sigd.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bucketOf(col("sig"), b).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b") &&
-        firstCommonBand === col("band").cast("long") + lit(1L))
+    // First band both signatures agree on: lowest b whose bitsPerBand
+    // slice of (sigA XOR sigB) is zero — an unrolled when-chain of
+    // shift/mask ops, fully inside whole-stage codegen. The join key
+    // guarantees SOME band agrees, so the chain always resolves.
+    def firstCommonBand(diff: Column): Column =
+      (0 until nBands).foldRight(lit(-1): Column) { (b, acc) =>
+        when(shiftright(diff, b * bitsPerBand).bitwiseAND(lit(mask)) === 0L,
+          lit(b)).otherwise(acc)
+      }
+
+    val pairs = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id") &&
+        firstCommonBand(col("x.sig").bitwiseXOR(col("y.sig"))) === col("band"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+
+    // Exact-cosine verify: re-attach vectors to the surviving candidate
+    // pairs (two equi-joins on id — broadcastable for dimension-sized
+    // corpora, plain hash joins at scale), same shape as
+    // Dedup.verifyJaccard.
+    pairs
+      .join(sigd.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorOps.guardCos(
           try_divide(VectorOps.dot(col("va"), col("vb")), col("na") * col("nb"))), 6)
