@@ -42,7 +42,8 @@ object StreamQueries {
     * restored afterwards (state-store parallelism is read per batch
     * inside the run, so it cannot be set via a plan-level hint).
     */
-  private def runToBatch(s: SparkSession, df: DataFrame): DataFrame = {
+  private def runToBatch(
+      s: SparkSession, df: DataFrame, mode: String = "append"): DataFrame = {
     val sink = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = java.nio.file.Files
@@ -53,7 +54,7 @@ object StreamQueries {
       val q = df.writeStream
         .format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -93,9 +94,67 @@ object StreamQueries {
           Streams.velibStream(s, StationsDir),
           s.readStream.schema(Schemas.weatherRaw).json(WeatherDir)))
         .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // ST3 streaming windowed aggregation, complete mode so every
+    // hourly window is emitted at termination (append would hold
+    // windows still above the final watermark). The duplicated
+    // 99950133 report is NOT deduped on this path — n_reports = 2 for
+    // its hour proves the aggregation counts raw arrivals.
+    "q_stream_hourly" -> ((s, _) => {
+      runToBatch(s,
+        Streams.hourlyAvailabilityStream(Streams.velibStream(s, StationsDir)),
+        mode = "complete")
+        .orderBy(col("hour_start"), col("station_id"))
+    }),
+
+    // ST5 foreachBatch checkpointed load: the stream lands in an
+    // arbitrary BATCH sink (parquet append here, standing in for the
+    // reference's warehouse load), then the landed table is read back
+    // as the result — end-to-end proof the loader delivered exactly
+    // the deduped updates.
+    "q_stream_load" -> ((s, _) => {
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_load_").toString + "/landed"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_load_ckpt_").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = Streams.foreachBatchLoad(
+          Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),
+          ckpt) { (batch, _) =>
+          batch.write.mode("append").parquet(outDir)
+        }.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(outDir)
+        .orderBy(col("station_id"), col("last_reported"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT * FROM (VALUES
+        | (CAST('2024-01-31 22:00:00' AS TIMESTAMP), CAST(19179944124 AS BIGINT), 12, CAST(1 AS BIGINT)),
+        | (CAST('2024-01-31 23:00:00' AS TIMESTAMP), CAST(99950133 AS BIGINT), 0, CAST(2 AS BIGINT)),
+        | (CAST('2024-01-31 23:00:00' AS TIMESTAMP), CAST(213688169 AS BIGINT), 5, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(213688169 AS BIGINT), 4, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(19179944124 AS BIGINT), 11, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(99950133 AS BIGINT), 3, CAST(1 AS BIGINT)),
+        | (CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(213688169 AS BIGINT), 0, CAST(1 AS BIGINT))
+        |) AS t(hour_start, station_id, max_bikes, n_reports)
+        |ORDER BY hour_start, station_id""".stripMargin,
+    "q_stream_load" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP)),
+        | (CAST(99950133 AS BIGINT), 3, 22, 1, 1, 1, CAST('2024-02-01 01:10:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 5, 30, 1, 1, 1, CAST('2024-01-31 23:50:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 4, 31, 1, 1, 1, CAST('2024-02-01 00:50:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 0, 35, 1, 1, 1, CAST('2024-02-01 01:15:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), 12, 8, 1, 0, 1, CAST('2024-01-31 22:45:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), 11, 9, 1, 0, 1, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
+        |) AS t(station_id, num_bikes_available, num_docks_available, is_installed, is_returning, is_renting, last_reported)
+        |ORDER BY station_id, last_reported""".stripMargin,
     "q_stream_stockouts" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 'restock', CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3),

@@ -182,6 +182,11 @@ class SimilarityTextSpec extends SparkTestBase {
     val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
     val fp = rows(df.select(Text.rollingMinFingerprint(col("text")))).map(_.getLong(0))
     assert(fp(0) === fp(1))
+    // portable variant is non-negative by construction (63-bit mask),
+    // so signed and unsigned engines order fingerprints identically
+    assert(fp.forall(_ >= 0L))
+    val fast = rows(df.select(Text.rollingMinFingerprintFast(col("text")))).map(_.getLong(0))
+    assert(fast(0) === fast(1))
   }
 
   test("bpeishTokenCount counts words and punctuation separately") {
