@@ -135,16 +135,24 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * jaccard = |A∩B| / |A∪B| on distinct 3-shingles, >= threshold.
     */
-  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val withShingles = docs.select(
-      col("doc_id"), shingles(col("text"), 3).as("sh"))
-
+  /** (doc_id, bk) LSH band keys — one row per doc per band. This IS the
+    * "signature table" a 100 TB deployment persists/buckets by `bk` and
+    * dedups against incrementally instead of re-deriving per run.
+    */
+  private def bandedKeys(withShingles: DataFrame): DataFrame = {
     val rows = NumPerms / LshBands
     val bandKeyArr = array((0 until LshBands).map { b =>
       hash(lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }: _*)
-    val banded = minhashColumns(withShingles)
+    minhashColumns(withShingles)
       .select(col("doc_id"), explode(bandKeyArr).as("bk"))
+  }
+
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val withShingles = docs.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+    val banded = bandedKeys(withShingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     val candidates = banded.as("x").join(banded.as("y"), Seq("bk"))
@@ -152,7 +160,35 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(candidates, withShingles, threshold)
+    verifyJaccard(candidates, withShingles, withShingles, threshold)
+  }
+
+  /** Incremental near-duplicate detection: NEW documents against an
+    * EXISTING corpus — the shape a growing 100 TB corpus actually runs.
+    * The corpus side's signatures are derived once (a deployment
+    * persists them — see `bandedKeys`); each batch of new docs only
+    * computes ITS signatures and meets corpus docs sharing a band
+    * bucket, so per-batch cost scales with the batch, not the corpus,
+    * and corpus∪batch is never self-joined.
+    *
+    * Output: (doc_a = corpus doc, doc_b = new doc, jaccard >= threshold).
+    * Corpus and new ids are expected disjoint (same-id rows are ignored
+    * defensively).
+    */
+  def minhashNearDuplicatesAgainst(
+      corpus: DataFrame, newDocs: DataFrame, threshold: Double): DataFrame = {
+    val corpusShingles = corpus.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val newShingles = newDocs.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+    val candidates = bandedKeys(corpusShingles).as("x")
+      .join(bandedKeys(newShingles).as("y"), Seq("bk"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, corpusShingles, newShingles, threshold)
   }
 
   /** Exact n-gram-Jaccard near-duplicates via an inverted shingle index —
@@ -212,14 +248,15 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs: re-attach shingle
-    * sets (two equi-joins on doc_id) and compute |∩|/|∪| with array
-    * built-ins.
+    * sets (two equi-joins on doc_id, one per side's shingle frame) and
+    * compute |∩|/|∪| with array built-ins.
     */
   private def verifyJaccard(
-      pairs: DataFrame, withShingles: DataFrame, threshold: Double): DataFrame =
+      pairs: DataFrame, aShingles: DataFrame, bShingles: DataFrame,
+      threshold: Double): DataFrame =
     pairs
-      .join(withShingles.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(withShingles.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(aShingles.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(bShingles.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
           size(array_union(col("a.sh"), col("b.sh"))))

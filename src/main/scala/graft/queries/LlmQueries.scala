@@ -64,6 +64,18 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental MinHash dedup: the "new batch vs existing corpus"
+    // shape a growing corpus runs — docs >= 400 arrive against the
+    // first 400 — checked against the exact cross-boundary jaccard
+    // oracle (the LSH recall argument of q_dedup_minhash applies
+    // unchanged).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashNearDuplicatesAgainst(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(docs(s, dir), 3)
@@ -285,6 +297,12 @@ object LlmQueries {
         """
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_incremental" ->
+      (ShingleCte +
+        """
+          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+          |WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
+          |ORDER BY doc_a, doc_b""".stripMargin),
     "q_ann_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5

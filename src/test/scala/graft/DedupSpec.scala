@@ -75,6 +75,19 @@ class DedupSpec extends SparkTestBase {
     assert(rows(loose).nonEmpty)
   }
 
+  test("incremental minhash dedup equals the full dedup restricted to cross-boundary pairs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inc = rows(Dedup.minhashNearDuplicatesAgainst(
+      d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))).map(key)
+    val full = rows(Dedup.minhashNearDuplicates(d, 0.8)
+      .orderBy(col("doc_a"), col("doc_b")))
+      .filter(r => r.getLong(0) < 400 && r.getLong(1) >= 400).map(key)
+    assert(inc.nonEmpty) // the corpus plants near-dups across the split
+    assert(inc === full)
+  }
+
   test("simhash: identical docs share signatures; hamming pairs found via bands") {
     val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
