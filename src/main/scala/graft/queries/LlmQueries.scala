@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -120,6 +120,15 @@ object LlmQueries {
       Similarity.ivfTopK(corpus(s, dir), probes(s, dir), centroids,
         k = 10, nProbe = 4)
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
+    // Deterministic train/holdout split: every doc's bucket and split
+    // are a pure md5 function of its id — same assignment in DuckDB,
+    // hash-checked per row.
+    "q_sample_split" -> ((s, dir) => {
+      Sampling.hashSplit(docs(s, dir), "doc_id", trainPct = 90)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     // Token / vocabulary / punctuation stats + the composite quality gate.
@@ -387,6 +396,16 @@ object LlmQueries {
         |)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 100 AS BIGINT) AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
