@@ -247,6 +247,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: drop from `corpus` every document that
+    * leaks an eval-set item — through EITHER channel a training
+    * pipeline screens:
+    *
+    *  - exact/normalized: the case-/punctuation-/whitespace-robust
+    *    content fingerprint matches an eval doc (anti-join on the md5
+    *    digest — one uniform shuffle);
+    *  - near-duplicate: MinHash+LSH candidate generation against the
+    *    eval set with exact-Jaccard confirmation at `threshold`
+    *    ([[minhashNearDuplicatesAgainst]] — per-batch cost scales with
+    *    the eval set, and the corpus is never self-joined).
+    *
+    * Both channels end in LEFT ANTI joins, so the output is the
+    * surviving corpus rows unchanged — ready to write as the clean
+    * dataset.
+    */
+  def decontaminate(
+      corpus: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
+    val nearIds = minhashNearDuplicatesAgainst(corpus, evalSet, threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val fp = graft.functions.Text.normalizedFingerprint(col("text"))
+    corpus
+      .join(nearIds, Seq("doc_id"), "left_anti")
+      .join(evalSet.select(fp.as("__eval_fp")).distinct(),
+        fp === col("__eval_fp"), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate pairs: re-attach shingle
     * sets (two equi-joins on doc_id, one per side's shingle frame) and
     * compute |∩|/|∪| with array built-ins.

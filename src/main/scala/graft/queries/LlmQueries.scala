@@ -76,6 +76,17 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Benchmark decontamination: the first 400 docs minus everything
+    // that leaks the "eval set" (docs >= 400) through the exact
+    // normalized-fingerprint OR the near-duplicate channel.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(docs(s, dir), 3)
@@ -312,6 +323,22 @@ object LlmQueries {
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
           |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_decontaminate" ->
+      (ShingleCte +
+        """, leaked AS (
+          |  SELECT DISTINCT doc_a FROM pairs
+          |  WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
+          |), efp AS (
+          |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          |  FROM documents WHERE doc_id >= 400
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id < 400
+          |  AND doc_id NOT IN (SELECT doc_a FROM leaked)
+          |  AND md5(trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) NOT IN (SELECT fp FROM efp)
+          |ORDER BY doc_id""".stripMargin),
     "q_ann_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5

@@ -88,6 +88,20 @@ class DedupSpec extends SparkTestBase {
     assert(inc === full)
   }
 
+  test("decontaminate drops exact-normalized AND near-duplicate leaks, keeps the rest") {
+    val corpus = Seq(
+      (1L, "The Quick, Brown Fox jumps over the lazy dog!"), // normalized dup of eval 10
+      (2L, "the quick brown fox jumps over the sleepy dog"), // near-dup of eval 10
+      (3L, "completely different content about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val kept = rows(Dedup.decontaminate(corpus, eval_, 0.3)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(kept === Seq(3L))
+  }
+
   test("simhash: identical docs share signatures; hamming pairs found via bands") {
     val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
