@@ -94,16 +94,26 @@ object Text {
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
-  /** Portable 64-bit content hash: the first 16 hex chars of md5,
-    * assembled from two 32-bit halves (a direct 16-hex-digit parse can
-    * exceed Long range under ANSI). md5 exists in every engine, so any
-    * oracle (here: DuckDB via `('0x' || substr(md5(x),1,16))::UBIGINT`)
-    * reproduces the exact bit pattern — unlike xxhash64, whose seed and
-    * implementation are Spark-specific. The bits land in a SIGNED long;
-    * comparisons that need unsigned order should mask with
-    * [[md5Long63]].
+  private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.Bridge.column(e)
+
+  /** Portable 64-bit content hash: the first 8 md5 digest bytes. md5
+    * exists in every engine, so any oracle (here: DuckDB via
+    * `('0x' || substr(md5(x),1,16))::UBIGINT`) reproduces the exact bit
+    * pattern — unlike xxhash64, whose seed and implementation are
+    * Spark-specific. Evaluated by the native [[Md5Long64]] expression
+    * (tight bytes→long, ThreadLocal digest); [[md5Long64Composed]] is
+    * the built-in-only reference form, cross-checked bit-for-bit in
+    * tests. The bits land in a SIGNED long; comparisons that need
+    * unsigned order should mask with [[md5Long63]].
     */
-  def md5Long64(c: Column): Column = {
+  def md5Long64(c: Column): Column = toCol(Md5Long64(expr(c)))
+
+  /** Built-ins-only reference for [[md5Long64]] (hex + conv per half) —
+    * kept for the bit-identity cross-check, not for hot paths.
+    */
+  def md5Long64Composed(c: Column): Column = {
     val hex = md5(c)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")

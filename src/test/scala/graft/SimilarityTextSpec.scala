@@ -137,6 +137,18 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("native md5Long64 matches the composed built-in form bit-for-bit") {
+    // real corpus text (incl. non-ASCII) plus edge strings
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", " ", "é漢字🙂", "abc").toDF("text"))
+    val diff = docs.select(
+      Text.md5Long64(col("text")).as("nat"),
+      Text.md5Long64Composed(col("text")).as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(rows(diff).isEmpty)
+  }
+
   test("text stats: token counts, ratios, quality flag") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today friend"),
