@@ -44,6 +44,85 @@ object Md5Hash {
   * to the composed form (asserted in tests), so every DuckDB oracle is
   * unchanged.
   */
+/** Static kernel for [[HyperplaneSignBits]]. Plain object → static
+  * forwarder callable from generated Java.
+  */
+object HyperplaneHash {
+  /** Bit j = 1 iff the left-fold double dot of `vec` with plane j is
+    * >= 0 — fold order identical to
+    * `aggregate(zip_with(vec, plane, (x, y) => x.cast(double) * y), 0.0, _ + _)`,
+    * so the sign (and thus every LSH bucket) matches the HOF reference
+    * and the DuckDB oracle bit-for-bit. A dimension mismatch or null
+    * element makes every plane's dot NULL in the HOF form, which maps
+    * each bit to 0 — mirrored here by returning 0L.
+    */
+  def signBits(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]]): Long = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (vec.numElements() != dim) return 0L
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return 0L
+      d += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < planes.length) {
+      val w = planes(j)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += vec.getFloat(i).toDouble * w(i)
+        i += 1
+      }
+      if (s >= 0) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+}
+
+/** All sign-LSH hyperplane bits of an `array<float>` vector, packed
+  * into one long (bit j = plane j) in a single pass.
+  *
+  * Why custom: the composed form is nPlanes separate `aggregate(
+  * zip_with(...))` HOFs per row — interpreted, allocating, and each
+  * re-reading the vector. This runs on the FULL corpus scan of every
+  * LSH operator (top-k and pair mining), where one tight nested loop
+  * is the shape that survives 100 TB. Sign semantics are bit-for-bit
+  * the HOF form's (asserted in tests), so the DuckDB oracles that
+  * re-derive buckets from the same plane doubles are unchanged.
+  */
+case class HyperplaneSignBits(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 60,
+    s"plane count ${planes.length} outside [1, 60]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sign_bits"
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneHash.signBits(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneHash.signBits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSignBits = copy(child = newChild)
+}
+
 case class Md5Long64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -110,25 +110,19 @@ object Similarity {
     val nBands = nPlanes / bitsPerBand
     val mask = (1L << bitsPerBand) - 1
 
-    // The whole signature packs into ONE long (bitsPerBand bits per
-    // band), so the band self-join carries only (band, bucket, id,
-    // packed-sig) — never the vectors — and the dedup filter below is
-    // pure codegen'd bit arithmetic instead of a per-row array HOF.
+    // The whole signature is ONE long from the native single-pass
+    // expression (bit j = plane j, so band buckets are shift/mask), so
+    // the band self-join carries only (band, bucket, id, sig) — never
+    // the vectors — and the dedup filter below is pure codegen'd bit
+    // arithmetic.
     val sigd = embs.select(col("id"), col("vec"),
       VectorOps.norm(col("vec")).as("nrm"),
-      bandSignature(col("vec"), planes, bitsPerBand).as("sigArr"))
-      .select(col("id"), col("vec"), col("nrm"),
-        (0 until nBands).map(b =>
-          shiftleft(element_at(col("sigArr"), b + 1).cast("long"),
-            b * bitsPerBand))
-          .reduce((x, y) => x.bitwiseOR(y)).as("sig"))
-
-    def bucketOf(sig: Column, b: Int): Column =
-      shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask))
+      packedSignBits(col("vec"), planes).as("sig"))
 
     val banded = sigd.select(col("id"), col("sig"),
       explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), bucketOf(col("sig"), b).as("bucket"))): _*))
+        struct(lit(b).as("band"),
+          bucketOfBits(col("sig"), b, bitsPerBand).as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -174,7 +168,7 @@ object Similarity {
     * spherical symmetry at dim 64 (immaterial for bucketing; candidates
     * are always exact-cosine verified) and buy engine portability.
     */
-  private[operators] def hyperplanes(
+  private[graft] def hyperplanes(
       dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nBits) { j =>
@@ -186,42 +180,26 @@ object Similarity {
     }
   }
 
-  /** 16-bit sign signature of a vector under the fixed hyperplanes,
-    * exposed as 4 × 4-bit band buckets for the candidate join.
+  /** All hyperplane sign bits packed into one long, via the native
+    * single-pass expression (`functions/HashExpressions.scala`) — the
+    * composed alternative is nPlanes interpreted HOF dots per row on
+    * the full corpus scan. Bit j is plane j, so the bucket of band b
+    * at `bitsPerBand` bits is simply `(bits >> b*bitsPerBand) & mask`.
+    *
+    * Callers MUST bind this through its own projection (`.select(...
+    * .as("sig"))`) before deriving per-band buckets: Catalyst
+    * substitutes rather than let-binds, and referencing the expression
+    * once per band would inline (and re-evaluate) the whole signature
+    * per band — the MinHash 128× trap (Dedup.minhashColumns Scaladoc).
     */
-  private def bandKeys(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
-    val bits = planes.map { plane =>
-      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-      // HOF dot here: the hyperplane side is an array<double> literal,
-      // which the float-specialized native expression rejects; 16 small
-      // projections per row are not a hot path.
-      when(VectorOps.dotHof(vec, planeCol) >= 0, 1).otherwise(0)
-    }
-    val bandsOf = 4 // 4 bits per band
-    (0 until planes.length / bandsOf).map { b =>
-      val bucket = (0 until bandsOf)
-        .map(i => bits(b * bandsOf + i) * lit(1 << i))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-  }
+  private def packedSignBits(vec: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneSignBits(
+        org.apache.spark.sql.graft.Bridge.expression(vec), planes))
 
-  /** Band-bucket signature as one `array<int>` column (length
-    * nPlanes / bitsPerBand), for operators that need to compare whole
-    * signatures row-side (`lshSimilarPairs`' first-common-band dedup).
-    */
-  private def bandSignature(
-      vec: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
-    val bits = planes.map { plane =>
-      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-      when(VectorOps.dotHof(vec, planeCol) >= 0, 1).otherwise(0)
-    }
-    array((0 until planes.length / bitsPerBand).map { b =>
-      (0 until bitsPerBand)
-        .map(i => bits(b * bitsPerBand + i) * lit(1 << i))
-        .reduce(_ + _)
-    }: _*)
-  }
+  private def bucketOfBits(bits: Column, b: Int, bitsPerBand: Int): Column =
+    shiftright(bits, b * bitsPerBand)
+      .bitwiseAND(lit((1L << bitsPerBand) - 1))
 
   /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
     * path alongside `lshTopK`.
@@ -337,10 +315,16 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, k: Int,
       dim: Int, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, 16, seed)
+    val bandsOf = 4 // 16 bits as 4 × 4-bit bands
 
-    def banded(df: DataFrame, idCol: String) = df.select(
-      col(idCol), col("vec"),
-      explode(array(bandKeys(col("vec"), planes): _*)).as("bb"))
+    def banded(df: DataFrame, idCol: String) = df
+      .select(col(idCol), col("vec"),
+        packedSignBits(col("vec"), planes).as("bits"))
+      .select(col(idCol), col("vec"),
+        explode(array((0 until planes.length / bandsOf).map { b =>
+          struct(lit(b).as("band"),
+            bucketOfBits(col("bits"), b, bandsOf).as("bucket"))
+        }: _*)).as("bb"))
       .select(col(idCol), col("vec"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 

@@ -137,6 +137,22 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("native packed sign bits match the per-plane HOF reference on real embeddings") {
+    val planes = Similarity.hyperplanes(64, 24, 42L)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hofBits = (0 until planes.length).map { j =>
+      val planeCol = array(planes(j).toIndexedSeq.map(lit): _*)
+      when(VectorOps.dotHof(col("embedding"), planeCol) >= 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val native = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneSignBits(
+        org.apache.spark.sql.graft.Bridge.expression(col("embedding")), planes))
+    val diff = embs.select(native.as("nat"), hofBits.as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(rows(diff).isEmpty)
+  }
+
   test("native md5Long64 matches the composed built-in form bit-for-bit") {
     // real corpus text (incl. non-ASCII) plus edge strings
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
