@@ -265,6 +265,8 @@ object Dedup {
     */
   def decontaminate(
       corpus: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
+    require(!corpus.columns.contains("__eval_fp"),
+      "input column '__eval_fp' collides with decontaminate's scratch column")
     val nearIds = minhashNearDuplicatesAgainst(corpus, evalSet, threshold)
       .select(col("doc_a").as("doc_id")).distinct()
     val fp = graft.functions.Text.normalizedFingerprint(col("text"))

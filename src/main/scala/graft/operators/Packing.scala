@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Sequence packing for training batches: assign documents to
+  * fixed-token-budget batches.
+  *
+  * This is the streaming-fill approximation every large pipeline uses:
+  * documents are taken in a DETERMINISTIC order within each group, the
+  * running token total is a window sum, and
+  * `batch_id = tokens_before_this_doc div budget` — one window shuffle
+  * per group, no driver-side loop, identical assignment on every
+  * engine/run. A batch can overshoot the budget by at most its last
+  * document (exact capacity packing needs sequential state per batch —
+  * O(corpus) serial work — and pipelines accept the overshoot instead);
+  * a document longer than the budget still lands in exactly one batch.
+  */
+object Packing {
+
+  def packByTokenBudget(
+      docs: DataFrame, groupCol: String, orderCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
+      // integral `div`, not `/`: long division must stay exact
+      .withColumn("batch_id", expr(s"(__cum - n_tokens) div $budget"))
+      .drop("__cum")
+  }
+}

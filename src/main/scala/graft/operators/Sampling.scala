@@ -24,7 +24,10 @@ object Sampling {
 
   /** Stable bucket in [0, buckets) for a key column (hashed via its
     * canonical string form, so long and string keys agree across
-    * engines).
+    * engines). A NULL key yields a NULL bucket: `sampleByHash` then
+    * DROPS the row (null fails every comparison) and `hashSplit` sends
+    * it to "holdout" — a keyless row must never leak into training
+    * data, and both outcomes are deterministic.
     */
   def hashBucket(key: Column, buckets: Int = 100): Column = {
     require(buckets > 0)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -140,6 +140,14 @@ object LlmQueries {
       Sampling.hashSplit(docs(s, dir), "doc_id", trainPct = 90)
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: documents fill 2000-token batches per source in
+    // doc_id order — one window shuffle, deterministic assignment.
+    "q_pack_batches" -> ((s, dir) => {
+      Packing.packByTokenBudget(docs(s, dir), "source", "doc_id", 2000)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("batch_id"))
+        .orderBy(col("source"), col("doc_id"))
     }),
 
     // Token / vocabulary / punctuation stats + the composite quality gate.
@@ -423,6 +431,20 @@ object LlmQueries {
         |)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_pack_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens,
+        | CAST((cum - n_tokens) // 2000 AS BIGINT) AS batch_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,

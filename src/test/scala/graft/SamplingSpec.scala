@@ -34,6 +34,38 @@ class SamplingSpec extends SparkTestBase {
     assert(sampled.size / n > 0.04 && sampled.size / n < 0.2)
   }
 
+  test("null keys are dropped by sampling and quarantined to holdout by splitting") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    assert(rows(Sampling.sampleByHash(df, "doc_id", 100))
+      .map(_.getLong(0)).toSet === Set(1L, 2L)) // pct=100 keeps all keyed rows
+    val splits = rows(Sampling.hashSplit(df, "doc_id", 100)
+      .select(col("doc_id"), col("split")))
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(splits(-1L) === "holdout") // keyless row never reaches train
+    assert(splits(1L) === "train" && splits(2L) === "train")
+  }
+
+  test("packByTokenBudget: batches are contiguous and overshoot by at most one doc") {
+    import graft.operators.Packing
+    val packed = rows(Packing.packByTokenBudget(docs, "source", "doc_id", 500)
+      .select(col("source"), col("batch_id"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("doc_id")))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (_, group) =>
+      // batch ids are non-decreasing in doc order and start at 0
+      val ids = group.map(_._2)
+      assert(ids.head === 0L)
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 || b > a })
+      // each batch holds <= budget tokens before its last doc joined
+      group.groupBy(_._2).values.foreach { batch =>
+        val toks = batch.map(_._4.toLong)
+        assert(toks.sum - toks.last < 500 || batch.size == 1)
+      }
+    }
+  }
+
   test("buckets are non-negative and bounded") {
     val b = rows(docs.select(Sampling.hashBucket(col("doc_id")).as("b"))
       .agg(min(col("b")), max(col("b")))).head
