@@ -292,6 +292,101 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Connected components over a near-duplicate PAIR list — the step
+    * that turns pairwise matches into dedup decisions. Every document
+    * that appears in `pairs` gets a `cluster_id` = the smallest doc_id
+    * reachable through the match graph, so "keep one document per
+    * duplicate cluster" is `filter(doc_id === cluster_id)` (see
+    * [[canonicalDocs]]).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round updates
+    *   comp(v) <- min( comp(v), min over neighbors u of comp(u) )
+    * and then short-cuts comp(v) <- comp(comp(v)). The neighbor step
+    * alone needs O(diameter) rounds; the pointer jump doubles how far a
+    * label travels per round, giving O(log n) rounds even on adversarial
+    * chain graphs (the Shiloach–Vishkin shortcut, the same idea as the
+    * small-star step of the MapReduce connected-components algorithm).
+    * Real near-dup clusters are near-cliques and converge in 2-3 rounds.
+    *
+    * Scale shape: every round is three hash shuffles on bounded keys
+    * (edge join, per-vertex min, pointer join) — no broadcast of the
+    * vertex set, no driver-side graph. Convergence is detected via
+    * sum(comp): labels only ever decrease, so an unchanged sum means a
+    * fixed point (one cheap agg action per round, no extra self-join).
+    * Each round's labels are localCheckpoint'ed: the plan would otherwise
+    * grow by three joins per round and re-derive every prior round on
+    * each action (a cluster deployment would use a reliable checkpoint
+    * dir on the DFS; the local variant is the single-JVM equivalent).
+    *
+    * Output: (doc_id, cluster_id), one row per distinct doc in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_ONLY) // re-read every round
+    val out =
+      if (edges.isEmpty) {
+        edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+          .limit(0)
+      } else {
+        // Decimal sum: overflow-proof convergence metric for arbitrary
+        // 64-bit ids at arbitrary vertex counts.
+        def labelSum(labels: DataFrame): java.math.BigDecimal =
+          labels.agg(sum(col("comp").cast("decimal(38,0)")))
+            .head.getDecimal(0)
+
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("comp", col("id"))
+          .localCheckpoint()
+        var prevSum = labelSum(labels)
+        var converged = false
+        var rounds = 0
+        // With pointer jumping the round bound is logarithmic; 64 rounds
+        // covers any graph that fits in 2^64 ids. Reaching the cap would
+        // mean a logic bug, not a big input — fail loudly.
+        while (!converged && rounds < 64) {
+          rounds += 1
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min(col("comp")).as("nbr_comp"))
+          val stepped = labels.join(nbrMin, Seq("id"))
+            .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"))
+          val jumped = stepped.as("l")
+            .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("r"),
+              col("l.comp") === col("r.cid"))
+            .select(col("l.id").as("id"), col("ccomp").as("comp"))
+            .localCheckpoint()
+          val s = labelSum(jumped)
+          converged = s.compareTo(prevSum) == 0
+          prevSum = s
+          labels = jumped
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            "duplicateClusters failed to converge in 64 rounds")
+        labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      }
+    edges.unpersist() // `out` is checkpoint-backed; lineage no longer needs edges
+    out
+  }
+
+  /** Dedup decision applied to the corpus: annotate every document with
+    * its duplicate cluster (its own id when it matched nothing) and keep
+    * only the canonical survivor — the smallest doc_id per cluster.
+    * One equi-join against the (small) cluster map; singleton docs never
+    * shuffle wide rows anywhere.
+    */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .filter(col("doc_id") === col("cluster_id"))
+  }
+
   /** 64-bit SimHash over word unigrams: bit j of the signature is the
     * sign of Σ_tokens (±1 depending on bit j of the md5-derived token
     * hash — portable across engines, see `Text.md5Long64`).

@@ -93,6 +93,16 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Near-dup pairs -> connected components -> canonical cluster ids:
+    // the decision step of a dedup run (keep doc_id == cluster_id).
+    // Min-label propagation with pointer jumping; checked against a
+    // DuckDB recursive-CTE transitive closure over the same exact
+    // pair set (the LSH recall argument of q_dedup_minhash applies).
+    "q_dedup_clusters" -> ((s, dir) => {
+      Dedup.duplicateClusters(Dedup.minhashNearDuplicates(docs(s, dir), 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact cosine top-10 for 5 probes over the embedding corpus,
     // map-side-reduced by the bounded-heap TopKAggregator.
     "q_ann_topk" -> ((s, dir) => {
@@ -331,6 +341,19 @@ object LlmQueries {
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
           |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_clusters" ->
+      (ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
+          |  UNION
+          |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
+          |), r AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+          |)
+          |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          |FROM r GROUP BY u ORDER BY doc_id""".stripMargin),
     "q_decontaminate" ->
       (ShingleCte +
         """, leaked AS (

@@ -125,4 +125,34 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     lsh.foreach { case (k, j) => assert(exact(k) === j) }
   }
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    rows(Dedup.duplicateClusters(pairs.toDF("doc_a", "doc_b")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("duplicateClusters: cliques, chains, and disjoint components") {
+    // two disjoint components: a triangle {1,2,3} and an edge {10,11}
+    val c = clustersOf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)))
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // adversarial chain 1-2-3-...-33 descending from the far end:
+    // min-propagation alone needs 32 rounds; pointer jumping must pull
+    // it under the 64-round cap easily and still label everything 1
+    val chain = (1L until 33L).map(i => (i + 1, i))
+    val cc = clustersOf(chain)
+    assert(cc.size === 33 && cc.values.forall(_ == 1L))
+
+    // empty input -> empty output, no crash
+    assert(clustersOf(Seq.empty).isEmpty)
+  }
+
+  test("canonicalDocs keeps exactly one survivor per cluster plus singletons") {
+    val corpus = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = rows(Dedup.canonicalDocs(corpus, pairs)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(kept === Seq(1L, 2L, 3L)) // 4 and 5 collapse into 2
+  }
 }
