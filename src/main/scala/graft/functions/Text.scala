@@ -23,6 +23,23 @@ object Text {
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
       t => length(t) > 0))
 
+  /** All word n-grams WITH multiplicity — unlike `Dedup.shingles`
+    * (which distincts for set-Jaccard), repetition analysis needs the
+    * counts. Same guards as shingles: docs shorter than n tokens yield
+    * an empty array (NOT a descending `sequence(1, 0)` artifact), and
+    * the token array is let-bound through a single-element `transform`
+    * so Catalyst does not inline the tokenizer into every `element_at`.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), w => {
+        val grams = transform(
+          sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))
+        when(size(w) < n, array().cast("array<string>")).otherwise(grams)
+      }),
+      1)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
@@ -93,6 +110,34 @@ object Text {
   def normalizedFingerprint(text: Column): Column =
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** PII-shaped patterns, written to the common subset of Java regex
+    * (Spark) and RE2 (DuckDB, many scanners): no backrefs, no
+    * lookaround, so the SAME pattern string runs in both engines and
+    * the masking is oracle-checkable.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (9+): account-/phone-/ID-shaped. Deliberately no
+    * word-boundary anchors — a digit run embedded in a token is still
+    * masked, which is the conservative choice for training data.
+    */
+  val LongNumberPattern = "[0-9]{9,}"
+
+  /** Redact PII-shaped spans: emails then long digit runs, replaced by
+    * typed placeholder tokens. Pure map-side regexp_replace chain —
+    * codegen'd, scan-speed. This is the deterministic regex tier; an
+    * NER model slots in behind the same column contract.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<ID>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+
+  def longNumberCount(text: Column): Column =
+    regexp_count(text, lit(LongNumberPattern))
 
   private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)
   private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =

@@ -62,4 +62,42 @@ object VectorOps {
   def euclideanDistSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalized copy of the vector (as array<double>), so dot
+    * products downstream ARE cosines — the standard pre-step before
+    * writing an ANN index. A zero-norm vector normalizes to all-zero
+    * rather than raising DIVIDE_BY_ZERO under ANSI mode (consistent
+    * with [[DegenerateCos]]: degenerates stay representable and rank
+    * worst, they never kill the job).
+    */
+  def l2Normalize(a: Column): Column = {
+    val nrm = norm(a)
+    transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0)))
+  }
+
+  /** Symmetric int8 quantization: q_i = floor(x_i * 127 / max|x| + 0.5),
+    * the portable round-half-up (both Spark and DuckDB compute it with
+    * the same IEEE double ops, unlike engine-native round() whose
+    * half-way rule differs). Values land in [-127, 127]; an all-zero
+    * vector quantizes to all-zero (scale guarded, no ANSI error). The
+    * per-vector scale (max|x| / 127) is what a reader needs to
+    * dequantize — emit it alongside via [[quantScale]].
+    *
+    * 4× smaller than float32 — at 100 TB of embeddings this is the
+    * difference between an index that fits executor memory and one
+    * that spills; candidate scoring on int8 then re-ranking survivors
+    * on the float vectors is the standard two-tier layout.
+    */
+  def quantizeInt8(a: Column): Column = {
+    val mx = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+    transform(a, x =>
+      floor(coalesce(try_divide(d(x) * lit(127.0), mx), lit(0.0)) + lit(0.5))
+        .cast("int"))
+  }
+
+  /** Dequantization scale paired with [[quantizeInt8]]: max|x| / 127
+    * (0.0 for an all-zero vector).
+    */
+  def quantScale(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
 }

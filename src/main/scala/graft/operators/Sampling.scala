@@ -43,6 +43,35 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Deterministic per-group quota: keep at most `quota` rows per group,
+    * chosen by the md5 hash of the key — a stable uniform shuffle WITHIN
+    * each group, so the retained subset is unbiased, permanent across
+    * runs/engines, and growing a group never evicts a previously kept
+    * row that still ranks inside the quota. The classic use is corpus
+    * balancing: cap documents per domain / language / source before
+    * training.
+    *
+    * Adds `sample_rank` (1-based position in the group's hash order,
+    * ties broken by the key itself so the rank is total) and keeps rows
+    * with rank <= quota. One shuffle on the group key. At 100 TB the
+    * group column is a bounded-cardinality facet (domain, lang); if one
+    * group is so hot its sort spills, the two-phase remedy is the same
+    * as SkewJoin's: pre-filter per (group, salt) to quota rows map-side,
+    * then re-rank the <= salt*quota survivors — same answer, bounded
+    * partitions.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    require(!df.columns.contains("sample_rank"),
+      "input column 'sample_rank' collides with capPerGroup's output column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Text.md5Long63(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
+
   /** Train/holdout split assignment: adds (bucket, split) columns with
     * `trainPct` buckets of 100 going to "train" and the rest to
     * "holdout". Membership is a pure function of the key — growing the

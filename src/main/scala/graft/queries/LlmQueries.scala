@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Chunking, Dedup, Packing, Repetition, Sampling, Similarity}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -143,6 +143,19 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     }),
 
+    // Embedding storage prep: L2 norm, symmetric int8 quantization and
+    // its dequantization scale. The quantized vector is emitted as a
+    // comma-joined string so the oracle checks every element.
+    "q_embed_quant" -> ((s, dir) => {
+      embs(s, dir).select(
+        col("vec_id"),
+        round(VectorOps.norm(col("embedding")), 6).as("l2_norm"),
+        round(VectorOps.quantScale(col("embedding")), 6).as("q_scale"),
+        array_join(transform(VectorOps.quantizeInt8(col("embedding")),
+          q => q.cast("string")), ",").as("q_vec"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Deterministic train/holdout split: every doc's bucket and split
     // are a pure md5 function of its id — same assignment in DuckDB,
     // hash-checked per row.
@@ -150,6 +163,14 @@ object LlmQueries {
       Sampling.hashSplit(docs(s, dir), "doc_id", trainPct = 90)
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus balancing: cap documents per source at a deterministic
+    // hash-chosen 20 — same survivors every run and every engine.
+    "q_sample_quota" -> ((s, dir) => {
+      Sampling.capPerGroup(docs(s, dir), "source", "doc_id", 20)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
     }),
 
     // Sequence packing: documents fill 2000-token batches per source in
@@ -179,6 +200,37 @@ object LlmQueries {
         col("doc_id"),
         Text.langId(col("text")).as("lang_guess"),
         Text.normalizedFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: 100-token windows, 20-token overlap —
+    // map-side explode, no shuffle (the plan is scan -> generate).
+    "q_text_chunks" -> ((s, dir) => {
+      Chunking.chunkByTokens(docs(s, dir), 100, 20)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // PII redaction: every 10th document gets a deterministic
+    // email+account-number suffix planted, so the masking and the match
+    // counts are exercised on real hits and oracle-checked span-for-span.
+    "q_text_pii" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com ref 1234567890")))
+          .otherwise(col("text")))
+      planted.select(
+        col("doc_id"),
+        Text.emailCount(col("text")).as("n_emails"),
+        Text.longNumberCount(col("text")).as("n_ids"),
+        Text.maskPii(col("text")).as("masked_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style within-document repetition: bigram totals and the
+    // fraction of text consumed by the top / by repeated bigrams.
+    "q_text_rep" -> ((s, dir) => {
+      Repetition.repetitionStats(docs(s, dir), 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -314,6 +366,56 @@ object LlmQueries {
          |)
          |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
          |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(1, greatest(len(w) - 20, 1) + 1, 80)) AS st
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST((st - 1) // 80 AS INT) AS chunk_idx,
+        | array_to_string(list_slice(w, st, least(st + 99, len(w))), ' ') AS chunk_text,
+        | CAST(least(len(w) - st + 1, 100) AS INT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com ref 1234567890'
+        |      ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_ids,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{9,}', '<ID>', 'g') AS masked_text
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "q_text_rep" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM w WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+        |), a AS (
+        |  SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS uniq, MAX(cnt) AS mx,
+        |    SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(a.total, 0) AS INT) AS n_grams,
+        | CAST(COALESCE(a.uniq, 0) AS INT) AS n_unique_grams,
+        | ROUND(COALESCE(a.mx::DOUBLE / a.total, 0.0), 6) AS top_gram_frac,
+        | ROUND(COALESCE(a.dup::DOUBLE / a.total, 0.0), 6) AS dup_gram_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_rolling" ->
       s"""SELECT doc_id,
          | CAST(list_min(list_transform(
@@ -468,6 +570,17 @@ object LlmQueries {
         |SELECT doc_id, source, n_tokens,
         | CAST((cum - n_tokens) // 2000 AS BIGINT) AS batch_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_embed_quant" ->
+      """SELECT vec_id,
+        | ROUND(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        | ROUND(list_max(list_transform(embedding,
+        |   x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS q_scale,
+        | array_to_string(list_transform(embedding,
+        |   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0
+        |     / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+        |     + 0.5) AS INT) AS VARCHAR)), ',') AS q_vec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -478,6 +591,16 @@ object LlmQueries {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 9223372036854775807::UBIGINT), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
+        |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

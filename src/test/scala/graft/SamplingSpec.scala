@@ -66,6 +66,31 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("capPerGroup keeps at most quota rows per group, stable under growth") {
+    val capped = rows(Sampling.capPerGroup(docs, "source", "doc_id", 7)
+      .select(col("source"), col("doc_id"), col("sample_rank")))
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // quota respected and ranks dense from 1
+    capped.groupBy(_._1).values.foreach { g =>
+      assert(g.size <= 7 && g.map(_._3).sorted == (1 to g.size))
+    }
+    // deterministic: same survivors on a repartitioned input
+    val again = rows(Sampling.capPerGroup(docs.repartition(11), "source", "doc_id", 7)
+      .select(col("source"), col("doc_id"), col("sample_rank")))
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet === capped.toSet)
+    // growth monotonicity: a kept row of a SUBSET corpus that still ranks
+    // inside the quota in the full corpus is still kept with rank <= old
+    val subset = rows(Sampling.capPerGroup(
+      docs.filter(col("doc_id") % 2 === 0), "source", "doc_id", 7)
+      .select(col("doc_id"), col("sample_rank")))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = capped.map(c => c._2 -> c._3).toMap
+    full.foreach { case (id, rk) =>
+      if (id % 2 == 0) assert(subset.contains(id) && subset(id) <= rk)
+    }
+  }
+
   test("buckets are non-negative and bounded") {
     val b = rows(docs.select(Sampling.hashBucket(col("doc_id")).as("b"))
       .agg(min(col("b")), max(col("b")))).head

@@ -217,6 +217,84 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(fast(0) === fast(1))
   }
 
+  test("l2Normalize yields unit vectors; zero vector stays zero, never throws") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = rows(vs.select(col("id"),
+      graft.functions.VectorOps.l2Normalize(col("v")).as("n"))
+      .orderBy(col("id")))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(out(0)._2 === Seq(0.6, 0.8))
+    assert(out(1)._2 === Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8: round-half-up symmetric quantization, zero-safe") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = rows(vs.select(col("id"),
+      graft.functions.VectorOps.quantizeInt8(col("v")).as("q"),
+      graft.functions.VectorOps.quantScale(col("v")).as("s"))
+      .orderBy(col("id")))
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(out(0)._2 === Seq(127, -63, 32)) // floor(±x*127+0.5)
+    assert(math.abs(out(0)._3 - 1.0 / 127.0) < 1e-12)
+    assert(out(1)._2 === Seq(0, 0, 0) && out(1)._3 === 0.0)
+  }
+
+  test("chunkByTokens: coverage, overlap, tail handling, short docs") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(150)), // two chunks: [1..100], [81..150]
+      (2L, mk(100)), // exactly one chunk
+      (3L, mk(5))    // shorter than the window: one chunk of 5
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.Chunking.chunkByTokens(docs, 100, 20)
+      .orderBy(col("doc_id"), col("chunk_idx")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) === Seq(0, 1))
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._3.endsWith(" t100") && d1(0)._4 === 100)
+    assert(d1(1)._3.startsWith("t81 ") && d1(1)._3.endsWith(" t150") && d1(1)._4 === 70)
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._3.split(" ").takeRight(20).toSeq === d1(1)._3.split(" ").take(20).toSeq)
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0, mk(100), 100)))
+    assert(out.filter(_._1 == 3L) === Seq((3L, 0, mk(5), 5)))
+  }
+
+  test("maskPii redacts emails and long digit runs, counts match") {
+    import spark.implicits._
+    val t = Seq((1L, "mail bob.smith+x@corp.example.org and acct 12345678901 ok 1234"))
+      .toDF("doc_id", "text")
+    val r = rows(t.select(
+      graft.functions.Text.maskPii(col("text")).as("m"),
+      graft.functions.Text.emailCount(col("text")).as("e"),
+      graft.functions.Text.longNumberCount(col("text")).as("n"))).head
+    assert(r.getString(0) === "mail <EMAIL> and acct <ID> ok 1234")
+    assert(r.getInt(1) === 1 && r.getInt(2) === 1)
+  }
+
+  test("repetitionStats: repeated / unique / short documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),        // bigrams: "a b","b a","a b","b a"
+      (2L, "x y z"),            // "x y","y z" — all unique
+      (3L, "one")               // too short: no bigrams
+    ).toDF("doc_id", "text")
+    val st = rows(graft.operators.Repetition.repetitionStats(docs, 2)
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(st(0) === ((1L, 4, 2, 0.5, 1.0)))
+    assert(st(1) === ((2L, 2, 2, 0.5, 0.0)))
+    assert(st(2) === ((3L, 0, 0, 0.0, 0.0)))
+  }
+
   test("bpeishTokenCount counts words and punctuation separately") {
     val df = Seq((1L, "hello, world!")).toDF("doc_id", "text")
     val n = rows(df.select(Text.bpeishTokenCount(col("text")))).head.getInt(0)
