@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, SkewJoin, Upsert}
+import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
 /** The relational capability envelope (SURVEY.md §2.4-2.9 [E] operators)
@@ -384,6 +385,38 @@ object RelationalQueries {
       c.unionByName(sup).orderBy(col("kind"), col("entity_id"))
     }),
 
+    // Columnar-format transport: write the customer dim to ORC
+    // (overwrite), read it back — the oracle is the plain parquet
+    // table, so a green row proves schema- and value-faithful ORC
+    // round-tripping (the q_stream_load write-then-read pattern).
+    "q_sink_orc" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString + "/customer"
+      Sinks.writeOrc(table(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment")),
+        out)
+      Sources.readOrc(s, out).orderBy(col("c_custkey"))
+    }),
+
+    // Warehouse merge: SCD-1 upsert of a deterministic change batch
+    // (every 7th customer re-priced, every 97th key inserted fresh)
+    // into the customer dimension. LEFT ANTI + union — the update
+    // batch is small, so Catalyst broadcasts the anti join.
+    "q_upsert" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("c_acctbal"))
+      val changed = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val fresh = cust.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEW").as("c_name"), lit(0.0).as("c_acctbal"))
+      Upsert.upsert(cust, changed.unionByName(fresh), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // U2 intersect (set semantics both engines).
     "q_intersect" -> ((s, dir) => {
       table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -667,6 +700,24 @@ object RelationalQueries {
         |UNION ALL
         |SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS kind FROM supplier
         |ORDER BY kind, entity_id""".stripMargin,
+    "q_sink_orc" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        | c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', 0.0
+        |  FROM customer WHERE c_custkey % 97 = 0
+        |)
+        |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal FROM (
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd
+        |) ORDER BY c_custkey""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

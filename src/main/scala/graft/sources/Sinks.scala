@@ -31,6 +31,16 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Columnar ORC write (overwrite, optionally partitioned) — same
+    * curated-zone layout contract as [[writeCuratedParquet]] for
+    * deployments whose lake standard is ORC.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** Idempotent DDL (`etl_dag.py:116-139`, `:266-280`): CREATE TABLE IF
     * NOT EXISTS against the session catalog, parquet-backed.
     */

@@ -50,6 +50,14 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.queries.QueryUtil.table(spark, sfDir, name)
 
+  /** Columnar ORC read — the second columnar lake format Spark ships
+    * natively. Schema travels in the files (like parquet), so no
+    * explicit schema argument; predicate pushdown and column pruning
+    * reach the ORC reader exactly as they do the parquet one.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC scan shape (S7): reads a table back from an RDBMS with
     * partitioned parallelism. Not exercised in the offline harness (no
     * database), but this is the complete call surface.

@@ -72,4 +72,24 @@ class SinksSpec extends SparkTestBase {
     assert(pf.contains("ingest_date"),
       s"partition filter did not reach the scan:\n$ex")
   }
+
+  test("ORC round-trip preserves schema and rows; partitioned ORC prunes at the scan") {
+    val dir = Files.createTempDirectory("orc").toString + "/station"
+    val src = curated.withColumn("shard", col("station_id") % 2)
+    Sinks.writeOrc(src, dir, Seq("shard"))
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() === src.count())
+    assert(back.columns.sorted === src.columns.sorted)
+    // overwrite replaces (no stale rows from a prior shape)
+    Sinks.writeOrc(src.limit(2).withColumn("shard", lit(0L)), dir, Seq("shard"))
+    assert(Sources.readOrc(spark, dir).count() === 2)
+    // partition pruning reaches the ORC scan exactly as it does parquet
+    Sinks.writeOrc(src, dir, Seq("shard"))
+    val pruned = Sources.readOrc(spark, dir).filter(col("shard") === 0L)
+    val ex = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(ex).map(_.group(1)).getOrElse("")
+    assert(pf.contains("shard"),
+      s"partition filter did not reach the ORC scan:\n$ex")
+  }
 }
