@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-statistics-weighted term scoring: the top-k characteristic
+  * terms per document by tf·idf — keyword extraction / topic tagging
+  * over a training corpus.
+  *
+  * idf is the RATIONAL variant N/df, not ln(N/df), deliberately: tf, N
+  * and df are integer-valued, so tf·N/df is a single IEEE division any
+  * engine computes bit-identically, while ln's last-ulp wobble across
+  * libm implementations would make cross-engine parity flaky. For a
+  * FIXED term the two rank documents identically (both monotone in tf);
+  * across terms the rational variant weighs rarity more steeply — fine
+  * for top-k extraction, and documented as the contract.
+  *
+  * Scale shape: tf = groupBy(doc, term) and df = groupBy(term) both
+  * partial-aggregate map-side before their shuffle, so the Zipf head
+  * ("the" in every task) collapses to one row per partition before the
+  * exchange. The tf⋈df join matches each tf row against exactly one
+  * vocab row — no fan-out; the term key is Zipf-skewed in ROW count,
+  * which AQE's skew-join splitting absorbs (the build rows stay one per
+  * key regardless). The doc count joins in as a broadcast 1-row frame,
+  * keeping the whole operator lazy — no driver-side count() action.
+  */
+object TfIdf {
+
+  /** Output: (doc_id, term, score, term_rank), `k` rows per document,
+    * rank ordered by (score desc, term) — total and deterministic.
+    */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * col("n_docs").cast("double") / col("df"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("term_rank"))
+  }
+}

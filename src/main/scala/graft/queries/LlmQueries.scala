@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Packing, Repetition, Sampling, Similarity}
+import graft.operators.{Chunking, Dedup, Packing, Repetition, Sampling, Similarity, TfIdf}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -100,6 +100,16 @@ object LlmQueries {
     // pair set (the LSH recall argument of q_dedup_minhash applies).
     "q_dedup_clusters" -> ((s, dir) => {
       Dedup.duplicateClusters(Dedup.minhashNearDuplicates(docs(s, dir), 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The full dedup DECISION end-to-end: pairs -> clusters -> keep the
+    // smallest doc per cluster plus every unmatched singleton. Output
+    // is the surviving doc_id list — what a dedup run actually writes.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.canonicalDocs(d, Dedup.minhashNearDuplicates(d, 0.8))
+        .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -201,6 +211,14 @@ object LlmQueries {
         Text.langId(col("text")).as("lang_guess"),
         Text.normalizedFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-weighted keywords: top-3 terms per document by the
+    // rational tf-idf (tf * N / df — integer-valued operands, so the
+    // score is bit-identical across engines; see TfIdf's Scaladoc).
+    "q_text_tfidf" -> ((s, dir) => {
+      TfIdf.topTerms(docs(s, dir), 3)
+        .orderBy(col("doc_id"), col("term_rank"))
     }),
 
     // Context-window chunking: 100-token windows, 20-token overlap —
@@ -366,6 +384,27 @@ object LlmQueries {
          |)
          |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
          |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * (SELECT n_docs FROM n)::DOUBLE / dfreq.df, 6) AS score
+        |  FROM tf JOIN dfreq USING (term)
+        |), r AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, score, CAST(term_rank AS INT) AS term_rank
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "q_text_chunks" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -456,6 +495,22 @@ object LlmQueries {
           |)
           |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
           |FROM r GROUP BY u ORDER BY doc_id""".stripMargin),
+    "q_dedup_canonical" ->
+      (ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
+          |  UNION
+          |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
+          |), r AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (
+          |  SELECT u FROM r GROUP BY u HAVING MIN(v) < u
+          |)
+          |ORDER BY doc_id""".stripMargin),
     "q_decontaminate" ->
       (ShingleCte +
         """, leaked AS (

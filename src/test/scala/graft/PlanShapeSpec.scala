@@ -172,4 +172,27 @@ class PlanShapeSpec extends SparkTestBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n === 1, s"as-of should shuffle once, found $n:\n$p")
   }
+
+  test("chunkByTokens is map-side only: scan -> generate, zero exchanges") {
+    val df = graft.operators.Chunking.chunkByTokens(
+      spark.read.parquet(s"$Sf/documents.parquet"), 100, 20)
+    val p = planString(df)
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q_upsert: the anti join broadcasts the small update-key side") {
+    val p = plan("q_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"upsert anti join should broadcast the update keys:\n$p")
+  }
+
+  test("capPerGroup plans one exchange on the group key (single ranking window)") {
+    val df = graft.operators.Sampling.capPerGroup(
+      spark.read.parquet(s"$Sf/documents.parquet"), "source", "doc_id", 5)
+    val p = planString(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n === 1, s"quota sampling should shuffle once, found $n:\n$p")
+  }
 }

@@ -247,6 +247,26 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out(1)._2 === Seq(0, 0, 0) && out(1)._3 === 0.0)
   }
 
+  test("tfIdf topTerms: rare terms outrank common ones, ranks dense, k respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare common"), // tf(common)=3 df=3; tf(rare)=1 df=1
+      (2L, "common word word"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.TfIdf.topTerms(docs, 2)
+      .orderBy(col("doc_id"), col("term_rank")))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // doc 1: rare scores 1*3/1=3.0 beats common 3*3/3=3.0? tie -> term asc
+    // common=3.0, rare=3.0 -> 'common' < 'rare' alphabetically
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)) ===
+      Seq(("common", 3.0, 1), ("rare", 3.0, 2)))
+    // doc 2: word 2*3/1=6.0 beats common 1*3/3=1.0
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)) ===
+      Seq(("word", 6.0, 1), ("common", 1.0, 2)))
+    assert(out.count(_._1 == 3L) === 2)
+  }
+
   test("chunkByTokens: coverage, overlap, tail handling, short docs") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
