@@ -108,6 +108,50 @@ object StreamQueries {
         .orderBy(col("hour_start"), col("station_id"))
     }),
 
+    // Stream-static join: the deduped update stream enriched with a
+    // small batch dimension (broadcast per micro-batch, no state
+    // store). Station 19179944124 is deliberately absent from the dim —
+    // the LEFT join must carry it with a NULL district, not drop it.
+    "q_stream_enrich" -> ((s, _) => {
+      import s.implicits._
+      val dim = Seq(
+        (99950133L, "paris-11"), (213688169L, "paris-16")
+      ).toDF("station_id", "district")
+      runToBatch(s,
+        Streams.enrichWithDim(
+          Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),
+          dim, "station_id"))
+        .select(col("station_id"), col("district"),
+          col("num_bikes_available"), col("last_reported"))
+        .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // Streaming CDC merge: one file per micro-batch, each
+    // foreachBatch-merged into a latest-row-per-station parquet target;
+    // the final target IS the result. Timestamp-keyed merge semantics —
+    // see Streams.streamingLatestMerge.
+    "q_stream_upsert" -> ((s, _) => {
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_merge_").toString + "/target"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_merge_ckpt_").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val raw = s.readStream.schema(Schemas.velibRaw)
+          .option("maxFilesPerTrigger", 1) // force one batch per fixture file
+          .json(StationsDir)
+        val q = Streams.streamingLatestMerge(
+          Streams.dedupedStationUpdates(raw),
+          "station_id", "last_reported", outDir, ckpt).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(outDir)
+        .select(col("station_id"), col("num_bikes_available"),
+          col("num_docks_available"), col("last_reported"))
+        .orderBy(col("station_id"))
+    }),
+
     // ST5 foreachBatch checkpointed load: the stream lands in an
     // arbitrary BATCH sink (parquet append here, standing in for the
     // reference's warehouse load), then the landed table is read back
@@ -155,6 +199,24 @@ object StreamQueries {
         | (CAST(19179944124 AS BIGINT), 11, 9, 1, 0, 1, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
         |) AS t(station_id, num_bikes_available, num_docks_available, is_installed, is_returning, is_renting, last_reported)
         |ORDER BY station_id, last_reported""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 'paris-11', 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP)),
+        | (CAST(99950133 AS BIGINT), 'paris-11', 3, CAST('2024-02-01 01:10:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 'paris-16', 5, CAST('2024-01-31 23:50:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 'paris-16', 4, CAST('2024-02-01 00:50:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 'paris-16', 0, CAST('2024-02-01 01:15:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), CAST(NULL AS VARCHAR), 12, CAST('2024-01-31 22:45:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), CAST(NULL AS VARCHAR), 11, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
+        |) AS t(station_id, district, num_bikes_available, last_reported)
+        |ORDER BY station_id, last_reported""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 3, 22, CAST('2024-02-01 01:10:00' AS TIMESTAMP)),
+        | (CAST(213688169 AS BIGINT), 0, 35, CAST('2024-02-01 01:15:00' AS TIMESTAMP)),
+        | (CAST(19179944124 AS BIGINT), 11, 9, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
+        |) AS t(station_id, num_bikes_available, num_docks_available, last_reported)
+        |ORDER BY station_id""".stripMargin,
     "q_stream_stockouts" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 'restock', CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3),

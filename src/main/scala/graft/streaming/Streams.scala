@@ -213,6 +213,61 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Stream-STATIC join: enrich a stream with a batch dimension table.
+    * A third join class next to J7's stream-stream and the batch joins:
+    * the static side is re-planned per micro-batch (broadcast here —
+    * dimension tables are small by construction), NO state store is
+    * involved and neither side buffers, so the operator adds zero
+    * streaming state at any scale. LEFT join: an update whose key the
+    * dimension lacks still flows, carrying nulls — enrichment must
+    * never drop facts.
+    */
+  def enrichWithDim(updates: DataFrame, dim: DataFrame, key: String): DataFrame =
+    updates.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming CDC merge: maintain a latest-row-per-key table from a
+    * stream of keyed, timestamped updates — one foreachBatch MERGE per
+    * micro-batch, `merged = latest-per-key(target ∪ batch)`.
+    *
+    * Keying the merge on (key, event time) instead of blind key-
+    * overwrite makes it robust to out-of-order arrival ACROSS batches:
+    * a straggler older than the target's current row loses by
+    * timestamp, where an SCD-1 overwrite ([[graft.operators.Upsert]],
+    * correct for ordered batch feeds) would regress the row. Ties on
+    * (key, ts) must be unique upstream — [[dedupedStationUpdates]]
+    * guarantees exactly that key.
+    *
+    * The parquet target is read-modify-write: the merged frame is
+    * localCheckpoint'ed (materialized) BEFORE the overwrite because its
+    * plan reads the very files being replaced. A warehouse target runs
+    * the same callback as an idempotent MERGE, which also upgrades the
+    * checkpoint's at-least-once to exactly-once.
+    */
+  def streamingLatestMerge(
+      updates: DataFrame, key: String, ts: String,
+      targetPath: String, checkpoint: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val target =
+          try s.read.parquet(targetPath)
+          catch { // first batch: no target yet
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") =>
+              s.createDataFrame(
+                new java.util.ArrayList[Row](), batch.schema)
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(ts).desc)
+        val merged = target.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(targetPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** ST5 — `foreachBatch` load: route each micro-batch through an
     * arbitrary BATCH sink — the streaming form of the reference's
     * warehouse load step (`s3_to_postgres.py:76-82` would be

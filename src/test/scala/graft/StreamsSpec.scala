@@ -189,4 +189,50 @@ class StreamsSpec extends SparkTestBase {
     assert(!q.isActive) // AvailableNow terminates on its own
     assert(spark.read.parquet(outP).count() === 2)
   }
+
+  test("stream-static enrichment: left join keeps facts missing from the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dim = Seq((1L, "north")).toDF("station_id", "district")
+    val out = Streams.enrichWithDim(
+      Streams.dedupedStationUpdates(jsonStream(mem, Schemas.velibRaw)),
+      dim, "station_id")
+    val q = out.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(snap1); q.processAllAvailable()
+      val got = rows(spark.table("enrich_t")
+        .select(col("station_id"), col("district")))
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("north"), 2L -> None))
+    } finally { q.stop(); spark.catalog.dropTempView("enrich_t") }
+  }
+
+  test("streamingLatestMerge: cross-batch straggler never regresses the target") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("merge_t").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge_c").toString
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val updates = mem.toDF()
+      .toDF("station_id", "num_bikes_available", "last_reported")
+      .withWatermark("last_reported", "2 hours")
+    def runBatch(data: (Long, Int, Timestamp)*): Unit = {
+      mem.addData(data: _*)
+      val q = Streams.streamingLatestMerge(
+        updates, "station_id", "last_reported", target, ckpt).start()
+      q.awaitTermination(60000)
+    }
+    val t0 = new Timestamp(1706745000000L)
+    val t1 = new Timestamp(1706748600000L)
+    runBatch((1L, 5, t1), (2L, 3, t0))
+    // batch 2 carries a STRAGGLER for station 1 (older than the target
+    // row) and a genuine update for station 2 — timestamp-keyed merge
+    // must keep station 1 at t1 and advance station 2
+    runBatch((1L, 9, t0), (2L, 7, t1))
+    val got = rows(spark.read.parquet(target)
+      .select(col("station_id"), col("num_bikes_available"), col("last_reported")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    assert(got === Set((1L, 5, t1), (2L, 7, t1)))
+  }
 }
