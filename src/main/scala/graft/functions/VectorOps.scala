@@ -70,10 +70,16 @@ object VectorOps {
     * with [[DegenerateCos]]: degenerates stay representable and rank
     * worst, they never kill the job).
     */
-  def l2Normalize(a: Column): Column = {
-    val nrm = norm(a)
-    transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0)))
-  }
+  def l2Normalize(a: Column): Column =
+    // The norm is LET-BOUND as a single-element array's lambda variable:
+    // referencing the aggregate Column directly inside the per-element
+    // lambda would inline the O(d) subtree into every element (Catalyst
+    // substitutes, it does not let-bind) — O(d²) per vector, the same
+    // trap Text.ngrams documents. Bound this way it evaluates once.
+    element_at(
+      transform(array(norm(a)), nrm =>
+        transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0)))),
+      1)
 
   /** Symmetric int8 quantization: q_i = floor(x_i * 127 / max|x| + 0.5),
     * the portable round-half-up (both Spark and DuckDB compute it with
@@ -88,16 +94,21 @@ object VectorOps {
     * that spills; candidate scoring on int8 then re-ranking survivors
     * on the float vectors is the standard two-tier layout.
     */
-  def quantizeInt8(a: Column): Column = {
-    val mx = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
-    transform(a, x =>
-      floor(coalesce(try_divide(d(x) * lit(127.0), mx), lit(0.0)) + lit(0.5))
-        .cast("int"))
-  }
+  def quantizeInt8(a: Column): Column =
+    // max|x| let-bound like l2Normalize's norm — once per vector, not
+    // once per element.
+    element_at(
+      transform(array(maxAbs(a)), mx =>
+        transform(a, x =>
+          floor(coalesce(try_divide(d(x) * lit(127.0), mx), lit(0.0)) + lit(0.5))
+            .cast("int"))),
+      1)
+
+  private def maxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
 
   /** Dequantization scale paired with [[quantizeInt8]]: max|x| / 127
     * (0.0 for an all-zero vector).
     */
-  def quantScale(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x)))) / lit(127.0)
+  def quantScale(a: Column): Column = maxAbs(a) / lit(127.0)
 }

@@ -324,9 +324,14 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
+    // Re-read every round; MEMORY_AND_DISK (not MEMORY_ONLY like the
+    // cheap banded-signature cache): `pairs` is typically the output of
+    // the full MinHash/LSH pipeline, so an evicted partition would
+    // re-run shingling + signatures on every one of the O(log n)
+    // rounds — one spill bounds that.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_ONLY) // re-read every round
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val out =
       if (edges.isEmpty) {
         edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))

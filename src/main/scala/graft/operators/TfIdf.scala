@@ -38,8 +38,10 @@ object TfIdf {
       explode(Text.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per distinct (doc, term) already) —
+    // NOT from a second tokenize+explode+distinct over the corpus,
+    // which would scan everything twice and add a distinct exchange.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

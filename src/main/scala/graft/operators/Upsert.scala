@@ -27,7 +27,12 @@ object Upsert {
 
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
-    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates)
+    // Null-SAFE key equality (<=>): plain join equality never matches a
+    // NULL key, so a base row and an update row both keyed NULL would
+    // otherwise BOTH survive — the anti join must consider them the
+    // same key for "matched keys take the update row" to hold.
+    val updKeys = updates.select(keys.map(col): _*)
+    val cond = keys.map(k => base(k) <=> updKeys(k)).reduce(_ && _)
+    base.join(updKeys, cond, "left_anti").unionByName(updates)
   }
 }

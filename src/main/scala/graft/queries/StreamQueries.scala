@@ -146,7 +146,7 @@ object StreamQueries {
           "station_id", "last_reported", outDir, ckpt).start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(outDir)
+      Streams.readLatestMergeTarget(s, outDir)
         .select(col("station_id"), col("num_bikes_available"),
           col("num_docks_available"), col("last_reported"))
         .orderBy(col("station_id"))

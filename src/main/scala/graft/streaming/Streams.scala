@@ -237,36 +237,87 @@ object Streams {
     * (key, ts) must be unique upstream — [[dedupedStationUpdates]]
     * guarantees exactly that key.
     *
-    * The parquet target is read-modify-write: the merged frame is
-    * localCheckpoint'ed (materialized) BEFORE the overwrite because its
-    * plan reads the very files being replaced. A warehouse target runs
-    * the same callback as an idempotent MERGE, which also upgrades the
-    * checkpoint's at-least-once to exactly-once.
+    * Durability: a bare `mode("overwrite")` of the target would delete
+    * the rows being merged before the replacement is durable — a crash
+    * mid-write loses them, and the streaming checkpoint's replay would
+    * then merge against a truncated target. Instead each batch commits
+    * a two-phase VERSIONED snapshot: write the full merged table to an
+    * immutable `v<batchId>` directory, then atomically swing the
+    * `_LATEST` pointer file onto it (create-temp + rename-OVERWRITE —
+    * atomic on HDFS/local/object stores with atomic rename). Crash
+    * windows: during the snapshot write, the pointer still names the
+    * old version and the uncommitted batch replays cleanly; between
+    * pointer swing and checkpoint commit, the replay re-merges against
+    * the already-merged target — idempotent by construction (the merge
+    * is a set-level latest-per-key). Superseded snapshots are GC'd
+    * best-effort after the swing. Single writer assumed (AvailableNow
+    * per-run semantics); a transactional table format replaces all of
+    * this with a MERGE when one is available.
     */
   def streamingLatestMerge(
       updates: DataFrame, key: String, ts: String,
       targetPath: String, checkpoint: String): DataStreamWriter[Row] =
     updates.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val target =
-          try s.read.parquet(targetPath)
-          catch { // first batch: no target yet
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") =>
-              s.createDataFrame(
-                new java.util.ArrayList[Row](), batch.schema)
-          }
+        val root = new org.apache.hadoop.fs.Path(targetPath)
+        val conf = s.sessionState.newHadoopConf()
+        val fs = root.getFileSystem(conf)
+        val current = latestVersion(fs, root)
+        val target = current match {
+          case Some(v) =>
+            s.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
+          case None =>
+            s.createDataFrame(new java.util.ArrayList[Row](), batch.schema)
+        }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key)).orderBy(col(ts).desc)
         val merged = target.unionByName(batch)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        merged.localCheckpoint(true)
-          .write.mode("overwrite").parquet(targetPath)
+        val version = s"v$batchId"
+        // Materialize before writing: on a replay-after-pointer-swing
+        // the snapshot dir being (re)written IS the one just read.
+        merged.localCheckpoint(true).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
+        val tmp = new org.apache.hadoop.fs.Path(root, "_LATEST.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+          .rename(tmp, new org.apache.hadoop.fs.Path(root, "_LATEST"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        current.filter(_ != version).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** Resolve the current committed snapshot of a [[streamingLatestMerge]]
+    * target. Fails if no batch has committed yet.
+    */
+  def readLatestMergeTarget(spark: SparkSession, targetPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $targetPath (no _LATEST pointer)"))
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
+  }
+
+  private def latestVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
 
   /** ST5 — `foreachBatch` load: route each micro-batch through an
     * arbitrary BATCH sink — the streaming form of the reference's

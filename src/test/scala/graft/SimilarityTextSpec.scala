@@ -273,7 +273,9 @@ class SimilarityTextSpec extends SparkTestBase {
     val docs = Seq(
       (1L, mk(150)), // two chunks: [1..100], [81..150]
       (2L, mk(100)), // exactly one chunk
-      (3L, mk(5))    // shorter than the window: one chunk of 5
+      (3L, mk(5)),   // shorter than the window: one chunk of 5
+      (4L, "")       // empty text: split('',' ') = [''] in Spark AND
+                     // DuckDB -> one chunk of n_tokens 1, both engines
     ).toDF("doc_id", "text")
     val out = rows(graft.operators.Chunking.chunkByTokens(docs, 100, 20)
       .orderBy(col("doc_id"), col("chunk_idx")))
@@ -286,6 +288,7 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(d1(0)._3.split(" ").takeRight(20).toSeq === d1(1)._3.split(" ").take(20).toSeq)
     assert(out.filter(_._1 == 2L) === Seq((2L, 0, mk(100), 100)))
     assert(out.filter(_._1 == 3L) === Seq((3L, 0, mk(5), 5)))
+    assert(out.filter(_._1 == 4L) === Seq((4L, 0, "", 1)))
   }
 
   test("maskPii redacts emails and long digit runs, counts match") {

@@ -230,9 +230,12 @@ class StreamsSpec extends SparkTestBase {
     // row) and a genuine update for station 2 — timestamp-keyed merge
     // must keep station 1 at t1 and advance station 2
     runBatch((1L, 9, t0), (2L, 7, t1))
-    val got = rows(spark.read.parquet(target)
+    val got = rows(Streams.readLatestMergeTarget(spark, target)
       .select(col("station_id"), col("num_bikes_available"), col("last_reported")))
       .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
     assert(got === Set((1L, 5, t1), (2L, 7, t1)))
+    // exactly one committed snapshot remains after GC (plus the pointer)
+    val files = new java.io.File(target).listFiles().map(_.getName).toSet
+    assert(files.count(_.startsWith("v")) === 1, s"snapshot GC left: $files")
   }
 }
