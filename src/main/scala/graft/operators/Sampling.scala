@@ -43,6 +43,27 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Permanent uniform draw in [0, 1) per key: the 63-bit md5 hash over
+    * 2^63 (Long.MaxValue.toDouble rounds to exactly 2^63, and DuckDB's
+    * `/ 9223372036854775808.0` parses to the same double, so the quotient
+    * is bit-identical cross-engine).
+    */
+  def hashUnit(key: Column): Column =
+    Text.md5Long63(key.cast("string")).cast("double") / lit(Long.MaxValue.toDouble)
+
+  /** Deterministic weighted (Bernoulli) sampling: keep a row iff
+    * u(key) < weight — per-row keep probability equals `weight` (a
+    * column in [0, 1]; values outside clamp naturally: <=0 never keeps,
+    * >=1 always keeps). The draw is a pure function of the key, so
+    * decisions are reproducible across runs, engines, and partitionings,
+    * and re-sampling a grown corpus never flips an existing row. Pure
+    * map-side filter — scan-speed at any scale. The standard
+    * quality-weighted corpus downsampling step (weight = a quality
+    * score, keep good documents proportionally more often).
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(hashUnit(col(keyCol)) < weight)
+
   /** Deterministic per-group quota: keep at most `quota` rows per group,
     * chosen by the md5 hash of the key — a stable uniform shuffle WITHIN
     * each group, so the retained subset is unbiased, permanent across

@@ -175,6 +175,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-weighted downsampling: each doc kept with probability
+    // equal to its type-token ratio — deterministic md5 draw per key,
+    // identical decision in DuckDB.
+    "q_sample_weighted" -> ((s, dir) => {
+      Sampling.sampleByWeight(docs(s, dir), "doc_id",
+        Text.typeTokenRatio(col("text")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus balancing: cap documents per source at a deterministic
     // hash-chosen 20 — same survivors every run and every engine.
     "q_sample_quota" -> ((s, dir) => {
@@ -646,6 +656,13 @@ object LlmQueries {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id FROM documents
+        |WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |    & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
+        |  < len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' '))
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -91,6 +91,20 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("sampleByWeight: 0 keeps nothing, 1 keeps all, decisions stable and unbiased-ish") {
+    assert(Sampling.sampleByWeight(docs, "doc_id", lit(0.0)).count() === 0)
+    assert(Sampling.sampleByWeight(docs, "doc_id", lit(1.0)).count() === docs.count())
+    val half = rows(Sampling.sampleByWeight(docs, "doc_id", lit(0.5))
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    // deterministic under repartitioning
+    val again = rows(Sampling.sampleByWeight(docs.repartition(9), "doc_id", lit(0.5))
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(again === half)
+    // roughly half (uniform draw; corpus of a few hundred docs)
+    val n = docs.count().toDouble
+    assert(half.size > n * 0.35 && half.size < n * 0.65, s"${half.size} of $n")
+  }
+
   test("buckets are non-negative and bounded") {
     val b = rows(docs.select(Sampling.hashBucket(col("doc_id")).as("b"))
       .agg(min(col("b")), max(col("b")))).head
