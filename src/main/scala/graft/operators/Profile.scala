@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column profiling / data-quality statistics — the first pass any
+  * pipeline runs over a new 100 TB drop before trusting it: row and
+  * null counts, ranges, and value-distribution histograms.
+  *
+  * Both operators are single-scan: `numericProfile` folds every metric
+  * for every requested column into ONE aggregate (map-side partials, a
+  * single 1-row exchange), then reshapes the 1-row result to
+  * per-column rows driver-free; `histogram` is a map-side bucket
+  * projection plus one bounded aggregate. Neither shape changes with
+  * data volume — the only thing that crosses the wire is the profile
+  * itself.
+  */
+object Profile {
+
+  /** One profile row per requested numeric column:
+    * (col_name, n_rows, n_null, min_val, max_val, avg_val), doubles
+    * rounded to 6 places. All columns are profiled in a single pass —
+    * one aggregate node computes 5 × |cols| partial aggregates, so the
+    * input is scanned once no matter how many columns are profiled.
+    *
+    * The mean sums through DECIMAL(28,6), not double: double addition
+    * is not associative, so a raw `avg` depends on partition merge
+    * order and would differ run-to-run and engine-to-engine. The
+    * decimal sum is exact (and the profile deterministic) for inputs
+    * with up to 6 fractional decimal digits — the contract documented
+    * here; wider inputs round at the 6th place per row.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nn"),
+        round(min(col(c)).cast("double"), 6).as(s"${c}__mn"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}__mx"),
+        round(sum(col(c).cast(DecimalType(28, 6))).cast("double")
+          / count(col(c)), 6).as(s"${c}__av"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // Reshape the 1-row wide frame to per-column rows with an inline
+    // array of structs — a pure projection + generate on one row, no
+    // shuffle and no driver round-trip.
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nn").as("n_null"),
+        col(s"${c}__mn").as("min_val"),
+        col(s"${c}__mx").as("max_val"),
+        col(s"${c}__av").as("avg_val"))
+    }: _*)
+    wide.select(explode(rows).as("p")).select(col("p.*"))
+  }
+
+  /** Fixed-bound equi-width histogram of `c` over [lo, hi): bucket i
+    * covers [lo + i·w, lo + (i+1)·w) with w = (hi - lo) / nBuckets.
+    * Values below `lo` clamp into bucket 0, values at or above `hi`
+    * into the last bucket (so totals always reconcile with the row
+    * count); NULLs are dropped. Every bucket is emitted, zero counts
+    * included — the bucket spine is a `spark.range(nBuckets)` LEFT
+    * join, so downstream charting never has to infer gaps.
+    *
+    * Bounds are explicit parameters, not a pre-scan min/max: at scale
+    * the caller profiles once ([[numericProfile]]) and then histograms
+    * with stable bounds, keeping this operator one-pass and its bucket
+    * arithmetic engine-portable (literal subtraction, one division, one
+    * floor — each correctly rounded IEEE ops).
+    */
+  def histogram(
+      df: DataFrame, c: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(
+      greatest(floor((col(c).cast("double") - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    val counts = df.filter(col(c).isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(nBuckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        round(lit(lo) + col("bucket") * width, 6).as("bucket_lo"),
+        round(lit(lo) + (col("bucket") + 1) * width, 6).as("bucket_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+}

@@ -93,6 +93,49 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Temperature resampling: rebalance a grouped corpus (languages,
+    * domains, sources) toward the flattened distribution p_g ∝ n_g^alpha
+    * by keeping each row of group g with probability
+    * (n_min / n_g)^(1 - alpha) — 1 for the smallest group, shrinking for
+    * larger ones, so the expected kept counts follow the tempered
+    * shares. The standard multilingual-mix step (alpha = 1 keeps
+    * everything; alpha → 0 equalizes groups).
+    *
+    * The draw is [[hashUnit]] of the row key, so decisions are permanent
+    * across runs/engines/partitionings. alpha = 0.5 computes the rate
+    * via `sqrt`, which IEEE requires to be correctly rounded — the rate,
+    * and therefore every keep decision, is bit-identical on any engine
+    * (the DuckDB oracle re-derives it exactly); other alphas go through
+    * `pow`, whose last-ulp wobble is documented as engine-specific.
+    *
+    * Scale shape: one partial-combined count per group (bounded facet
+    * cardinality), the per-group rates broadcast back onto the corpus,
+    * and the filter itself is map-side — no shuffle touches the data
+    * rows. Adds `keep_rate`; group-count scratch columns stay internal.
+    */
+  def temperatureResample(
+      df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    Seq("keep_rate", "__n_grp", "__n_min").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with temperatureResample's columns")
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
+    // Global min as a broadcast 1-row frame (the TfIdf.nDocs idiom):
+    // keeps the operator lazy — no driver-side action — and avoids a
+    // single-partition window.
+    val nMin = counts.agg(min(col("__n_grp")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n_grp")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol), rate.as("keep_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashUnit(col(keyCol)) < col("keep_rate"))
+  }
+
   /** Train/holdout split assignment: adds (bucket, split) columns with
     * `trainPct` buckets of 100 going to "train" and the rest to
     * "holdout". Membership is a pure function of the key — growing the

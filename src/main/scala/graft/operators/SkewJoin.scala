@@ -70,4 +70,31 @@ object SkewJoin {
     (if (skewedKey == otherKey) joined.drop(fanned(otherKey)) else joined)
       .drop("__salt_s", "__salt_o")
   }
+
+  /** Heavy-hitter diagnostic for a join/aggregation key: the `topN`
+    * hottest key values with their row count and share of the table —
+    * the measurement that decides whether a key needs [[saltedEquiJoin]]
+    * or AQE skew handling at all, and the per-domain/per-source volume
+    * report a corpus pipeline publishes each drop.
+    *
+    * Scale shape: one partial-combined count per key (the hot key
+    * collapses to one row per partition map-side), the global total
+    * joins in as a broadcast 1-row frame (lazy — no driver action), and
+    * the top-N is `TakeOrderedAndProject` — N rows per partition cross
+    * the wire, never the key dictionary. Output:
+    * (keyCol, cnt, share), ordered (cnt desc, key) — total and
+    * deterministic.
+    */
+  def keySkewStats(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col(keyCol),
+        col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+  }
 }

@@ -53,4 +53,31 @@ object TfIdf {
       .filter(col("term_rank") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("term_rank"))
   }
+
+  /** Corpus-wide vocabulary statistics: the `k` most frequent word
+    * n-grams with their total occurrence count and document frequency —
+    * the inspection step before choosing stopword lists, tokenizer
+    * merges, or boilerplate filters for a training corpus.
+    *
+    * Scale shape: explode → ONE codegen'd HashAggregate on the gram (the
+    * (gram, doc) document-frequency side piggybacks as
+    * `count distinct`-free two-level agg), partial map-side combine
+    * collapses the Zipf head before the exchange, and the final top-k is
+    * a `TakeOrderedAndProject` — k rows per partition cross the wire,
+    * never the vocabulary. Output: (gram, n_occurrences, n_docs),
+    * ordered (n_occurrences desc, gram) — total and deterministic.
+    */
+  def corpusTopNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col("doc_id"), explode(Text.ngrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gram"))
+      .agg(sum(col("cnt")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -193,6 +193,24 @@ object LlmQueries {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    // Temperature resampling toward the alpha=0.5 language mix: each
+    // doc kept iff its md5 draw falls under its language's
+    // sqrt(n_min/n_lang) rate — sqrt is correctly rounded IEEE, so rate
+    // and decision are bit-identical in DuckDB.
+    "q_sample_temp" -> ((s, dir) => {
+      Sampling.temperatureResample(docs(s, dir), "lang", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("lang"),
+          round(col("keep_rate"), 6).as("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary report: top-20 bigrams by total occurrences
+    // with document frequency — two partial-combined aggregates and a
+    // TakeOrderedAndProject; the vocabulary never crosses the wire.
+    "q_vocab_top" -> ((s, dir) => {
+      TfIdf.corpusTopNgrams(docs(s, dir), 2, 20)
+    }),
+
     // Sequence packing: documents fill 2000-token batches per source in
     // doc_id order — one window shuffle, deterministic assignment.
     "q_pack_batches" -> ((s, dir) => {
@@ -663,6 +681,32 @@ object LlmQueries {
         |  < len(list_distinct(string_split(text, ' ')))::DOUBLE
         |    / len(string_split(text, ' '))
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_temp" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |), m AS (
+        |  SELECT MIN(n) AS nmin FROM c
+        |), r AS (
+        |  SELECT lang, sqrt(nmin::DOUBLE / n) AS rate FROM c CROSS JOIN m
+        |)
+        |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS keep_rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |    & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
+        |  < r.rate
+        |ORDER BY doc_id""".stripMargin,
+    "q_vocab_top" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT gram, COUNT(*) AS n_occurrences,
+        | COUNT(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, SkewJoin, Upsert}
+import graft.operators.{AsOfJoin, Profile, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -240,6 +240,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // Heavy-hitter diagnostic: the 25 hottest customer keys in orders
+    // with count and share — partial-combined counts, broadcast 1-row
+    // total, TakeOrderedAndProject top-N (the decision input for
+    // salting / AQE skew handling).
+    "q_skew_keys" -> ((s, dir) => {
+      SkewJoin.keySkewStats(table(s, dir, "orders"), "o_custkey", 25)
+    }),
+
+    // Single-pass numeric profiling: 5 metrics x 3 columns in ONE
+    // aggregate node (15 partial aggregates, one 1-row exchange), then
+    // a driver-free explode to per-column rows. The mean goes through
+    // an exact decimal sum — see Profile's Scaladoc.
+    "q_profile_stats" -> ((s, dir) => {
+      Profile.numericProfile(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Fixed-bound equi-width histogram: map-side bucket projection +
+    // one bounded agg; the spark.range bucket spine emits empty buckets
+    // too, so totals reconcile with the row count.
+    "q_profile_hist" -> ((s, dir) => {
+      Profile.histogram(table(s, dir, "lineitem"),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, nBuckets = 20)
+        .orderBy(col("bucket"))
     }),
 
     // J3 semi: EXISTS — no duplication of the left side, right side only
@@ -638,6 +665,51 @@ object RelationalQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_skew_keys" ->
+      """WITH c AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+        |), t AS (
+        |  SELECT COUNT(*) AS total FROM orders
+        |)
+        |SELECT o_custkey, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, o_custkey LIMIT 25""".stripMargin,
+    "q_profile_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(l_discount) AS n_null,
+        |    ROUND(MIN(l_discount), 6) AS min_val,
+        |    ROUND(MAX(l_discount), 6) AS max_val,
+        |    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_discount), 6) AS avg_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+        |    ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6),
+        |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_extendedprice), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |    ROUND(MIN(l_quantity), 6), ROUND(MAX(l_quantity), 6),
+        |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_quantity), 6)
+        |  FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
+    "q_profile_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0)
+        |      / ((105000.0 - 900.0) / 20)), 0.0), 19.0) AS BIGINT) AS bucket
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), c AS (
+        |  SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket
+        |)
+        |SELECT r.range AS bucket,
+        | ROUND(900.0 + r.range * ((105000.0 - 900.0) / 20), 6) AS bucket_lo,
+        | ROUND(900.0 + (r.range + 1) * ((105000.0 - 900.0) / 20), 6) AS bucket_hi,
+        | COALESCE(c.cnt, 0) AS cnt
+        |FROM range(20) r LEFT JOIN c ON r.range = c.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

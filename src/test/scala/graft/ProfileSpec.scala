@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, Sampling, SkewJoin, TfIdf}
+
+class ProfileSpec extends SparkTestBase {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("numericProfile matches directly computed stats and handles nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.5, 4.0), (null, 6.0), (4.5, null))
+      .toDF("a", "b")
+    val p = rows(Profile.numericProfile(df, Seq("a", "b")).orderBy(col("col_name")))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(p === Seq(
+      ("a", 4L, 1L, 1.0, 4.5, 8.0 / 3),
+      ("b", 4L, 2L, 4.0, 6.0, 5.0)).map(t =>
+      (t._1, t._2, t._3, t._4, t._5,
+        BigDecimal(t._6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("numericProfile profiles every column in one scan") {
+    val plan = planString(
+      Profile.numericProfile(docs, Seq("doc_id", "n_chars")))
+    // one aggregate pass over one scan — not a scan per column
+    assert(plan.split("Scan parquet").length - 1 === 1, plan)
+  }
+
+  test("histogram: totals reconcile, bounds clamp, empty buckets emitted") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 0.5, 9.99, 10.0, 25.0).toDF("x")
+    val h = rows(Profile.histogram(df, "x", lo = 0.0, hi = 10.0, nBuckets = 5)
+      .orderBy(col("bucket")))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L)) // full spine
+    assert(h.map(_._4).sum === 6L)                  // every row lands somewhere
+    assert(h.head._4 === 3L)  // -5 clamps in, 0 and 0.5 belong
+    assert(h.last._4 === 3L)  // 9.99 in-range, 10 and 25 clamp into the top
+    assert(h(1)._4 === 0L && h(2)._4 === 0L && h(3)._4 === 0L)
+    assert(h.head._2 === 0.0 && h.last._3 === 10.0)
+  }
+
+  test("keySkewStats finds the planted hot key with its exact share") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
+    val s = rows(SkewJoin.keySkewStats(df, "k", 3))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(s.head === ("hot", 60L, 0.6))
+    assert(s.size === 3 && s(1)._2 === 1L) // remaining keys tie at 1, name order
+    assert(s(1)._1 === "k1" && s(2)._1 === "k10")
+  }
+
+  test("keySkewStats plans a TakeOrderedAndProject, not a global sort") {
+    val plan = planString(SkewJoin.keySkewStats(docs, "source", 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("corpusTopNgrams counts occurrences and document frequency exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),   // "a b" x2, "b a" x1, "b c" x1
+      (2L, "a b"),         // "a b" x1
+      (3L, "z")            // shorter than n: contributes nothing
+    ).toDF("doc_id", "text")
+    val top = rows(TfIdf.corpusTopNgrams(df, 2, 10))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
+  test("temperatureResample: alpha=1 keeps all, rates shrink with group size, stable") {
+    val n = docs.count()
+    assert(Sampling.temperatureResample(docs, "lang", "doc_id", 1.0).count() === n)
+    val kept = Sampling.temperatureResample(docs, "lang", "doc_id", 0.5)
+    val rates = rows(kept.select(col("lang"), col("keep_rate")).distinct())
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sizes = rows(docs.groupBy(col("lang")).count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = sizes.values.min
+    // the smallest group keeps everything; rates are exactly sqrt(nmin/n)
+    rates.foreach { case (g, r) =>
+      assert(math.abs(r - math.sqrt(nMin.toDouble / sizes(g))) < 1e-12)
+    }
+    // decisions are a pure key function: identical under repartitioning
+    val ids = rows(kept.select(col("doc_id"))).map(_.getLong(0)).toSet
+    val again = rows(Sampling.temperatureResample(
+      docs.repartition(9), "lang", "doc_id", 0.5)
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(again === ids)
+    // direction: the biggest group retains a smaller fraction than the smallest
+    val keptSizes = rows(kept.groupBy(col("lang")).count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = sizes.maxBy(_._2)._1
+    val small = sizes.minBy(_._2)._1
+    assert(keptSizes(small) === sizes(small)) // rate 1.0 keeps every row
+    assert(keptSizes(big).toDouble / sizes(big) < 1.0)
+  }
+}
