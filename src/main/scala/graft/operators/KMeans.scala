@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorOps
+
+/** Distributed k-means codebook training (Lloyd's iterations, cosine
+  * assignment) — the trainer behind [[Similarity.ivfTopK]]'s codebook:
+  * partition 100 TB of embeddings into inverted lists by learned
+  * centroids instead of the lowest-id stand-ins.
+  *
+  * Scale shape per iteration: assignment is a pure map-side projection
+  * (the ≤256-centroid codebook is baked into the plan as literals, the
+  * `ivfTopK` idiom — a codebook IS a small learned model, and shipping
+  * it with the plan is how a trained model broadcasts); the update is
+  * posexplode → ONE partially-combined aggregate on (centroid, dim) —
+  * k·dim result rows regardless of corpus size. The corpus is scanned
+  * once per iteration and never shuffled; only the k·dim means cross
+  * the wire back to the driver (bounded model state, the legitimate
+  * collect).
+  *
+  * Determinism & portability: seeds are the k lowest-id vectors
+  * (relabeled 0..k-1 in id order); assignment breaks score ties toward
+  * the lowest centroid id; and each updated component is
+  * round(decimalSum(round(x, 6)) / n, 6) cast to float — every step a
+  * correctly-rounded IEEE op or an exact decimal sum, so an external
+  * engine (the DuckDB oracle) replays the whole training run
+  * bit-for-bit. The 6-place quantization of means is the documented
+  * price of engine-portable training; it perturbs centroids by < 1e-6
+  * per iteration, far below the movement k-means itself makes.
+  *
+  * Cosine ("spherical") assignment suits unit-ish embedding corpora;
+  * means are deliberately NOT re-normalized — normalization scales a
+  * centroid without changing any cosine, so assignments are identical
+  * and skipping it keeps the oracle SQL one step simpler. A cluster
+  * that loses all members keeps its previous centroid.
+  */
+object KMeans {
+
+  /** Train and return the codebook as (centroid_id, vec) pairs,
+    * centroid_id in [0, k).
+    */
+  def fit(corpus: DataFrame, k: Int, iters: Int): Array[(Long, Array[Float])] = {
+    require(k > 0 && k <= 256, s"k must be in [1, 256], got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var codebook: Array[(Long, Array[Float])] = corpus
+      .orderBy(col("id")).limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }
+    require(codebook.length == k,
+      s"corpus has only ${codebook.length} rows, need k = $k seeds")
+
+    for (_ <- 0 until iters) {
+      val code = codebook.map { case (cid, v) =>
+        // Same left-to-right double fold as FloatVecNormSq / the oracle.
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        (cid, v, math.sqrt(s))
+      }
+      def scoreTo(cv: Array[Float], cn: Double): Column =
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("vec"), typedlit(cv)), col("_n") * lit(cn)))
+      val assigned = corpus
+        .select(col("vec"), VectorOps.norm(col("vec")).as("_n"))
+        .select(col("vec"),
+          array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
+            struct(scoreTo(cv, cn).as("s"), lit(-cid).as("negc"))
+          }: _*)).as("best"))
+        .select(col("vec"), (-col("best.negc")).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(round(col("x").cast("double"), 6).cast(DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .select(col("cid"), col("pos"),
+          round(col("m"), 6).cast("float").as("comp"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getFloat(2)).toArray
+        }
+      codebook = codebook.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev)) // empty cluster keeps its centroid
+      }
+    }
+    codebook
+  }
+
+  /** [[fit]] flattened to a (centroid_id, pos, component) DataFrame —
+    * the shape an oracle checks element-by-element and a warehouse
+    * stores alongside the corpus it indexes.
+    */
+  def fitDF(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fit(corpus, k, iters)
+      .flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, p) => (cid, p, x) }
+      }.toSeq.toDF("centroid_id", "pos", "component")
+  }
+}

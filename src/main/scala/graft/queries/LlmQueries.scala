@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Packing, Repetition, Sampling, Similarity, TfIdf}
+import graft.operators.{Chunking, Dedup, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -151,6 +151,16 @@ object LlmQueries {
       Similarity.ivfTopK(corpus(s, dir), probes(s, dir), centroids,
         k = 10, nProbe = 4)
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
+    // Codebook TRAINING: 2 Lloyd iterations of spherical k-means from
+    // the 4 lowest-id seeds — every step (cosine assignment with
+    // lowest-cid tie-break, round6-quantized decimal-sum means) is
+    // engine-portable, so DuckDB replays the whole training run
+    // bit-for-bit. Output is the flattened codebook.
+    "q_ivf_train" -> ((s, dir) => {
+      KMeans.fitDF(corpus(s, dir), k = 4, iters = 2)
+        .orderBy(col("centroid_id"), col("pos"))
     }),
 
     // Embedding storage prep: L2 norm, symmetric int8 quantization and
@@ -653,6 +663,64 @@ object LlmQueries {
         |SELECT doc_id, source, n_tokens,
         | CAST((cum - n_tokens) // 2000 AS BIGINT) AS batch_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_ivf_train" ->
+      """WITH seed AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+        |), n1 AS (
+        |  SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM seed
+        |), n1n AS (
+        |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+        |  FROM n1
+        |), a1 AS (
+        |  SELECT id, emb, cid FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS emb, n.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * n.ce[i]))
+        |        / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * n.nrm) DESC, n.cid) AS rn
+        |    FROM embeddings e CROSS JOIN n1n n
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT cid, j AS pos,
+        |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(emb[CAST(j AS INT) + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+        |  FROM a1 CROSS JOIN range(64) r(j) GROUP BY cid, j
+        |), c1 AS (
+        |  SELECT s.cid, r.j AS pos,
+        |    COALESCE(m1.comp, CAST(s.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
+        |  FROM seed s CROSS JOIN range(64) r(j)
+        |  LEFT JOIN m1 ON m1.cid = s.cid AND m1.pos = r.j
+        |), c1l AS (
+        |  SELECT cid, list(CAST(comp AS DOUBLE) ORDER BY pos) AS ce
+        |  FROM c1 GROUP BY cid
+        |), n2n AS (
+        |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+        |  FROM c1l
+        |), a2 AS (
+        |  SELECT id, emb, cid FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS emb, n.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * n.ce[i]))
+        |        / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * n.nrm) DESC, n.cid) AS rn
+        |    FROM embeddings e CROSS JOIN n2n n
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT cid, j AS pos,
+        |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(emb[CAST(j AS INT) + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+        |  FROM a2 CROSS JOIN range(64) r(j) GROUP BY cid, j
+        |)
+        |SELECT c1.cid AS centroid_id, CAST(c1.pos AS INT) AS pos,
+        |  COALESCE(m2.comp, c1.comp) AS component
+        |FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
+        |ORDER BY centroid_id, pos""".stripMargin,
     "q_embed_quant" ->
       """SELECT vec_id,
         | ROUND(sqrt(list_sum(list_transform(embedding,

@@ -426,6 +426,24 @@ object RelationalQueries {
       Sources.readOrc(s, out).orderBy(col("c_custkey"))
     }),
 
+    // Range-sorted curated layout: write orders range-partitioned and
+    // sorted by o_orderkey (disjoint per-file key ranges — file-level
+    // min/max skipping for range scans; layout property asserted in
+    // SinksSpec), then serve a range query from the layout. The oracle
+    // is the same range query on the source table, so a green row
+    // proves the layout is value-faithful.
+    "q_sink_sorted" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_rs_").toString + "/orders"
+      Sinks.writeRangeSorted(table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice")),
+        out, "o_orderkey", numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("o_orderkey").between(1000, 5000))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Warehouse merge: SCD-1 upsert of a deterministic change batch
     // (every 7th customer re-priced, every 97th key inserted fresh)
     // into the customer dimension. LEFT ANTI + union — the update
@@ -776,6 +794,10 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
         | c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink_sorted" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal

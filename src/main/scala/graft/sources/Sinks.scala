@@ -41,6 +41,25 @@ object Sinks {
       .orc(path)
   }
 
+  /** Range-partitioned, range-SORTED parquet layout (overwrite): rows
+    * are range-partitioned into `numFiles` contiguous key ranges and
+    * sorted within each, so every output file covers a disjoint
+    * [min, max] slice of `sortCol`. Parquet's footer/row-group
+    * statistics then let any range or point predicate on that column
+    * skip whole files and row groups at scan time — the sort-based
+    * data-skipping complement to [[writeBucketedTable]]'s hash
+    * clustering (range scans prune here; equi-joins co-locate there).
+    * The range exchange samples the key distribution, so skewed keys
+    * still yield balanced files.
+    */
+  def writeRangeSorted(
+      df: DataFrame, path: String, sortCol: String, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Idempotent DDL (`etl_dag.py:116-139`, `:266-280`): CREATE TABLE IF
     * NOT EXISTS against the session catalog, parquet-backed.
     */

@@ -195,4 +195,38 @@ class PlanShapeSpec extends SparkTestBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n === 1, s"quota sampling should shuffle once, found $n:\n$p")
   }
+
+  test("a selective dim filter injects a runtime bloom filter on the fact scan") {
+    // The 100 TB scan-reduction feature the engine leans on for
+    // fact⋈filtered-dim joins: Catalyst's InjectRuntimeFilter builds a
+    // bloom filter from the filtered creation side and applies it as a
+    // semi-join predicate on the fact side BEFORE the shuffle, so most
+    // fact rows die at the scan. Locally the 10 GiB application-side
+    // threshold can never trip, so it is lowered for the assertion —
+    // the cluster default applies unchanged at real scale.
+    val conf = spark.conf
+    // Injection requires the join to be a probable SHUFFLE join and the
+    // fact scan to clear the (10 GiB default) size threshold — neither
+    // is reachable with kilobyte test data, so both knobs are scoped to
+    // the planner's scale regime for the assertion; cluster defaults
+    // apply unchanged at real scale.
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.map { case (k, _) => k -> conf.get(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$Sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter(col("o_totalprice") > 400.0)
+      // no broadcast: the runtime filter targets shuffle joins
+      val joined = fact.hint("merge")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter was injected:\n$p")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
 }

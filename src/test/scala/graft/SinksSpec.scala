@@ -92,4 +92,30 @@ class SinksSpec extends SparkTestBase {
     assert(pf.contains("shard"),
       s"partition filter did not reach the ORC scan:\n$ex")
   }
+
+  test("writeRangeSorted: disjoint per-file key ranges, sorted within, nothing lost") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val dir = Files.createTempDirectory("rs").toString + "/docs"
+    Sinks.writeRangeSorted(docs, dir, "doc_id", numFiles = 4)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2 && files.length <= 4, files.mkString(", "))
+    // each file covers a disjoint [min, max] slice of the sort key —
+    // the property parquet footer stats turn into file-level skipping
+    val ranges = files.map { f =>
+      val r = rows(spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id")))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: ${ranges.mkString(", ")}")
+    }
+    // rows are sorted within each file (row-group stats stay monotone)
+    val ids = rows(spark.read.parquet(files.head).select(col("doc_id")))
+      .map(_.getLong(0))
+    assert(ids === ids.sorted)
+    // and the layout is a faithful copy
+    assert(spark.read.parquet(dir).count() === docs.count())
+  }
 }
