@@ -136,6 +136,22 @@ object Text {
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
 
+  /** First http(s) URL in the text ('' when none) — the hook for
+    * provenance analysis over web-scraped corpora. Pattern sits in the
+    * Java-regex ∩ RE2 subset like the PII patterns, so external engines
+    * extract the identical span.
+    */
+  def firstUrl(text: Column): Column =
+    regexp_extract(text, "https?://[^ ]+", 0)
+
+  /** Registrable host of a URL ('' for non-URLs): the authority up to
+    * the first '/', ':' or '?'. Map-side regex — no UDF, no parser
+    * library — which is what per-domain corpus policy (caps, quality
+    * priors, licensing tiers) keys on at 100 TB.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([^/:? ]+)", 1)
+
   def longNumberCount(text: Column): Column =
     regexp_count(text, lit(LongNumberPattern))
 

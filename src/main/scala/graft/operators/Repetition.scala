@@ -34,6 +34,42 @@ object Repetition {
     * Documents shorter than n tokens keep a row with zeroed stats (a
     * LEFT join back to the id set — the explode path drops them).
     */
+  /** Token-distribution diversity per document:
+    *
+    *  - `n_tokens` / `n_types`  total and distinct token counts
+    *  - `simpson`   Simpson concentration Σ(c_i/t)² — 1/t for fully
+    *                diverse text, → 1 for one-token spam. RATIONAL in
+    *                the counts (Σc² and t² are exact integers, one
+    *                double division), so the value is bit-identical on
+    *                any engine — the oracle-checkable diversity score.
+    *  - `entropy`   Shannon entropy (bits). log2's last ulp differs
+    *                across libm implementations, so this column is the
+    *                library-grade signal (unit-tested against a driver
+    *                computation) while `simpson` carries the
+    *                cross-engine contract.
+    *
+    * Same aggregation-engine shape as [[repetitionStats]]: explode →
+    * two partially-combined aggregates keyed (doc, token) then doc.
+    */
+  def tokenDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("t"),
+      count(lit(1)).as("types"),
+      sum(col("cnt") * col("cnt")).as("c2"),
+      sum(col("cnt").cast("double") * log2(col("cnt").cast("double"))).as("clc"))
+      .select(
+        col("doc_id"),
+        col("t").cast("int").as("n_tokens"),
+        col("types").cast("int").as("n_types"),
+        round(col("c2").cast("double") / (col("t") * col("t")), 6).as("simpson"),
+        round(log2(col("t").cast("double")) - col("clc") / col("t"), 6)
+          .as("entropy"))
+  }
+
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(Text.ngrams(col("text"), n)).as("gram"))

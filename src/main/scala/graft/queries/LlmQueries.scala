@@ -290,6 +290,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-distribution diversity: rational Simpson concentration
+    // (exact integer sums, one division — bit-portable; the Shannon
+    // entropy column is library-grade and unit-tested instead, since
+    // log2's last ulp is engine-specific).
+    "q_text_diversity" -> ((s, dir) => {
+      Repetition.tokenDiversity(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Provenance analysis: per-domain document counts over planted
+    // source URLs (every 3rd doc gets a deterministic mirror URL) —
+    // extraction is the Java∩RE2 regex pair firstUrl/urlDomain, so the
+    // oracle rebuilds the identical domains.
+    "q_text_domains" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" src https://mirror"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      planted
+        .select(Text.urlDomain(Text.firstUrl(col("text"))).as("domain"))
+        .filter(col("domain") =!= "")
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // Rolling winnowing fingerprint (md5-derived gram hash — full
     // DuckDB oracle).
     "q_text_rolling" -> ((s, dir) => {
@@ -493,6 +521,30 @@ object LlmQueries {
         | ROUND(COALESCE(a.dup::DOUBLE / a.total, 0.0), 6) AS dup_gram_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_diversity" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_tokens,
+        | CAST(COUNT(*) AS INT) AS n_types,
+        | ROUND(SUM(cnt * cnt)::DOUBLE / (SUM(cnt) * SUM(cnt)), 6) AS simpson
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_domains" ->
+      """WITH planted AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' src https://mirror' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents
+        |), d AS (
+        |  SELECT regexp_extract(regexp_extract(text, 'https?://[^ ]+', 0),
+        |    'https?://([^/:? ]+)', 1) AS domain
+        |  FROM planted
+        |)
+        |SELECT domain, COUNT(*) AS n_docs FROM d WHERE domain != ''
+        |GROUP BY domain ORDER BY domain""".stripMargin,
     "q_text_rolling" ->
       s"""SELECT doc_id,
          | CAST(list_min(list_transform(

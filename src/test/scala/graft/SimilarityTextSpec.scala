@@ -439,4 +439,32 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(run(dirty) === run(clean))
     assert(run(dirty).nonEmpty)
   }
+
+  test("tokenDiversity: simpson and entropy match a driver-side computation") {
+    import graft.operators.Repetition
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = rows(Repetition.tokenDiversity(df).orderBy(col("doc_id")))
+    // doc 1: counts {a:3, b:1} — t=4, types=2, simpson=(9+1)/16,
+    // entropy = 2 - (3·log2 3)/4
+    assert(r(0).getInt(1) === 4 && r(0).getInt(2) === 2)
+    assert(r(0).getDouble(3) === 0.625)
+    assert(math.abs(r(0).getDouble(4) - 0.811278) < 1e-6)
+    // doc 2: fully diverse — simpson = 1/t, entropy = log2 t exactly
+    assert(r(1).getDouble(3) === 0.25)
+    assert(math.abs(r(1).getDouble(4) - 2.0) < 1e-9)
+  }
+
+  test("firstUrl/urlDomain extract the first host, empty when absent") {
+    val df = Seq(
+      (1L, "see https://a.example.org/x?q=1 and http://b.example.com/y"),
+      (2L, "no links here"),
+      (3L, "bare host http://just.host"),
+      (4L, "port http://h.example.net:8080/path")
+    ).toDF("doc_id", "text")
+    val got = rows(df.select(col("doc_id"),
+      Text.urlDomain(Text.firstUrl(col("text"))).as("d")).orderBy(col("doc_id")))
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got === Seq(1L -> "a.example.org", 2L -> "",
+      3L -> "just.host", 4L -> "h.example.net"))
+  }
 }
