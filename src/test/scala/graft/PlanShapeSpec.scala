@@ -196,6 +196,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(n === 1, s"quota sampling should shuffle once, found $n:\n$p")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the dynamic half of the skew playbook)") {
+    // SkewJoin.saltedEquiJoin is the static fallback; the primary skew
+    // remedy at 100 TB is AQE's runtime split, which needs no code
+    // change. Prove it fires: one key holding ~90% of the rows, with
+    // the skew thresholds scoped down to test-data sizes (defaults are
+    // 256 MiB-scale, unreachable locally — clusters keep them).
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.map { case (k, _) => k -> conf.get(k, null) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val skewed = spark.range(0, 60000)
+        .select((when(col("id") % 10 === 0, col("id") % 40).otherwise(lit(7L)))
+          .as("k"), col("id").as("payload"))
+      val dim = (0L until 40L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = skewed.join(dim, Seq("k"))
+      // materialize THIS DataFrame's own query execution (count() would
+      // plan a separate aggregate query and leave this plan unexecuted)
+      assert(joined.collect().length === 60000)
+      val p = planString(joined) // final adaptive plan after execution
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition for skew split:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      if (v == null) conf.unset(k) else conf.set(k, v)
+    }
+  }
+
   test("a selective dim filter injects a runtime bloom filter on the fact scan") {
     // The 100 TB scan-reduction feature the engine leans on for
     // fact⋈filtered-dim joins: Catalyst's InjectRuntimeFilter builds a
