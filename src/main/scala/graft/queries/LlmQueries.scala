@@ -266,6 +266,28 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Boilerplate detection: chunk-level exact dedup ACROSS documents
+    // (the paragraph-granularity sweep that catches repeated
+    // disclaimers/templates whole-doc dedup misses). A 20-token
+    // disclaimer is planted onto every 4th doc so the hit is
+    // deterministic; chunking composes with an exact-dedup aggregate —
+    // countDistinct runs as the standard two-level (chunk, doc) then
+    // chunk aggregation, both partial-combined.
+    "q_dedup_boilerplate" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit(Boilerplate), lit(" "), col("text")))
+          .otherwise(col("text")))
+      Chunking.chunkByTokens(planted, 20, 0)
+        .groupBy(col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .select(md5(col("chunk_text")).as("chunk_key"),
+          col("n_docs"), col("n_occurrences"))
+        .orderBy(col("chunk_key"))
+    }),
+
     // PII redaction: every 10th document gets a deterministic
     // email+account-number suffix planted, so the masking and the match
     // counts are exercised on real hits and oracle-checked span-for-span.
@@ -352,6 +374,14 @@ object LlmQueries {
           length(col("payload")).cast("int").as("n_bytes"))
         .orderBy(col("doc_id"))
     }))
+
+  /** Exactly 20 whitespace tokens — chunk 0 of a planted doc is the
+    * whole disclaimer, so boilerplate detection has deterministic hits.
+    */
+  private val Boilerplate =
+    "this document is provided as is without warranty of any kind " +
+      "express or implied including merchantability fitness and " +
+      "noninfringement disclaimer"
 
   /** Shared DuckDB CTE: distinct trigram shingle list per document. */
   private val ShingleCte =
@@ -521,6 +551,28 @@ object LlmQueries {
         | ROUND(COALESCE(a.dup::DOUBLE / a.total, 0.0), 6) AS dup_gram_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_boilerplate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+         |    THEN '$Boilerplate' || ' ' || text ELSE text END AS text
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM planted
+         |), st AS (
+         |  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 20)) AS st
+         |  FROM w
+         |), c AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(w, st, least(st + 19, len(w))), ' ')
+         |      AS chunk_text
+         |  FROM st
+         |), g AS (
+         |  SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs,
+         |    COUNT(*) AS n_occurrences
+         |  FROM c GROUP BY chunk_text
+         |)
+         |SELECT md5(chunk_text) AS chunk_key, n_docs, n_occurrences FROM g
+         |WHERE n_docs >= 2 ORDER BY chunk_key""".stripMargin,
     "q_text_diversity" ->
       """WITH c AS (
         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
