@@ -31,6 +31,11 @@ import graft.functions.VectorOps
   * price of engine-portable training; it perturbs centroids by < 1e-6
   * per iteration, far below the movement k-means itself makes.
   *
+  * The corpus is read once per iteration — inherent to Lloyd's — so
+  * callers training many iterations over a remote store should persist
+  * (or cache to local SSD) the (id, vec) projection first; the trainer
+  * itself stays storage-agnostic.
+  *
   * Cosine ("spherical") assignment suits unit-ish embedding corpora;
   * means are deliberately NOT re-normalized — normalization scales a
   * centroid without changing any cosine, so assignments are identical

@@ -278,13 +278,15 @@ object LlmQueries {
         when(col("doc_id") % 4 === 0,
           concat(lit(Boilerplate), lit(" "), col("text")))
           .otherwise(col("text")))
+      // Hash BEFORE the shuffle: the exchange then carries 32-byte
+      // chunk keys instead of full chunk texts (the q_dedup_exact
+      // content-key idiom).
       Chunking.chunkByTokens(planted, 20, 0)
-        .groupBy(col("chunk_text"))
+        .select(md5(col("chunk_text")).as("chunk_key"), col("doc_id"))
+        .groupBy(col("chunk_key"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"))
         .filter(col("n_docs") >= 2)
-        .select(md5(col("chunk_text")).as("chunk_key"),
-          col("n_docs"), col("n_occurrences"))
         .orderBy(col("chunk_key"))
     }),
 
@@ -567,11 +569,11 @@ object LlmQueries {
          |      AS chunk_text
          |  FROM st
          |), g AS (
-         |  SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs,
+         |  SELECT md5(chunk_text) AS chunk_key, COUNT(DISTINCT doc_id) AS n_docs,
          |    COUNT(*) AS n_occurrences
-         |  FROM c GROUP BY chunk_text
+         |  FROM c GROUP BY 1
          |)
-         |SELECT md5(chunk_text) AS chunk_key, n_docs, n_occurrences FROM g
+         |SELECT chunk_key, n_docs, n_occurrences FROM g
          |WHERE n_docs >= 2 ORDER BY chunk_key""".stripMargin,
     "q_text_diversity" ->
       """WITH c AS (
