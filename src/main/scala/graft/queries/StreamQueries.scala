@@ -31,6 +31,16 @@ object StreamQueries {
   private val StationsDir = "/root/repo/fixtures/stream/stations"
   private val WeatherDir = "/root/repo/fixtures/stream/weather"
 
+  /** The stations fixtures plus a far-future sentinel report (05:00,
+    * throwaway station 1): append-mode session windows only emit once
+    * the watermark passes their end, and with the 2 h delay the real
+    * fixture events alone would leave every session open at
+    * termination. The sentinel pushes the final watermark to 03:00 —
+    * past every real session — while its own session stays open and
+    * thus out of the output.
+    */
+  private val StationsSessionsDir = "/root/repo/fixtures/stream/stations_sessions"
+
   /** Run `df` (a streaming frame) to completion under AvailableNow into
     * a uniquely-named memory sink; hand back its rows as a batch frame.
     *
@@ -106,6 +116,19 @@ object StreamQueries {
         Streams.hourlyAvailabilityStream(Streams.velibStream(s, StationsDir)),
         mode = "complete")
         .orderBy(col("hour_start"), col("station_id"))
+    }),
+
+    // Event-time session windows (append mode) over the deduped update
+    // stream: 30-minute-gap bursts collapse to one immutable session
+    // row each. The 00:50 + 01:15 reports of 213688169 must merge into
+    // ONE session ending 01:45; the sentinel closes all real sessions
+    // (see StationsSessionsDir) and stays unemitted itself.
+    "q_stream_sessions" -> ((s, _) => {
+      runToBatch(s,
+        Streams.sessionizedActivity(
+          Streams.dedupedStationUpdates(
+            Streams.velibStream(s, StationsSessionsDir))))
+        .orderBy(col("station_id"), col("session_start"))
     }),
 
     // Stream-static join: the deduped update stream enriched with a
@@ -223,6 +246,16 @@ object StreamQueries {
         | (CAST(213688169 AS BIGINT), 'stockout', CAST('2024-02-01 01:15:00' AS TIMESTAMP), 0)
         |) AS t(station_id, event, at, bikes)
         |ORDER BY station_id, at""".stripMargin,
+    "q_stream_sessions" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), CAST('2024-01-31 23:45:00' AS TIMESTAMP), CAST('2024-02-01 00:15:00' AS TIMESTAMP), CAST(1 AS BIGINT), 0),
+        | (CAST(99950133 AS BIGINT), CAST('2024-02-01 01:10:00' AS TIMESTAMP), CAST('2024-02-01 01:40:00' AS TIMESTAMP), CAST(1 AS BIGINT), 3),
+        | (CAST(213688169 AS BIGINT), CAST('2024-01-31 23:50:00' AS TIMESTAMP), CAST('2024-02-01 00:20:00' AS TIMESTAMP), CAST(1 AS BIGINT), 5),
+        | (CAST(213688169 AS BIGINT), CAST('2024-02-01 00:50:00' AS TIMESTAMP), CAST('2024-02-01 01:45:00' AS TIMESTAMP), CAST(2 AS BIGINT), 4),
+        | (CAST(19179944124 AS BIGINT), CAST('2024-01-31 22:45:00' AS TIMESTAMP), CAST('2024-01-31 23:15:00' AS TIMESTAMP), CAST(1 AS BIGINT), 12),
+        | (CAST(19179944124 AS BIGINT), CAST('2024-02-01 00:55:00' AS TIMESTAMP), CAST('2024-02-01 01:25:00' AS TIMESTAMP), CAST(1 AS BIGINT), 11)
+        |) AS t(station_id, session_start, session_end, n_reports, max_bikes)
+        |ORDER BY station_id, session_start""".stripMargin,
     "q_stream_join" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 3, CAST('2024-02-01 01:10:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(278.5 AS DOUBLE), 'clear sky'),

@@ -70,6 +70,27 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("station_id"),
         col("max_bikes"), col("n_reports"))
 
+  /** Event-time SESSION windows over the deduped update stream: bursts
+    * of station reports separated by less than `gap` collapse into one
+    * session row (start, end = last report + gap, report count, max
+    * bikes). The dynamic-window sibling of the fixed hourly aggregate —
+    * what usage analysis actually wants when activity is bursty.
+    *
+    * Runs in append mode: a session row emits only once its window can
+    * no longer grow (watermark past end), so downstream sinks get
+    * immutable rows. State is bounded by the same 2 h watermark the
+    * dedup carries — chained stateful ops, like `stockoutTransitions`.
+    */
+  def sessionizedActivity(updates: DataFrame, gap: String = "30 minutes"): DataFrame =
+    updates
+      .groupBy(session_window(col("last_reported"), gap), col("station_id"))
+      .agg(count(lit(1)).as("n_reports"),
+        max(col("num_bikes_available")).as("max_bikes"))
+      .select(col("station_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_reports"), col("max_bikes"))
+
   /** J7 stream-stream join (SURVEY.md §2.4/§2.10): station updates ⋈
     * their hour's weather observation (at-or-before the report).
     *

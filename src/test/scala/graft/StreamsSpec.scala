@@ -72,6 +72,36 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows merge sub-gap bursts, emit immutably after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streams.sessionizedActivity(
+      Streams.dedupedStationUpdates(jsonStream(mem, Schemas.velibRaw)))
+    val q = out.writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").start()
+    try {
+      // station 1: reports 25 min apart (same session); station 2: one report
+      mem.addData(
+        """{"lastUpdatedOther": 1706745600, "ttl": 3600, "data": {"stations": [{"station_id": 1, "num_bikes_available": 5, "num_docks_available": 10, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706745000}, {"station_id": 1, "num_bikes_available": 2, "num_docks_available": 13, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706746500}, {"station_id": 2, "num_bikes_available": 3, "num_docks_available": 7, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706745060}]}}""")
+      q.processAllAvailable()
+      // sentinel far past the 2 h watermark closes both sessions
+      mem.addData(
+        """{"lastUpdatedOther": 1706763600, "ttl": 3600, "data": {"stations": [{"station_id": 9, "num_bikes_available": 1, "num_docks_available": 1, "is_installed": 1, "is_returning": 1, "is_renting": 1, "last_reported": 1706763600}]}}""")
+      q.processAllAvailable()
+      val got = rows(spark.table("sessions_t"))
+        .map(r => (r.getAs[Long]("station_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_reports"), r.getAs[Int]("max_bikes"))).toSet
+      // 23:50 and 00:15 reports merge: end = last report + 30 min; the
+      // sentinel's own (still-open) session must not appear
+      assert(got === Set(
+        (1L, Timestamp.valueOf("2024-01-31 23:50:00"),
+          Timestamp.valueOf("2024-02-01 00:45:00"), 2L, 5),
+        (2L, Timestamp.valueOf("2024-01-31 23:51:00"),
+          Timestamp.valueOf("2024-02-01 00:21:00"), 1L, 3)))
+    } finally q.stop()
+  }
+
   test("J7: stream-stream join matches station updates to same-hour weather at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val stMem = MemoryStream[String]
