@@ -229,6 +229,21 @@ object LlmQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // One-row corpus governance report: sizes, facet cardinalities and
+    // the quality-gate pass count in a single partially-combined
+    // aggregate — integer-valued throughout, so fully portable. The
+    // drop-over-drop diff of this row is what a 100 TB ingest reviews
+    // before promoting a snapshot.
+    "q_corpus_report" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(Text.qualityFlag(col("text")).cast("long")).as("n_quality_ok"))
+    }),
+
     // Token / vocabulary / punctuation stats + the composite quality gate.
     "q_text_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -891,6 +906,18 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
+    "q_corpus_report" ->
+      """SELECT COUNT(*) AS n_docs,
+        | SUM(len(string_split(text, ' '))) AS total_tokens,
+        | SUM(length(text)) AS total_chars,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | COUNT(DISTINCT source) AS n_sources,
+        | SUM(CASE WHEN len(string_split(text, ' ')) >= 10
+        |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
+        |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
+        |   AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |     / length(text) < 0.2 THEN 1 ELSE 0 END) AS n_quality_ok
+        |FROM documents""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

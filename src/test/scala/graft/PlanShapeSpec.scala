@@ -196,6 +196,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(n === 1, s"quota sampling should shuffle once, found $n:\n$p")
   }
 
+  test("temperatureResample: rates broadcast back — no shuffle of the corpus rows") {
+    val p = planString(graft.operators.Sampling.temperatureResample(
+      spark.read.parquet(s"$Sf/documents.parquet"), "lang", "doc_id", 0.5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group rates should broadcast onto the corpus:\n$p")
+  }
+
+  test("histogram: the bucket spine joins by broadcast, counts aggregate partially") {
+    val p = planString(graft.operators.Profile.histogram(
+      spark.read.parquet(s"$Sf/lineitem.parquet"),
+      "l_extendedprice", 900.0, 105000.0, 20))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("AQE splits a skewed shuffle join at runtime (the dynamic half of the skew playbook)") {
     // SkewJoin.saltedEquiJoin is the static fallback; the primary skew
     // remedy at 100 TB is AQE's runtime split, which needs no code
