@@ -62,7 +62,10 @@ object Profile {
     * covers [lo + i·w, lo + (i+1)·w) with w = (hi - lo) / nBuckets.
     * Values below `lo` clamp into bucket 0, values at or above `hi`
     * into the last bucket (so totals always reconcile with the row
-    * count); NULLs are dropped. Every bucket is emitted, zero counts
+    * count); NULLs and NaNs are dropped — NaN ordering differs between
+    * engines (and silently landing NaNs in the top bucket would be a
+    * lie either way), so they are excluded like NULLs rather than
+    * clamped. Every bucket is emitted, zero counts
     * included — the bucket spine is a `spark.range(nBuckets)` LEFT
     * join, so downstream charting never has to infer gaps.
     *
@@ -81,7 +84,7 @@ object Profile {
     val bucket = least(
       greatest(floor((col(c).cast("double") - lo) / width), lit(0.0)),
       lit((nBuckets - 1).toDouble)).cast("long")
-    val counts = df.filter(col(c).isNotNull)
+    val counts = df.filter(col(c).isNotNull && !isnan(col(c).cast("double")))
       .select(bucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     df.sparkSession.range(nBuckets).toDF("bucket")

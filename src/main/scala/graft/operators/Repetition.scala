@@ -50,6 +50,10 @@ object Repetition {
     *
     * Same aggregation-engine shape as [[repetitionStats]]: explode →
     * two partially-combined aggregates keyed (doc, token) then doc.
+    * A NULL-text doc has no token distribution and is absent from the
+    * output (explode of a null array emits nothing — and external
+    * engines' unnest agrees, which keeps the oracle aligned); empty
+    * text is one empty-string token, not a null.
     */
   def tokenDiversity(docs: DataFrame): DataFrame = {
     val counts = docs

@@ -112,6 +112,11 @@ object Sampling {
     * cardinality), the per-group rates broadcast back onto the corpus,
     * and the filter itself is map-side — no shuffle touches the data
     * rows. Adds `keep_rate`; group-count scratch columns stay internal.
+    *
+    * Rows with a NULL group are DROPPED (the inner rate join cannot
+    * match them) — the same keyless-rows-never-leak policy as
+    * [[sampleByHash]]'s NULL-key handling; facet-less rows need an
+    * explicit bucket ('und', 'unknown') to participate.
     */
   def temperatureResample(
       df: DataFrame, groupCol: String, keyCol: String,

@@ -83,7 +83,9 @@ object SkewJoin {
     * the top-N is `TakeOrderedAndProject` — N rows per partition cross
     * the wire, never the key dictionary. Output:
     * (keyCol, cnt, share), ordered (cnt desc, key) — total and
-    * deterministic.
+    * deterministic. NULL keys form their own group and can appear in
+    * the output — deliberately: a null-heavy foreign key is the
+    * canonical hot key this diagnostic exists to expose.
     */
   def keySkewStats(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")

@@ -31,9 +31,9 @@ class ProfileSpec extends SparkTestBase {
     assert(plan.split("Scan parquet").length - 1 === 1, plan)
   }
 
-  test("histogram: totals reconcile, bounds clamp, empty buckets emitted") {
+  test("histogram: totals reconcile, bounds clamp, empty buckets emitted, NaN dropped") {
     import spark.implicits._
-    val df = Seq(-5.0, 0.0, 0.5, 9.99, 10.0, 25.0).toDF("x")
+    val df = Seq(-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, Double.NaN).toDF("x")
     val h = rows(Profile.histogram(df, "x", lo = 0.0, hi = 10.0, nBuckets = 5)
       .orderBy(col("bucket")))
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
