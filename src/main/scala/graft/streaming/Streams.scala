@@ -270,14 +270,20 @@ object Streams {
     * old version and the uncommitted batch replays cleanly; between
     * pointer swing and checkpoint commit, the replay re-merges against
     * the already-merged target — idempotent by construction (the merge
-    * is a set-level latest-per-key). Superseded snapshots are GC'd
-    * best-effort after the swing. Single writer assumed (AvailableNow
+    * is a set-level latest-per-key). Superseded snapshots beyond the
+    * newest `retain` are GC'd best-effort after the swing — `retain`
+    * > 1 keeps a TIME-TRAVEL window: immutable older versions stay
+    * readable via [[readMergeTargetVersion]] (the audit/rollback/
+    * reproduce-a-training-run read path) at the storage cost of
+    * `retain` full snapshots. Single writer assumed (AvailableNow
     * per-run semantics); a transactional table format replaces all of
     * this with a MERGE when one is available.
     */
   def streamingLatestMerge(
       updates: DataFrame, key: String, ts: String,
-      targetPath: String, checkpoint: String): DataStreamWriter[Row] =
+      targetPath: String, checkpoint: String,
+      retain: Int = 1): DataStreamWriter[Row] = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -308,12 +314,16 @@ object Streams {
         org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
           .rename(tmp, new org.apache.hadoop.fs.Path(root, "_LATEST"),
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        current.filter(_ != version).foreach { v =>
+        // GC: keep the newest `retain` committed versions (new one
+        // included); anything older — including stragglers a crash left
+        // behind — goes.
+        listVersions(fs, root).drop(retain).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
         }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+  }
 
   /** Resolve the current committed snapshot of a [[streamingLatestMerge]]
     * target. Fails if no batch has committed yet.
@@ -325,6 +335,42 @@ object Streams {
       throw new IllegalStateException(
         s"no committed snapshot at $targetPath (no _LATEST pointer)"))
     spark.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
+  }
+
+  /** Retained snapshot versions of a merge target, newest first —
+    * what [[readMergeTargetVersion]] can still time-travel to.
+    */
+  def mergeTargetVersions(spark: SparkSession, targetPath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    listVersions(root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** Time-travel read of a retained snapshot (`"v<batchId>"`, per
+    * [[mergeTargetVersions]]): every version directory is immutable
+    * once the pointer has swung past it, so this read is stable however
+    * far the target has advanced since — the audit / rollback /
+    * reproduce-a-training-run path. Fails with the retained list if the
+    * version was GC'd (grow `retain` to keep deeper history).
+    */
+  def readMergeTargetVersion(
+      spark: SparkSession, targetPath: String, version: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(root, version)
+    require(version.matches("v\\d+") && fs.exists(dir),
+      s"version '$version' not retained at $targetPath; retained: " +
+        listVersions(fs, root).mkString(", "))
+    spark.read.parquet(dir.toString)
+  }
+
+  /** All snapshot version dirs under a merge target, newest first. */
+  private def listVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .sortBy(v => -v.drop(1).toLong)
   }
 
   private def latestVersion(

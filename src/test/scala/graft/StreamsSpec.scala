@@ -268,4 +268,40 @@ class StreamsSpec extends SparkTestBase {
     val files = new java.io.File(target).listFiles().map(_.getName).toSet
     assert(files.count(_.startsWith("v")) === 1, s"snapshot GC left: $files")
   }
+
+  test("streamingLatestMerge time travel: retain keeps immutable older snapshots") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("merge_tt").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge_tt_c").toString
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val updates = mem.toDF()
+      .toDF("station_id", "num_bikes_available", "last_reported")
+      .withWatermark("last_reported", "2 hours")
+    def runBatch(data: (Long, Int, Timestamp)*): Unit = {
+      mem.addData(data: _*)
+      val q = Streams.streamingLatestMerge(
+        updates, "station_id", "last_reported", target, ckpt, retain = 3).start()
+      q.awaitTermination(60000)
+    }
+    val t0 = new Timestamp(1706745000000L)
+    val t1 = new Timestamp(1706748600000L)
+    runBatch((1L, 5, t0))
+    runBatch((1L, 7, t1), (2L, 3, t0))
+    assert(Streams.mergeTargetVersions(spark, target) === Seq("v1", "v0"))
+    // v0 is the state BEFORE batch 1 — still readable, bit-identical
+    val v0 = rows(Streams.readMergeTargetVersion(spark, target, "v0")
+      .select(col("station_id"), col("num_bikes_available")))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(v0 === Set((1L, 5)))
+    val latest = rows(Streams.readLatestMergeTarget(spark, target)
+      .select(col("station_id"), col("num_bikes_available")))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(latest === Set((1L, 7), (2L, 3)))
+    // a GC'd / unknown version fails with the retained list
+    val e = intercept[IllegalArgumentException] {
+      Streams.readMergeTargetVersion(spark, target, "v9")
+    }
+    assert(e.getMessage.contains("retained"))
+  }
 }
