@@ -22,6 +22,17 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    // A filter that matches nothing (typo, empty string) must not look
+    // like a green run that verified everything.
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names unknown queries: " +
+            unknown.mkString(", "))
+      if (selected.isEmpty)
+        System.err.println("[verify] WARNING: SPARK_GRAFT_ONLY selected 0 queries")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

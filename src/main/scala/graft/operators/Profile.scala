@@ -29,18 +29,25 @@ object Profile {
     * order and would differ run-to-run and engine-to-engine. The
     * decimal sum is exact (and the profile deterministic) for inputs
     * with up to 6 fractional decimal digits — the contract documented
-    * here; wider inputs round at the 6th place per row.
+    * here; wider inputs round at the 6th place per row. The mean is
+    * taken over FINITE values within the decimal's range (|x| < 1e21):
+    * under Spark 4's default ANSI mode an unguarded decimal cast of a
+    * NaN/Infinity/overflowing row would kill the whole profile job —
+    * on exactly the untrusted data a profiler exists to examine — so
+    * such rows are excluded from the mean (min/max still surface them).
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // One shared row count — not one per column.
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val d = col(c).cast("double")
+      val finite = d.isNotNull && !isnan(d) && abs(d) < lit(1e21)
       Seq(
-        count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, lit(1))).as(s"${c}__nn"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__mn"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__mx"),
-        round(sum(col(c).cast(DecimalType(28, 6))).cast("double")
-          / count(col(c)), 6).as(s"${c}__av"))
+        round(sum(when(finite, d.cast(DecimalType(28, 6)))).cast("double")
+          / count(when(finite, lit(1))), 6).as(s"${c}__av"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // Reshape the 1-row wide frame to per-column rows with an inline
@@ -49,7 +56,7 @@ object Profile {
     val rows = array(cols.map { c =>
       struct(
         lit(c).as("col_name"),
-        col(s"${c}__n").as("n_rows"),
+        col("__n").as("n_rows"),
         col(s"${c}__nn").as("n_null"),
         col(s"${c}__mn").as("min_val"),
         col(s"${c}__mx").as("max_val"),

@@ -90,7 +90,9 @@ object SkewJoin {
   def keySkewStats(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("__total"))
+    // Total from the already-aggregated counts, NOT a second df.agg —
+    // an independent aggregate subtree would scan the full table twice.
+    val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))
       .select(
         col(keyCol),

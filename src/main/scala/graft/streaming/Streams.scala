@@ -314,10 +314,18 @@ object Streams {
         org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
           .rename(tmp, new org.apache.hadoop.fs.Path(root, "_LATEST"),
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // GC: keep the newest `retain` committed versions (new one
-        // included); anything older — including stragglers a crash left
-        // behind — goes.
-        listVersions(fs, root).drop(retain).foreach { v =>
+        // GC: keep the just-committed pointer target plus the next
+        // `retain - 1` newest versions BELOW it. Anything numbered
+        // ABOVE the pointer is an uncommitted straggler (a crash
+        // between snapshot write and pointer swing — or a stale dir
+        // from a previous checkpoint whose batch ids restarted) and is
+        // deleted too: ordering the GC purely by version number would
+        // otherwise count such a straggler toward the retain window
+        // and delete the LIVE pointer target instead.
+        val committedId = version.drop(1).toLong
+        val (stragglers, committed) =
+          listVersions(fs, root).partition(_.drop(1).toLong > committedId)
+        (stragglers ++ committed.drop(retain)).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
         }
       }
@@ -337,12 +345,21 @@ object Streams {
     spark.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
   }
 
-  /** Retained snapshot versions of a merge target, newest first —
-    * what [[readMergeTargetVersion]] can still time-travel to.
+  /** Retained COMMITTED snapshot versions of a merge target, newest
+    * first — what [[readMergeTargetVersion]] can time-travel to. Only
+    * versions at or below the `_LATEST` pointer qualify: a dir numbered
+    * above it is an uncommitted crash straggler that a replay will
+    * overwrite, so exposing it would break the immutability contract.
     */
   def mergeTargetVersions(spark: SparkSession, targetPath: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
-    listVersions(root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    latestVersion(fs, root) match {
+      case None => Nil
+      case Some(ptr) =>
+        val ptrId = ptr.drop(1).toLong
+        listVersions(fs, root).filter(_.drop(1).toLong <= ptrId)
+    }
   }
 
   /** Time-travel read of a retained snapshot (`"v<batchId>"`, per
@@ -354,13 +371,12 @@ object Streams {
     */
   def readMergeTargetVersion(
       spark: SparkSession, targetPath: String, version: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(targetPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = new org.apache.hadoop.fs.Path(root, version)
-    require(version.matches("v\\d+") && fs.exists(dir),
+    val retained = mergeTargetVersions(spark, targetPath)
+    require(retained.contains(version),
       s"version '$version' not retained at $targetPath; retained: " +
-        listVersions(fs, root).mkString(", "))
-    spark.read.parquet(dir.toString)
+        retained.mkString(", "))
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(targetPath, version).toString)
   }
 
   /** All snapshot version dirs under a merge target, newest first. */

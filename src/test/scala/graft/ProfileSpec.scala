@@ -24,6 +24,15 @@ class ProfileSpec extends SparkTestBase {
         BigDecimal(t._6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("numericProfile survives NaN/Infinity under ANSI; mean is over finite values") {
+    import spark.implicits._
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity, 3.0).toDF("a")
+    val p = rows(Profile.numericProfile(df, Seq("a"))).head
+    assert(p.getLong(1) === 4L && p.getLong(2) === 0L)
+    assert(p.getDouble(3) === 1.0)      // min ignores NaN (ranks largest)
+    assert(p.getDouble(5) === 2.0)      // mean of the finite {1.0, 3.0}
+  }
+
   test("numericProfile profiles every column in one scan") {
     val plan = planString(
       Profile.numericProfile(docs, Seq("doc_id", "n_chars")))

@@ -303,5 +303,16 @@ class StreamsSpec extends SparkTestBase {
       Streams.readMergeTargetVersion(spark, target, "v9")
     }
     assert(e.getMessage.contains("retained"))
+    // a stale HIGHER-numbered dir (crash straggler, or a restart whose
+    // fresh checkpoint restarted batch ids) is never listed as
+    // committed, never counts against the retain window, and the next
+    // commit purges it instead of the live pointer target
+    val stale = new java.io.File(target, "v99")
+    stale.mkdirs()
+    assert(Streams.mergeTargetVersions(spark, target) === Seq("v1", "v0"))
+    runBatch((3L, 1, t1))
+    assert(!stale.exists, "uncommitted straggler v99 survived GC")
+    assert(Streams.mergeTargetVersions(spark, target) === Seq("v2", "v1", "v0"))
+    assert(rows(Streams.readLatestMergeTarget(spark, target)).size === 3)
   }
 }
