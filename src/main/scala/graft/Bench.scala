@@ -136,7 +136,10 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, _, s) => s"${jstr(k)}:${"%.2f".format(s)}" }
+    // Locale.ROOT: a comma-decimal default locale (fr_FR, de_DE) would
+    // otherwise emit "1,23" and corrupt the JSON line.
+    val spreads = results.map { case (k, _, _, s) =>
+      s"${jstr(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, s)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"sf":${jstr(sfDir)}}""")

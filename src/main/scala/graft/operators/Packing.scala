@@ -25,6 +25,13 @@ object Packing {
       docs: DataFrame, groupCol: String, orderCol: String,
       budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // Output/scratch collision is a silent-clobber hazard (withColumn
+    // REPLACES same-named columns and the __cum drop would then remove
+    // user data) — fail fast, same policy as SkewJoin / capPerGroup.
+    Seq("n_tokens", "__cum", "batch_id").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input column '$c' collides with packByTokenBudget's columns")
+    }
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

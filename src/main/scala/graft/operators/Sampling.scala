@@ -43,10 +43,14 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
-  /** Permanent uniform draw in [0, 1) per key: the 63-bit md5 hash over
+  /** Permanent uniform draw in [0, 1] per key: the 63-bit md5 hash over
     * 2^63 (Long.MaxValue.toDouble rounds to exactly 2^63, and DuckDB's
     * `/ 9223372036854775808.0` parses to the same double, so the quotient
-    * is bit-identical cross-engine).
+    * is bit-identical cross-engine). The closed upper bound is the
+    * double rounding: a hash in [2^63-512, 2^63) rounds to 2^63 and
+    * yields exactly 1.0 (probability ~5.5e-17 per key), so `u < 1.0`
+    * can — astronomically rarely — drop a row even at weight 1.0; both
+    * engines agree on the draw, so parity is unaffected.
     */
   def hashUnit(key: Column): Column =
     Text.md5Long63(key.cast("string")).cast("double") / lit(Long.MaxValue.toDouble)
@@ -54,7 +58,7 @@ object Sampling {
   /** Deterministic weighted (Bernoulli) sampling: keep a row iff
     * u(key) < weight — per-row keep probability equals `weight` (a
     * column in [0, 1]; values outside clamp naturally: <=0 never keeps,
-    * >=1 always keeps). The draw is a pure function of the key, so
+    * >=1 keeps — up to [[hashUnit]]'s ~5.5e-17 closed-bound edge). The draw is a pure function of the key, so
     * decisions are reproducible across runs, engines, and partitionings,
     * and re-sampling a grown corpus never flips an existing row. Pure
     * map-side filter — scan-speed at any scale. The standard
@@ -149,6 +153,10 @@ object Sampling {
   def hashSplit(df: DataFrame, keyCol: String, trainPct: Int): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100,
       s"trainPct must be in [0,100], got $trainPct")
+    Seq("bucket", "split").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with hashSplit's output columns")
+    }
     df.withColumn("bucket", hashBucket(col(keyCol)))
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("holdout")))

@@ -81,12 +81,13 @@ object Similarity {
     * confined to within-bucket collisions.
     *
     * A pair sharing several bands must still surface exactly ONCE. That
-    * is done with zero extra shuffle: each side carries its full
-    * band-bucket signature array, and a joined row survives only if the
-    * band it met on is the FIRST band both signatures agree on
-    * (`array_position` over the pairwise-equality zip). Cheaper than
-    * the `groupBy(pair)` dedup `lshTopK` needs — pure filter, fully
-    * pipelined, and the exact cosine is computed once per unique pair.
+    * is done with zero extra shuffle: each side carries its packed
+    * signature long, and a joined row survives only if the band it met
+    * on is the FIRST band both signatures agree on — an unrolled
+    * shift/mask when-chain over `sigA XOR sigB` (`firstCommonBand`),
+    * fully inside whole-stage codegen. Cheaper than the `groupBy(pair)`
+    * dedup `lshTopK` needs — pure filter, fully pipelined, and the
+    * exact cosine is computed once per unique pair.
     *
     * Recall tuning: P(pair at cosine c shares a band) =
     * 1 - (1 - p^b)^(nPlanes/b) with p = 1 - acos(c)/π and b =

@@ -26,33 +26,46 @@ object QueryUtil {
 
   /** Top-level TIMESTAMP(NANOS) columns of a parquet file/directory, read
     * from the footer on the driver (one footer, a few ms — not a scan).
+    * Memoized per path: `table()` is called per query per pass and the
+    * footer never changes under the harness. The part-file search is
+    * RECURSIVE so a partitioned layout (part files under key=value
+    * subdirs) still gets the fail-fast check — a non-recursive listing
+    * would silently find no footer and vacuously pass.
     */
+  private val nanosFooterCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   private def nanosColumnsInFooter(
-      spark: SparkSession, path: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val file = // a dataset may be one file or a directory of part files
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(return Nil)
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      reader.getFileMetaData.getSchema.getFields.asScala.collect {
-        case f => (f.getName, f.getLogicalTypeAnnotation)
-      }.collect {
-        case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
-            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => n
-      }.toSeq
-    } finally reader.close()
-  }
+      spark: SparkSession, path: String): Seq[String] =
+    nanosFooterCache.getOrElseUpdate(path, {
+      import scala.jdk.CollectionConverters._
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      var file: Option[Path] = None
+      val it = fs.listFiles(p, true) // recursive; yields p itself if a file
+      while (file.isEmpty && it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) file = Some(f)
+      }
+      file match {
+        case None => Nil
+        case Some(f) =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try {
+            reader.getFileMetaData.getSchema.getFields.asScala.collect {
+              case fld => (fld.getName, fld.getLogicalTypeAnnotation)
+            }.collect {
+              case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => n
+            }.toSeq
+          } finally reader.close()
+      }
+    })
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"

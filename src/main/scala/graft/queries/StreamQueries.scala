@@ -56,11 +56,7 @@ object StreamQueries {
       s: SparkSession, df: DataFrame, mode: String = "append"): DataFrame = {
     val sink = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt_").toString
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    withScopedStreamRun(s) { ckpt =>
       val q = df.writeStream
         .format("memory")
         .queryName(sink)
@@ -69,14 +65,31 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val collected = s.table(sink)
-    val schema = collected.schema
-    val out = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(collected.collect(): _*)),
-      schema)
-    s.catalog.dropTempView(sink)
-    out
+    }
+    // Drop the sink view even when collect fails — repeated Bench
+    // passes must not accumulate leaked memory sinks.
+    try {
+      val collected = s.table(sink)
+      val schema = collected.schema
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(collected.collect(): _*)),
+        schema)
+    } finally s.catalog.dropTempView(sink)
+  }
+
+  /** One scoped streaming run: temp checkpoint dir + shuffle
+    * partitions pinned to 2 for the duration (state stores commit per
+    * shuffle partition per batch — see the [[runToBatch]] Scaladoc),
+    * restored afterwards. Shared by every streaming query here so the
+    * scoping cannot drift between them.
+    */
+  private def withScopedStreamRun[A](s: SparkSession)(body: String => A): A = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try body(ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   val queries: Map[String, Q] = Map(
@@ -156,11 +169,7 @@ object StreamQueries {
     "q_stream_upsert" -> ((s, _) => {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_stream_merge_").toString + "/target"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_merge_ckpt_").toString
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      try {
+      withScopedStreamRun(s) { ckpt =>
         val raw = s.readStream.schema(Schemas.velibRaw)
           .option("maxFilesPerTrigger", 1) // force one batch per fixture file
           .json(StationsDir)
@@ -168,7 +177,7 @@ object StreamQueries {
           Streams.dedupedStationUpdates(raw),
           "station_id", "last_reported", outDir, ckpt).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       Streams.readLatestMergeTarget(s, outDir)
         .select(col("station_id"), col("num_bikes_available"),
           col("num_docks_available"), col("last_reported"))
@@ -183,18 +192,14 @@ object StreamQueries {
     "q_stream_load" -> ((s, _) => {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_stream_load_").toString + "/landed"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_load_ckpt_").toString
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      try {
+      withScopedStreamRun(s) { ckpt =>
         val q = Streams.foreachBatchLoad(
           Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),
           ckpt) { (batch, _) =>
           batch.write.mode("append").parquet(outDir)
         }.trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.read.parquet(outDir)
         .orderBy(col("station_id"), col("last_reported"))
     }))
