@@ -73,6 +73,49 @@ object Multimodal {
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Embedding row produced by [[extractFeatures]] — `features`
+    * conforms to the `array<float>` contract the Similarity / KMeans
+    * operators consume, closing the multimodal → embedding → ANN loop.
+    */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Batch feature extraction: binary payload → fixed-`dim` float
+    * vector, the step between decode and indexing where a real vision/
+    * audio encoder (ONNX session, JNI model) runs. Same `mapPartitions`
+    * batching as [[decodeMeta]] — a real encoder loads once per
+    * partition and consumes the row iterator in model-sized batches.
+    *
+    * The encoder kernel is the documented deterministic stand-in:
+    * component j is the first 4 md5 bytes of (payload ++ "_j") as an
+    * unsigned 32-bit scaled to [0, 1) — the `Similarity.hyperplanes`
+    * bytes-to-unit recipe, so an external engine rebuilds every
+    * component exactly and the whole operator is oracle-checkable.
+    * Swap the kernel for a model call and nothing else changes.
+    */
+  def extractFeatures(
+      spark: SparkSession, withPayload: DataFrame,
+      dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    require(dim > 0, s"dim must be positive, got $dim")
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        // real impl: val encoder = Encoder.load() — once per partition
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val f = Array.tabulate(dim) { j =>
+            digest.reset()
+            digest.update(r.payload)
+            digest.update(s"_$j".getBytes("UTF-8"))
+            val h = digest.digest()
+            val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+              ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+            (u / 4294967296.0).toFloat
+          }
+          MediaFeatures(r.doc_id, f)
+        }
+      }
+  }
+
   /** A resized payload with its new dimensions. */
   case class ResizedMedia(
       doc_id: Long, width: Int, height: Int, payload: Array[Byte])

@@ -382,6 +382,18 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Feature extraction: binary payload -> 8-dim float vector through
+    // the mapPartitions encoder slot (md5-derived stub kernel — every
+    // component DuckDB-rebuildable), flattened per element.
+    "q_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        s, Multimodal.withBinaryPayload(docs(s, dir)), dim = 8)
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Batch resize: binary->binary mapPartitions with the deterministic
     // stub kernel — dimensions and byte counts are oracle-reproducible.
     "q_media_resize" -> ((s, dir) => {
@@ -971,6 +983,12 @@ object LlmQueries {
       """SELECT doc_id, CAST(unnest(generate_series(0,
         |   (1 + octet_length(encode(text)) % 16) - 1, 4)) AS INT) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id, CAST(r.range AS INT) AS pos,
+        | CAST((('0x' || substr(md5(text || '_' || CAST(r.range AS VARCHAR)), 1, 8))::UBIGINT
+        |   / 4294967296.0) AS REAL) AS feature
+        |FROM documents CROSS JOIN range(8) r
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

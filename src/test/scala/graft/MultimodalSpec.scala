@@ -62,4 +62,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(byDoc(1L) === Seq(0, 4, 8)) // n_frames = 12 -> 0,4,8
     assert(byDoc(3L) === Seq(0))       // n_frames = 2  -> 0
   }
+
+  test("extractFeatures: fixed-dim unit-range vectors, deterministic, ANN-composable") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = Multimodal.extractFeatures(
+      spark, Multimodal.withBinaryPayload(docs), dim = 8).toDF()
+    val rowsA = feats.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(rowsA.nonEmpty && rowsA.values.forall(v =>
+      v.length == 8 && v.forall(x => x >= 0.0f && x < 1.0f)))
+    // pure function of the payload: identical under repartitioning
+    val rowsB = Multimodal.extractFeatures(
+      spark, Multimodal.withBinaryPayload(docs.repartition(7)), dim = 8)
+      .toDF().collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(rowsB === rowsA)
+    // the output conforms to the embedding contract: feed it straight
+    // into the similarity tier (multimodal -> embedding -> ANN)
+    val corpus = feats.select(col("doc_id").as("id"), col("features").as("vec"))
+    val probes = corpus.filter(col("id") < 2)
+      .select(col("id").as("probe_id"), col("vec"))
+    val nn = graft.operators.Similarity.bruteForceTopK(corpus, probes, 5)
+    val counts = nn.groupBy(col("probe_id")).count().collect()
+    assert(counts.length === 2 && counts.forall(_.getLong(1) === 5L))
+  }
 }
