@@ -93,6 +93,26 @@ class SinksSpec extends SparkTestBase {
       s"partition filter did not reach the ORC scan:\n$ex")
   }
 
+  test("gzip raw drops read transparently: same rows as the uncompressed fixture") {
+    // Web-scale raw zones land compressed; Hadoop's codec-by-extension
+    // makes the SAME schema'd FAILFAST reader handle .json.gz drops —
+    // prove it against the committed fixture.
+    val dir = Files.createTempDirectory("gz").toString
+    val gz = new java.io.File(dir, "station_status.json.gz")
+    val in = java.nio.file.Paths.get(s"$FixtureDir/station_status.json")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    try out.write(java.nio.file.Files.readAllBytes(in))
+    finally out.close()
+    val plain = Sources.readVelibRaw(spark, s"$FixtureDir/station_status.json")
+    val zipped = Sources.readVelibRaw(spark, gz.getPath)
+    assert(zipped.count() === plain.count())
+    assert(rows(Velib.curateStations(Velib.flattenStations(zipped))
+      .orderBy(col("station_id"), col("last_reported"))) ===
+      rows(Velib.curateStations(Velib.flattenStations(plain))
+        .orderBy(col("station_id"), col("last_reported"))))
+  }
+
   test("writeRangeSorted: disjoint per-file key ranges, sorted within, nothing lost") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("source"))
