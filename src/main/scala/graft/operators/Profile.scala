@@ -65,6 +65,35 @@ object Profile {
     wide.select(explode(rows).as("p")).select(col("p.*"))
   }
 
+  /** Winsorization: clip `c` to its [pLo, pHi] percentile range — the
+    * standard outlier treatment before a numeric column feeds training
+    * (a fat-finger price or sensor spike otherwise dominates scaling
+    * and loss). Adds `<c>_clipped`; rows and other columns untouched.
+    *
+    * The two cut points come from ONE exact-percentile aggregate
+    * (quantile_cont interpolation — cross-engine deterministic, the
+    * `q_agg_percentile` contract) broadcast back as a 1-row frame, so
+    * the data path is scan → broadcast-join → map-side clip: no shuffle
+    * of the rows, two passes over the column total. At 100 TB the
+    * percentile pass swaps to `approx_percentile` one line down — same
+    * shape, sketch-merged cut points.
+    */
+  def winsorize(
+      df: DataFrame, c: String, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val outCol = s"${c}_clipped"
+    require(!df.columns.contains(outCol),
+      s"input column '$outCol' collides with winsorize's output column")
+    val cuts = df.agg(
+      percentile(col(c), lit(pLo)).as("__lo"),
+      percentile(col(c), lit(pHi)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        least(greatest(col(c), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Fixed-bound equi-width histogram of `c` over [lo, hi): bucket i
     * covers [lo + i·w, lo + (i+1)·w) with w = (hi - lo) / nBuckets.
     * Values below `lo` clamp into bucket 0, values at or above `hi`

@@ -269,6 +269,17 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Winsorization: clip prices to [p05, p95] — one exact-percentile
+    // aggregate broadcast back, map-side clip, no row shuffle. Ordered
+    // by enough columns that ties are fully identical rows (the
+    // lineitem key is not unique in the harness data).
+    "q_profile_clip" -> ((s, dir) => {
+      Profile.winsorize(table(s, dir, "lineitem"), "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_clipped"), 2).as("clipped_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("clipped_price"))
+    }),
+
     // J3 semi: EXISTS — no duplication of the left side, right side only
     // ships its join key.
     "q_join_semi" -> ((s, dir) => {
@@ -728,6 +739,16 @@ object RelationalQueries {
         | COALESCE(c.cnt, 0) AS cnt
         |FROM range(20) r LEFT JOIN c ON r.range = c.bucket
         |ORDER BY bucket""".stripMargin,
+    "q_profile_clip" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        | ROUND(LEAST(GREATEST(l_extendedprice, q.lo), q.hi), 2) AS clipped_price
+        |FROM lineitem CROSS JOIN q
+        |ORDER BY l_orderkey, l_linenumber, clipped_price""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -54,6 +54,19 @@ class ProfileSpec extends SparkTestBase {
     assert(h.head._2 === 0.0 && h.last._3 === 10.0)
   }
 
+  test("winsorize clips to the exact interpolated cut points, rows preserved") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val w = Profile.winsorize(df, "x", 0.05, 0.95)
+    val clipped = rows(w.select(col("x_clipped"))).map(_.getDouble(0))
+    // quantile_cont over 1..100: p05 = 1 + 0.05·99 = 5.95, p95 = 95.05
+    assert(clipped.min === 5.95 && clipped.max === 95.05)
+    assert(clipped.size === 100 && w.columns.contains("x"))
+    // cut points ride a broadcast, not a shuffle of the rows
+    assert(planString(w).contains("BroadcastNestedLoopJoin")
+      || planString(w).contains("BroadcastExchange"), planString(w))
+  }
+
   test("keySkewStats finds the planted hot key with its exact share") {
     import spark.implicits._
     val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
