@@ -269,6 +269,35 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // W3 (RANGE frame): 7-day trailing average spend per customer —
+    // an event-TIME range frame, not a row-count frame (the two differ
+    // whenever events cluster). The frame sum goes through an exact
+    // decimal so the trailing average is order-independent.
+    "q_window_movavg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-604800L, 0L)
+      table(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double") / count(lit(1)).over(w), 4).as("avg_7d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("avg_7d"))
+    }),
+
+    // F-family: bitwise ops (and/or/xor/shifts) — the key-manipulation
+    // primitives partitioners and bucketing schemes lean on.
+    "q_fn_bitwise" -> ((s, dir) => {
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber").cast("long")).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("long")).as("k_xor"),
+        shiftleft(col("l_linenumber"), 3).as("k_shl"),
+        shiftright(col("l_orderkey"), 2).as("k_shr"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Winsorization: clip prices to [p05, p95] — one exact-percentile
     // aggregate broadcast back, map-side clip, no row shuffle. Ordered
     // by enough columns that ties are fully identical rows (the
@@ -739,6 +768,22 @@ object RelationalQueries {
         | COALESCE(c.cnt, 0) AS cnt
         |FROM range(20) r LEFT JOIN c ON r.range = c.bucket
         |ORDER BY bucket""".stripMargin,
+    "q_window_movavg" ->
+      """SELECT o_custkey, o_orderdate,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / COUNT(*) OVER w, 4) AS avg_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, avg_7d""".stripMargin,
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & 255 AS k_and,
+        | l_orderkey | CAST(l_linenumber AS BIGINT) AS k_or,
+        | xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS k_xor,
+        | l_linenumber << 3 AS k_shl,
+        | l_orderkey >> 2 AS k_shr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_profile_clip" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
