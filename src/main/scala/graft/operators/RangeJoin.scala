@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval containment joins WITHOUT an equi key, in equi-join shape.
+  *
+  * Spark plans `points JOIN intervals ON p BETWEEN s AND e` (no equality
+  * conjunct) as a BroadcastNestedLoopJoin — every point is compared to
+  * every interval, O(|P|·|I|). Fine for a handful of intervals, fatal at
+  * 100 TB. (`q_join_range` keeps its equi conjunct and never hits this;
+  * this operator is for the band-only case.)
+  *
+  * Binned shape: quantize the shared domain into width-`w` bins. Each
+  * point lands in exactly ONE bin (`floor(p / w)`); each interval is
+  * exploded to the bins it overlaps (`sequence(floor(s/w), floor(e/w))`
+  * — `len/w + 1` rows, ~2 when `w` is chosen near the typical interval
+  * length). Equi-join on the bin key, then the exact containment
+  * residual. A point meets only the intervals overlapping its bin, and
+  * because it is in exactly one bin no pair can be emitted twice — no
+  * dedup pass, no distinct.
+  *
+  * Scale shape: the join is a plain equi-join, so Catalyst picks
+  * broadcast when the exploded interval side is small (zero shuffle of
+  * the point side — the common fact-vs-windows case) and a shuffled
+  * hash/sort-merge join on the bin key otherwise. Skewed bins (a bin
+  * holding a hot burst of points) are exactly key skew and AQE's skew
+  * split / `SkewJoin.saltedEquiJoin` apply unchanged.
+  *
+  * The reference (etl_dag.py) has no join at all; this is [E]-envelope
+  * surface (SURVEY.md §2.4 J5).
+  */
+object RangeJoin {
+
+  private val BinCol = "__rj_bin"
+
+  /** Floor-division bin id as a long. `pmod` keeps floor semantics on
+    * negative domains (plain `div` truncates toward zero). The numerator
+    * is exactly divisible by `w`, so the double division is exact for
+    * |value| < 2^53 — any epoch-seconds/days/millis domain.
+    */
+  private def bin(v: Column, w: Long): Column =
+    ((v - pmod(v, lit(w))) / lit(w)).cast("long")
+
+  /** Join each point row to every interval row whose CLOSED interval
+    * [startCol, endCol] contains it. Half-open semantics: pass
+    * `end - 1` (integral domain) as `endCol`. Columns must be integral
+    * (epoch days/seconds/...); rows with `end < start` match nothing.
+    *
+    * Output: point columns ++ interval columns (bin key dropped).
+    *
+    * `binWidth`: pick near the typical interval length — each interval
+    * then explodes to ~2 bins. Too small explodes the interval side;
+    * too large piles unrelated points into each bin's candidate set.
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    Seq(points -> "points", intervals -> "intervals").foreach { case (df, side) =>
+      require(!df.columns.contains(BinCol),
+        s"$side input already has a column named $BinCol (reserved)")
+    }
+    val p = points.withColumn(BinCol, bin(col(pointCol), binWidth))
+    val i = intervals
+      // sequence(a, b) generates DESCENDING when a > b — an inverted
+      // interval would fabricate bins, so drop them (they can match
+      // nothing under the containment predicate anyway).
+      .filter(col(startCol) <= col(endCol))
+      .withColumn(BinCol,
+        explode(sequence(bin(col(startCol), binWidth), bin(col(endCol), binWidth))))
+    p.join(i, BinCol)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(BinCol)
+  }
+}

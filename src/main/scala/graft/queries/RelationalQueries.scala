@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, Profile, SkewJoin, Upsert}
+import graft.operators.{AsOfJoin, Profile, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -362,6 +363,30 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // J5b band-only interval join (NO equi key): shipments inside the
+    // 14-day window after each big order's date. The naive predicate
+    // join is a BroadcastNestedLoopJoin over |points|x|intervals|;
+    // RangeJoin bins the day domain (width = window length) so it runs
+    // as a plain equi-join on the bin key — here Catalyst broadcasts
+    // the ~2-bins-per-interval exploded side and the 60k-point fact
+    // side is never shuffled. Plan-asserted: no BNLJ, no cartesian.
+    "q_join_range_binned" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val shipments = table(s, dir, "lineitem").select(
+        col("l_quantity"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      val windows = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000.0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 13) // closed <=> < +14d
+      RangeJoin.pointInInterval(shipments, "ship_day", windows,
+        "start_day", "end_day", binWidth = 14)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // J6 as-of: most recent 'click' at or before each 'purchase', per
     // user. Composed union+window implementation — exactly one shuffle
     // on user_id (see graft.operators.AsOfJoin).
@@ -610,6 +635,109 @@ object RelationalQueries {
         round(VectorOps.norm(col("embedding")), 6).as("l2_norm"),
         col("label"))
         .orderBy(col("vec_id"))
+    }),
+
+    // A1c second-moment statistics (variance / stddev / correlation).
+    // Built-in stddev/corr merge partial double moments in shuffle order,
+    // so their low bits are not reproducible cross-engine (or even
+    // run-to-run). Portable shape: the five raw moments as EXACT decimal
+    // sums (the inputs carry <=2 decimals, products <=4 — the dsum
+    // argument), then one identical double expression over them in both
+    // engines. Same single aggregation pass and map-side partials as the
+    // built-ins — the portability costs nothing at scale.
+    "q_agg_stats" -> ((s, dir) => {
+      val m = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double").as("sy"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+            .cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxy"))
+      m.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std_qty"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A1d conditional aggregation: FILTER-style counts and guarded
+    // sums/maxes in one pass — no self-joins, no second scan.
+    "q_agg_conditional" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 200.0).as("n_big"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("sum_f"),
+          max(when(col("o_orderstatus") === "O", col("o_totalprice")))
+            .as("max_open"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A7 array aggregation: per-group collected lists/sets made
+    // deterministic with sort_array (collection order is shuffle order —
+    // never emit an unsorted collect_*). The filtered list keeps per-group
+    // arrays bounded; unbounded per-group collect is flagged in Scaladoc
+    // as the anti-pattern (single giant row, no partial aggregation win).
+    "q_agg_collect" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sort_array(collect_set(col("c_nationkey"))).as("nations"),
+          sort_array(collect_list(when(col("c_custkey") % 50 === 0, col("c_custkey"))))
+            .as("sample_keys"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // U2 multiset variants: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinalities (min / left-minus counts). Planned as an aggregate
+    // over (row, count) pairs — one shuffle, no join explosion.
+    "q_intersect_all" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // W4 navigation windows: first/last/nth over a running ROWS frame
+    // with IGNORE NULLS (the gap-fill / last-observation-carried-forward
+    // family), plus lead with an explicit default. Nulls are planted
+    // deterministically ('error' events) so the ignore-nulls semantics
+    // are actually exercised.
+    "q_window_nav" -> ((s, dir) => {
+      val v = when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value"))
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("v", v)
+        .select(
+          col("event_id"), col("user_id"),
+          first(col("v"), ignoreNulls = true).over(frame).as("first_ok"),
+          last(col("v"), ignoreNulls = true).over(frame).as("last_ok"),
+          nth_value(col("v"), 2).over(frame).as("second_any"),
+          lead(col("value"), 1, -1.0).over(order).as("next_val"))
+        .orderBy(col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -943,5 +1071,67 @@ object RelationalQueries {
         | CAST(embedding[-1] AS DOUBLE) AS last_val,
         | ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
         | label
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+        |  (sxy - sx * sy / n) /
+        |    SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_conditional" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_totalprice > 200.0) AS n_big,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_f,
+        | MAX(o_totalprice) FILTER (o_orderstatus = 'O') AS max_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT c_mktsegment,
+        | list_sort(list(DISTINCT c_nationkey)) AS nations,
+        | COALESCE(list_sort(list(c_custkey) FILTER (c_custkey % 50 = 0)),
+        |   CAST([] AS BIGINT[])) AS sample_keys
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_join_range_binned" ->
+      """SELECT o_orderkey, COUNT(*) AS n_ship,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 14 DAY
+        |WHERE o.o_totalprice > 495000.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_window_nav" ->
+      """SELECT event_id, user_id,
+        | first_value(v IGNORE NULLS) OVER w AS first_ok,
+        | last_value(v IGNORE NULLS) OVER w AS last_ok,
+        | nth_value(v, 2) OVER w AS second_any,
+        | lead(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_val
+        |FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }
