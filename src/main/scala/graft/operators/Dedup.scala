@@ -471,4 +471,50 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Pairs of rows whose `keyCol` strings are within Levenshtein
+    * distance 1 (title / short-key fuzzy dedup), with EXACT recall —
+    * no all-pairs comparison and no probabilistic bucketing.
+    *
+    * Blocking is the deletion neighborhood: each key is exploded to
+    * itself plus every single-character deletion (L+1 variants). Two
+    * strings with lev <= 1 provably share a variant — equal strings
+    * share the key itself; a substitution at position i means deleting
+    * position i from both yields the same string; an insertion means
+    * deleting the inserted character from the longer side yields the
+    * shorter, which is its own variant. So the equi-join on the variant
+    * string recalls EVERY qualifying pair, and the exact `levenshtein`
+    * residual discards the (few) neighborhood collisions that are >= 2
+    * edits apart.
+    *
+    * Scale shape: fan-out is L+1 rows per key (bounded — use a
+    * truncated/normalized key); candidates meet only inside a variant
+    * bucket (one shuffle on the variant hash); pairs sharing several
+    * variants (equal strings share all L+1) are collapsed by the
+    * pre-verify `distinct`, and `levenshtein` runs once per unique
+    * pair. The deletion-neighborhood family generalizes to distance d
+    * with d-deletion variants, but the fan-out is C(L,d) — this
+    * operator deliberately fixes d = 1, the fuzzy-title sweet spot.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist in {0, 1}.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val k = col(keyCol)
+    // self + every single-char deletion; array_distinct collapses the
+    // duplicate variants a repeated character produces.
+    val variants = array_distinct(concat(
+      array(k),
+      transform(sequence(lit(1), length(k)),
+        i => concat(k.substr(lit(1), i - 1), k.substr(i + 1, length(k))))))
+    val exploded = docs.select(col(idCol), k.as("__ed_key"),
+      explode(variants).as("__ed_var"))
+    exploded.as("a").join(exploded.as("b"), Seq("__ed_var"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__ed_key").as("__ka"), col("b.__ed_key").as("__kb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ka"), col("__kb")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

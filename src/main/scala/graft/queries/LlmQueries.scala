@@ -88,6 +88,21 @@ object LlmQueries {
     }),
 
     // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
+    // Edit-distance (lev <= 1) fuzzy-key dedup with exact
+    // deletion-neighborhood blocking. Single-char mutations are planted
+    // deterministically (same CASE in the oracle) so substitution AND
+    // deletion pairs are genuinely exercised: doc_id%7 replaces the
+    // first key char, doc_id%11 drops it.
+    "q_dedup_edit" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("X"), substring(col("text"), 2, 23)))
+          .when(col("doc_id") % 11 === 0, substring(col("text"), 2, 23))
+          .otherwise(substring(col("text"), 1, 24)).as("title"))
+      graft.operators.Dedup.editDistancePairs(keyed, "doc_id", "title")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(docs(s, dir), 3)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -448,6 +463,18 @@ object LlmQueries {
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_edit" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'X' || substr(text, 2, 23)
+        |         WHEN doc_id % 11 = 0 THEN substr(text, 2, 23)
+        |         ELSE substr(text, 1, 24) END AS title
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -155,4 +155,40 @@ class DedupSpec extends SparkTestBase {
       .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
     assert(kept === Seq(1L, 2L, 3L)) // 4 and 5 collapse into 2
   }
+
+  test("editDistancePairs equals brute-force lev<=1 on every edit kind") {
+    // equal, substitution (first/middle/last), insertion, deletion,
+    // repeated chars, 2-edits-apart decoys, empty and 1-char strings
+    val keys = Seq(
+      1L -> "alpha", 2L -> "alpha",    // equal
+      3L -> "alphb",                   // sub at last
+      4L -> "blpha",                   // sub at first
+      5L -> "alpa",                    // deletion (middle)
+      6L -> "alphas",                  // insertion at end
+      7L -> "salpha",                  // insertion at front
+      8L -> "aabb", 9L -> "abab",      // 2 edits apart — must NOT pair
+      10L -> "aa", 11L -> "aaa",       // repeated chars (dup variants)
+      12L -> "", 13L -> "x"            // empty vs 1-char: lev 1
+    )
+    val df = keys.toDF("id", "k")
+    val got = rows(Dedup.editDistancePairs(df, "id", "k"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+      d = levDist(ka, kb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === brute)
+    assert(got.contains((12L, 13L, 1)))
+    assert(!got.exists { case (a, b, _) => a == 8L && b == 9L })
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+    d(a.length)(b.length)
+  }
 }
