@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, Profile, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{AsOfJoin, Profile, Quality, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -637,6 +637,27 @@ object RelationalQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Data-quality gate: row rules in ONE aggregate pass, a
+    // duplicate-key audit (the harness lineitem key is knowingly
+    // non-unique — nonzero violations are real signal), and a
+    // referential check against the distinct parent key set. The
+    // price_cap rule is deliberately violated by high-price orders so
+    // a nonzero row-rule count is exercised too.
+    "q_quality" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      Quality.report(
+        Quality.checkRows(orders, Seq(
+          Quality.Rule("order_date_not_null", col("o_orderdate").isNotNull),
+          Quality.Rule("order_status_domain",
+            col("o_orderstatus").isin("F", "O", "P")),
+          Quality.Rule("order_price_positive", col("o_totalprice") > 0.0),
+          Quality.Rule("order_price_cap", col("o_totalprice") <= 480000.0))),
+        Quality.checkUnique(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"), "lineitem_pk_unique"),
+        Quality.checkRef(orders, "o_custkey",
+          table(s, dir, "customer"), "c_custkey", "orders_custkey_fk"))
+    }),
+
     // A1c second-moment statistics (variance / stddev / correlation).
     // Built-in stddev/corr merge partial double moments in shuffle order,
     // so their low bits are not reproducible cross-engine (or even
@@ -1072,6 +1093,36 @@ object RelationalQueries {
         | ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
         | label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_quality" ->
+      """SELECT * FROM (
+        |  SELECT 'order_date_not_null' AS rule,
+        |    COUNT(*) FILTER (NOT COALESCE(o_orderdate IS NOT NULL, FALSE)) AS violations,
+        |    COUNT(*) AS total_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'order_status_domain',
+        |    COUNT(*) FILTER (NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'order_price_positive',
+        |    COUNT(*) FILTER (NOT COALESCE(o_totalprice > 0.0, FALSE)),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'order_price_cap',
+        |    COUNT(*) FILTER (NOT COALESCE(o_totalprice <= 480000.0, FALSE)),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique',
+        |    CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk',
+        |    COUNT(*) FILTER (p.pk IS NULL AND o_custkey IS NOT NULL),
+        |    COUNT(*)
+        |  FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |    ON o_custkey = p.pk
+        |) ORDER BY rule""".stripMargin,
     "q_agg_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,
