@@ -509,6 +509,26 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Small-file compaction: fragment a projection into 48 tiny files
+    // (the append-heavy layout pathology), compact to ~2 MB targets,
+    // serve from the compacted layout. Oracle = the same projection
+    // from the source table, so a green row proves the rewrite is
+    // value-faithful; SinksSpec asserts the file-count collapse and
+    // the no-shuffle plan shape.
+    "q_sink_compact" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+      val frag = base + "/frag"
+      val compacted = base + "/compacted"
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        .repartition(48)
+        .write.parquet(frag)
+      Sinks.compactParquet(s, frag, compacted, targetFileBytes = 2L << 20)
+      s.read.parquet(compacted)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // Warehouse merge: SCD-1 upsert of a deterministic change batch
     // (every 7th customer re-priced, every 97th key inserted fresh)
     // into the customer dimension. LEFT ANTI + union — the update
@@ -1013,6 +1033,10 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sink_compact" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal

@@ -60,6 +60,46 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. The small-files problem is THE silent
+    * scale killer of append-heavy layouts (every micro-batch / every
+    * incremental load drops a few files; a year later the table is a
+    * million 100 KB files and planning+open() dominates every scan).
+    *
+    * Output file count is sized from the CURRENT on-disk bytes (one FS
+    * listing, no data scan) — compression ratios carry over since the
+    * rewrite keeps the same format. `coalesce` merges partitions
+    * WITHOUT a shuffle: each output task concatenates whole input
+    * splits, so the rewrite is pure I/O. (A `repartition` would both
+    * shuffle everything and destroy any within-file sort order.)
+    *
+    * Returns the number of files written. Writes to a NEW directory —
+    * swap-in is the caller's atomic-rename/pointer concern (see
+    * `Streams.streamingLatestMerge` for the pointer pattern).
+    */
+  def compactParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // The scan's split planning may already pack the small files into
+    // fewer partitions than the byte-derived target — coalesce can only
+    // lower the count, so the actual output size is the min of the two.
+    val coalesced = spark.read.parquet(inDir).coalesce(nFiles)
+    val actual = coalesced.rdd.getNumPartitions
+    coalesced.write.mode(SaveMode.Overwrite).parquet(outDir)
+    actual
+  }
+
   /** Idempotent DDL (`etl_dag.py:116-139`, `:266-280`): CREATE TABLE IF
     * NOT EXISTS against the session catalog, parquet-backed.
     */

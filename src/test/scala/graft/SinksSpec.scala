@@ -138,4 +138,35 @@ class SinksSpec extends SparkTestBase {
     // and the layout is a faithful copy
     assert(spark.read.parquet(dir).count() === docs.count())
   }
+
+  test("compactParquet collapses a fragmented layout, keeps every row") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cmp").toString
+    val frag = base + "/frag"
+    val out = base + "/out"
+    (1L to 5000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+      .repartition(40).write.parquet(frag)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length === 40)
+
+    val fragBytes = parquetFiles(frag).map(_.length).sum
+    val n = graft.sources.Sinks.compactParquet(spark, frag, out,
+      targetFileBytes = fragBytes / 4)
+    assert(n > 0 && n <= 5, s"expected <=5 files, got $n")
+    assert(parquetFiles(out).length === n)
+
+    // value-faithful: same multiset of rows
+    val a = rows(spark.read.parquet(frag).orderBy(col("id")))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = rows(spark.read.parquet(out).orderBy(col("id")))
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a === b)
+
+    // degenerate target: everything into one file, no crash
+    val one = base + "/one"
+    assert(graft.sources.Sinks.compactParquet(spark, frag, one,
+      targetFileBytes = Long.MaxValue) === 1)
+    assert(parquetFiles(one).length === 1)
+  }
 }
