@@ -509,6 +509,25 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Z-order layout: write orders Morton-clustered on
+    // (o_custkey, o_totalprice), then serve a genuinely 2-dimensional
+    // range predicate from the layout. The oracle is the same
+    // predicate on the source table — green proves the clustered
+    // rewrite is value-faithful; SinksSpec proves the per-file
+    // footer boxes actually prune on BOTH axes.
+    "q_sink_zorder" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zo_").toString + "/orders"
+      Sinks.writeZOrdered(table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice")),
+        out, "o_custkey", "o_totalprice", numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("o_custkey").between(100, 400) &&
+          col("o_totalprice").between(50000.0, 250000.0))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Small-file compaction: fragment a projection into 48 tiny files
     // (the append-heavy layout pathology), compact to ~2 MB targets,
     // serve from the compacted layout. Oracle = the same projection
@@ -1032,6 +1051,12 @@ object RelationalQueries {
     "q_sink_sorted" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sink_zorder" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 250000.0
         |ORDER BY o_orderkey""".stripMargin,
     "q_sink_compact" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity

@@ -60,6 +60,59 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Z-order (Morton curve) layout: cluster rows so BOTH of two keys
+    * get file-level data skipping — the 2D complement to
+    * [[writeRangeSorted]] (which serves one key perfectly and the
+    * other not at all). Each key is min/max-scaled to a 16-bit rank,
+    * the ranks' bits are interleaved into a 32-bit Morton code, and
+    * the frame is range-partitioned + sorted by that code: contiguous
+    * curve segments are spatially local, so every file's (minA, maxA,
+    * minB, maxB) footer box is tight and a 2D range predicate prunes
+    * most files on stats alone.
+    *
+    * The min/max scan is one tiny aggregate collected to the driver —
+    * four scalars, the broadcast-model idiom. Bit-spreading is the
+    * classic mask-shift chain (5 ops per key), pure codegen'd integer
+    * arithmetic. Skew caveat: min/max scaling degrades under extreme
+    * outliers (one huge value compresses everyone else's ranks);
+    * a rank-based variant (percent_rank) is the remedy — documented,
+    * not needed for the harness distributions.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("__z"),
+      "input already has a column named __z (reserved)")
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val Seq(minA, maxA, minB, maxB) =
+      df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+          min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double])
+
+    def rank16(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long")))
+
+    // spread the low 16 bits of x to the even bit positions of a long
+    def spread(x: Column): Column = {
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val morton = spread(rank16(col(colA), minA, maxA))
+      .bitwiseOR(shiftleft(spread(rank16(col(colB), minB, maxB)), 1))
+
+    df.withColumn("__z", morton)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetFileBytes` files. The small-files problem is THE silent
     * scale killer of append-heavy layouts (every micro-batch / every

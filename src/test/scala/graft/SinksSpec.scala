@@ -169,4 +169,41 @@ class SinksSpec extends SparkTestBase {
       targetFileBytes = Long.MaxValue) === 1)
     assert(parquetFiles(one).length === 1)
   }
+
+  test("writeZOrdered: both dimensions prune at file level; layout faithful") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zo").toString
+    // 64x64 grid — every (x, y) combination once
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val zDir = base + "/z"
+    graft.sources.Sinks.writeZOrdered(grid, zDir, "x", "y", numFiles = 16)
+
+    val files = new java.io.File(zDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length === 16)
+
+    // faithful copy
+    assert(spark.read.parquet(zDir).count() === 4096L)
+    val back = rows(spark.read.parquet(zDir).orderBy(col("x"), col("y")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(back === (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)))
+
+    // per-file footer boxes: a quarter-range query on EACH axis must
+    // prune at least half the files (a single-key sort would serve one
+    // axis and leave the other touching every file)
+    val boxes = files.map { f =>
+      val r = rows(spark.read.parquet(f).agg(
+        min(col("x")), max(col("x")), min(col("y")), max(col("y")))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def touching(lo: Long, hi: Long, axis: String) = boxes.count {
+      case (xlo, xhi, ylo, yhi) =>
+        if (axis == "x") xhi >= lo && xlo <= hi else yhi >= lo && ylo <= hi
+    }
+    assert(touching(0, 15, "x") <= 8, boxes.mkString(", "))
+    assert(touching(0, 15, "y") <= 8, boxes.mkString(", "))
+    assert(touching(48, 63, "x") <= 8, boxes.mkString(", "))
+    assert(touching(48, 63, "y") <= 8, boxes.mkString(", "))
+  }
 }
