@@ -91,6 +91,38 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A2b re-aggregatable distinct sketches — THE 100 TB rollup
+    // pattern: build a Datasketches HLL per fine-grained cell once,
+    // then answer any coarser rollup by MERGING sketches (register
+    // max), never rescanning the fact table. Union-of-partials equals
+    // the single-pass sketch bit-for-bit (order-independent), asserted
+    // in PlanShapeSpec along with the error bound. Sketch bytes are
+    // engine-specific, so rows-only for the driver.
+    "q_agg_hll_merge" -> ((s, dir) => {
+      val cells = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      cells.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A1b-approx: the documented 100 TB percentile path made concrete —
+    // approx_percentile's quantile sketch aggregates partially and
+    // merges, where exact percentiles need a full sort per group.
+    // Estimates are engine-specific: rows-only; the rank-error bound
+    // vs the exact percentile is asserted in PlanShapeSpec.
+    "q_agg_approxpct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A6 pivot: long->wide reshaping. The explicit value list keeps the
     // plan a single pass (no distinct-values pre-query) and makes the
     // output schema static — the form that scales; `pivot(col)` without

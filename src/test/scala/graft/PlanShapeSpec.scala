@@ -150,6 +150,43 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_agg_hll_merge: union of partial sketches == single-pass sketch, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val merged = rows(SparkEntry.queries("q_agg_hll_merge")(spark, Sf))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    // single-pass sketch per returnflag (no intermediate cells)
+    val direct = rows(li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("n")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows(li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      // register-max union is order-independent: merging the per-cell
+      // partials must land on EXACTLY the single-pass sketch
+      assert(merged(k) === direct(k),
+        s"flag $k: merged ${merged(k)} != direct ${direct(k)}")
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
+        s"flag $k: sketch ${merged(k)} vs exact $n")
+    }
+  }
+
+  test("q_agg_approxpct: quantile sketch within 2% of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val approx = rows(SparkEntry.queries("q_agg_approxpct")(spark, Sf))
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = rows(spark.read.parquet(s"$Sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95")))
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p95) / p95 < 0.02, s"$k p95")
+    }
+  }
+
   test("q_embed_pairs: banded equi-join candidates, never a broadcast nested loop") {
     val p = plan("q_embed_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"),
