@@ -31,6 +31,18 @@ object StreamQueries {
   private val StationsDir = "/root/repo/fixtures/stream/stations"
   private val WeatherDir = "/root/repo/fixtures/stream/weather"
 
+  /** Outer-join fixtures: reports at 00:10/00:40 (hour 00 has an
+    * observation), one at 02:10 in an observation-less hour (the row
+    * that must emit null-extended), and sentinels on BOTH streams
+    * (station 08:00, weather 07:00 — different hours so the sentinels
+    * cannot join each other) pushing the global watermark to 05:00,
+    * past the 02:10 join window, so the unmatched row actually leaves
+    * the state store before termination. The station sentinel itself
+    * stays above the final watermark — buffered, never emitted.
+    */
+  private val StationsOuterDir = "/root/repo/fixtures/stream/stations_outer"
+  private val WeatherOuterDir = "/root/repo/fixtures/stream/weather_outer"
+
   /** The stations fixtures plus a far-future sentinel report (05:00,
     * throwaway station 1): append-mode session windows only emit once
     * the watermark passes their end, and with the 2 h delay the real
@@ -116,6 +128,19 @@ object StreamQueries {
         Streams.stationWeatherJoin(
           Streams.velibStream(s, StationsDir),
           s.readStream.schema(Schemas.weatherRaw).json(WeatherDir)))
+        .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // J7b LEFT OUTER stream-stream join: the 02:10 report's hour has
+    // no observation — it must emit with null weather once the
+    // sentinel-pushed watermark proves no match can arrive; the
+    // matched rows emit as in the inner join; the sentinel report
+    // itself stays buffered above the final watermark.
+    "q_stream_join_outer" -> ((s, _) => {
+      runToBatch(s,
+        Streams.stationWeatherLeftJoin(
+          Streams.velibStream(s, StationsOuterDir),
+          s.readStream.schema(Schemas.weatherRaw).json(WeatherOuterDir)))
         .orderBy(col("station_id"), col("last_reported"))
     }),
 
@@ -261,6 +286,13 @@ object StreamQueries {
         | (CAST(19179944124 AS BIGINT), CAST('2024-02-01 00:55:00' AS TIMESTAMP), CAST('2024-02-01 01:25:00' AS TIMESTAMP), CAST(1 AS BIGINT), 11)
         |) AS t(station_id, session_start, session_end, n_reports, max_bikes)
         |ORDER BY station_id, session_start""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT * FROM (VALUES
+        | (CAST(101 AS BIGINT), 7, CAST('2024-02-01 00:10:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain'),
+        | (CAST(202 AS BIGINT), 2, CAST('2024-02-01 00:40:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain'),
+        | (CAST(303 AS BIGINT), 9, CAST('2024-02-01 02:10:00' AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+        |) AS t(station_id, num_bikes_available, last_reported, obs_ts, temp, weather_description)
+        |ORDER BY station_id, last_reported""".stripMargin,
     "q_stream_join" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 3, CAST('2024-02-01 01:10:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(278.5 AS DOUBLE), 'clear sky'),

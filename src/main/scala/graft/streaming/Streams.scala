@@ -113,7 +113,28 @@ object Streams {
     * @param stationsRaw raw vélib snapshots (velibRaw schema, streaming)
     * @param weatherRaw  raw weather snapshots (weatherRaw schema, streaming)
     */
-  def stationWeatherJoin(stationsRaw: DataFrame, weatherRaw: DataFrame): DataFrame = {
+  def stationWeatherJoin(stationsRaw: DataFrame, weatherRaw: DataFrame): DataFrame =
+    weatherJoined(stationsRaw, weatherRaw, "inner")
+
+  /** J7b LEFT OUTER stream-stream join: same hour-bucket key and range
+    * residual as [[stationWeatherJoin]], but a report whose hour has no
+    * qualifying observation still emits — with null weather columns —
+    * once the watermark passes its join window, i.e. once the engine
+    * can PROVE no matching observation can ever arrive. (Matched rows
+    * emit on arrival, exactly as in the inner join; only the
+    * null-extended rows wait for the watermark.)
+    *
+    * Harness note: at termination, left rows whose window the final
+    * watermark has NOT passed are still buffered in the state store —
+    * they are neither emitted nor dropped. A terminating run that wants
+    * the unmatched rows must push the watermark past the real data
+    * (the sentinel-fixture trick, `StreamQueries.StationsOuterDir`).
+    */
+  def stationWeatherLeftJoin(stationsRaw: DataFrame, weatherRaw: DataFrame): DataFrame =
+    weatherJoined(stationsRaw, weatherRaw, "left_outer")
+
+  private def weatherJoined(
+      stationsRaw: DataFrame, weatherRaw: DataFrame, joinType: String): DataFrame = {
     val st = Velib.curateStations(Velib.flattenStations(stationsRaw))
       .withWatermark("last_reported", "2 hours")
     val wx = graft.transform.Weather.projectWeather(weatherRaw)
@@ -126,7 +147,7 @@ object Streams {
       date_trunc("hour", col("last_reported")) === col("obs_hour") &&
         col("obs_ts") <= col("last_reported") &&
         col("obs_ts") > col("last_reported") - expr("INTERVAL 1 HOUR"),
-      "inner")
+      joinType)
       .select(col("station_id"), col("num_bikes_available"),
         col("last_reported"), col("obs_ts"), col("temp"),
         col("weather_description"))

@@ -315,4 +315,16 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.mergeTargetVersions(spark, target) === Seq("v2", "v1", "v0"))
     assert(rows(Streams.readLatestMergeTarget(spark, target)).size === 3)
   }
+
+  test("left-outer stream-stream join: unmatched report emits null weather " +
+    "after the watermark passes; open sentinel stays buffered") {
+    val out = rows(graft.SparkEntry.queries("q_stream_join_outer")(spark, ""))
+    val byStation = out.map(r => r.getLong(0) -> r).toMap
+    // 101/202 matched their hour's observation; 303's hour has none
+    assert(byStation.keySet === Set(101L, 202L, 303L)) // sentinel 1 absent
+    assert(!byStation(101L).isNullAt(3) && !byStation(202L).isNullAt(3))
+    val unmatched = byStation(303L)
+    assert(unmatched.isNullAt(3) && unmatched.isNullAt(4) && unmatched.isNullAt(5),
+      s"expected null weather columns, got $unmatched")
+  }
 }
