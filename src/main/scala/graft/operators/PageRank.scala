@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed PageRank over an edge list — graph centrality through
+  * the aggregation engine, no graph library. On a near-duplicate pair
+  * graph the ranks order documents by how central they are to their
+  * duplicate community (a principled canonical-survivor criterion next
+  * to `Dedup.canonicalDocs`' min-id rule); on a link/provenance graph
+  * it is the classic corpus-quality prior.
+  *
+  * Per iteration (all engine-portable, the `KMeans` recipe):
+  *   contrib = round(rank / out_degree, 6)        -- IEEE double div
+  *   s(v)    = SUM(contrib) over in-edges          -- EXACT decimal sum
+  *   rank'   = round((1-d) + d * double(s), 6)     -- IEEE mul/add
+  * Every double op runs on identical bits in any engine and every sum
+  * is exact decimal, so an external oracle replaying the iterations
+  * lands on identical bits — `q_graph_pagerank`'s DuckDB oracle does.
+  * The 6-place quantization is the documented price of portability
+  * (perturbs ranks < 1e-6/iteration).
+  *
+  * Scale shape: one shuffle on `src` (contribution join — degree and
+  * rank are both keyed by vertex, so Catalyst co-partitions them) and
+  * one on `dst` (the contribution sum) per iteration; state is O(V)
+  * ranks + O(E) edges, nothing collects to the driver. The plan grows
+  * linearly with iterations — callers running many iterations should
+  * `localCheckpoint` ranks every few rounds (the `duplicateClusters`
+  * pattern); the fixed-iteration training-style runs this serves
+  * (2-5 rounds) don't need it.
+  *
+  * Semantics: standard simplified PageRank with damping `d` —
+  * rank = (1-d) + d * sum of in-contributions, ranks start at 1.
+  * Vertices without out-edges leak their mass (no dangling
+  * redistribution), vertices without in-edges settle at (1-d): the
+  * textbook formulation every engine can replay. For an undirected
+  * graph pass both edge directions (see [[symmetrize]]).
+  */
+object PageRank {
+
+  /** (src, dst) pairs -> both directions, deduplicated. */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+
+  /** Ranks after `iterations` rounds: (id, rank). `edges` needs
+    * columns (src, dst); multi-edges count multiple times (dedup
+    * upstream if unwanted).
+    */
+  def ranks(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__pr_deg"))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+
+    var ranks = vertices.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("rank") / col("__pr_deg"), 6)
+            .cast(DecimalType(28, 6)).as("__pr_c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__pr_c")).cast("double").as("__pr_s"))
+      ranks = vertices
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__pr_s"), lit(0.0)), 6).as("rank"))
+    }
+    ranks
+  }
+}

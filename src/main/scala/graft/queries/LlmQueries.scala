@@ -88,6 +88,22 @@ object LlmQueries {
     }),
 
     // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
+    // Graph centrality over the near-dup pair graph: 2 PageRank
+    // iterations with engine-portable arithmetic, so the DuckDB oracle
+    // REPLAYS the full iteration bit-for-bit (the q_ivf_train
+    // pattern). Central duplicates rank above peripheral ones —
+    // a principled canonical-survivor criterion.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .minhashNearDuplicates(docs(s, dir), 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.PageRank
+        .ranks(graft.operators.PageRank.symmetrize(pairs, "doc_a", "doc_b"),
+          iterations = 2, damping = 0.85)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edit-distance (lev <= 1) fuzzy-key dedup with exact
     // deletion-neighborhood blocking. Single-char mutations are planted
     // deterministically (same CASE in the oracle) so substitution AND
@@ -463,6 +479,37 @@ object LlmQueries {
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      (ShingleCte +
+        """, e AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
+          |  UNION
+          |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
+          |), deg AS (
+          |  SELECT u, COUNT(*) AS d FROM e GROUP BY u
+          |), vtx AS (
+          |  SELECT DISTINCT u AS id FROM
+          |    (SELECT u FROM e UNION ALL SELECT v FROM e)
+          |), r0 AS (
+          |  SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM vtx
+          |), c1 AS (
+          |  SELECT e.v AS id,
+          |    CAST(SUM(CAST(ROUND(r.rank / deg.d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+          |  FROM e JOIN r0 r ON e.u = r.id JOIN deg ON e.u = deg.u
+          |  GROUP BY e.v
+          |), r1 AS (
+          |  SELECT v.id, ROUND(0.15 + 0.85 * COALESCE(c1.s, 0.0), 6) AS rank
+          |  FROM vtx v LEFT JOIN c1 ON v.id = c1.id
+          |), c2 AS (
+          |  SELECT e.v AS id,
+          |    CAST(SUM(CAST(ROUND(r.rank / deg.d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+          |  FROM e JOIN r1 r ON e.u = r.id JOIN deg ON e.u = deg.u
+          |  GROUP BY e.v
+          |), r2 AS (
+          |  SELECT v.id, ROUND(0.15 + 0.85 * COALESCE(c2.s, 0.0), 6) AS rank
+          |  FROM vtx v LEFT JOIN c2 ON v.id = c2.id
+          |)
+          |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin),
     "q_dedup_edit" ->
       """WITH k AS (
         |  SELECT doc_id,
