@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, Profile, Quality, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{AsOfJoin, GapFill, Profile, Quality, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -479,6 +479,19 @@ object RelationalQueries {
           percent_rank().over(w).as("bal_prank"),
           cume_dist().over(w).as("bal_cume"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Time-series gap fill: sparse purchase events regularized onto a
+    // 6-hour per-user spine with last-observation-carried-forward —
+    // per-key extents (no global calendar cross join), bucket dedup,
+    // ignore-nulls running window. The `observed` flag separates real
+    // ticks from carried ones.
+    "q_ts_gapfill" -> ((s, dir) => {
+      GapFill.fillGaps(
+        table(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", stepSeconds = 21600L)
+        .orderBy(col("user_id"), col("bucket"))
     }),
 
     // O2 top-k: planned as TakeOrderedAndProject — per-partition heaps,
@@ -1084,6 +1097,33 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_ts_gapfill" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), obs AS (
+        |  SELECT user_id,
+        |    CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+        |      AS TIMESTAMP) AS bucket,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 21600)
+        |      ORDER BY ts DESC, value DESC) AS rn
+        |  FROM src
+        |), o AS (
+        |  SELECT user_id, bucket, value FROM obs WHERE rn = 1
+        |), span AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM o GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 21600 SECONDS)) AS TIMESTAMP) AS bucket
+        |  FROM span
+        |)
+        |SELECT s.user_id, s.bucket,
+        |  last_value(o.value IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  o.value IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN o ON s.user_id = o.user_id AND s.bucket = o.bucket
+        |ORDER BY s.user_id, s.bucket""".stripMargin,
     "q_sink_zorder" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders
