@@ -74,4 +74,40 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(BinCol)
   }
+
+  /** Interval × interval overlap join (closed intervals, integral
+    * domain, no equi key): every (left, right) pair whose intervals
+    * intersect, emitted EXACTLY once with no dedup pass. Both sides
+    * explode to their overlapped bins and meet on the bin key; a pair
+    * overlapping several shared bins is kept only in its CANONICAL bin
+    * — the bin of `max(lStart, rStart)`, the overlap region's first
+    * point, which both sides provably generated — so the multi-bin
+    * duplicates die in a pipelined predicate, not a shuffle.
+    *
+    * The two frames' column sets must be disjoint (alias upstream).
+    * Fan-out and skew behave as in [[pointInInterval]]; with
+    * `binWidth` near the typical interval length each side explodes
+    * to ~2 bins.
+    */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left and right column names must be disjoint; shared: ${shared.mkString(", ")}")
+    Seq(left -> "left", right -> "right").foreach { case (df, side) =>
+      require(!df.columns.contains(BinCol),
+        s"$side input already has a column named $BinCol (reserved)")
+    }
+    def banded(df: DataFrame, s: String, e: String) =
+      df.filter(col(s) <= col(e))
+        .withColumn(BinCol,
+          explode(sequence(bin(col(s), binWidth), bin(col(e), binWidth))))
+    banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), BinCol)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(BinCol) === bin(greatest(col(lStart), col(rStart)), binWidth))
+      .drop(BinCol)
+  }
 }

@@ -419,6 +419,29 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // J5c interval-overlap self-join: which big orders' 14-day windows
+    // overlap each other. Interval x interval, no equi key — the
+    // canonical-bin trick emits each overlapping pair exactly once
+    // with zero dedup shuffles.
+    "q_join_overlap" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      def windows(keyAs: String, startAs: String, endAs: String) =
+        table(s, dir, "orders")
+          .filter(col("o_totalprice") > 495000.0)
+          .select(col("o_orderkey").as(keyAs),
+            datediff(col("o_orderdate"), epoch).cast("long").as(startAs))
+          .withColumn(endAs, col(startAs) + 13)
+      RangeJoin.intervalOverlap(
+        windows("key_a", "start_a", "end_a"), "start_a", "end_a",
+        windows("key_b", "start_b", "end_b"), "start_b", "end_b",
+        binWidth = 14)
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          (least(col("end_a"), col("end_b")) -
+            greatest(col("start_a"), col("start_b")) + 1).as("overlap_days"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // J6 as-of: most recent 'click' at or before each 'purchase', per
     // user. Composed union+window implementation — exactly one shuffle
     // on user_id (see graft.operators.AsOfJoin).
@@ -1097,6 +1120,17 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_join_overlap" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS k,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS sd
+        |  FROM orders WHERE o_totalprice > 495000.0
+        |)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  least(a.sd + 13, b.sd + 13) - greatest(a.sd, b.sd) + 1 AS overlap_days
+        |FROM w a JOIN w b
+        |  ON a.k < b.k AND a.sd <= b.sd + 13 AND b.sd <= a.sd + 13
+        |ORDER BY key_a, key_b""".stripMargin,
     "q_ts_gapfill" ->
       """WITH src AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'

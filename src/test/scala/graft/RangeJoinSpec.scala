@@ -56,4 +56,42 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def ivA = Seq(
+    (1L, 0L, 20L), (2L, 5L, 9L), (3L, 30L, 40L), (4L, -8L, -2L)
+  ).toDF("ka", "sa", "ea")
+  private def ivB = Seq(
+    (10L, 10L, 15L),  // overlaps 1 only
+    (11L, 0L, 100L),  // overlaps 1, 2, 3 (and spans many bins)
+    (12L, 41L, 50L),  // touches nothing (3 ends at 40... adjacent? 41 > 40 -> no)
+    (13L, -5L, 1L)    // overlaps 4 and 1
+  ).toDF("kb", "sb", "eb")
+
+  test("intervalOverlap equals the naive overlap join, each pair exactly once") {
+    val naive = rows(ivA.join(ivB,
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ka", "kb")).map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (w <- Seq(1L, 4L, 14L, 1000L)) {
+      val got = rows(RangeJoin.intervalOverlap(ivA, "sa", "ea", ivB, "sb", "eb", w)
+        .select("ka", "kb")).map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted === naive, s"binWidth=$w")
+      assert(got.distinct.size === got.size, s"binWidth=$w emitted duplicates")
+    }
+  }
+
+  test("intervalOverlap boundary semantics: closed ends touch, adjacency does not") {
+    val a = Seq((1L, 0L, 10L)).toDF("ka", "sa", "ea")
+    val touch = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("kb", "sb", "eb")
+    val got = rows(RangeJoin.intervalOverlap(a, "sa", "ea", touch, "sb", "eb", 5L)
+      .select("kb")).map(_.getLong(0))
+    assert(got === Seq(2L)) // [10,20] touches at 10; [11,20] is adjacent only
+  }
+
+  test("intervalOverlap requires disjoint column names") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ivA, "sa", "ea",
+        ivA.withColumnRenamed("ka", "kb"), "sa", "ea", 5L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }
