@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a band-only inner join — a join whose ONLY
+  * condition brackets one left-side integral expression between two
+  * right-side expressions (`p >= lo AND p <= hi`, any strictness) —
+  * into the binned equi-join shape of
+  * [[graft.operators.RangeJoin.pointInInterval]].
+  *
+  * Spark has no join strategy for pure range conditions: the planner
+  * falls back to BroadcastNestedLoopJoin (or a cartesian), comparing
+  * every point to every interval — the quadratic cliff users hit the
+  * first time a time-window join's dimension side outgrows a broadcast.
+  * This rule injects the bin key MECHANICALLY, so any band join written
+  * naively — including via plain SQL, where the DataFrame-level
+  * operator is out of reach — gets the linear plan:
+  *
+  *   left  -> Project(+ bin(p))
+  *   right -> Filter(lo <= hi) -> Generate(explode(sequence(bin(lo), bin(hi))))
+  *   Join(bin_l = bin_r AND <original condition>)  -> Project(original output)
+  *
+  * Each point carries exactly one bin, so no pair is produced twice —
+  * no dedup. Null handling is value-identical to the original join:
+  * a null p / lo / hi yields a null bin / empty sequence, and the row
+  * matches nothing, exactly as the null comparison did.
+  *
+  * OPT-IN by conf — `spark.graft.bandjoin.width` (default 0 = off) —
+  * because the bin width is a domain decision (pick ~ the typical
+  * interval length; the optimizer has no statistic for it). Read per
+  * invocation, so it can be toggled mid-session.
+  *
+  * Conservative matching: inner joins only, batch only, exactly the
+  * two bracketing conjuncts (an extra equality conjunct already makes
+  * the join an equi-join Spark plans well), integral types only. The
+  * rewritten join carries an equality conjunct, so the rule cannot
+  * re-fire on its own output.
+  */
+case class BandJoinRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthConf = "spark.graft.bandjoin.width"
+
+  private def width: Long =
+    session.conf.get(WidthConf, "0").toLong
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** Floor-division bin (pmod keeps floor semantics on negatives). */
+  private def bin(e: Expression, w: Long): Expression = {
+    val el = asLong(e)
+    val wl = Literal(w)
+    IntegralDivide(Subtract(el, Pmod(el, wl)), wl)
+  }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  /** For `a <cmp> b` spanning the two join sides, return the
+    * (leftExpr, rightExpr) pair oriented as (lower-is-left?, ...).
+    */
+  private def sidedPair(
+      a: Expression, b: Expression,
+      left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression, Boolean)] =
+    if (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+      b.references.nonEmpty && b.references.subsetOf(right.outputSet))
+      Some((a, b, true))
+    else if (b.references.nonEmpty && b.references.subsetOf(left.outputSet) &&
+      a.references.nonEmpty && a.references.subsetOf(right.outputSet))
+      Some((b, a, false))
+    else None
+
+  /** Normalize one conjunct to (p, bound, isLower): `p >= lo` is a
+    * lower bound on p; `p <= hi` an upper. Strict variants identical
+    * for bin coverage (the original predicate stays as the residual).
+    */
+  private def bound(
+      c: Expression, left: LogicalPlan, right: LogicalPlan):
+      Option[(Expression, Expression, Boolean)] = c match {
+    case GreaterThanOrEqual(a, b) => sidedPair(a, b, left, right).map {
+      case (p, r, true) => (p, r, true)   // p >= lo
+      case (p, r, false) => (p, r, false) // lo' >= p  <=>  p <= lo'
+    }
+    case GreaterThan(a, b) => sidedPair(a, b, left, right).map {
+      case (p, r, true) => (p, r, true)
+      case (p, r, false) => (p, r, false)
+    }
+    case LessThanOrEqual(a, b) => sidedPair(a, b, left, right).map {
+      case (p, r, true) => (p, r, false)  // p <= hi
+      case (p, r, false) => (p, r, true)  // hi' <= p  <=>  p >= hi'
+    }
+    case LessThan(a, b) => sidedPair(a, b, left, right).map {
+      case (p, r, true) => (p, r, false)
+      case (p, r, false) => (p, r, true)
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !j.left.isStreaming && !j.right.isStreaming =>
+        splitConjunctivePredicates(cond) match {
+          case Seq(c1, c2) =>
+            (bound(c1, left, right), bound(c2, left, right)) match {
+              case (Some((p1, lo, true)), Some((p2, hi, false)))
+                  if p1.semanticEquals(p2) &&
+                    integral(p1) && integral(lo) && integral(hi) =>
+                rewrite(j, p1, lo, hi, w)
+              case (Some((p1, hi, false)), Some((p2, lo, true)))
+                  if p1.semanticEquals(p2) &&
+                    integral(p1) && integral(lo) && integral(hi) =>
+                rewrite(j, p1, lo, hi, w)
+              case _ => j
+            }
+          case _ => j
+        }
+    }
+  }
+
+  private def rewrite(
+      j: Join, p: Expression, lo: Expression, hi: Expression,
+      w: Long): LogicalPlan = {
+    val lBin = Alias(bin(p, w), "__bj_bin_l")()
+    val leftB = Project(j.left.output :+ lBin, j.left)
+    val rBinAttr = AttributeReference("__bj_bin_r", LongType, nullable = false)()
+    // Sequence is TimeZoneAwareExpression: it is unresolved until a
+    // zone is attached, even over longs — attach the session zone.
+    val seq = new Sequence(bin(lo, w), bin(hi, w), Literal(1L))
+      .withTimeZone(conf.sessionLocalTimeZone)
+    val rightB = Generate(
+      Explode(seq),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(rBinAttr),
+      // an inverted interval would make sequence() run DESCENDING and
+      // fabricate bins; it can match nothing, so drop it up front
+      child = Filter(LessThanOrEqual(asLong(lo), asLong(hi)), j.right))
+    val joined = Join(leftB, rightB, Inner,
+      Some(And(EqualTo(lBin.toAttribute, rBinAttr), j.condition.get)), j.hint)
+    Project(j.output, joined)
+  }
+}

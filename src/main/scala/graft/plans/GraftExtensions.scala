@@ -18,11 +18,18 @@ import graft.functions.{FloatVecDot, FloatVecNormSq}
   * DSL uses (`functions/VectorExpressions.scala`), so SQL callers get
   * the tight-loop whole-stage-codegen form, not an interpreted HOF.
   *
-  * This is the engine's one `SparkSessionExtensions` hook by design:
-  * SURVEY §4.2's finding is that reference parity needs ZERO custom
-  * planner surface, and every operator here stays a declarative
+  * Also injects [[BandJoinRewrite]] (opt-in via
+  * `spark.graft.bandjoin.width`), which rewrites band-only range joins
+  * from the BroadcastNestedLoopJoin fallback into the binned equi-join
+  * shape — including for plain SQL, where the DataFrame-level
+  * `RangeJoin` operator is out of reach.
+  *
+  * These are the engine's only `SparkSessionExtensions` hooks by
+  * design: SURVEY §4.2's finding is that reference parity needs ZERO
+  * custom planner surface, and every operator here stays a declarative
   * DataFrame plan Catalyst can optimize — extensions are reserved for
-  * where built-ins measurably fail (the vector hot path).
+  * where built-ins measurably fail (the vector hot path; the missing
+  * range-join strategy).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,6 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects $n argument(s), got ${children.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => BandJoinRewrite(session))
+
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
       info(classOf[FloatVecDot], "fvec_dot",
