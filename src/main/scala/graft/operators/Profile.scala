@@ -131,4 +131,48 @@ object Profile {
         round(lit(lo) + (col("bucket") + 1) * width, 6).as("bucket_hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Categorical (string) column profile: for each requested column,
+    * the top-`k` values by count with null count, distinct count, and
+    * each value's share of non-null rows.
+    *
+    * One corpus scan total for ALL columns: the row is melted to
+    * (col_name, val) pairs map-side (|cols| array entries per row, no
+    * join, no second scan), then ONE (col_name, val) count aggregate
+    * feeds both the distinct count and the ranked top-k — the melt is
+    * the scan, everything after it operates on the (tiny) value
+    * histogram. NULLs are tracked per column inside the same
+    * aggregate (null val rows), never dropped silently.
+    *
+    * Output: (col_name, val, cnt, share, rank, n_null, n_distinct),
+    * one row per top-k value per column; `share` = cnt over non-null
+    * rows rounded to 6. Deterministic rank tie-break: count desc,
+    * value asc.
+    */
+  def categoricalProfile(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty, "categoricalProfile needs at least one column")
+    require(k > 0, s"k must be positive, got $k")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.val"))
+    val counts = pairs.groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCol = org.apache.spark.sql.expressions.Window.partitionBy(col("col_name"))
+    val ranked = counts
+      .withColumn("n_null",
+        sum(when(col("val").isNull, col("cnt")).otherwise(lit(0L))).over(perCol))
+      .withColumn("n_nonnull",
+        sum(when(col("val").isNull, lit(0L)).otherwise(col("cnt"))).over(perCol))
+      .withColumn("n_distinct",
+        sum(when(col("val").isNull, lit(0L)).otherwise(lit(1L))).over(perCol))
+      .filter(col("val").isNotNull)
+      .withColumn("val_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("col_name"))
+          .orderBy(col("cnt").desc, col("val").asc)))
+      .filter(col("val_rank") <= k)
+    ranked.select(col("col_name"), col("val"), col("cnt"),
+      round(col("cnt") / col("n_nonnull"), 6).as("share"),
+      col("val_rank"), col("n_null"), col("n_distinct"))
+  }
 }

@@ -331,6 +331,15 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Categorical profile: top-k values, shares, null and distinct
+    // counts for several string columns in ONE corpus scan (map-side
+    // melt, one count aggregate, windows over the tiny histogram).
+    "q_profile_cat" -> ((s, dir) => {
+      Profile.categoricalProfile(table(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"), k = 3)
+        .orderBy(col("col_name"), col("val_rank"))
+    }),
+
     // Winsorization: clip prices to [p05, p95] — one exact-percentile
     // aggregate broadcast back, map-side clip, no row shuffle. Ordered
     // by enough columns that ties are fully identical rows (the
@@ -730,6 +739,22 @@ object RelationalQueries {
         when(col("value") > 150, "high").when(col("value") > 75, "mid")
           .otherwise("low").as("value_band"))
         .orderBy(col("event_id"))
+    }),
+
+    // F8 binary/digest family: md5 / sha-256 / hex / base64 round-trip
+    // — the content-addressing primitives (raw-zone dedup keys, cache
+    // keys, fingerprints). All engine-portable byte-for-byte.
+    "q_fn_binary" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        sha2(col("c_name").cast("binary"), 256).as("name_sha256"),
+        hex(col("c_name")).as("name_hex"),
+        base64(col("c_name").cast("binary")).as("name_b64"),
+        unbase64(base64(col("c_name").cast("binary"))).cast("string")
+          .as("name_roundtrip"),
+        length(col("c_name").cast("binary")).as("name_bytes"))
+        .orderBy(col("c_custkey"))
     }),
 
     // F5 array access + higher-order-function norm.
@@ -1240,6 +1265,43 @@ object RelationalQueries {
         | COALESCE(NULLIF(event_type, 'error'), 'unknown') AS type_clean,
         | CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid' ELSE 'low' END AS value_band
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_profile_cat" ->
+      """WITH pairs AS (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        |), counts AS (
+        |  SELECT col_name, val, COUNT(*) AS cnt FROM pairs
+        |  GROUP BY col_name, val
+        |), agg AS (
+        |  SELECT *,
+        |    CAST(SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY col_name) AS BIGINT) AS n_null,
+        |    CAST(SUM(CASE WHEN val IS NULL THEN 0 ELSE cnt END)
+        |      OVER (PARTITION BY col_name) AS BIGINT) AS n_nonnull,
+        |    CAST(SUM(CASE WHEN val IS NULL THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY col_name) AS BIGINT) AS n_distinct
+        |  FROM counts
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY col_name
+        |    ORDER BY cnt DESC, val ASC) AS INT) AS val_rank
+        |  FROM agg WHERE val IS NOT NULL
+        |)
+        |SELECT col_name, val, cnt, ROUND(cnt / n_nonnull, 6) AS share,
+        |  val_rank, n_null, n_distinct
+        |FROM ranked WHERE val_rank <= 3
+        |ORDER BY col_name, val_rank""".stripMargin,
+    "q_fn_binary" ->
+      """SELECT c_custkey,
+        | md5(c_name) AS name_md5,
+        | sha256(c_name) AS name_sha256,
+        | hex(c_name) AS name_hex,
+        | to_base64(CAST(c_name AS BLOB)) AS name_b64,
+        | CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR)
+        |   AS name_roundtrip,
+        | CAST(octet_length(CAST(c_name AS BLOB)) AS INT) AS name_bytes
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_array" ->
       """SELECT vec_id,
         | CAST(len(embedding) AS INT) AS dim,

@@ -121,4 +121,30 @@ class ProfileSpec extends SparkTestBase {
     assert(keptSizes(small) === sizes(small)) // rate 1.0 keeps every row
     assert(keptSizes(big).toDouble / sizes(big) < 1.0)
   }
+
+  test("categoricalProfile: top-k, shares, null and distinct counts, tie-break") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq(
+      ("a", "x"), ("a", "y"), ("a", null), ("b", "y"),
+      ("b", null), ("a", "x"), ("c", "y")
+    ).toDF("s1", "s2")
+    val out = rows(Profile.categoricalProfile(df, Seq("s1", "s2"), k = 2)
+      .orderBy(col("col_name"), col("val_rank")))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getLong(5), r.getLong(6)))
+    // s1: a=4, b=2, c=1, no nulls, 3 distinct -> top2 = a, b
+    // s2: x=2, y=3, null=2, 2 distinct -> top2 = y, x
+    assert(out === Seq(
+      ("s1", "a", 4L, 0.571429, 1, 0L, 3L), // shares rounded to 6
+      ("s1", "b", 2L, 0.285714, 2, 0L, 3L),
+      ("s2", "y", 3L, 0.6, 1, 2L, 2L),
+      ("s2", "x", 2L, 0.4, 2, 2L, 2L)))
+
+    // deterministic tie-break: equal counts rank by value ascending
+    val tied = Seq("m", "z", "m", "z").toDF("c")
+    val tr = rows(Profile.categoricalProfile(tied, Seq("c"), k = 2)
+      .orderBy(col("val_rank"))).map(r => (r.getString(1), r.getInt(4)))
+    assert(tr === Seq(("m", 1), ("z", 2)))
+  }
 }
