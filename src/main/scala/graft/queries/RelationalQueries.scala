@@ -605,6 +605,52 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Schema evolution: two drops of the same table where the newer
+    // batch gained a column. mergeSchema unifies the layouts at read
+    // time — old rows surface NULL for the new column instead of
+    // failing the scan (the additive-evolution contract every
+    // long-lived lake table relies on).
+    "q_sink_evolve" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ev_").toString
+      val orders = table(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .write.parquet(base + "/batch=old")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderstatus"))
+        .write.parquet(base + "/batch=new")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Nested-type round-trip: structs and arrays written to parquet
+    // and projected back field-by-field — the columnar nested
+    // encoding (repetition/definition levels) must preserve struct
+    // fields, array order, and element values exactly.
+    "q_sink_nested" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ne_").toString + "/nested"
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("price")).as("meta"),
+          array(col("o_custkey"), col("o_orderkey") % 100).as("keys"))
+        .write.parquet(out)
+      s.read.parquet(out)
+        .select(col("o_orderkey"),
+          col("meta.status").as("status"),
+          col("meta.price").as("price"),
+          element_at(col("keys"), 1).as("k1"),
+          element_at(col("keys"), 2).as("k2"),
+          size(col("keys")).as("n_keys"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Small-file compaction: fragment a projection into 48 tiny files
     // (the append-heavy layout pathology), compact to ~2 MB targets,
     // serve from the compacted layout. Oracle = the same projection
@@ -1189,6 +1235,16 @@ object RelationalQueries {
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 250000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sink_evolve" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END
+        |   AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_sink_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        | CAST(o_totalprice AS DOUBLE) AS price,
+        | o_custkey AS k1, o_orderkey % 100 AS k2, 2 AS n_keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sink_compact" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
         |FROM lineitem
