@@ -102,49 +102,72 @@ case class BandJoinRewrite(session: SparkSession)
     case _ => None
   }
 
+  /** Detect the band bracket in `conjuncts` with the POINT expression
+    * on `pointSide` and the two bounds on `boundSide` (either
+    * orientation of the join).
+    */
+  private def matchBand(
+      conjuncts: Seq[Expression],
+      pointSide: LogicalPlan, boundSide: LogicalPlan):
+      Option[(Expression, Expression, Expression)] = conjuncts match {
+    case Seq(c1, c2) =>
+      (bound(c1, pointSide, boundSide), bound(c2, pointSide, boundSide)) match {
+        case (Some((p1, lo, true)), Some((p2, hi, false)))
+            if p1.semanticEquals(p2) &&
+              integral(p1) && integral(lo) && integral(hi) =>
+          Some((p1, lo, hi))
+        case (Some((p1, hi, false)), Some((p2, lo, true)))
+            if p1.semanticEquals(p2) &&
+              integral(p1) && integral(lo) && integral(hi) =>
+          Some((p1, lo, hi))
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
     if (w <= 0) plan
     else plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, Inner, Some(cond), _)
           if !j.left.isStreaming && !j.right.isStreaming =>
-        splitConjunctivePredicates(cond) match {
-          case Seq(c1, c2) =>
-            (bound(c1, left, right), bound(c2, left, right)) match {
-              case (Some((p1, lo, true)), Some((p2, hi, false)))
-                  if p1.semanticEquals(p2) &&
-                    integral(p1) && integral(lo) && integral(hi) =>
-                rewrite(j, p1, lo, hi, w)
-              case (Some((p1, hi, false)), Some((p2, lo, true)))
-                  if p1.semanticEquals(p2) &&
-                    integral(p1) && integral(lo) && integral(hi) =>
-                rewrite(j, p1, lo, hi, w)
-              case _ => j
+        val conjuncts = splitConjunctivePredicates(cond)
+        matchBand(conjuncts, left, right) match {
+          case Some((p, lo, hi)) => rewrite(j, p, lo, hi, w, pointIsLeft = true)
+          case None =>
+            // mirrored orientation: interval side on the left
+            matchBand(conjuncts, right, left) match {
+              case Some((p, lo, hi)) =>
+                rewrite(j, p, lo, hi, w, pointIsLeft = false)
+              case None => j
             }
-          case _ => j
         }
     }
   }
 
   private def rewrite(
       j: Join, p: Expression, lo: Expression, hi: Expression,
-      w: Long): LogicalPlan = {
-    val lBin = Alias(bin(p, w), "__bj_bin_l")()
-    val leftB = Project(j.left.output :+ lBin, j.left)
-    val rBinAttr = AttributeReference("__bj_bin_r", LongType, nullable = false)()
+      w: Long, pointIsLeft: Boolean): LogicalPlan = {
+    val pointChild = if (pointIsLeft) j.left else j.right
+    val boundChild = if (pointIsLeft) j.right else j.left
+    val pBin = Alias(bin(p, w), "__bj_bin_p")()
+    val pointB = Project(pointChild.output :+ pBin, pointChild)
+    val bBinAttr = AttributeReference("__bj_bin_b", LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: it is unresolved until a
     // zone is attached, even over longs — attach the session zone.
     val seq = new Sequence(bin(lo, w), bin(hi, w), Literal(1L))
       .withTimeZone(conf.sessionLocalTimeZone)
-    val rightB = Generate(
+    val boundB = Generate(
       Explode(seq),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(rBinAttr),
+      generatorOutput = Seq(bBinAttr),
       // an inverted interval would make sequence() run DESCENDING and
       // fabricate bins; it can match nothing, so drop it up front
-      child = Filter(LessThanOrEqual(asLong(lo), asLong(hi)), j.right))
-    val joined = Join(leftB, rightB, Inner,
-      Some(And(EqualTo(lBin.toAttribute, rBinAttr), j.condition.get)), j.hint)
+      child = Filter(LessThanOrEqual(asLong(lo), asLong(hi)), boundChild))
+    val (newLeft, newRight) =
+      if (pointIsLeft) (pointB, boundB) else (boundB, pointB)
+    val joined = Join(newLeft, newRight, Inner,
+      Some(And(EqualTo(pBin.toAttribute, bBinAttr), j.condition.get)), j.hint)
     Project(j.output, joined)
   }
 }

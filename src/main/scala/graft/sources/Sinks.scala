@@ -143,6 +143,9 @@ object Sinks {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
     }
+    require(totalBytes > 0,
+      s"no parquet data under $inDir — nothing to compact " +
+        "(an empty read would fail schema inference with a confusing error)")
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // The scan's split planning may already pack the small files into
     // fewer partitions than the byte-derived target — coalesce can only

@@ -86,6 +86,23 @@ class BandJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("mirrored orientation (interval side on the left) is rewritten too") {
+    withExtSession { s =>
+      fixtures(s)
+      val q = "SELECT pid, iid FROM iv JOIN pts ON p >= st AND p <= en " +
+        "ORDER BY pid, iid"
+      s.conf.unset("spark.graft.bandjoin.width")
+      val expect = s.sql(q).collect().toSeq
+      s.conf.set("spark.graft.bandjoin.width", "7")
+      try {
+        val on = s.sql(q)
+        val plan = on.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(on.collect().toSeq === expect)
+      } finally s.conf.unset("spark.graft.bandjoin.width")
+    }
+  }
+
   test("equi-joins and non-band conditions are left alone") {
     withExtSession { s =>
     fixtures(s)
