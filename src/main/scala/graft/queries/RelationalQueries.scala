@@ -526,6 +526,24 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // O2b per-GROUP top-k through the bounded-heap typed Aggregator —
+    // the scalable alternative to the row_number window: the window
+    // sorts every group member behind one exchange; the aggregator's
+    // partial buffers cap at k rows per group per task BEFORE the
+    // shuffle. Same tie-break (score desc, id asc) as the oracle's
+    // window form; plan-asserted window-free.
+    "q_topk_groups" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.operators.TopK.topK(3)(
+          col("o_orderkey"), col("o_totalprice").cast("double")).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"), col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    }),
+
     // O2 top-k: planned as TakeOrderedAndProject — per-partition heaps,
     // no global sort, no full shuffle.
     "q_topk" -> ((s, dir) => {
@@ -1235,6 +1253,15 @@ object RelationalQueries {
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 250000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_topk_groups" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sink_evolve" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END

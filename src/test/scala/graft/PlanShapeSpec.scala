@@ -150,6 +150,14 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_topk_groups: aggregator-based per-group top-k plans no Window") {
+    val plan = SparkEntry.queries("q_topk_groups")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan)
+  }
+
   test("q_agg_hll_merge: union of partial sketches == single-pass sketch, within 5% of exact") {
     import org.apache.spark.sql.functions._
     val merged = rows(SparkEntry.queries("q_agg_hll_merge")(spark, Sf))
