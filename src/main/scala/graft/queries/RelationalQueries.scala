@@ -805,6 +805,27 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F5b positional explode: ordinals matter whenever array order is
+    // data (embedding dimensions, token positions) — posexplode keeps
+    // them explicit instead of relying on row order.
+    "q_fn_posexplode" -> ((s, dir) => {
+      table(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // F2b regex extraction family: all-matches extraction and counts.
+    "q_fn_regex_all" -> ((s, dir) => {
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0))
+          .as("words"),
+        size(regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0)))
+          .as("n_words"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // F8 binary/digest family: md5 / sha-256 / hex / base64 round-trip
     // — the content-addressing primitives (raw-zone dedup keys, cache
     // keys, fingerprints). All engine-portable byte-for-byte.
@@ -1375,6 +1396,17 @@ object RelationalQueries {
         |  val_rank, n_null, n_distinct
         |FROM ranked WHERE val_rank <= 3
         |ORDER BY col_name, val_rank""".stripMargin,
+    "q_fn_posexplode" ->
+      """SELECT vec_id, CAST(j AS INT) AS pos,
+        | CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS v
+        |FROM embeddings CROSS JOIN range(64) r(j)
+        |WHERE vec_id < 3 ORDER BY vec_id, pos""".stripMargin,
+    "q_fn_regex_all" ->
+      """SELECT o_orderkey,
+        | regexp_extract_all(o_orderpriority, '[A-Z]+') AS words,
+        | CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INT)
+        |   AS n_words
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_fn_binary" ->
       """SELECT c_custkey,
         | md5(c_name) AS name_md5,
