@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val targets = Seq("q_agg_stats", "q_agg_conditional", "q_agg_collect",
+      "q_window_nav", "q_join_range_binned", "q_join_overlap", "q_dedup_edit",
+      "q_quality", "q_ts_gapfill", "q_graph_pagerank", "q_profile_cat",
+      "q_topk_groups", "q_fn_binary", "q_agg_hll_merge")
+    for (n <- targets) {
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).size
+      val flags = Seq(
+        "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+        "cartesian" -> plan.contains("CartesianProduct"),
+        "bcast" -> plan.contains("BroadcastHashJoin"),
+        "window" -> plan.contains("Window")).collect { case (k, true) => k }
+      println(f"$n%-22s exchanges=$ex%-3d ${flags.mkString(",")}")
+    }
+    spark.stop()
+  }
+}
