@@ -80,6 +80,35 @@ object RelationalQueries {
           |  o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // A3b grouping() disambiguation: a NULL group value and the
+    // rollup's total row are indistinguishable without grouping() —
+    // the flag column is how consumers tell data-null from
+    // aggregation-level.
+    "q_agg_groupingid" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("g_status"), col("g_prio"))
+    }),
+
+    // F9 error-safe evaluation: try_cast / try_divide return NULL
+    // where ANSI would raise — the difference between one malformed
+    // row poisoning a 100 TB job and it landing in a quarantine
+    // column.
+    "q_fn_try" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        try_divide(col("c_acctbal").cast("double"),
+          (col("c_custkey") % 5).cast("double")).as("per_bucket"),
+        expr("try_cast(substring(c_name, 10, 9) AS BIGINT)").as("name_num"),
+        expr("try_cast(c_mktsegment AS BIGINT)").as("seg_num"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // A2 approximate distinct (HLL++). Sketch estimates are
     // engine-specific, so there is no DuckDB oracle — registered as a
     // rows-only check; the exact-vs-approx relative error is asserted in
@@ -1396,6 +1425,21 @@ object RelationalQueries {
         |  val_rank, n_null, n_distinct
         |FROM ranked WHERE val_rank <= 3
         |ORDER BY col_name, val_rank""".stripMargin,
+    "q_agg_groupingid" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_prio""".stripMargin,
+    "q_fn_try" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |   ELSE CAST(c_acctbal AS DOUBLE) / CAST(c_custkey % 5 AS DOUBLE)
+        | END AS per_bucket,
+        | TRY_CAST(substring(c_name, 10, 9) AS BIGINT) AS name_num,
+        | TRY_CAST(c_mktsegment AS BIGINT) AS seg_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_posexplode" ->
       """SELECT vec_id, CAST(j AS INT) AS pos,
         | CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS v
