@@ -43,6 +43,16 @@ object StreamQueries {
   private val StationsOuterDir = "/root/repo/fixtures/stream/stations_outer"
   private val WeatherOuterDir = "/root/repo/fixtures/stream/weather_outer"
 
+  /** Streaming-admission fixtures: batch 0 seeds docs 1/2 and carries a
+    * within-batch duplicate (7 = copy of 2, rejected); batch 1 brings a
+    * near-duplicate of accepted doc 1 (3, one token changed — jaccard
+    * 28/34 ≈ 0.82, rejected) and fresh doc 4; batch 2 brings an exact
+    * copy of 4 (5, rejected) and fresh doc 6. Admission depends on
+    * batch ORDER (1 must already be accepted when 3 arrives); the
+    * harness drops one file per AvailableNow pass to pin it.
+    */
+  private val DocsDedupDir = "/root/repo/fixtures/stream/docs"
+
   /** The stations fixtures plus a far-future sentinel report (05:00,
     * throwaway station 1): append-mode session windows only emit once
     * the watermark passes their end, and with the 2 h delay the real
@@ -142,6 +152,38 @@ object StreamQueries {
           Streams.velibStream(s, StationsOuterDir),
           s.readStream.schema(Schemas.weatherRaw).json(WeatherOuterDir)))
         .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // ST11 streaming corpus admission: per-micro-batch near-dup gate
+    // against the accumulating accepted store (within-batch dedup +
+    // incremental band join vs corpus + append). Docs 7 (within-batch
+    // copy), 3 (near-dup of accepted), 5 (exact dup of accepted) must
+    // be rejected; 1, 2, 4, 6 admitted. Admission order matters, and
+    // the file source breaks equal-mtime ties arbitrarily — so the
+    // harness lands each fixture file into the drop dir and runs an
+    // AvailableNow pass PER DROP (shared checkpoint skips processed
+    // files): deterministic, and exactly how drops land in production.
+    "q_stream_dedup" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val base = java.nio.file.Files.createTempDirectory("graft_admit_")
+      val dropDir = java.nio.file.Files.createDirectory(
+        base.resolve("drops"))
+      val acceptedDir = base.resolve("accepted").toString
+      withScopedStreamRun(s) { ckpt =>
+        val src = new java.io.File(DocsDedupDir).listFiles()
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        src.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
+          val docs = s.readStream
+            .schema(StructType(Seq(
+              StructField("doc_id", LongType), StructField("text", StringType))))
+            .json(dropDir.toString)
+          val q = Streams.streamingDedupAdmission(docs, acceptedDir, ckpt).start()
+          q.awaitTermination()
+        }
+      }
+      s.read.parquet(acceptedDir).select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // ST3 streaming windowed aggregation, complete mode so every
@@ -286,6 +328,11 @@ object StreamQueries {
         | (CAST(19179944124 AS BIGINT), CAST('2024-02-01 00:55:00' AS TIMESTAMP), CAST('2024-02-01 01:25:00' AS TIMESTAMP), CAST(1 AS BIGINT), 11)
         |) AS t(station_id, session_start, session_end, n_reports, max_bikes)
         |ORDER BY station_id, session_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        | (CAST(4 AS BIGINT)), (CAST(6 AS BIGINT))
+        |) AS t(doc_id) ORDER BY doc_id""".stripMargin,
     "q_stream_join_outer" ->
       """SELECT * FROM (VALUES
         | (CAST(101 AS BIGINT), 7, CAST('2024-02-01 00:10:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain'),

@@ -441,4 +441,52 @@ object Streams {
       .foreachBatch(load)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** ST11: streaming corpus ADMISSION — the training-data dedup gate
+    * run as a stream. Each micro-batch of documents is (1) deduped
+    * within the batch (min-id survivor; a doc near-duplicating a
+    * lower-id batch doc is rejected, transitively — the conservative
+    * choice for training data), (2) checked against the ACCUMULATED
+    * accepted corpus via the incremental band join
+    * ([[graft.operators.Dedup.minhashNearDuplicatesAgainst]] — per
+    * batch cost scales with the batch, not the corpus), and (3) the
+    * survivors are APPENDED to the accepted store.
+    *
+    * `foreachBatch` is the only tool that expresses this: the
+    * accepted store is both read and appended within one batch — a
+    * cross-batch self-dependency outside any built-in stateful
+    * operator; the checkpoint guarantees each batch is admitted
+    * exactly once across restarts. Restart caveat: a crash between
+    * the parquet append and the checkpoint commit would re-admit the
+    * batch on replay; the production hardening is the versioned
+    * snapshot + pointer-swing commit of [[streamingLatestMerge]] —
+    * kept plain here so the admission logic stays the subject.
+    */
+  def streamingDedupAdmission(
+      docs: DataFrame, acceptedDir: String, checkpoint: String,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    foreachBatchLoad(docs, checkpoint) { (batch, _) =>
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      val b = batch.select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val withinDupes = Dedup.minhashNearDuplicates(b, threshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val withinSurvivors = b.join(withinDupes, Seq("doc_id"), "left_anti")
+        val path = new org.apache.hadoop.fs.Path(acceptedDir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        val survivors =
+          if (!fs.exists(path)) withinSurvivors
+          else {
+            val accepted = spark.read.parquet(acceptedDir)
+            val corpusDupes = Dedup
+              .minhashNearDuplicatesAgainst(accepted, withinSurvivors, threshold)
+              .select(col("doc_b").as("doc_id")).distinct()
+            withinSurvivors.join(corpusDupes, Seq("doc_id"), "left_anti")
+          }
+        survivors.write
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
+      } finally b.unpersist()
+    }
 }
