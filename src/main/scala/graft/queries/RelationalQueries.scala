@@ -109,6 +109,59 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // A8 argmax/argmin: max_by/min_by carry a payload to the row that
+    // extremizes an ordering — one aggregation pass, no self-join back
+    // to the fact table (the naive "max then join on the max" shape
+    // rescans and reshuffles at 100 TB). Ties are impossible by
+    // construction: the ordering struct ends in (orderkey, linenumber),
+    // and rows that still tie are fully identical (the harness's
+    // documented duplicate rows), so the carried payload is unique.
+    "q_agg_argmax" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(
+            struct(col("l_orderkey").as("k"), col("l_extendedprice").as("p")),
+            struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+            .as("top"),
+          min_by(col("l_shipdate"),
+            struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+            .as("first_ship"))
+        .select(col("l_returnflag"), col("top.k").as("top_orderkey"),
+          col("top.p").as("top_price"), col("first_ship"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A9 per-group standardization (z-score): the q_agg_stats portable
+    // moments (exact decimal sums cast to double once) produce per-group
+    // mean and population sigma, which BROADCAST back onto the fact rows
+    // — the normalization itself is a map-side projection. The fact
+    // table is scanned twice but never shuffled; at 100 TB the group
+    // stats are a handful of rows, so the second pass is
+    // exchange-free. Every double op after the decimal sums is
+    // IEEE-deterministic cross-engine; round(6) guards nothing but is
+    // kept for the project-wide oracle policy.
+    "q_norm_group" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxx"))
+        .select(col("l_returnflag"), (col("sx") / col("n")).as("mu"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+            .as("sigma"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          round((col("l_quantity") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6)
+            .as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // A2 approximate distinct (HLL++). Sketch estimates are
     // engine-specific, so there is no DuckDB oracle — registered as a
     // rows-only check; the exact-vs-approx relative error is asserted in
@@ -1440,6 +1493,37 @@ object RelationalQueries {
         | TRY_CAST(substring(c_name, 10, 9) AS BIGINT) AS name_num,
         | TRY_CAST(c_mktsegment AS BIGINT) AS seg_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_argmax" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice, l_shipdate,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC)
+        |      AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rx = 1 THEN l_orderkey END) AS top_orderkey,
+        |  MAX(CASE WHEN rx = 1 THEN l_extendedprice END) AS top_price,
+        |  MAX(CASE WHEN rn = 1 THEN l_shipdate END) AS first_ship
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_norm_group" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |      AS sxx
+        |  FROM lineitem GROUP BY l_returnflag
+        |), s AS (
+        |  SELECT l_returnflag, sx / n AS mu,
+        |    sqrt((sxx - sx * sx / n) / n) AS sigma
+        |  FROM m
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  ROUND((l.l_quantity - s.mu) / NULLIF(s.sigma, 0), 6) AS z
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_fn_posexplode" ->
       """SELECT vec_id, CAST(j AS INT) AS pos,
         | CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS v
