@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lead, max, min, struct}
 
 /** Warehouse merge (SCD-1 upsert): apply a batch of keyed changes to a
   * base table — matched keys take the update row wholesale, unmatched
@@ -34,5 +35,80 @@ object Upsert {
     val updKeys = updates.select(keys.map(col): _*)
     val cond = keys.map(k => base(k) <=> updKeys(k)).reduce(_ && _)
     base.join(updKeys, cond, "left_anti").unionByName(updates)
+  }
+
+  /** SCD-2 history merge: apply a batch of keyed, timestamped attribute
+    * changes to a slowly-changing-dimension HISTORY table that tracks
+    * every version with a validity interval.
+    *
+    * `history`: key columns ++ attribute columns ++ `valid_from` /
+    * `valid_to` (NULL `valid_to` = the key's open/current row).
+    * `changes`: the same keys and attributes plus `tsCol`, the change's
+    * effective timestamp.
+    *
+    * Semantics per key:
+    *  - changes are sequenced by timestamp into back-to-back versions
+    *    (`valid_from` = change ts, `valid_to` = next change ts, open for
+    *    the last);
+    *  - the pre-existing open row closes at the key's FIRST change ts;
+    *  - keys without changes, and all already-closed rows, pass through
+    *    untouched;
+    *  - duplicate (key, ts) rows in one batch collapse deterministically
+    *    to the lexicographically greatest attribute tuple (shuffle-order
+    *    independent, unlike "pick any").
+    *
+    * Contract: change timestamps fall after the affected open row's
+    * `valid_from` (late-arriving history rewrites need a key-scoped
+    * rebuild, not a merge); NULL keys are not matched (SQL join
+    * semantics — route them through a quarantine first).
+    *
+    * Scale shape: the window and both aggregates run over the CHANGE
+    * BATCH only — a 100 TB history is never shuffled. Closed rows are a
+    * pass-through filter; the open slice joins the per-key first-ts
+    * aggregate, which is tiny (one row per changed key) and broadcasts.
+    * The unions are shuffle-free.
+    */
+  def scd2Apply(
+      history: DataFrame, changes: DataFrame,
+      keys: Seq[String], tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    require(history.columns.contains("valid_from") &&
+      history.columns.contains("valid_to"),
+      "history must carry valid_from/valid_to interval columns")
+    val scratch = Seq("__scd2_attrs", "__scd2_first_ts")
+    scratch.foreach { c =>
+      require(!history.columns.contains(c) && !changes.columns.contains(c),
+        s"reserved scratch column name collides: $c")
+    }
+    val attrCols = changes.columns.filterNot(c =>
+      keys.contains(c) || c == tsCol).toSeq
+    require(attrCols.nonEmpty, "changes carry no attribute columns")
+
+    val keyTs = (keys :+ tsCol).map(col)
+    val deduped = changes
+      .groupBy(keyTs: _*)
+      .agg(max(struct(attrCols.map(col): _*)).as("__scd2_attrs"))
+      .select(keyTs ++ attrCols.map(c => col(s"__scd2_attrs.$c").as(c)): _*)
+
+    val seqW = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val versioned = deduped
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(seqW))
+      .drop(tsCol)
+
+    val firstTs = deduped.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__scd2_first_ts"))
+
+    val open = history.filter(col("valid_to").isNull)
+    val closedNow = open.drop("valid_to").join(firstTs, keys)
+      .withColumn("valid_to", col("__scd2_first_ts"))
+      .drop("__scd2_first_ts")
+    val stillOpen = open.join(firstTs, keys, "left_anti")
+
+    val outCols = history.columns.toSeq.map(col)
+    history.filter(col("valid_to").isNotNull)
+      .unionByName(closedNow.select(outCols: _*))
+      .unionByName(stillOpen)
+      .unionByName(versioned.select(outCols: _*))
   }
 }

@@ -162,6 +162,26 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // K9 SCD-2 history merge: the versioned complement to q_upsert's
+    // SCD-1 overwrite. The change batch (orders for every third
+    // customer, multiple + same-day changes per key included) is
+    // sequenced into validity intervals; the open dimension row closes
+    // at the key's first change. Only the batch is shuffled — the
+    // dimension passes through as a filter + broadcast-joined open
+    // slice.
+    "q_scd2" -> ((s, dir) => {
+      val hist = table(s, dir, "customer").select(
+        col("c_custkey").as("cust_id"), col("c_mktsegment").as("segment"),
+        lit("1990-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val changes = table(s, dir, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .select(col("o_custkey").as("cust_id"),
+          col("o_orderpriority").as("segment"), col("o_orderdate").as("ts"))
+      Upsert.scd2Apply(hist, changes, Seq("cust_id"), "ts")
+        .orderBy(col("cust_id"), col("valid_from"))
+    }),
+
     // A2 approximate distinct (HLL++). Sketch estimates are
     // engine-specific, so there is no DuckDB oracle — registered as a
     // rows-only check; the exact-vs-approx relative error is asserted in
@@ -1524,6 +1544,33 @@ object RelationalQueries {
         |  ROUND((l.l_quantity - s.mu) / NULLIF(s.sigma, 0), 6) AS z
         |FROM lineitem l JOIN s USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_scd2" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+        |    TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer
+        |), chg AS (
+        |  SELECT cust_id, ts, MAX(segment) AS segment FROM (
+        |    SELECT o_custkey AS cust_id, o_orderpriority AS segment,
+        |      o_orderdate AS ts
+        |    FROM orders WHERE o_custkey % 3 = 0
+        |  ) GROUP BY cust_id, ts
+        |), versioned AS (
+        |  SELECT cust_id, segment, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY cust_id ORDER BY ts) AS valid_to
+        |  FROM chg
+        |), f AS (
+        |  SELECT cust_id, MIN(ts) AS fts FROM chg GROUP BY cust_id
+        |)
+        |SELECT h.cust_id, h.segment, h.valid_from, f.fts AS valid_to
+        |FROM hist h JOIN f ON h.cust_id = f.cust_id
+        |UNION ALL
+        |SELECT h.cust_id, h.segment, h.valid_from, h.valid_to
+        |FROM hist h ANTI JOIN f ON h.cust_id = f.cust_id
+        |UNION ALL
+        |SELECT cust_id, segment, valid_from, valid_to FROM versioned
+        |ORDER BY cust_id, valid_from""".stripMargin,
     "q_fn_posexplode" ->
       """SELECT vec_id, CAST(j AS INT) AS pos,
         | CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS v

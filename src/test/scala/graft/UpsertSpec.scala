@@ -37,4 +37,61 @@ class UpsertSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(out === Seq((1L, "a", 1.0), (1L, "b", 9.0), (2L, "a", 7.0)))
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val hist = Seq(
+    (1L, "S1", ts("2026-01-01 00:00:00"), Some(ts("2026-02-01 00:00:00"))),
+    (1L, "S2", ts("2026-02-01 00:00:00"), None),  // open
+    (2L, "S1", ts("2026-01-01 00:00:00"), None),  // open, no changes
+    (3L, "S9", ts("2026-01-01 00:00:00"), None)   // open
+  ).toDF("id", "segment", "valid_from", "valid_to")
+
+  test("scd2Apply sequences multi-change keys and closes the open row") {
+    val changes = Seq(
+      (1L, "S3", ts("2026-03-01 00:00:00")),
+      (1L, "S4", ts("2026-04-01 00:00:00")),
+      (3L, "S5", ts("2026-03-15 00:00:00")),
+      (4L, "S0", ts("2026-03-20 00:00:00"))   // brand-new key
+    ).toDF("id", "segment", "ts")
+    val out = rows(Upsert.scd2Apply(hist, changes, Seq("id"), "ts")
+      .orderBy(col("id"), col("valid_from")))
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    assert(out === Seq(
+      // key 1: closed row untouched, open row closed at first change,
+      // two new back-to-back versions, last one open
+      (1L, "S1", ts("2026-01-01 00:00:00"), Some(ts("2026-02-01 00:00:00"))),
+      (1L, "S2", ts("2026-02-01 00:00:00"), Some(ts("2026-03-01 00:00:00"))),
+      (1L, "S3", ts("2026-03-01 00:00:00"), Some(ts("2026-04-01 00:00:00"))),
+      (1L, "S4", ts("2026-04-01 00:00:00"), None),
+      // key 2: untouched, still open
+      (2L, "S1", ts("2026-01-01 00:00:00"), None),
+      // key 3: one change
+      (3L, "S9", ts("2026-01-01 00:00:00"), Some(ts("2026-03-15 00:00:00"))),
+      (3L, "S5", ts("2026-03-15 00:00:00"), None),
+      // key 4: inserted with no prior history, open
+      (4L, "S0", ts("2026-03-20 00:00:00"), None)))
+  }
+
+  test("scd2Apply collapses duplicate (key, ts) to the greatest attr tuple") {
+    val changes = Seq(
+      (2L, "AAA", ts("2026-05-01 00:00:00")),
+      (2L, "ZZZ", ts("2026-05-01 00:00:00"))
+    ).toDF("id", "segment", "ts")
+    val out = rows(Upsert.scd2Apply(hist, changes, Seq("id"), "ts")
+      .filter(col("id") === 2L).orderBy(col("valid_from")))
+      .map(r => (r.getString(1), Option(r.getTimestamp(3))))
+    assert(out === Seq(
+      ("S1", Some(ts("2026-05-01 00:00:00"))), ("ZZZ", None)))
+  }
+
+  test("scd2Apply fails fast on missing interval columns") {
+    val noIv = Seq((1L, "x")).toDF("id", "segment")
+    val changes = Seq((1L, "y", ts("2026-01-01 00:00:00")))
+      .toDF("id", "segment", "ts")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(noIv, changes, Seq("id"), "ts")
+    }
+  }
 }
