@@ -247,6 +247,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard pair mining with PREFIX FILTERING (the PPJoin family
+    * — Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08): docs are joined only through the RAREST few
+    * shingles of each, yet recall is provably exact.
+    *
+    * Under any single global total order on shingles, two docs with
+    * J(a,b) >= t MUST share a token within the first
+    * |x| - ceil(t·|x|) + 1 tokens of each side's ordered list — so
+    * indexing only that prefix loses nothing. Ordering by ascending
+    * document frequency makes the indexed tokens the rare ones: the
+    * candidate join's buckets are small BY CONSTRUCTION, not by a
+    * lossy cap (`maxDocFreq`'s trade-off, which this operator replaces
+    * when exactness is required at scale).
+    *
+    * Shuffles: df aggregation (shingle-keyed), df attach (same key,
+    * piggybacks), one per-doc aggregation to sort/slice the prefix,
+    * the prefix self-join (shingle-keyed, rare-token buckets), pair
+    * dedup (partial-combining agg), and the two size/array re-attaches
+    * for the exact verify — every one an equi hash operation; nothing
+    * is all-pairs.
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside (0, 1]")
+    val withShingles = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val index = withShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = index.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+    // Per doc: shingles ordered rare-first (ties on the shingle string =
+    // a total order), sliced to the prefix. sort_array on the collected
+    // (df, shingle) structs replaces a row_number window — one
+    // aggregation, no per-doc sort exchange. The 1e-9 nudge keeps
+    // ceil(t·|x|) from rounding UP when t·|x| is mathematically integral
+    // but lands a few ulps above it (0.4 × 10 → 4.0000000000000002):
+    // a spuriously short prefix would break exact recall, a longer one
+    // only costs a few extra candidates.
+    val prefixLen = (size(col("ord")) -
+      ceil(lit(threshold) * size(col("ord")) - lit(1e-9)) + 1).cast("int")
+    val prefixIndex = index.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .select(col("doc_id"),
+        explode(slice(col("ord").getField("shingle"), lit(1), prefixLen))
+          .as("shingle"))
+
+    val candidates = prefixIndex.as("x").join(prefixIndex.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__n_prefix_common"))
+      .drop("__n_prefix_common")
+
+    // Exact verify over the FULL shingle sets.
+    candidates
+      .join(withShingles.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        Seq("doc_a"))
+      .join(withShingles.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("doc_b"))
+      .withColumn("__inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Benchmark decontamination: drop from `corpus` every document that
     * leaks an eval-set item — through EITHER channel a training
     * pipeline screens:

@@ -58,6 +58,17 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Prefix-filtered exact Jaccard (PPJoin family): same exact
+    // semantics as q_dedup_ngram but candidates meet only through each
+    // doc's rarest-prefix shingles — the principled exact-recall
+    // answer to hot-shingle skew (vs the lossy maxDocFreq cap). The
+    // lower threshold (0.4) exercises a different pair set than
+    // q_dedup_ngram's 0.5.
+    "q_dedup_prefix" -> ((s, dir) => {
+      Dedup.prefixFilterPairs(docs(s, dir), 3, 0.4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MinHash 128-perm + 32-band LSH, exact-jaccard-verified.
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(docs(s, dir), 0.8)
@@ -716,6 +727,11 @@ object LlmQueries {
         """
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_prefix" ->
+      (ShingleCte +
+        """
+          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+          |WHERE j >= 0.4 ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_minhash" ->
       (ShingleCte +
         """

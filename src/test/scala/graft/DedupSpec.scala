@@ -75,6 +75,41 @@ class DedupSpec extends SparkTestBase {
     assert(rows(loose).nonEmpty)
   }
 
+  test("prefix filtering recovers exactly the inverted-index pair set") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    for (t <- Seq(0.3, 0.4, 0.5, 0.8)) {
+      val pf = rows(Dedup.prefixFilterPairs(d, 3, t)
+        .orderBy(col("doc_a"), col("doc_b"))).map(key)
+      val exact = rows(Dedup.ngramJaccardPairs(d, 3, t)
+        .orderBy(col("doc_a"), col("doc_b"))).map(key)
+      assert(pf === exact, s"threshold $t")
+    }
+  }
+
+  test("prefix filtering stays exact on a universal hot shingle") {
+    // the corpus where the df cap loses pairs: every doc shares one hot
+    // trigram; prefix filtering orders it LAST (highest df) so it is
+    // indexed only by docs whose prefix reaches it — and the pair set
+    // still matches the exact miner at every threshold
+    val hot = Seq(
+      (1L, "click here to buy cheap watches now online"),
+      (2L, "click here to buy cheap watches now today"),
+      (3L, "click here to read the full story online"),
+      (4L, "click here to read the full story today"),
+      (5L, "click here to download the latest update now"),
+      (6L, "click here to join our mailing list today")
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7)) {
+      val pf = rows(Dedup.prefixFilterPairs(hot, 3, t)
+        .orderBy(col("doc_a"), col("doc_b"))).map(key)
+      val exact = rows(Dedup.ngramJaccardPairs(hot, 3, t)
+        .orderBy(col("doc_a"), col("doc_b"))).map(key)
+      assert(pf === exact, s"threshold $t")
+    }
+  }
+
   test("incremental minhash dedup equals the full dedup restricted to cross-boundary pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
