@@ -311,6 +311,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): partition the embedding space with a centroid
+    * codebook, then inside each cluster drop every item whose cosine to
+    * a LOWER-id cluster member is ≥ eps — near-identical meaning, not
+    * near-identical bytes (paraphrases, re-renders, translations-back),
+    * which MinHash/SimHash cannot see.
+    *
+    * The keep rule ("∃ lower-id in-cluster neighbor ≥ eps ⇒ drop") is
+    * deterministic and local to a pair — no iteration, no connected
+    * components — matching the paper's one-shot prune.
+    *
+    * Scale shape: assignment is the map-side `Similarity
+    * .assignToCentroids` projection (corpus never shuffles for it); the
+    * in-cluster pair join is an equi-join on `centroid_id`; the dropped
+    * set is a partial-combining aggregate; survivors come from one
+    * broadcast-able anti join. The quadratic term is per-cluster — at
+    * corpus scale pick k ≈ n/⌀cluster (the paper runs k in the tens of
+    * thousands) so clusters stay bounded; a hot cluster is ordinary key
+    * skew on `centroid_id` (AQE / saltedEquiJoin apply).
+    *
+    * Returns the SURVIVING (id, centroid_id) rows.
+    */
+  def semanticDedup(
+      embs: DataFrame, centroids: DataFrame, eps: Double): DataFrame = {
+    val assigned = Similarity.assignToCentroids(embs, centroids)
+    val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
+      col("vec").as("__va"))
+    val b = assigned.select(col("centroid_id"), col("id").as("id_b"),
+      col("vec").as("__vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.VectorOps
+        .cosineSimilarity(col("__va"), col("__vb")), 6) >= eps)
+      .groupBy(col("id_b")).agg(count(lit(1)).as("__n"))
+      .select(col("id_b").as("id"))
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"))
+  }
+
   /** Benchmark decontamination: drop from `corpus` every document that
     * leaks an eval-set item — through EITHER channel a training
     * pipeline screens:

@@ -202,6 +202,62 @@ object Similarity {
     shiftright(bits, b * bitsPerBand)
       .bitwiseAND(lit((1L << bitsPerBand) - 1))
 
+  /** Collects and validates a literal codebook: (centroid_id, vec) rows
+    * → an id-sorted array of (id, vector, precomputed norm). Bounded
+    * ≤ 256 — a broadcast MODEL (the IVF/k-means idiom), not a data
+    * collect.
+    */
+  private[graft] def loadCodebook(
+      centroids: DataFrame): Array[(Long, Array[Float], Double)] = {
+    val code = centroids
+      .select(col("centroid_id").cast("long"), col("vec"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        // Same left-to-right double fold as FloatVecNormSq / the oracle.
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        (r.getLong(0), v, math.sqrt(s))
+      }
+      .sortBy(_._1)
+    require(code.nonEmpty && code.length <= 256,
+      s"codebook size ${code.length} outside [1, 256]")
+    code
+  }
+
+  /** score = cos(vec, c) with the row norm let-bound behind a
+    * projection boundary (computed once, not once per centroid).
+    * A degenerate score — a zero-norm row or centroid (divide-by-zero:
+    * a runtime error under ANSI, NULL otherwise), or NaN from NaN
+    * vector elements — is pinned to -2, below any real cosine, so
+    * degenerate vectors rank WORST consistently in both assignment
+    * (array_max) and probe routing (array_sort) instead of crashing
+    * the scan or silently emptying neighbor lists.
+    */
+  private def scoreTo(cv: Array[Float], cn: Double, norm: Column): Column =
+    VectorOps.guardCos(
+      try_divide(VectorOps.dot(col("vec"), typedlit(cv)), norm * lit(cn)))
+
+  private def assignWithCodebook(
+      embs: DataFrame,
+      code: Array[(Long, Array[Float], Double)]): DataFrame =
+    embs
+      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
+      .select(col("id"), col("vec"),
+        array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
+          struct(scoreTo(cv, cn, col("_n")).as("s"), lit(-cid).as("negc"))
+        }: _*)).as("best"))
+      .select(col("id"), col("vec"), (-col("best.negc")).as("centroid_id"))
+
+  /** Map-side nearest-centroid assignment against a literal codebook:
+    * (id, vec) → (id, vec, centroid_id), lowest centroid_id winning
+    * cosine ties. No exchange — the codebook rides inside the projection
+    * (the `ivfTopK` assignment step, exposed for cluster-then-X
+    * compositions like `Dedup.semanticDedup`).
+    */
+  def assignToCentroids(embs: DataFrame, centroids: DataFrame): DataFrame =
+    assignWithCodebook(embs, loadCodebook(centroids))
+
   /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
     * path alongside `lshTopK`.
     *
@@ -244,39 +300,8 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val code: Array[(Long, Array[Float], Double)] = centroids
-      .select(col("centroid_id").cast("long"), col("vec"))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1).toArray
-        // Same left-to-right double fold as FloatVecNormSq / the oracle.
-        var s = 0.0
-        v.foreach(x => s += x.toDouble * x.toDouble)
-        (r.getLong(0), v, math.sqrt(s))
-      }
-      .sortBy(_._1)
-    require(code.nonEmpty && code.length <= 256,
-      s"codebook size ${code.length} outside [1, 256]")
-
-    // score_i = cos(vec, c_i) with the row norm let-bound behind a
-    // projection boundary (computed once, not once per centroid).
-    // A degenerate score — a zero-norm row or centroid (divide-by-zero:
-    // a runtime error under ANSI, NULL otherwise), or NaN from NaN
-    // vector elements — is pinned to -2, below any real cosine, so
-    // degenerate vectors rank WORST consistently in both assignment
-    // (array_max) and probe routing (array_sort) instead of crashing
-    // the scan or silently emptying neighbor lists.
-    def scoreTo(cv: Array[Float], cn: Double, norm: Column): Column =
-      VectorOps.guardCos(
-        try_divide(VectorOps.dot(col("vec"), typedlit(cv)), norm * lit(cn)))
-
-    val assigned = corpus
-      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("_n"))
-      .select(col("id"), col("vec"),
-        array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
-          struct(scoreTo(cv, cn, col("_n")).as("s"), lit(-cid).as("negc"))
-        }: _*)).as("best"))
-      .select(col("id"), col("vec"), (-col("best.negc")).as("centroid_id"))
+    val code = loadCodebook(centroids)
+    val assigned = assignWithCodebook(corpus, code)
 
     // Each probe's nProbe nearest lists: sort the literal codebook by
     // (score desc, cid asc) via ascending struct(-s, cid), slice, explode.

@@ -69,6 +69,18 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // SemDeDup semantic near-dup pruning: cluster the embedding space
+    // with the q_ann_ivf deterministic 16-centroid codebook, drop
+    // in-cluster items with a lower-id neighbor at cosine >= 0.45
+    // (q_embed_pairs' similar-pair threshold). The oracle re-derives
+    // assignment, pairs, and survivors.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val centroids = embs(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("vec"))
+      Dedup.semanticDedup(corpus(s, dir), centroids, 0.45)
+        .orderBy(col("id"))
+    }),
+
     // MinHash 128-perm + 32-band LSH, exact-jaccard-verified.
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(docs(s, dir), 0.8)
@@ -727,6 +739,27 @@ object LlmQueries {
         """
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_semantic" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 16
+         |), asn AS (
+         |  SELECT id, cid FROM (
+         |    SELECT e.vec_id AS id, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCos("e.embedding", "cb.ce")} DESC, cb.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cb
+         |  ) WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.id AS id_b
+         |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.id < b.id
+         |  JOIN embeddings ea ON ea.vec_id = a.id
+         |  JOIN embeddings eb ON eb.vec_id = b.id
+         |  WHERE ROUND(${duckCos("ea.embedding", "eb.embedding")}, 6) >= 0.45
+         |)
+         |SELECT asn.id, asn.cid AS centroid_id FROM asn
+         |WHERE asn.id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY id""".stripMargin,
     "q_dedup_prefix" ->
       (ShingleCte +
         """

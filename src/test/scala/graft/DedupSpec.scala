@@ -110,6 +110,35 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedup drops the higher id of an in-cluster near-pair") {
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))
+    ).toDF("centroid_id", "vec")
+    val embs = Seq(
+      (10L, Seq(1.0f, 0.01f)),   // cluster 0, kept (lowest id wins)
+      (11L, Seq(1.0f, 0.02f)),   // cluster 0, cos(10,11) ~ 1 -> dropped
+      (12L, Seq(0.0f, 1.0f)),    // cluster 1, alone -> kept
+      (13L, Seq(0.9f, 0.45f))    // cluster 0, cos to 10 ~ 0.9 -> kept at eps .99
+    ).toDF("id", "vec")
+    val out = rows(Dedup.semanticDedup(embs, centroids, 0.99)
+      .orderBy(col("id"))).map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((10L, 0L), (12L, 1L), (13L, 0L)))
+  }
+
+  test("semanticDedup never pairs across clusters") {
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))
+    ).toDF("centroid_id", "vec")
+    // 20 and 21 are nearly identical but land in different clusters
+    // (epsilon off either axis), so neither is dropped
+    val embs = Seq(
+      (20L, Seq(1.0f, 0.99f)), (21L, Seq(0.99f, 1.0f))
+    ).toDF("id", "vec")
+    val out = rows(Dedup.semanticDedup(embs, centroids, 0.5)
+      .orderBy(col("id"))).map(_.getLong(0))
+    assert(out === Seq(20L, 21L))
+  }
+
   test("incremental minhash dedup equals the full dedup restricted to cross-boundary pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
