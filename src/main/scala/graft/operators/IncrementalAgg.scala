@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental aggregate maintenance: keep a small MERGEABLE state
+  * table per group instead of re-scanning the full fact table per
+  * refresh — the pattern that turns a daily 100 TB rollup into a scan
+  * of just the new partition plus a merge of two tiny state tables.
+  *
+  * State carries only ALGEBRAIC measures — (decimal sum, count, min,
+  * max) — whose merge is itself a hash aggregation: `merge(a, b)` is
+  * exact and associative, so state can be built per ingest batch, per
+  * partition, or per day and combined in any order with bit-identical
+  * results (the decimal sum is the same `dsum` portability contract the
+  * direct queries use; double sums would be shuffle-order dependent).
+  * Derived measures (avg) are computed at READ time by [[finish]], never
+  * stored — storing them would make the state non-mergeable.
+  *
+  * The equivalence `finish(merge(build(old), build(new))) ==
+  * full recompute` is the operator's contract; `q_agg_incremental`
+  * proves it against a DuckDB full-recompute oracle, and the spec
+  * exercises merge associativity and the empty-side identity.
+  */
+object IncrementalAgg {
+
+  /** One state row per group: exact decimal sum, row count (of non-null
+    * values: count/min/max/sum agree on the same support), min, max.
+    */
+  def buildState(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "buildState needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col(valueCol).cast(DecimalType(28, 2))).as("sum_v"),
+        count(col(valueCol)).as("n_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+  }
+
+  /** Combine two state tables: union + one hash aggregation over the
+    * (tiny) state rows. Decimal sums add exactly; counts add; min/max
+    * fold. Associative and commutative, so any merge tree is valid.
+    */
+  def mergeState(a: DataFrame, b: DataFrame): DataFrame = {
+    val groupCols = a.columns.filterNot(
+      Seq("sum_v", "n_v", "min_v", "max_v").contains(_)).toSeq
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("sum_v")).as("sum_v"),
+        sum(col("n_v")).as("n_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** Read-time view over a state table: exposes the algebraic measures
+    * plus the derived average (decimal sum cast to double, divided by
+    * the count — the project-wide portable-average shape).
+    */
+  def finish(state: DataFrame): DataFrame =
+    state.withColumn("avg_v",
+      col("sum_v").cast("double") / col("n_v").cast("double"))
+}

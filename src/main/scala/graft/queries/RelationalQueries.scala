@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, GapFill, Profile, Quality, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{AsOfJoin, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -223,6 +223,30 @@ object RelationalQueries {
           approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
             .as("p95_approx"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // A1c incremental aggregate maintenance — the refresh pattern that
+    // turns a daily 100 TB rollup into a scan of only the new partition
+    // plus a merge of two tiny state tables. The query splits lineitem
+    // at a ship-date cutoff ("already ingested" vs "today's batch"),
+    // builds mergeable state per side, merges, and finishes — and the
+    // DuckDB oracle is a FULL RECOMPUTE over the whole table, proving
+    // finish(merge(build(old), build(new))) == recompute exactly (the
+    // decimal-sum state makes the merge order-independent).
+    "q_agg_incremental" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val cut = lit("1997-06-01").cast("date")
+      val groups = Seq("l_returnflag", "l_linestatus")
+      val merged = IncrementalAgg.mergeState(
+        IncrementalAgg.buildState(
+          li.filter(col("l_shipdate") < cut), groups, "l_extendedprice"),
+        IncrementalAgg.buildState(
+          li.filter(col("l_shipdate") >= cut), groups, "l_extendedprice"))
+      IncrementalAgg.finish(merged)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_v").cast("double").as("sum_v"), col("n_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // A6 pivot: long->wide reshaping. The explicit value list keeps the
@@ -1157,6 +1181,16 @@ object RelationalQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        | COUNT(l_extendedprice) AS n_v,
+        | MIN(l_extendedprice) AS min_v,
+        | MAX(l_extendedprice) AS max_v,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_v
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
