@@ -145,6 +145,54 @@ object Sampling {
       .filter(hashUnit(col(keyCol)) < col("keep_rate"))
   }
 
+  /** Deterministic contrastive negative sampling: for every anchor row,
+    * emit `k` pseudo-random partner rows drawn from the whole corpus —
+    * the (anchor, negative) pair generation step of contrastive
+    * training prep, made permanent across runs, engines, and cluster
+    * sizes.
+    *
+    * Shape: the corpus is reduced to one REPRESENTATIVE per hash bucket
+    * (min over (md5 hash, key) — a partial-combining aggregate, ≤
+    * `buckets` rows total), and each anchor derives `k` probe buckets
+    * from md5(key '#' i). The pair join is then anchors×k against the
+    * tiny representative table — broadcast, no shuffle ever touches the
+    * corpus rows, so the operator runs at scan speed on 100 TB while a
+    * naive "sample k others" needs a cross join or a global index.
+    *
+    * Determinism: buckets, probes, and representatives all derive from
+    * md5, so DuckDB reproduces every pair bit-for-bit (`q_sample_neg`).
+    * Edge semantics, identical in both engines: a probe that lands in
+    * an UNOCCUPIED bucket yields no pair (w.h.p. none exist for
+    * buckets ≪ corpus), a representative equal to the anchor itself is
+    * dropped (no self-pairs), and NULL keys produce no pairs on either
+    * side of the join.
+    */
+  def negativePairs(
+      df: DataFrame, keyCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Seq("neg_idx", "neg_id", "__bucket").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with negativePairs' columns")
+    }
+    val key = col(keyCol)
+    val reps = df
+      .select(hashBucket(key, buckets).as("__bucket"),
+        struct(Text.md5Long63(key.cast("string")).as("h"), key.as("k")).as("hk"))
+      .groupBy(col("__bucket"))
+      .agg(min(col("hk")).as("hk"))
+      .select(col("__bucket"), col("hk.k").as("neg_id"))
+    val probes = df
+      .select(key, explode(array((1 to k).map(lit): _*)).as("neg_idx"))
+      .withColumn("__bucket",
+        pmod(Text.md5Long63(
+          concat(key.cast("string"), lit("#"), col("neg_idx").cast("string"))),
+          lit(buckets.toLong)))
+    probes.join(broadcast(reps), Seq("__bucket"))
+      .filter(col("neg_id") =!= key)
+      .select(key, col("neg_idx"), col("neg_id"))
+  }
+
   /** Train/holdout split assignment: adds (bucket, split) columns with
     * `trainPct` buckets of 100 going to "train" and the rest to
     * "holdout". Membership is a pure function of the key — growing the

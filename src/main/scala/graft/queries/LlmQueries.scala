@@ -268,6 +268,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Contrastive negative pairs: 3 pseudo-random partners per doc via
+    // md5 bucket representatives — broadcast join against a 64-row
+    // table, every pair re-derived bit-for-bit in DuckDB.
+    "q_sample_neg" -> ((s, dir) => {
+      Sampling.negativePairs(docs(s, dir), "doc_id", k = 3, buckets = 64)
+        .orderBy(col("doc_id"), col("neg_idx"))
+    }),
+
     // Corpus vocabulary report: top-20 bigrams by total occurrences
     // with document frequency — two partial-combined aggregates and a
     // TakeOrderedAndProject; the vocabulary never crosses the wire.
@@ -1041,6 +1049,28 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
+    "q_sample_neg" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) AS h64
+        |  FROM documents
+        |), reps AS (
+        |  SELECT bucket, doc_id AS neg_id FROM (
+        |    SELECT CAST(h64 % 64 AS BIGINT) AS bucket, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY h64 % 64 ORDER BY h64, doc_id) AS rn
+        |    FROM h) WHERE rn = 1
+        |), probes AS (
+        |  SELECT d.doc_id, i.neg_idx,
+        |    CAST(((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+        |        CAST(i.neg_idx AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 64) AS BIGINT) AS bucket
+        |  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS neg_idx) i
+        |)
+        |SELECT p.doc_id, p.neg_idx, r.neg_id
+        |FROM probes p JOIN reps r USING (bucket)
+        |WHERE r.neg_id <> p.doc_id
+        |ORDER BY p.doc_id, p.neg_idx""".stripMargin,
     "q_corpus_report" ->
       """SELECT COUNT(*) AS n_docs,
         | SUM(len(string_split(text, ' '))) AS total_tokens,

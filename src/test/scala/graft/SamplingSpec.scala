@@ -110,4 +110,39 @@ class SamplingSpec extends SparkTestBase {
       .agg(min(col("b")), max(col("b")))).head
     assert(b.getLong(0) >= 0L && b.getLong(1) < 100L)
   }
+
+  test("negativePairs: no self-pairs, negatives come from the corpus, near-k per anchor") {
+    val pairs = rows(Sampling.negativePairs(docs, "doc_id", k = 3, buckets = 32)
+      .orderBy(col("doc_id"), col("neg_idx")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ids = rows(docs.select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(pairs.forall { case (a, _, n) => a != n && ids(n) && ids(a) })
+    assert(pairs.forall { case (_, i, _) => i >= 1 && i <= 3 })
+    // every anchor draws 3 probes; only self-collisions and (rare at
+    // 32 buckets over hundreds of docs) empty buckets reduce the count
+    val perAnchor = pairs.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 3))
+    assert(pairs.size > ids.size * 2, s"${pairs.size} pairs for ${ids.size} anchors")
+  }
+
+  test("negativePairs is deterministic under repartitioning") {
+    val a = rows(Sampling.negativePairs(docs, "doc_id", 2, 16)
+      .orderBy(col("doc_id"), col("neg_idx")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = rows(Sampling.negativePairs(docs.repartition(11), "doc_id", 2, 16)
+      .orderBy(col("doc_id"), col("neg_idx")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a === b)
+  }
+
+  test("negativePairs drops null anchors and rejects colliding columns") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("doc_id")
+    val out = rows(Sampling.negativePairs(df, "doc_id", 2, 4))
+    assert(out.forall(!_.isNullAt(0)) && out.forall(!_.isNullAt(2)))
+    val bad = df.toDF("neg_id")
+    assertThrows[IllegalArgumentException] {
+      Sampling.negativePairs(bad, "neg_id", 2, 4)
+    }
+  }
 }
