@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{AsOfJoin, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -1102,6 +1102,36 @@ object RelationalQueries {
           nth_value(col("v"), 2).over(frame).as("second_any"),
           lead(col("value"), 1, -1.0).over(order).as("next_val"))
         .orderBy(col("event_id"))
+    }),
+
+    // Behavioral analytics: 4-step funnel over the event log. Each step
+    // is an equi-join on user_id against events pre-filtered to ONE
+    // type (filter reaches the scan), re-aggregated per user — never a
+    // per-user sort of the full log. The oracle chains the same
+    // strictly-after LEFT JOIN + MIN per step.
+    "q_funnel" -> ((s, dir) => {
+      Analytics.funnelTimes(table(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly cohort retention: first-touch min + (user, week) distinct
+    // both shuffle on user_id; the per-week cohort sizes are a bounded
+    // frame broadcast back onto the cells (plan: one broadcast join, no
+    // second wide exchange).
+    "q_cohort" -> ((s, dir) => {
+      Analytics.cohortRetention(table(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // First-order event-type transition matrix: ONE window shuffle on
+    // user_id for the lag, then a partial-combining count into a
+    // states^2 frame; row normalization runs over the tiny aggregated
+    // cells only.
+    "q_event_transitions" -> ((s, dir) => {
+      Analytics.eventTransitions(table(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy(col("prev_type"), col("next_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1725,5 +1755,58 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t_1, MIN(e.ts) AS t_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts > s1.t_1
+        |  GROUP BY s1.user_id, s1.t_1
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t_1, s2.t_2, MIN(e.ts) AS t_3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'click' AND e.ts > s2.t_2
+        |  GROUP BY s2.user_id, s2.t_1, s2.t_2
+        |), s4 AS (
+        |  SELECT s3.user_id, s3.t_1, s3.t_2, s3.t_3, MIN(e.ts) AS t_4
+        |  FROM s3 LEFT JOIN events e
+        |    ON e.user_id = s3.user_id AND e.event_type = 'purchase' AND e.ts > s3.t_3
+        |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3
+        |)
+        |SELECT user_id, t_1, t_2, t_3, t_4 FROM s4 ORDER BY user_id""".stripMargin,
+    "q_cohort" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        |), cells AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM active JOIN firsts USING (user_id) GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+        |)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n_trans,
+        |  ROUND(CAST(n_trans AS DOUBLE)
+        |    / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
+        |FROM c ORDER BY prev_type, next_type""".stripMargin)
 }

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // user 1: full funnel; user 2: drops after b; user 3: does c BEFORE b
+  // (must not count — steps are order-sensitive); user 4: never starts.
+  private val events = Seq(
+    (1L, 10L, "2024-01-01 10:00:00", "a"),
+    (1L, 11L, "2024-01-01 10:05:00", "b"),
+    (1L, 12L, "2024-01-01 10:10:00", "c"),
+    (2L, 20L, "2024-01-02 09:00:00", "a"),
+    (2L, 21L, "2024-01-02 09:30:00", "b"),
+    (3L, 30L, "2024-01-03 08:00:00", "c"),
+    (3L, 31L, "2024-01-03 08:30:00", "a"),
+    (4L, 40L, "2024-01-04 12:00:00", "x")
+  ).map { case (u, id, t, ty) => (u, id, ts(t), ty) }
+    .toDF("user_id", "event_id", "ts", "event_type")
+
+  test("funnelTimes: dropout stays dropped; out-of-order steps don't chain") {
+    val f = rows(Analytics.funnelTimes(events, "user_id", "ts", "event_type",
+        Seq("a", "b", "c")).orderBy("user_id"))
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(f(1L) === ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"),
+      ts("2024-01-01 10:10:00"))))
+    assert(f(2L)._2 === ts("2024-01-02 09:30:00") && f(2L)._3 == null)
+    // user 3's c happened before their a: t_2 (b) null, so t_3 null too
+    assert(f(3L)._1 === ts("2024-01-03 08:30:00"))
+    assert(f(3L)._2 == null && f(3L)._3 == null)
+    assert(!f.contains(4L)) // never did step 1 -> no row
+  }
+
+  test("funnelTimes: strictly-after — same-timestamp steps do not chain") {
+    val same = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:00:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:00:01"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = rows(Analytics.funnelTimes(same, "user_id", "ts", "event_type",
+      Seq("a", "b"))).head
+    // the equal-ts b is skipped; the later one chains
+    assert(r.getTimestamp(2) === ts("2024-01-01 10:00:01"))
+  }
+
+  test("funnelTimes: rejects colliding columns and duplicate steps") {
+    intercept[IllegalArgumentException] {
+      Analytics.funnelTimes(events.withColumn("t_1", lit(1)),
+        "user_id", "ts", "event_type", Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.funnelTimes(events, "user_id", "ts", "event_type",
+        Seq("a", "a"))
+    }
+  }
+
+  test("cohortRetention: offsets and shares against hand-computed cells") {
+    // two cohorts: users 1,2 first-touch in week of Jan 1 (Mon);
+    // user 3 in week of Jan 8. user 1 returns the next week.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-09 09:00:00")), // week offset 1 for cohort Jan 1
+      (3L, ts("2024-01-10 12:00:00"))
+    ).toDF("user_id", "ts")
+    val r = rows(Analytics.cohortRetention(ev, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"))
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r === Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0)))
+  }
+
+  test("eventTransitions: counts adjacent pairs, rows normalize to 1") {
+    // user 1: a->b->a->b ; user 2: a->b  =>  a->b: 3, b->a: 1
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "b"),
+      (2L, 5L, ts("2024-01-01 11:00:00"), "a"),
+      (2L, 6L, ts("2024-01-01 11:01:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val t = rows(Analytics.eventTransitions(ev, "user_id", "ts", "event_type",
+        "event_id"))
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(t(("a", "b")) === ((3L, 1.0)))
+    assert(t(("b", "a")) === ((1L, 1.0)))
+    assert(t.size === 2)
+    // no cross-user pair: user 2's 'a' never pairs with user 1's trailing 'b'
+  }
+
+  test("eventTransitions: equal timestamps break ties by the tiebreak column") {
+    val ev = Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00"), "b"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 3L, ts("2024-01-01 10:00:01"), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val t = rows(Analytics.eventTransitions(ev, "user_id", "ts", "event_type",
+        "event_id"))
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t === Set(("a", "b"), ("b", "c")))
+  }
+}
