@@ -379,6 +379,43 @@ object Dedup {
         fp === col("__eval_fp"), "left_anti")
   }
 
+  /** N-gram-overlap decontamination — the GPT-3/PaLM-style screen:
+    * drop from `corpus` every document that shares ANY word n-gram
+    * with the eval set (the classic n is 13; pass what fits the
+    * corpus). Catches partial leaks — an eval question embedded in a
+    * longer page — that whole-document fingerprints and even
+    * near-dup Jaccard at a sane threshold both miss.
+    *
+    * Shape: both sides explode to (doc, gram-hash) with the md5 63-bit
+    * hash standing in for the gram (narrow rows — no long strings
+    * cross the wire), the eval side collapses to its DISTINCT gram
+    * set, a LEFT SEMI join on the hash marks contaminated corpus ids,
+    * and a LEFT ANTI join returns the surviving corpus rows unchanged.
+    * The corpus is never self-joined and shuffles only on uniform
+    * 63-bit keys; the eval gram set is usually broadcast-sized, and
+    * when it isn't, the semi join is still a plain equi-join.
+    *
+    * The semi join runs on DISTINCT (doc, hash) pairs so a gram
+    * repeated inside one document contributes one row, keeping the
+    * join input bounded by vocabulary, not occurrences.
+    */
+  def decontaminateNgrams(
+      corpus: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!corpus.columns.contains("__gram_h"),
+      "input column '__gram_h' collides with decontaminateNgrams' column")
+    def gramHashes(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(graft.functions.Text.ngrams(col("text"), n)).as("__g"): _*)
+        .select(cols :+ graft.functions.Text.md5Long63(col("__g"))
+          .as("__gram_h"): _*)
+    val evalGrams = gramHashes(evalSet).distinct()
+    val contaminated = gramHashes(corpus, col("doc_id")).distinct()
+      .join(evalGrams, Seq("__gram_h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate pairs: re-attach shingle
     * sets (two equi-joins on doc_id, one per side's shingle frame) and
     * compute |∩|/|∪| with array built-ins.

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Text
+
+/** Data selection via hashed-feature importance weighting — the DSIR
+  * recipe (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): score every corpus document by how much
+  * its hashed bag-of-tokens looks like a TARGET distribution relative
+  * to the corpus itself, then keep the highest-affinity slice. This is
+  * the standard way a 100 TB web crawl gets steered toward a
+  * high-quality / in-domain target (Wikipedia, books, a curated
+  * eval-adjacent set) without training a classifier.
+  *
+  * Feature space: tokens hash into `buckets` ids via the md5-derived
+  * 63-bit hash ([[Text.md5Long63]] — the one hash every engine
+  * shares), so the whole featurizer is engine-portable and the DuckDB
+  * oracle re-derives identical bucket ids, counts, and scores.
+  *
+  * Scoring (portable variant): the paper scores log p_target(x) -
+  * log p_source(x) = Σ_f c_f · log(p̂_t(f)/p̂_s(f)). Natural log is
+  * libm-dependent — engines legitimately disagree in the last ulp —
+  * so the portable score uses the smoothed ratio itself:
+  *
+  *   ratio_b = ((t_b + 1) · (S + B)) / ((s_b + 1) · (T + B))
+  *
+  * (t_b/s_b = target/source counts of bucket b, T/S totals, B buckets
+  * — i.e. p̂_t(b)/p̂_s(b) with add-one smoothing). The integer
+  * products stay < 2^53 (exact as doubles) and the single division is
+  * correctly rounded, so every engine computes the identical double;
+  * it is then quantized to 6 places and summed EXACTLY (decimal), so
+  * the per-doc score is shuffle-order independent. The score is the
+  * count-weighted MEAN ratio — monotone in the same direction as the
+  * paper's mean log-ratio for ranking purposes, and bit-reproducible.
+  *
+  * Scale shape: one explode+aggregate per distribution (B-row results,
+  * broadcast), one (doc, bucket) count aggregate over the corpus, one
+  * broadcast join, one per-doc sum — the corpus is shuffled only on
+  * its own (doc, bucket) keys, never joined against itself, and the
+  * bucket tables are O(B) regardless of corpus size.
+  */
+object Dsir {
+
+  /** Per-document target-affinity scores.
+    *
+    * Returns (idCol, n_tokens, dsir_score): `dsir_score` is the
+    * count-weighted mean smoothed target/source bucket ratio — > 1
+    * means the document's vocabulary is over-represented in `target`
+    * relative to the corpus, < 1 under-represented.
+    *
+    * `target` needs only a text column with the same name; it is
+    * typically a small curated set (broadcast-sized aggregate either
+    * way — only its B-row bucket distribution survives).
+    */
+  def importanceScores(
+      corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Seq("n_tokens", "dsir_score", "__bkt", "__cnt", "__ratio").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"input column '$c' collides with importanceScores' columns")
+    }
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+        .select(col(idCol),
+          pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
+
+    val corpusBuckets = bucketed(corpus)
+    val targetBuckets = bucketed(target)
+
+    // B-row distributions + 1-row totals; all broadcast-sized.
+    val src = corpusBuckets.groupBy(col("__bkt")).agg(count(lit(1)).as("__scnt"))
+    val tgt = targetBuckets.groupBy(col("__bkt")).agg(count(lit(1)).as("__tcnt"))
+    val totals = corpusBuckets.agg(count(lit(1)).as("__stot"))
+      .crossJoin(targetBuckets.agg(count(lit(1)).as("__ttot")))
+
+    // Smoothed ratio per bucket, exactly rounded then 6-place quantized
+    // (see object doc). Buckets absent from the corpus cannot appear in
+    // any corpus document, so the left join from src covers everything.
+    val b = lit(buckets.toLong)
+    val ratio = round(
+      ((coalesce(col("__tcnt"), lit(0L)) + lit(1L)) * (col("__stot") + b))
+        .cast("double") /
+        ((col("__scnt") + lit(1L)) * (col("__ttot") + b)).cast("double"), 6)
+    val bucketScores = src.join(tgt, Seq("__bkt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__bkt"), ratio.cast(DecimalType(28, 6)).as("__ratio"))
+
+    // Per-(doc, bucket) counts -> count-weighted exact-decimal mean.
+    corpusBuckets
+      .groupBy(col(idCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(bucketScores), Seq("__bkt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_tokens"),
+        round(
+          sum(col("__cnt") * col("__ratio")).cast("double") /
+            sum(col("__cnt")).cast("double"), 6).as("dsir_score"))
+  }
+
+  /** The selection step: keep documents whose score clears `cutoff` —
+    * a pure map-side filter over the scored frame (the paper resamples
+    * proportionally to the weights; a deterministic pipeline wants the
+    * cutoff form, and [[Sampling.sampleByWeight]] supplies the
+    * proportional form when wanted: pass the score, clamped to [0,1],
+    * as the weight).
+    */
+  def selectByScore(scored: DataFrame, cutoff: Double): DataFrame =
+    scored.filter(col("dsir_score") >= cutoff)
+}

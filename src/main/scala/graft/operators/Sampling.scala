@@ -193,6 +193,102 @@ object Sampling {
       .select(key, col("neg_idx"), col("neg_id"))
   }
 
+  /** Corpus mixture materialization: resample each group (domain,
+    * language, source) to a TARGET share by repeating or thinning its
+    * rows — the "mixture weights -> epochs" step that turns a data-mix
+    * decision (e.g. DoReMi / The-Pile-style domain weights) into an
+    * actual training corpus. A group whose target share exceeds its
+    * natural share repeats (multiple epochs of its docs); an
+    * over-represented group thins.
+    *
+    * Each row's repeat factor is r_g = targetShare_g · N / n_g. The
+    * row emits floor(r_g) guaranteed copies plus one more iff its
+    * deterministic md5 draw (on key '#rep') falls under frac(r_g) —
+    * so E[copies] = r_g exactly, every decision is a pure function of
+    * (key, group sizes), and the expansion is reproducible across
+    * runs, engines, and cluster sizes. r_g is doubles-only arithmetic
+    * in a fixed operation order (literal · count / count, each step
+    * correctly rounded), so DuckDB derives the identical factor and
+    * the identical copy set.
+    *
+    * Output: input columns + (epoch) — epoch ∈ [0, copies) numbers
+    * each copy, so downstream shuffling/packing can treat (key, epoch)
+    * as the new row identity.
+    *
+    * Scale shape: group counts are a broadcast-sized aggregate joined
+    * back broadcast; the expansion itself is a generate over each row
+    * (no shuffle of the corpus). Rows whose group is missing from
+    * `targetShares` are DROPPED (the mix decision enumerates what the
+    * run trains on), as are NULL-group rows — same keyless-rows-never-
+    * leak policy as [[sampleByHash]].
+    */
+  def mixtureResample(
+      df: DataFrame, groupCol: String, keyCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    targetShares.foreach { case (g, w) =>
+      require(w >= 0.0, s"target share for '$g' must be >= 0, got $w")
+    }
+    Seq("epoch", "__n_grp", "__n_tot", "__share", "__r", "__copies").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with mixtureResample's columns")
+    }
+    val shareOf = targetShares.tail.foldLeft(
+      when(col(groupCol) === targetShares.head._1, lit(targetShares.head._2))) {
+      case (acc, (g, w)) => acc.when(col(groupCol) === g, lit(w))
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
+    val total = df.agg(count(lit(1)).as("__n_tot"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(groupCol),
+        (shareOf * col("__n_tot").cast("double") /
+          col("__n_grp").cast("double")).as("__r"))
+      .filter(col("__r").isNotNull) // groups absent from the mix drop
+    val extra = hashUnit(
+      concat(col(keyCol).cast("string"), lit("#rep"))) <
+      (col("__r") - floor(col("__r")))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("__copies",
+        floor(col("__r")).cast("long") + when(extra, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__r", "__copies")
+  }
+
+  /** Leakage-free train/holdout split: near-duplicate documents must
+    * land on the SAME side of a split, or held-out metrics silently
+    * measure memorization. Splitting on a per-doc hash
+    * ([[hashSplit]]) cannot guarantee that; this variant splits on the
+    * near-dup CLUSTER id — every member of a duplicate cluster shares
+    * its canonical id ([[Dedup.duplicateClusters]] min-label), so the
+    * whole cluster lands in one split, while singletons (the vast
+    * majority) split on their own id as before.
+    *
+    * `pairs` is a near-duplicate pair list (doc_a, doc_b) from any of
+    * the dedup pair miners. Membership remains a pure md5 function of
+    * the split KEY (the cluster id), so growth only reassigns a doc if
+    * new data merges its cluster — exactly the rows whose leakage
+    * status actually changed.
+    *
+    * Scale shape: the cluster map is O(docs that have a near-dup) and
+    * joins back on the id — one hash join; everything else is
+    * [[hashSplit]]'s map-side projection.
+    */
+  def leakageFreeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int): DataFrame = {
+    Seq("split_key", "cluster_id").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with leakageFreeSplit's columns")
+    }
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val keyed = df.join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    hashSplit(keyed, "split_key", trainPct)
+  }
+
   /** Train/holdout split assignment: adds (bucket, split) columns with
     * `trainPct` buckets of 100 going to "train" and the rest to
     * "holdout". Membership is a pure function of the key — growing the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf}
+import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -106,6 +106,18 @@ object LlmQueries {
       val d = docs(s, dir)
       Dedup.decontaminate(
         d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram-overlap decontamination (the GPT-3-style 13-gram screen,
+    // n=8 here to fit the corpus): drop every corpus doc sharing ANY
+    // 8-gram with the eval slice — catches partial leaks the
+    // fingerprint and near-dup channels of q_decontaminate miss.
+    "q_decon_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateNgrams(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -274,6 +286,40 @@ object LlmQueries {
     "q_sample_neg" -> ((s, dir) => {
       Sampling.negativePairs(docs(s, dir), "doc_id", k = 3, buckets = 64)
         .orderBy(col("doc_id"), col("neg_idx"))
+    }),
+
+    // DSIR-style target-affinity scores: hashed-token target/source
+    // distribution ratios (target = the French slice), engine-portable
+    // arithmetic throughout — DuckDB re-derives every bucket id, count,
+    // and score. Docs whose vocabulary leans French score > 1.
+    "q_sample_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.importanceScores(
+        d, d.filter(col("lang") === "fr"), "doc_id", "text", buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mixture materialization: resample the language mix to uniform
+    // 20% shares — minority languages repeat (epoch > 0 copies), the
+    // majority thins; every copy decision is an md5 draw replayed
+    // bit-for-bit by the oracle.
+    "q_sample_mix" -> ((s, dir) => {
+      Sampling.mixtureResample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.2, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // Leakage-free split: near-dup clusters (minhash pairs at 0.8)
+    // split as a unit on their canonical id; singletons on their own
+    // id. The oracle replays the cluster closure recursively and the
+    // md5 bucket assignment per row.
+    "q_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.leakageFreeSplit(
+        d, "doc_id", Dedup.minhashNearDuplicates(d, 0.8), trainPct = 90)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     // Corpus vocabulary report: top-20 bigrams by total occurrences
@@ -829,6 +875,43 @@ object LlmQueries {
           |  AND md5(trim(regexp_replace(regexp_replace(lower(text),
           |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) NOT IN (SELECT fp FROM efp)
           |ORDER BY doc_id""".stripMargin),
+    "q_decon_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+        |  FROM w WHERE len(w) >= 8
+        |), bad AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE doc_id < 400
+        |    AND gram IN (SELECT gram FROM g WHERE doc_id >= 400)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_leakfree" ->
+      (ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
+          |  UNION
+          |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
+          |), r AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+          |), cl AS (
+          |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          |  FROM r GROUP BY u
+          |), k AS (
+          |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS split_key
+          |  FROM documents d LEFT JOIN cl USING (doc_id)
+          |)
+          |SELECT doc_id, split_key,
+          |  CASE WHEN (('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 16))::UBIGINT
+          |    & 9223372036854775807::UBIGINT) % 100 < 90
+          |  THEN 'train' ELSE 'holdout' END AS split
+          |FROM k ORDER BY doc_id""".stripMargin),
     "q_ann_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
@@ -1013,6 +1096,52 @@ object LlmQueries {
         |  < len(list_distinct(string_split(text, ' ')))::DOUBLE
         |    / len(string_split(text, ' '))
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), bk AS (
+        |  SELECT doc_id, CAST((('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |    & 9223372036854775807::UBIGINT) % 256 AS BIGINT) AS bkt
+        |  FROM tok
+        |), src AS (
+        |  SELECT bkt, COUNT(*) AS s FROM bk GROUP BY 1
+        |), tgt AS (
+        |  SELECT bkt, COUNT(*) AS t FROM bk JOIN documents USING (doc_id)
+        |  WHERE lang = 'fr' GROUP BY 1
+        |), tots AS (
+        |  SELECT (SELECT COUNT(*) FROM bk) AS st,
+        |    (SELECT COUNT(*) FROM bk JOIN documents USING (doc_id)
+        |     WHERE lang = 'fr') AS tt
+        |), r AS (
+        |  SELECT src.bkt, CAST(ROUND(
+        |    ((COALESCE(tgt.t, 0) + 1) * (tots.st + 256))::DOUBLE /
+        |    ((src.s + 1) * (tots.tt + 256))::DOUBLE, 6) AS DECIMAL(28,6)) AS ratio
+        |  FROM src LEFT JOIN tgt USING (bkt) CROSS JOIN tots
+        |), dc AS (
+        |  SELECT doc_id, bkt, COUNT(*) AS c FROM bk GROUP BY 1, 2
+        |)
+        |SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(dc.c * r.ratio)::DOUBLE / SUM(dc.c)::DOUBLE, 6) AS dsir_score
+        |FROM dc JOIN r USING (bkt)
+        |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_mix" ->
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), r AS (
+        |  SELECT lang, CAST(0.2 AS DOUBLE) * n::DOUBLE / n_g::DOUBLE AS r
+        |  FROM n CROSS JOIN tot
+        |), c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(floor(r.r) AS BIGINT) + CASE WHEN
+        |      ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#rep'), 1, 16))::UBIGINT
+        |        & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
+        |      < r.r - floor(r.r) THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN r USING (lang)
+        |)
+        |SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
+        |FROM c WHERE k > 0 ORDER BY doc_id, epoch""".stripMargin,
     "q_sample_temp" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang

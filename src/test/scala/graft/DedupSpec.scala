@@ -166,6 +166,29 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Seq(3L))
   }
 
+  test("decontaminateNgrams drops partial leaks whole-doc channels miss") {
+    val corpus = Seq(
+      // eval 5-gram embedded in an otherwise unrelated long page: a
+      // whole-doc fingerprint or Jaccard-at-0.8 both pass it — the
+      // n-gram screen must not
+      (1L, "lots of unrelated page text here and the quick brown fox jumps " +
+        "plus much more filler trailing content for padding the page out"),
+      (2L, "completely clean document about spark catalyst optimizer rules"),
+      (3L, "short doc") // fewer than n tokens: zero grams, must survive
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val kept = rows(Dedup.decontaminateNgrams(corpus, eval_, 5)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(kept === Seq(2L, 3L))
+    // and the whole-doc channel indeed misses doc 1 (the screen is not
+    // redundant with decontaminate)
+    val wholeDoc = rows(Dedup.decontaminate(corpus, eval_, 0.8)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(wholeDoc === Seq(1L, 2L, 3L))
+  }
+
   test("simhash: identical docs share signatures; hamming pairs found via bands") {
     val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkTestBase {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("importanceScores ranks target-language docs above the corpus at large") {
+    val scored = Dsir.importanceScores(
+      docs, docs.filter(col("lang") === "fr"), "doc_id", "text", buckets = 256)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val means = rows(scored.withColumn("is_fr", col("lang") === "fr")
+      .groupBy(col("is_fr")).agg(avg(col("dsir_score"))))
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the target slice must score visibly above the non-target slice —
+    // that separation is the entire point of importance weighting
+    assert(means(true) > means(false),
+      s"fr mean ${means(true)} should exceed non-fr mean ${means(false)}")
+  }
+
+  test("importanceScores: n_tokens matches the tokenizer and scores are partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Dsir.importanceScores(df, df.filter(col("lang") === "fr"),
+        "doc_id", "text", buckets = 64)
+        .orderBy(col("doc_id")))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val base = run(docs)
+    assert(run(docs.repartition(17)) === base) // exact-decimal sums: no order drift
+    val tokenCounts = rows(docs.select(col("doc_id"),
+      size(graft.functions.Text.tokens(col("text"))).as("n"))
+      .orderBy(col("doc_id"))).map(r => r.getLong(0) -> r.getInt(1)).toMap
+    base.foreach { case (id, n, _) => assert(n === tokenCounts(id).toLong) }
+  }
+
+  test("a neutral target (the corpus itself) scores every doc near 1.0") {
+    val scored = rows(Dsir.importanceScores(docs, docs, "doc_id", "text", 256)
+      .select(col("dsir_score")))
+      .map(_.getDouble(0))
+    // target == source makes every smoothed ratio ~1 (off only by the
+    // +1/+B smoothing); scores must sit in a tight band around 1
+    assert(scored.forall(s => s > 0.9 && s < 1.1),
+      s"scores outside [0.9, 1.1]: ${scored.filter(s => s <= 0.9 || s >= 1.1).take(5)}")
+  }
+
+  test("selectByScore is the cutoff filter") {
+    val scored = Dsir.importanceScores(
+      docs, docs.filter(col("lang") === "fr"), "doc_id", "text", 256)
+    val cut = 1.0
+    val kept = rows(Dsir.selectByScore(scored, cut).select(col("doc_id")))
+      .map(_.getLong(0)).toSet
+    val expected = rows(scored.filter(col("dsir_score") >= cut)
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+}

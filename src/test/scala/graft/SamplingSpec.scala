@@ -145,4 +145,66 @@ class SamplingSpec extends SparkTestBase {
       Sampling.negativePairs(bad, "neg_id", 2, 4)
     }
   }
+
+  test("mixtureResample hits each group's target share in expectation") {
+    val shares = Map("en" -> 0.2, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.2,
+      "zh" -> 0.2)
+    val out = Sampling.mixtureResample(docs, "lang", "doc_id", shares)
+    val n = docs.count().toDouble
+    val got = rows(out.groupBy(col("lang")).agg(count(lit(1)).as("n")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group's materialized count must land within a few md5
+    // coin-flips of target_share * N (copies = floor(r)·n_g exactly,
+    // plus ~Binomial(n_g, frac(r)) extras)
+    shares.foreach { case (g, w) =>
+      val want = w * n
+      assert(math.abs(got(g) - want) < want * 0.35,
+        s"group $g: got ${got(g)}, want ~$want")
+    }
+    // minority groups really repeat: some row has epoch >= 1
+    assert(rows(out.filter(col("epoch") >= 1).limit(1)).nonEmpty)
+  }
+
+  test("mixtureResample numbers epochs densely and is partitioning-invariant") {
+    val shares = Map("en" -> 0.5, "fr" -> 0.5)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Sampling.mixtureResample(df, "lang", "doc_id", shares)
+        .select(col("doc_id"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch")))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val base = run(docs)
+    assert(run(docs.repartition(13)) === base)
+    // per doc: epochs are exactly 0..k-1
+    base.groupBy(_._1).foreach { case (_, copies) =>
+      assert(copies.map(_._2).sorted === (0L until copies.size.toLong))
+    }
+    // groups absent from the mix are dropped entirely
+    val langs = base.map(_._1).toSet
+    val inMix = rows(docs.filter(col("lang").isin("en", "fr"))
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(langs.subsetOf(inMix))
+  }
+
+  test("leakageFreeSplit never strands near-dup pairs across the split") {
+    import spark.implicits._
+    // planted clusters: (1,2,3) and (10,11) near-dups, 20/21 singles
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val out = rows(Sampling.leakageFreeSplit(d, "doc_id", pairs, 50)
+      .select(col("doc_id"), col("split_key"), col("split")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val split = out.map(t => t._1 -> t._3).toMap
+    assert(split(1L) === split(2L) && split(2L) === split(3L))
+    assert(split(10L) === split(11L))
+    // cluster members share the canonical (min) id as split key
+    val key = out.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 3L).forall(key(_) === 1L))
+    assert(Seq(10L, 11L).forall(key(_) === 10L))
+    // singletons split exactly as hashSplit on their own id would
+    val solo = rows(Sampling.hashSplit(
+      Seq(20L, 21L).toDF("doc_id"), "doc_id", 50)
+      .select(col("doc_id"), col("split")))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(20L) === solo(20L) && split(21L) === solo(21L))
+  }
 }
