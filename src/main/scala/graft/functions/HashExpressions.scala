@@ -48,6 +48,42 @@ object Md5Hash {
   * forwarder callable from generated Java.
   */
 object HyperplaneHash {
+  /** All plane dots of `vec` in one pass — the projection analog of
+    * [[signBits]]: component j is the left-fold double dot with plane
+    * j (fold order identical to the HOF reference and DuckDB's
+    * `list_sum(list_transform(...))`, so every component is
+    * bit-identical cross-engine). A dimension mismatch or null element
+    * yields the all-zero vector — the same malformed-input convention
+    * as [[signBits]] (whose bits are exactly the signs of these dots).
+    */
+  def projections(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    val out = new Array[Double](planes.length)
+    var ok = vec.numElements() == dim
+    var d = 0
+    while (ok && d < dim) {
+      if (vec.isNullAt(d)) ok = false
+      d += 1
+    }
+    if (ok) {
+      var j = 0
+      while (j < planes.length) {
+        val w = planes(j)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          s += vec.getFloat(i).toDouble * w(i)
+          i += 1
+        }
+        out(j) = s
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Bit j = 1 iff the left-fold double dot of `vec` with plane j is
     * >= 0 — fold order identical to
     * `aggregate(zip_with(vec, plane, (x, y) => x.cast(double) * y), 0.0, _ + _)`,
@@ -121,6 +157,49 @@ case class HyperplaneSignBits(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): HyperplaneSignBits = copy(child = newChild)
+}
+
+/** Dense random projection of an `array<float>` vector onto `planes`
+  * (outDim × dim), all components in a single pass over the vector —
+  * the Johnson–Lindenstrauss dimensionality-reduction primitive.
+  *
+  * Why custom (same bar as [[HyperplaneSignBits]]): the composed form
+  * is outDim separate `aggregate(zip_with(...))` HOFs per row —
+  * interpreted, allocating, and each re-reading the vector — on what
+  * is by construction a full-corpus scan. One tight nested loop with
+  * the planes held as a reference object is the shape that survives
+  * 100 TB. Component arithmetic is bit-for-bit the HOF form's
+  * (asserted in tests), so DuckDB oracles re-derive every projected
+  * value from the same md5 plane recipe.
+  */
+case class HyperplaneProjections(
+    child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 1024,
+    s"plane count ${planes.length} outside [1, 1024]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hyperplane_projections"
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneHash.projections(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneHash.projections($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneProjections = copy(child = newChild)
 }
 
 case class Md5Long64(child: Expression) extends UnaryExpression {

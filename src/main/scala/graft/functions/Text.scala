@@ -155,6 +155,30 @@ object Text {
   def longNumberCount(text: Column): Column =
     regexp_count(text, lit(LongNumberPattern))
 
+  /** HTML → text extraction — the web-corpus front door (the
+    * trafilatura/jusText slot, as the deterministic regex tier):
+    * drops script/style/head subtrees wholesale (their content is
+    * never prose), strips remaining tags and comments, decodes the
+    * six ubiquitous entities, and collapses whitespace. Every pattern
+    * sits in the Java-regex ∩ RE2 subset — `(?is)` flags and lazy
+    * `.*?` only, no backrefs, no lookaround — so an external engine
+    * replays the extraction span-for-span and the operator is
+    * oracle-checkable. Pure map-side regexp chain: codegen'd,
+    * scan-speed at any corpus size; a DOM-aware boilerplate model
+    * slots in behind the same column contract.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)
   private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     org.apache.spark.sql.graft.Bridge.column(e)

@@ -305,4 +305,51 @@ object Sampling {
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("holdout")))
   }
+
+  /** Deterministic sharded shuffle — the training-order materializer:
+    * assigns every row a (shard, pos, global_pos) so that reading
+    * shard files round-robin replays ONE fixed pseudorandom global
+    * permutation of the corpus (the WebDataset/tfrecord-style sharded
+    * layout LLM trainers consume).
+    *
+    *  - `shard`      = md5(key + "#shard") mod numShards — which file
+    *                   the row lands in;
+    *  - `pos`        = the row's dense 0-based rank within its shard,
+    *    ordered by an INDEPENDENT md5 draw (key + "#ord"; key breaks
+    *    the ~never ties) — so within-shard order is itself shuffled,
+    *    not an artifact of ingest order;
+    *  - `global_pos` = pos · numShards + shard — the round-robin
+    *    interleave: sequential consumption across shards visits the
+    *    corpus in one deterministic shuffled order, and the order is a
+    *    pure function of the key set (reproducible across runs,
+    *    engines, partitionings — resuming a crashed training run
+    *    mid-epoch re-derives the identical sequence).
+    *
+    * Scale shape: shard/ord assignment is a map-side projection; the
+    * only exchange is the hash partition on `shard` for the per-shard
+    * rank (a window, but partitioned on the uniform md5 shard key —
+    * at 100 TB pick numShards so a shard's rows fit a task, which is
+    * also exactly the file size a trainer wants). NULL keys are
+    * dropped (the [[sampleByHash]] keyless-rows-never-leak policy).
+    */
+  def shardedShuffle(
+      df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    Seq("shard", "pos", "global_pos", "__ord").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with shardedShuffle's columns")
+    }
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .withColumn("shard", pmod(
+        Text.md5Long63(concat(col(keyCol).cast("string"), lit("#shard"))),
+        lit(numShards.toLong)))
+      .withColumn("__ord",
+        Text.md5Long63(concat(col(keyCol).cast("string"), lit("#ord"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col(keyCol))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumn("global_pos", col("pos") * numShards + col("shard"))
+      .drop("__ord")
+  }
 }

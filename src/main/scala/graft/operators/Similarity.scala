@@ -159,6 +159,51 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Johnson–Lindenstrauss random projection: `vec` (array<float>,
+    * `dim` elements) → array<double> of `outDim` components, component
+    * j being the left-fold double dot with the j-th md5-derived
+    * hyperplane (the [[hyperplanes]] recipe — so DuckDB re-derives
+    * every plane weight AND every projected component bit-for-bit).
+    *
+    * The scale role: JL says outDim = O(log n / eps²) random
+    * projections preserve pairwise distances within (1 ± eps), so a
+    * 64→8 projection is the cheap pre-filter for clustering /
+    * coarse-bucketing passes where full-dimension cosine is the
+    * re-rank, not the scan. Evaluation is one pass over the vector via
+    * the native codegen'd expression; the composed HOF form would be
+    * outDim interpreted `aggregate(zip_with(...))`s per row on a
+    * full-corpus scan. Sign-LSH buckets ([[lshTopK]]) are exactly the
+    * SIGNS of these components under the same seed/plane recipe.
+    *
+    * Malformed input (wrong dimension, null element) projects to the
+    * all-zero vector — the [[Dedup.simhash]]/sign-bits convention —
+    * rather than poisoning the scan under ANSI.
+    */
+  def randomProject(
+      vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1 && outDim <= 1024,
+      s"outDim ($outDim) outside [1, 1024]")
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneProjections(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        hyperplanes(dim, outDim, seed)))
+  }
+
+  /** Built-ins-only reference for [[randomProject]] (one
+    * `aggregate(zip_with(...))` HOF per component) — kept for the
+    * bit-for-bit cross-check test, not for hot paths.
+    */
+  private[graft] def randomProjectHof(
+      vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, outDim, seed)
+    array(planes.toIndexedSeq.map { w =>
+      aggregate(
+        zip_with(vec, typedlit(w), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
   /** Deterministic hyperplanes, dim × nBits: component (j, d) is
     * uniform in [-0.5, 0.5) derived from `md5("seed_j_d")` — the same
     * bytes-to-double recipe an external oracle can replay

@@ -242,12 +242,37 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson–Lindenstrauss random projection 64 → 8: every projected
+    // component is a left-fold dot with an md5-derived plane, so the
+    // oracle rebuilds the planes AND the components bit-for-bit. One
+    // codegen'd single-pass expression per row (the composed form is
+    // 8 interpreted HOF dots).
+    "q_embed_project" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProject(
+            col("embedding"), dim = 64, outDim = 8, seed = 7L))
+            .as(Seq("dim_idx", "v")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("v"), 6).as("proj_val"))
+        .orderBy(col("vec_id"), col("dim_idx"))
+    }),
+
     // Deterministic train/holdout split: every doc's bucket and split
     // are a pure md5 function of its id — same assignment in DuckDB,
     // hash-checked per row.
     "q_sample_split" -> ((s, dir) => {
       Sampling.hashSplit(docs(s, dir), "doc_id", trainPct = 90)
         .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sharded training order: (shard, pos, global_pos) materialize one
+    // deterministic pseudorandom permutation of the corpus — the
+    // oracle replays both md5 draws and the per-shard rank per row.
+    "q_sample_shard" -> ((s, dir) => {
+      Sampling.shardedShuffle(docs(s, dir), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
         .orderBy(col("doc_id"))
     }),
 
@@ -427,6 +452,20 @@ object LlmQueries {
         Text.emailCount(col("text")).as("n_emails"),
         Text.longNumberCount(col("text")).as("n_ids"),
         Text.maskPii(col("text")).as("masked_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML → text extraction: each document wrapped in a deterministic
+    // page shell (head/style subtree, heading with an &amp; entity,
+    // trailing script) and stripped back out — subtree drop, tag
+    // strip, entity decode, and whitespace collapse all exercised and
+    // replayed span-for-span by the oracle's identical RE2 chain.
+    "q_text_html" -> ((s, dir) => {
+      val paged = docs(s, dir).withColumn("html",
+        concat(lit("<html><head><style>p{margin:0}</style></head><body>" +
+          "<h1>Doc &amp; page</h1>\n<p class=\"body\">"), col("text"),
+          lit("</p><!-- footer --><script>var t=1;</script></body></html>")))
+      paged.select(col("doc_id"), Text.stripHtml(col("html")).as("html_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -693,6 +732,26 @@ object LlmQueries {
         | array_to_string(list_slice(w, st, least(st + 99, len(w))), ' ') AS chunk_text,
         | CAST(least(len(w) - st + 1, 100) AS INT) AS n_tokens
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_html" ->
+      """WITH paged AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{margin:0}</style></head><body>'
+        |    || '<h1>Doc &amp; page</h1>' || chr(10) || '<p class="body">'
+        |    || text
+        |    || '</p><!-- footer --><script>var t=1;</script></body></html>' AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS html_text
+        |FROM paged ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       """WITH planted AS (
         |  SELECT doc_id,
@@ -1079,6 +1138,35 @@ object LlmQueries {
         |     / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
         |     + 0.5) AS INT) AS VARCHAR)), ',') AS q_vec
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_embed_project" ->
+      """WITH pl AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    d -> ('0x' || substr(md5('7_' || CAST(j AS VARCHAR) || '_'
+        |      || CAST(d AS VARCHAR)), 1, 8))::UBIGINT
+        |      / 4294967296.0 - 0.5) AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS j)
+        |)
+        |SELECT e.vec_id, CAST(pl.j AS BIGINT) AS dim_idx,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])), 6) AS proj_val
+        |FROM embeddings e CROSS JOIN pl
+        |ORDER BY e.vec_id, dim_idx""".stripMargin,
+    "q_sample_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 8 AS BIGINT) AS shard,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ord'), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) AS ord
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM h
+        |)
+        |SELECT doc_id, shard, pos, pos * 8 + shard AS global_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -101,6 +101,19 @@ object PipelineQueries {
         coalesce(element_at(col("current.rain"), "1h"), lit(0.0)).as("rain_1h"),
         col("current.rain").isNotNull.as("raining"))
         .orderBy(col("obs_ts"))
+    }),
+
+    // Raw media directory ingestion (binaryFile source): whole files as
+    // binary rows — the multimodal front door. Digest + length prove
+    // the payload bytes arrived intact; the VALUES oracle carries the
+    // fixture files' known sha256/size.
+    "q_source_binary" -> ((s, _) => {
+      Sources.readBinaryFiles(s, s"$FixtureDir/media", glob = "*.bin")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"),
+          sha2(col("content"), 256).as("sha256"))
+        .orderBy(col("file_name"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -166,5 +179,12 @@ object PipelineQueries {
         | (CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(0.15 AS DOUBLE), TRUE),
         | (CAST('2024-02-01 01:00:00' AS TIMESTAMP), CAST(0.0 AS DOUBLE), FALSE)
         |) AS t(obs_ts, rain_1h, raining)
-        |ORDER BY obs_ts""".stripMargin)
+        |ORDER BY obs_ts""".stripMargin,
+    "q_source_binary" ->
+      """SELECT * FROM (VALUES
+        | ('clip_000.bin', CAST(64 AS BIGINT), '1a0e0ecf84382961a85aa8629e98aefcfeffdcf0fd74a6dd49d55d9706477ab2'),
+        | ('clip_001.bin', CAST(96 AS BIGINT), 'bbf6409054eacfc0c32b350ee4fcde3544b40a28f6a9fe45002b7bc7e9a17b10'),
+        | ('frame_007.bin', CAST(128 AS BIGINT), '95de6b6fc2abb95b69ce1c14ea419781725620e83b447b87102c8d23abd893e9')
+        |) AS t(file_name, length, sha256)
+        |ORDER BY file_name""".stripMargin)
 }

@@ -60,6 +60,30 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Training-shard layout: materialize
+    * [[graft.operators.Sampling.shardedShuffle]]'s deterministic
+    * global permutation as one directory per shard
+    * (`shard=<k>/part-*.parquet`), rows inside each shard's files
+    * stored in `pos` order — so a trainer streaming shard k
+    * sequentially (or all shards round-robin by `global_pos`) replays
+    * the exact shuffled order with zero read-time sorting.
+    *
+    * One exchange total: the hash repartition on `shard` feeds both
+    * the within-shard sort and the partitioned write (each task holds
+    * exactly its shard, so every shard directory is written by one
+    * task as one sorted run).
+    */
+  def writeShards(
+      df: DataFrame, path: String, keyCol: String, numShards: Int): Unit = {
+    val sharded = graft.operators.Sampling.shardedShuffle(df, keyCol, numShards)
+    sharded
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Z-order (Morton curve) layout: cluster rows so BOTH of two keys
     * get file-level data skipping — the 2D complement to
     * [[writeRangeSorted]] (which serves one key perfectly and the

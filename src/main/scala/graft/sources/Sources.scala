@@ -58,6 +58,26 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Raw media directory ingestion: every file under `path` becomes one
+    * row of (path, modificationTime, length, content<binary>) — the
+    * front door of the multimodal pipeline
+    * ([[graft.multimodal.Multimodal]] consumes the binary column).
+    *
+    * Scale shape: `binaryFile` rows are never split, and Spark packs
+    * whole files into tasks by `spark.sql.files.maxPartitionBytes` —
+    * right for media blobs (a codec needs the whole payload anyway).
+    * Pruning happens at LISTING time: `pathGlobFilter` and partition
+    * directories cut files before a byte is read, so a 100 TB media
+    * lake partitioned by date/source only lists and reads the slice a
+    * job asks for. Driver-side file-status memory is the practical
+    * bound — at extreme file counts, ingest from a manifest table
+    * instead (the same downstream contract).
+    */
+  def readBinaryFiles(
+      spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+
   /** JDBC scan shape (S7): reads a table back from an RDBMS with
     * partitioned parallelism. Not exercised in the offline harness (no
     * database), but this is the complete call surface.

@@ -185,6 +185,41 @@ class SamplingSpec extends SparkTestBase {
     assert(langs.subsetOf(inMix))
   }
 
+  test("shardedShuffle: dense per-shard positions, bijective global order, partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Sampling.shardedShuffle(df, "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
+        .orderBy(col("doc_id")))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = run(docs)
+    // deterministic: invariant to input partitioning
+    assert(run(docs.repartition(13)) === base)
+    // every shard's positions are exactly 0..n_s-1
+    base.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted === (0L until rs.size.toLong))
+    }
+    // the interleave is consistent and injective (a permutation of a
+    // subset of [0, N·maxPos))
+    assert(base.forall(t => t._4 === t._3 * 8 + t._2))
+    assert(base.map(_._4).distinct.size === base.size)
+    // within-shard order is shuffled, not ingest order: some shard's
+    // doc ids are not ascending in pos
+    val monotone = base.groupBy(_._2).values.forall { rs =>
+      val byPos = rs.sortBy(_._3).map(_._1)
+      byPos === byPos.sorted
+    }
+    assert(!monotone)
+    // growth stability of the SHARD assignment (order ranks shift, the
+    // md5 draws do not): a subset corpus assigns shared rows to the
+    // same shard
+    val subset = run(docs.filter(col("doc_id") < 100)).map(t => t._1 -> t._2).toMap
+    assert(base.filter(_._1 < 100).forall { case (id, sh, _, _) => subset(id) == sh })
+    // NULL keys are dropped, not emitted
+    import spark.implicits._
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    assert(rows(Sampling.shardedShuffle(withNull, "doc_id", 4)).size === 2)
+  }
+
   test("leakageFreeSplit never strands near-dup pairs across the split") {
     import spark.implicits._
     // planted clusters: (1,2,3) and (10,11) near-dups, 20/21 singles

@@ -153,6 +153,67 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(rows(diff).isEmpty)
   }
 
+  test("native random projection matches the per-component HOF reference on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = embs.select(
+      Similarity.randomProject(col("embedding"), 64, 8, seed = 7L).as("nat"),
+      Similarity.randomProjectHof(col("embedding"), 64, 8, seed = 7L).as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(rows(diff).isEmpty)
+    // sign parity with the LSH machinery: component signs under one
+    // seed ARE the packed sign bits under the same seed/planes
+    val planes = Similarity.hyperplanes(64, 8, 7L)
+    val bits = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneSignBits(
+        org.apache.spark.sql.graft.Bridge.expression(col("embedding")), planes))
+    val anyMismatch = (0 until 8).map(j =>
+      (col("p")(j) >= 0.0) =!=
+        (shiftright(col("bits"), j).bitwiseAND(lit(1L)) === 1L))
+      .reduce(_ || _)
+    val signDiff = embs.select(
+      Similarity.randomProject(col("embedding"), 64, 8, seed = 7L).as("p"),
+      bits.as("bits"))
+      .filter(anyMismatch)
+    assert(rows(signDiff).isEmpty)
+  }
+
+  test("random projection: malformed vectors project to zeros, not ANSI errors") {
+    val df = Seq(
+      Array(1.0f, 2.0f),          // wrong dimension (expects 3)
+      Array(1.0f, 2.0f, 3.0f)     // well-formed
+    ).toDF("vec")
+    val out = rows(df.select(
+      Similarity.randomProject(col("vec"), 3, 4, seed = 1L).as("p")))
+      .map(_.getSeq[Double](0))
+    assert(out.head === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(out(1).exists(_ != 0.0))
+  }
+
+  test("stripHtml: subtree drop, tag strip, entity decode, whitespace collapse") {
+    val cases = Seq(
+      // head/style/script subtrees vanish wholesale, tags strip,
+      // comments die, whitespace collapses
+      ("<html><head><title>T</title><style>p{}</style></head><body>" +
+        "<h1>A</h1>\n\n<p>hello   <b>bold</b> world</p>" +
+        "<!-- gone --><script>var x = '<p>not text</p>';</script></body></html>",
+        "A hello bold world"),
+      // entities decode, &amp; last (so &amp;lt; renders as the
+      // LITERAL string "&lt;", per the HTML spec)
+      ("<p>&quot;a&#39;b&quot; &lt;tag&gt; x&nbsp;y &amp; z &amp;lt;</p>",
+        "\"a'b\" <tag> x y & z &lt;"),
+      // case-insensitive + multiline subtree match
+      ("<SCRIPT type=\"a\">\nmulti\nline\n</SCRIPT>ok", "ok"),
+      // no html at all: text passes through (whitespace-normalized)
+      ("plain  text", "plain text"))
+    val out = rows(cases.toDF("html", "want")
+      .select(Text.stripHtml(col("html")).as("got"), col("want")))
+    out.foreach { r => assert(r.getString(0) === r.getString(1)) }
+    // the h1 content survives (only head/script/style subtrees drop)
+    val h1 = rows(Seq("<body><h1>Title</h1><p>body</p></body>").toDF("html")
+      .select(Text.stripHtml(col("html")))).head.getString(0)
+    assert(h1 === "Title body")
+  }
+
   test("native md5Long64 matches the composed built-in form bit-for-bit") {
     // real corpus text (incl. non-ASCII) plus edge strings
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

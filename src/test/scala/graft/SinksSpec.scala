@@ -139,6 +139,57 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === docs.count())
   }
 
+  test("readBinaryFiles: whole files arrive as binary rows; glob prunes at listing") {
+    val all = rows(graft.sources.Sources
+      .readBinaryFiles(spark, "/root/repo/fixtures/media")
+      .select(col("path"), col("length"), col("content")))
+    assert(all.size === 3)
+    all.foreach { r =>
+      val onDisk = Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(r.getString(0))))
+      assert(r.getLong(1) === onDisk.length.toLong)
+      assert(r.getAs[Array[Byte]](2).toSeq === onDisk.toSeq)
+    }
+    // pathGlobFilter prunes files BEFORE any byte is read
+    val clips = rows(graft.sources.Sources
+      .readBinaryFiles(spark, "/root/repo/fixtures/media", glob = "clip_*")
+      .select(col("path")))
+    assert(clips.size === 2)
+    assert(clips.forall(_.getString(0).contains("clip_")))
+  }
+
+  test("writeShards: one dir per shard, stored in pos order, faithful and re-derivable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val dir = Files.createTempDirectory("shards").toString + "/corpus"
+    Sinks.writeShards(docs, dir, "doc_id", numShards = 4)
+    // every shard directory exists
+    val shardDirs = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs === (0 until 4).map(k => s"shard=$k"))
+    // stored row order within a shard IS pos order — a sequential
+    // reader replays the shuffle with zero sorting (no orderBy here;
+    // parquet preserves the written row order per file, and each
+    // shard is one task's single sorted run)
+    (0 until 4).foreach { k =>
+      val pos = rows(spark.read.parquet(s"$dir/shard=$k").select(col("pos")))
+        .map(_.getLong(0))
+      assert(pos === pos.sorted, s"shard $k not stored in pos order")
+      assert(pos === (0L until pos.size.toLong), s"shard $k positions not dense")
+    }
+    // faithful: the layout holds exactly the corpus, and the stored
+    // assignment matches an in-memory re-derivation (pure function of
+    // the key set)
+    val stored = rows(spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val derived = rows(graft.operators.Sampling.shardedShuffle(docs, "doc_id", 4)
+      .select(col("doc_id"), col("shard"), col("pos")).orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stored === derived)
+  }
+
   test("compactParquet collapses a fragmented layout, keeps every row") {
     import spark.implicits._
     val base = Files.createTempDirectory("cmp").toString
