@@ -41,4 +41,38 @@ object Packing {
       .withColumn("batch_id", expr(s"(__cum - n_tokens) div $budget"))
       .drop("__cum")
   }
+
+  /** Materialize packed batches as training SEQUENCES: one row per
+    * (group, batch) with the member documents concatenated in order,
+    * separated by `sep` (the EOS/document-boundary token) — the final
+    * text→trainer handoff after [[packByTokenBudget]] assigns batches.
+    *
+    * Determinism without a sort shuffle: `collect_list` is
+    * partition-order dependent, so each batch's members are collected
+    * as (order, text) structs and canonicalized by `array_sort` INSIDE
+    * the aggregate — one partially-combined exchange total, no window,
+    * and the same sequence text on every run/partitioning. A batch is
+    * budget-bounded by construction, so the collected array is
+    * task-memory-safe at any corpus size (the batch, not the group, is
+    * the memory unit).
+    */
+  def concatPacked(
+      packed: DataFrame, groupCol: String, orderCol: String,
+      sep: String): DataFrame = {
+    Seq("n_docs", "batch_tokens", "seq_text").foreach { c =>
+      require(!packed.columns.contains(c),
+        s"input column '$c' collides with concatPacked's output columns")
+    }
+    packed
+      .groupBy(col(groupCol), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("batch_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"),
+              col("text").as("t")))),
+            s => s.getField("t")),
+          sep).as("seq_text"))
+  }
 }

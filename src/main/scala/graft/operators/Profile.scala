@@ -102,6 +102,39 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Equi-FREQUENCY bucketing (quantile binning): assigns each row the
+    * index of its k-quantile bucket — `{c}_qbucket` = how many of the
+    * k-1 exact percentile cut points the value exceeds, so buckets
+    * hold ~equal row counts regardless of the distribution (the
+    * feature-engineering discretizer, and the balanced-range partition
+    * key equi-WIDTH bucketing can't give under skew).
+    *
+    * Shape mirrors [[winsorize]]: ONE shared-buffer percentile
+    * aggregate for all k-1 cut points, broadcast back, then a pure
+    * map-side membership count over the tiny cut array — the rows
+    * never shuffle. The bucket decision is a chain of value>cut
+    * comparisons on engine-identical interpolated cut points, so the
+    * assignment is fully portable. At 100 TB the percentile pass swaps
+    * to `approx_percentile` — same shape, sketch-merged cut points.
+    * NULL and NaN values get a NULL bucket (the [[histogram]] NaN
+    * policy: engines disagree on NaN ordering, so clamping would lie).
+    */
+  def quantileBucket(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val outCol = s"${c}_qbucket"
+    Seq(outCol, "__q").foreach { s =>
+      require(!df.columns.contains(s),
+        s"input column '$s' collides with quantileBucket's columns")
+    }
+    val ps = (1 until k).map(i => lit(i.toDouble / k))
+    val cuts = df.agg(percentile(col(c), array(ps: _*)).as("__q"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
+          .otherwise(size(filter(col("__q"), q => col(c) > q))))
+      .drop("__q")
+  }
+
   /** Fixed-bound equi-width histogram of `c` over [lo, hi): bucket i
     * covers [lo + i·w, lo + (i+1)·w) with w = (hi - lo) / nBuckets.
     * Values below `lo` clamp into bucket 0, values at or above `hi`

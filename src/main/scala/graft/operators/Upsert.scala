@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lead, max, min, struct}
+import org.apache.spark.sql.functions.{col, lead, max, min, row_number, struct}
 
 /** Warehouse merge (SCD-1 upsert): apply a batch of keyed changes to a
   * base table — matched keys take the update row wholesale, unmatched
@@ -110,5 +110,38 @@ object Upsert {
       .unionByName(closedNow.select(outCols: _*))
       .unionByName(stillOpen)
       .unionByName(versioned.select(outCols: _*))
+  }
+
+  /** Full CDC apply — [[upsert]] plus the DELETE channel: `changes`
+    * carries the base schema + `opCol` ('I'/'U'/'D') + `tsCol`, and a
+    * feed may hold SEVERAL versions of one key. Per key, the latest
+    * change wins (ts, then op descending as the deterministic
+    * same-instant tie-break — a delete-and-reinsert at one timestamp
+    * resolves to the upsert, 'U'/'I' > 'D'): latest 'D' removes the
+    * key, latest 'I'/'U' replaces or inserts the row, and unchanged
+    * base rows pass through.
+    *
+    * Scale shape: the latest-per-key window runs over the CHANGE BATCH
+    * only; the base table meets one anti join on the changed key set
+    * (broadcast in the common small-batch case, exchange-free against
+    * a key-bucketed base) and is never shuffled. NULL keys match
+    * null-safely, like [[upsert]].
+    */
+  def applyCdc(
+      base: DataFrame, changes: DataFrame, keys: Seq[String],
+      tsCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyCdc needs at least one key column")
+    require(!base.columns.contains("__cdc_rn"),
+      "input column '__cdc_rn' collides with applyCdc's scratch column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1)
+      .drop("__cdc_rn")
+    val survivors = latest.filter(col(opCol) =!= "D").drop(opCol, tsCol)
+    val changedKeys = latest.select(keys.map(col): _*)
+    val cond = keys.map(k => base(k) <=> changedKeys(k)).reduce(_ && _)
+    base.join(changedKeys, cond, "left_anti").unionByName(survivors)
   }
 }

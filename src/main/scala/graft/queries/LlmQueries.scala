@@ -362,6 +362,20 @@ object LlmQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Packed batches materialized as training sequences: member docs
+    // concatenated in order with an EOS separator, one row per batch —
+    // the final text→trainer handoff. Deterministic via in-aggregate
+    // array_sort (no window, one partial-combined exchange).
+    "q_pack_concat" -> ((s, dir) => {
+      val packed = Packing.packByTokenBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "lang", "doc_id", budget = 400)
+      Packing.concatPacked(packed, "lang", "doc_id", " <|eos|> ")
+        .select(col("lang"), col("batch_id"), col("n_docs"),
+          col("batch_tokens"), col("seq_text"))
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
     // One-row corpus governance report: sizes, facet cardinalities and
     // the quality-gate pass count in a single partially-combined
     // aggregate — integer-valued throughout, so fully portable. The
@@ -1069,6 +1083,26 @@ object LlmQueries {
         |SELECT doc_id, source, n_tokens,
         | CAST((cum - n_tokens) // 2000 AS BIGINT) AS batch_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST((cum - n_tokens) // 400 AS BIGINT) AS batch_id
+        |  FROM c
+        |)
+        |SELECT lang, batch_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+        | string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS seq_text
+        |FROM p GROUP BY lang, batch_id
+        |ORDER BY lang, batch_id""".stripMargin,
     "q_ivf_train" ->
       """WITH seed AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce

@@ -833,6 +833,49 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Full CDC apply: a multi-version change feed (update-then-update,
+    // deletes, inserts) resolves to latest-per-key and lands on the
+    // base in one anti join + union — deletes remove, the second
+    // update wins, unchanged rows pass through.
+    "q_cdc_apply" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      def ch(m: Int, bal: org.apache.spark.sql.Column, ts: Long, op: String) =
+        cust.filter(col("c_custkey") % 10 === m)
+          .select(col("c_custkey"), col("c_name"), bal.as("c_acctbal"),
+            lit(ts).as("ts"), lit(op).as("op"))
+      val ins = cust.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("new customer "), col("c_custkey").cast("string")).as("c_name"),
+          col("c_acctbal"), lit(1L).as("ts"), lit("I").as("op"))
+      val changes = ch(0, col("c_acctbal"), 1L, "D")
+        .unionByName(ch(1, col("c_acctbal") + 100.0, 1L, "U"))
+        .unionByName(ch(2, col("c_acctbal") + 1.0, 1L, "U"))
+        .unionByName(ch(2, col("c_acctbal") + 2.0, 2L, "U"))
+        .unionByName(ins)
+      Upsert.applyCdc(cust, changes, Seq("c_custkey"), "ts", "op")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Equi-frequency quantile binning: 8 buckets from one shared
+    // exact-percentile buffer, broadcast back, map-side membership
+    // count — bucket populations stay balanced under the skewed price
+    // distribution where equi-width buckets collapse.
+    "q_profile_bucket" -> ((s, dir) => {
+      Profile.quantileBucket(table(s, dir, "lineitem"), "l_extendedprice", k = 8)
+        .filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_extendedprice_qbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .select(col("l_extendedprice_qbucket").cast("long").as("qbucket"),
+          col("cnt"), col("lo"), col("hi"))
+        .orderBy(col("qbucket"))
+    }),
+
     // U2 intersect (set semantics both engines).
     "q_intersect" -> ((s, dir) => {
       table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -1477,6 +1520,49 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT * FROM upd
         |) ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |    1 AS ts, 'D' AS op FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 100.0, 1, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 1.0, 1, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 2.0, 2, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new customer ' || CAST(c_custkey AS VARCHAR),
+        |    CAST(c_acctbal AS DOUBLE), 1, 'I'
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |), latest AS (
+        |  SELECT c_custkey, c_name, c_acctbal, op FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |      ORDER BY ts DESC, op DESC) AS rn FROM ch
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM (
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op != 'D'
+        |) ORDER BY c_custkey""".stripMargin,
+    "q_profile_bucket" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_extendedprice AS v,
+        |    len(list_filter(q.cuts, c -> l_extendedprice > c)) AS qbucket
+        |  FROM lineitem CROSS JOIN q
+        |  WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT CAST(qbucket AS BIGINT) AS qbucket, COUNT(*) AS cnt,
+        | ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+        |FROM b GROUP BY qbucket ORDER BY qbucket""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

@@ -67,6 +67,34 @@ class ProfileSpec extends SparkTestBase {
       || planString(w).contains("BroadcastExchange"), planString(w))
   }
 
+  test("quantileBucket: balanced buckets on skewed data, exact cut semantics, null/NaN to null") {
+    import spark.implicits._
+    // heavily skewed: equi-width would dump ~everything in bucket 0,
+    // equi-frequency holds exactly 25 per bucket
+    val vals = (1 to 96).map(_.toDouble) ++ Seq(1e6, 2e6, 3e6, 4e6)
+    val counts = rows(Profile.quantileBucket(vals.toDF("x"), "x", k = 4)
+      .select(col("x_qbucket"))).map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts === Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // at-cut boundary: over 1..9 the exact quartile cuts ARE data
+    // values (3, 5, 7); strict > keeps each in its LOWER bucket
+    val nine = rows(Profile.quantileBucket(
+      (1 to 9).map(_.toDouble).toDF("x"), "x", 4)
+      .select(col("x"), col("x_qbucket")))
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(nine(3.0) === 0 && nine(5.0) === 1 && nine(7.0) === 2)
+    assert(nine(1.0) === 0 && nine(9.0) === 3)
+    // NULL and NaN rows get a NULL bucket, never a clamped one
+    val weird = Seq(Option(1.0), Option(2.0), Option(3.0), Option(4.0),
+      None, Some(Double.NaN)).toDF("x")
+    val wb = rows(Profile.quantileBucket(weird, "x", 2)
+      .select(col("x"), col("x_qbucket")))
+    wb.foreach { r =>
+      val isWeird = r.isNullAt(0) || r.getDouble(0).isNaN
+      assert(r.isNullAt(1) === isWeird, r.toString)
+    }
+  }
+
   test("keySkewStats finds the planted hot key with its exact share") {
     import spark.implicits._
     val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")

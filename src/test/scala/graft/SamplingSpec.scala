@@ -66,6 +66,35 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("concatPacked: sequences concatenate members in order, invariant to partitioning") {
+    import graft.operators.Packing
+    val packed = Packing.packByTokenBudget(
+      docs.select(col("doc_id"), col("source"), col("text")),
+      "source", "doc_id", 500)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Packing.concatPacked(df, "source", "doc_id", " <|eos|> ")
+        .orderBy(col("source"), col("batch_id")))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+    val base = run(packed)
+    // collect_list order is canonicalized in-aggregate: any partitioning
+    // yields the identical sequence text
+    assert(run(packed.repartition(17)) === base)
+    // each sequence is exactly its members' texts joined in doc order
+    val members = rows(packed.select(col("source"), col("batch_id"),
+      col("doc_id"), col("text"), col("n_tokens"))
+      .orderBy(col("source"), col("batch_id"), col("doc_id")))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4)))
+      .groupBy(t => (t._1, t._2))
+    base.foreach { case (src, bid, nDocs, nToks, seq) =>
+      val m = members((src, bid)).sortBy(_._3)
+      assert(nDocs === m.size.toLong)
+      assert(nToks === m.map(_._5.toLong).sum)
+      assert(seq === m.map(_._4).mkString(" <|eos|> "))
+    }
+  }
+
   test("capPerGroup keeps at most quota rows per group, stable under growth") {
     val capped = rows(Sampling.capPerGroup(docs, "source", "doc_id", 7)
       .select(col("source"), col("doc_id"), col("sample_rank")))

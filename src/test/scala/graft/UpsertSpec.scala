@@ -30,6 +30,34 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("applyCdc: latest change wins per key; deletes remove; inserts land") {
+    val changes = Seq(
+      (1L, "alice", 10.0, 1L, "D"),  // delete alice
+      (2L, "bob", 21.0, 1L, "U"),    // first update...
+      (2L, "bob", 22.0, 2L, "U"),    // ...second wins
+      (4L, "dave", 5.0, 1L, "I"),    // insert
+      (5L, "eve", 7.0, 2L, "I"),     // insert then delete: delete wins
+      (5L, "eve", 7.0, 3L, "D")
+    ).toDF("id", "name", "balance", "ts", "op")
+    val out = rows(Upsert.applyCdc(base, changes, Seq("id"), "ts", "op")
+      .orderBy(col("id")))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out === Seq(
+      (2L, "bob", 22.0), (3L, "carol", 30.0), (4L, "dave", 5.0)))
+  }
+
+  test("applyCdc same-instant tie: the upsert beats the delete deterministically") {
+    val changes = Seq(
+      (1L, "alice", 11.0, 5L, "D"),
+      (1L, "alice", 11.0, 5L, "U")
+    ).toDF("id", "name", "balance", "ts", "op")
+    def run() = rows(Upsert.applyCdc(base, changes, Seq("id"), "ts", "op")
+      .orderBy(col("id")))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(run() === Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    assert(run() === run())
+  }
+
   test("upsert with a composite key") {
     val b = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "v")
     val u = Seq((1L, "b", 9.0), (2L, "a", 7.0)).toDF("k1", "k2", "v")
