@@ -35,6 +35,17 @@ object AsOfJoin {
     * @param rightTs    right timestamp column name
     * @param rightCols  right columns to carry (renamed as given)
     * @param inner      true = drop left rows with no match (ASOF inner)
+    * @param tolerance  optional staleness bound (the pandas merge_asof
+    *                   contract): a match only counts if
+    *                   `leftTs - matchedRightTs <= tolerance`. Pass a
+    *                   literal in the ts columns' difference type — a
+    *                   number for numeric ts, an INTERVAL expression
+    *                   for timestamps. A stale match is treated as NO
+    *                   match (dropped when `inner`, null-extended
+    *                   otherwise) — the guard against correlating
+    *                   against arbitrarily old reference data. Applied
+    *                   as a pure post-fill filter: the plan keeps its
+    *                   single shuffle.
     */
   def asof(
       left: DataFrame,
@@ -43,7 +54,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Map[String, String],
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
 
     val leftValueCols =
       left.columns.filterNot(c => c == key || c == leftTs).toSeq
@@ -56,6 +68,8 @@ object AsOfJoin {
     val clash = left.columns.intersect(reserved)
     require(clash.isEmpty,
       s"left columns ${clash.mkString(", ")} collide with asof internals")
+    require(!carried.contains("__mts"),
+      "carried destination name '__mts' collides with asof internals")
     require(carried.distinct.length == carried.length,
       s"duplicate carried destination names: ${carried.mkString(", ")}")
     val dup = carried.intersect(left.columns)
@@ -82,7 +96,8 @@ object AsOfJoin {
       .select(
         Seq(col(key), col("__ts"), col("__tag")) ++
           leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq :+
+            col(rightTs).as("__mts"): _*)
             .as("__r"): _*)
 
     val w = Window.partitionBy(col(key))
@@ -95,7 +110,15 @@ object AsOfJoin {
           last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__tag") === 1)
 
-    val matched = if (inner) filled.filter(col("__r").isNotNull) else filled
+    // A stale match (older than tolerance) becomes NO match before the
+    // inner/outer decision, so both modes see one consistent contract.
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn("__r",
+        when(col("__ts") - col("__r.__mts") <= tol, col("__r")))
+      case None => filled
+    }
+
+    val matched = if (inner) bounded.filter(col("__r").isNotNull) else bounded
     matched
       .select(
         (Seq(col(key), col("__ts")) ++ leftValueCols.map(col) ++

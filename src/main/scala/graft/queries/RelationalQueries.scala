@@ -593,6 +593,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // J6 with a staleness bound (the pandas merge_asof tolerance
+    // contract): a prior click older than 2 hours is NO match — the
+    // guard against correlating against arbitrarily old reference
+    // data. Same single-shuffle plan; the bound is a post-fill filter.
+    "q_join_asof_tol" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+        Map("ts" -> "click_ts", "value" -> "click_value"),
+        tolerance = Some(expr("INTERVAL 2 HOURS")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // W1: dedup-latest via row_number — the pattern that replaces the
     // reference's duplicate-appending loads (SURVEY.md §2.8).
     "q_window_latest" -> ((s, dir) => {
@@ -1397,6 +1415,19 @@ object RelationalQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts <= p.ts AND p.ts - c.ts <= INTERVAL 2 HOUR) AS click_ts
+        |  FROM p
+        |)
+        |SELECT m.event_id, m.user_id, m.ts, m.value, m.click_ts,
+        | c.value AS click_value
+        |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        |ORDER BY m.event_id""".stripMargin,
     "q_window_latest" ->
       """SELECT user_id, event_id, event_type, value, ts FROM (
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -36,6 +36,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!m.contains(("u3", 50L))) // inner: unmatched left dropped
   }
 
+  test("tolerance: a stale match becomes no match in both inner and outer modes") {
+    val right = Seq(
+      ("u1", 90L, 1.0),   // 10 away from left@100 — inside tolerance 20
+      ("u1", 150L, 2.0),  // 50 away from left@200 — stale at tolerance 20
+      ("u2", 150L, 4.0)   // exact tie: distance 0 always inside
+    ).toDF("user_id", "ts", "v")
+    val inner = rows(AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("v" -> "r_v"), tolerance = Some(lit(20L))))
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Double]("r_v")))
+    // the stale u1@200 match and the matchless u3 are both dropped;
+    // staleness does NOT fall back to an even older row
+    assert(inner.toSet === Set(("u1", 100L, 1.0), ("u2", 150L, 4.0)))
+    val outer = rows(AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("v" -> "r_v"), inner = false, tolerance = Some(lit(20L))))
+    assert(outer.size === 4)
+    val stale = outer.find(r => r.getAs[String]("user_id") == "u1" &&
+      r.getAs[Long]("ts") == 200L).get
+    assert(stale.isNullAt(stale.fieldIndex("r_v")))
+  }
+
   test("outer variant keeps unmatched left rows with null carried values") {
     val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
     val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
