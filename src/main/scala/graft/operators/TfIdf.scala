@@ -80,4 +80,34 @@ object TfIdf {
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` unigram vocabulary — the tokenizer-coverage
+    * diagnostic (how much of each document a fixed vocab fails to
+    * cover; the rate spikes on exactly the documents a subword
+    * tokenizer will fragment). Vocabulary selection is deterministic:
+    * count descending, token ascending on ties.
+    *
+    * Scale shape: the vocabulary is a TakeOrderedAndProject over a
+    * partially-combined token aggregate (vocabSize rows per partition
+    * cross the wire, never the full vocabulary) and then BROADCASTS
+    * into the membership join — the token stream itself is shuffled
+    * once, on doc_id, for the per-doc aggregate. To score against an
+    * EXTERNAL tokenizer vocab, substitute that table for the derived
+    * one — identical plan.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

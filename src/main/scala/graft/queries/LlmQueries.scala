@@ -354,6 +354,14 @@ object LlmQueries {
       TfIdf.corpusTopNgrams(docs(s, dir), 2, 20)
     }),
 
+    // Tokenizer-coverage diagnostic: per-doc OOV rate against the
+    // corpus's top-500 unigram vocab (deterministic count-desc/token-asc
+    // selection, replayed exactly by the oracle).
+    "q_vocab_oov" -> ((s, dir) => {
+      TfIdf.oovRate(docs(s, dir), vocabSize = 500)
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: documents fill 2000-token batches per source in
     // doc_id order — one window shuffle, deterministic assignment.
     "q_pack_batches" -> ((s, dir) => {
@@ -1290,6 +1298,19 @@ object LlmQueries {
         | COUNT(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+    "q_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 500)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | COUNT(*) FILTER (tok NOT IN (SELECT tok FROM v)) AS n_oov,
+        | ROUND(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM v))::DOUBLE
+        |   / COUNT(*), 6) AS oov_rate
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source,

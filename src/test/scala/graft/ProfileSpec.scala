@@ -122,6 +122,24 @@ class ProfileSpec extends SparkTestBase {
     assert(top === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
   }
 
+  test("oovRate: coverage against the top-V vocab with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b b c"),  // vocab@2 = {a, b}: c is OOV → 1/6
+      (2L, "a b rare"),     // rare is OOV → 1/3
+      (3L, "a a a a")       // fully covered → 0
+    ).toDF("doc_id", "text")
+    val out = rows(TfIdf.oovRate(df, 2).orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Seq(
+      (1L, 6L, 1L, 0.166667), (2L, 3L, 1L, 0.333333), (3L, 4L, 0L, 0.0)))
+    // tie-break: b and c both count 1 → token-ascending picks b
+    val tied = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val t = rows(TfIdf.oovRate(tied, 2).orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(t === Seq((1L, 0L), (2L, 1L))) // vocab = {a, b}; c is OOV
+  }
+
   test("temperatureResample: alpha=1 keeps all, rates shrink with group size, stable") {
     val n = docs.count()
     assert(Sampling.temperatureResample(docs, "lang", "doc_id", 1.0).count() === n)
