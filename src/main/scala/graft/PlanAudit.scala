@@ -11,7 +11,11 @@ object PlanAudit {
     val targets = Seq("q_agg_stats", "q_agg_conditional", "q_agg_collect",
       "q_window_nav", "q_join_range_binned", "q_join_overlap", "q_dedup_edit",
       "q_quality", "q_ts_gapfill", "q_graph_pagerank", "q_profile_cat",
-      "q_topk_groups", "q_fn_binary", "q_agg_hll_merge")
+      "q_topk_groups", "q_fn_binary", "q_agg_hll_merge",
+      "q_embed_project", "q_sample_shard", "q_text_html", "q_source_binary",
+      "q_pack_concat", "q_cdc_apply", "q_profile_bucket", "q_join_asof_tol",
+      "q_vocab_oov", "q_decon_ngram", "q_sample_dsir", "q_sample_mix",
+      "q_split_leakfree")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size
