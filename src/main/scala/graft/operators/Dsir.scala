@@ -36,9 +36,10 @@ import graft.functions.Text
   * count-weighted MEAN ratio — monotone in the same direction as the
   * paper's mean log-ratio for ranking purposes, and bit-reproducible.
   *
-  * Scale shape: one explode+aggregate per distribution (B-row results,
-  * broadcast), one (doc, bucket) count aggregate over the corpus, one
-  * broadcast join, one per-doc sum — the corpus is shuffled only on
+  * Scale shape: ONE (doc, bucket) count aggregate over the corpus —
+  * the B-row source distribution and both totals roll up from it (the
+  * target side likewise aggregates once) — then one broadcast join
+  * and one per-doc sum. The corpus is tokenized once, shuffled only on
   * its own (doc, bucket) keys, never joined against itself, and the
   * bucket tables are O(B) regardless of corpus size.
   */
@@ -72,11 +73,17 @@ object Dsir {
     val corpusBuckets = bucketed(corpus)
     val targetBuckets = bucketed(target)
 
-    // B-row distributions + 1-row totals; all broadcast-sized.
-    val src = corpusBuckets.groupBy(col("__bkt")).agg(count(lit(1)).as("__scnt"))
+    // ONE corpus-side aggregate: the per-(doc, bucket) counts. The
+    // B-row source distribution and the 1-row totals both roll up from
+    // it (and the target total from the target distribution) instead
+    // of re-scanning the inputs — the corpus is tokenized and shuffled
+    // exactly once, its exchange reused by the final per-doc join.
+    val docCounts = corpusBuckets
+      .groupBy(col(idCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    val src = docCounts.groupBy(col("__bkt")).agg(sum(col("__cnt")).as("__scnt"))
     val tgt = targetBuckets.groupBy(col("__bkt")).agg(count(lit(1)).as("__tcnt"))
-    val totals = corpusBuckets.agg(count(lit(1)).as("__stot"))
-      .crossJoin(targetBuckets.agg(count(lit(1)).as("__ttot")))
+    val totals = src.agg(sum(col("__scnt")).as("__stot"))
+      .crossJoin(tgt.agg(sum(col("__tcnt")).as("__ttot")))
 
     // Smoothed ratio per bucket, exactly rounded then 6-place quantized
     // (see object doc). Buckets absent from the corpus cannot appear in
@@ -91,8 +98,7 @@ object Dsir {
       .select(col("__bkt"), ratio.cast(DecimalType(28, 6)).as("__ratio"))
 
     // Per-(doc, bucket) counts -> count-weighted exact-decimal mean.
-    corpusBuckets
-      .groupBy(col(idCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    docCounts
       .join(broadcast(bucketScores), Seq("__bkt"))
       .groupBy(col(idCol))
       .agg(

@@ -36,6 +36,18 @@ class DsirSpec extends SparkTestBase {
     base.foreach { case (id, n, _) => assert(n === tokenCounts(id).toLong) }
   }
 
+  test("the corpus-side tokenize+shuffle runs once: AQE reuses the shared exchange") {
+    val scored = Dsir.importanceScores(
+      docs, docs.filter(col("lang") === "fr"), "doc_id", "text", buckets = 64)
+    scored.collect()
+    // src distribution, totals, and the per-doc join all roll up from
+    // ONE (doc, bucket) aggregate — at runtime the identical exchange
+    // is reused, not recomputed (the pre-AQE plan prints the subtree
+    // per consumer; the executed plan must show the reuse)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("a neutral target (the corpus itself) scores every doc near 1.0") {
     val scored = rows(Dsir.importanceScores(docs, docs, "doc_id", "text", 256)
       .select(col("dsir_score")))
