@@ -98,5 +98,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             sentinel),
           sentinel))
       }))
+
+    // The portable-hash primitive behind every deterministic
+    // sample/split/shard/LSH decision — exposed so SQL callers (and
+    // ad-hoc audits of those decisions) compute the identical draw the
+    // operators did, through the same allocation-free kernel.
+    ext.injectFunction((
+      FunctionIdentifier("md5_long64"),
+      info(classOf[graft.functions.Md5Long64], "md5_long64",
+        "md5_long64(s) - first 8 md5 digest bytes of s as a signed " +
+          "big-endian long (engine-portable: equals DuckDB's " +
+          "('0x' || substr(md5(s), 1, 16))::UBIGINT reinterpreted signed)"),
+      (children: Seq[Expression]) => {
+        arity("md5_long64", 1)(children)
+        graft.functions.Md5Long64(children.head)
+      }))
   }
 }

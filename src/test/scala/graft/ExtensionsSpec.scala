@@ -54,6 +54,18 @@ class ExtensionsSpec extends SparkTestBase {
       val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
       assert(msgs.contains("fvec_dot expects 2"), msgs)
+
+      // md5_long64 via SQL = the DSL kernel = the composed built-in form
+      val h = s.sql(
+        """SELECT md5_long64('abc') AS k,
+          |  md5_long64(CAST(NULL AS STRING)) AS nk""".stripMargin).collect().head
+      val viaDslHash = s.range(1)
+        .select(graft.functions.Text.md5Long64(lit("abc")).as("k"),
+          graft.functions.Text.md5Long64Composed(lit("abc")).as("kc"))
+        .collect().head
+      assert(h.getLong(0) === viaDslHash.getLong(0))
+      assert(h.getLong(0) === viaDslHash.getLong(1))
+      assert(h.isNullAt(1)) // null in, null out
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
