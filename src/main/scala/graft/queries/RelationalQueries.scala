@@ -335,6 +335,40 @@ object RelationalQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // A5b SLIDING event-time windows (2h window, 1h slide): each event
+    // lands in exactly two overlapping buckets — the trailing-window
+    // aggregation tumbling buckets can't express. Spark's window()
+    // generates the bucket spine map-side; one aggregate after.
+    "q_agg_sliding" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"))
+    }),
+
+    // J1 null-safe equi join (<=>): NULL keys MATCH each other instead
+    // of silently dropping — the merge/dedup-by-key semantic CDC and
+    // upsert paths depend on, surfaced as its own join query.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(
+        when(col("c_custkey") % 50 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("k"),
+        col("c_custkey"))
+      val sup = table(s, dir, "supplier").select(
+        when(col("s_suppkey") % 7 === 0, lit(null)).otherwise(col("s_nationkey"))
+          .as("k"),
+        col("s_suppkey"))
+      cust.as("c").join(sup.as("s"), col("c.k") <=> col("s.k"))
+        .groupBy(col("c.k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // J1 inner: orders⋈customer. customer is the small side → Catalyst
     // broadcasts it (verified in plan); no shuffle of orders.
     "q_join_inner" -> ((s, dir) => {
@@ -1272,6 +1306,29 @@ object RelationalQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_agg_sliding" ->
+      """WITH b AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, value
+        |  FROM events
+        |)
+        |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM b GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+        |    ELSE c_nationkey END AS k, c_custkey FROM customer
+        |), s AS (
+        |  SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+        |    ELSE s_nationkey END AS k, s_suppkey FROM supplier
+        |)
+        |SELECT c.k AS k, COUNT(*) AS n_pairs,
+        | COUNT(DISTINCT c_custkey) AS n_cust,
+        | COUNT(DISTINCT s_suppkey) AS n_supp
+        |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        |GROUP BY c.k ORDER BY c.k NULLS FIRST""".stripMargin,
     "q_agg_incremental" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
