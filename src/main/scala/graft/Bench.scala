@@ -76,7 +76,12 @@ object Bench {
     val Passes = 2 // min-of-2: bursty environment noise (100 s windows
                    // observed on this host) otherwise lands on whichever
                    // queries run inside the window.
+    // Iteration aid, mirroring Verify's filter: SPARK_GRAFT_ONLY=q_a,q_b
+    // times just those queries. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def onePass(pass: Int): Map[String, (Double, Option[String])] =
       names.grouped(RecycleEvery).flatMap { chunk =>

@@ -288,12 +288,19 @@ object Dedup {
     val prefixIndex = index.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("ord")).as("n_sh"),
         explode(slice(col("ord").getField("shingle"), lit(1), prefixLen))
           .as("shingle"))
 
+    // LENGTH filter (the PPJoin companion bound): J(a,b) <= min/max of
+    // the set sizes, so J >= t needs min >= t·max — a pipelined
+    // predicate on the two carried sizes that kills most cross-size
+    // candidates BEFORE the pair aggregation and the exact verify ever
+    // see them. Purely necessary, so the result set is unchanged.
     val candidates = prefixIndex.as("x").join(prefixIndex.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.n_sh").cast("double") >= lit(threshold) * col("y.n_sh") &&
+        col("y.n_sh").cast("double") >= lit(threshold) * col("x.n_sh"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__n_prefix_common"))
       .drop("__n_prefix_common")
