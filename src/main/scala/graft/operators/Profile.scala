@@ -135,6 +135,75 @@ object Profile {
       .drop("__q")
   }
 
+  /** Per-GROUP equi-frequency binning — [[quantileBucket]] with the
+    * cut points computed within each group: the length-grouped
+    * batching primitive (bucket documents by length WITHIN language /
+    * source, then pack within buckets — batches of like-sized
+    * sequences, minimal padding), and generally the discretizer that
+    * respects per-group distributions where global cuts would lump
+    * every small group into one bin.
+    *
+    * Shape: one grouped percentile aggregate (a row per group — tiny),
+    * broadcast join back on the group key, map-side membership count.
+    * The rows never shuffle; groups too small to fill k buckets just
+    * emit fewer distinct bucket ids (cut points coincide). NULL/NaN
+    * values get a NULL bucket, as in [[quantileBucket]]; rows whose
+    * group is NULL keep their NULL group and get NULL buckets too (no
+    * cut points exist for them — the keyless-rows policy).
+    */
+  def quantileBucketByGroup(
+      df: DataFrame, groupCol: String, c: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val outCol = s"${c}_qbucket"
+    Seq(outCol, "__q").foreach { s =>
+      require(!df.columns.contains(s),
+        s"input column '$s' collides with quantileBucketByGroup's columns")
+    }
+    val ps = (1 until k).map(i => lit(i.toDouble / k))
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile(col(c), array(ps: _*)).as("__q"))
+    df.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn(outCol,
+        when(col(c).isNull || isnan(col(c).cast("double")) ||
+          col("__q").isNull, lit(null))
+          .otherwise(size(filter(col("__q"), q => col(c) > q))))
+      .drop("__q")
+  }
+
+  /** Robust outlier detection via MAD (median absolute deviation):
+    * flags rows with |x - median| > nMads · MAD — the scale-free
+    * outlier rule that, unlike z-scores, a few extreme values cannot
+    * drag (mean AND stddev both move with the outliers being hunted;
+    * the median and MAD stay put).
+    *
+    * Two exact-percentile aggregates (the median, then the median of
+    * the absolute deviations — inherently sequential), each a tiny
+    * broadcast back; the rows never shuffle. A degenerate MAD of 0
+    * (more than half the values identical) flags every row off the
+    * median — the strict-inequality contract, documented rather than
+    * fudged with an epsilon. At 100 TB both passes swap to
+    * `approx_percentile`, same shape. NULL/NaN: flag is NULL (the
+    * [[quantileBucket]] policy).
+    */
+  def madOutliers(df: DataFrame, c: String, nMads: Double): DataFrame = {
+    require(nMads > 0, s"nMads must be positive, got $nMads")
+    val outCols = Seq(s"${c}_dev", s"${c}_outlier")
+    (outCols ++ Seq("__med", "__mad")).foreach { s =>
+      require(!df.columns.contains(s),
+        s"input column '$s' collides with madOutliers' columns")
+    }
+    val med = df.agg(percentile(col(c), lit(0.5)).as("__med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(percentile(abs(col(c) - col("__med")), lit(0.5)).as("__mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn(outCols.head, abs(col(c) - col("__med")))
+      .withColumn(outCols(1),
+        when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
+          .otherwise(col(outCols.head) > lit(nMads) * col("__mad")))
+      .drop("__med", "__mad")
+  }
+
   /** Fixed-bound equi-width histogram of `c` over [lo, hi): bucket i
     * covers [lo + i·w, lo + (i+1)·w) with w = (hi - lo) / nBuckets.
     * Values below `lo` clamp into bucket 0, values at or above `hi`

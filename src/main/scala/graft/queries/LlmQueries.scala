@@ -362,6 +362,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-grouped batching primitive: token-length quartiles WITHIN
+    // each language (per-group cut points — a global cut would let the
+    // verbose languages claim every top bucket). Buckets feed packing
+    // so batches hold like-sized sequences with minimal padding.
+    "q_profile_groupbucket" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("double").as("n_tok"))
+      graft.operators.Profile.quantileBucketByGroup(d, "lang", "n_tok", k = 4)
+        .groupBy(col("lang"), col("n_tok_qbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("n_tok")).cast("long").as("lo"),
+          max(col("n_tok")).cast("long").as("hi"))
+        .select(col("lang"), col("n_tok_qbucket").cast("long").as("qbucket"),
+          col("cnt"), col("lo"), col("hi"))
+        .orderBy(col("lang"), col("qbucket"))
+    }),
+
     // Sequence packing: documents fill 2000-token batches per source in
     // doc_id order — one window shuffle, deterministic assignment.
     "q_pack_batches" -> ((s, dir) => {
@@ -1298,6 +1315,22 @@ object LlmQueries {
         | COUNT(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+    "q_profile_groupbucket" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM documents
+        |), q AS (
+        |  SELECT lang, quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS cuts
+        |  FROM d GROUP BY lang
+        |), b AS (
+        |  SELECT d.lang, d.n_tok,
+        |    len(list_filter(q.cuts, c -> d.n_tok > c)) AS qb
+        |  FROM d JOIN q USING (lang)
+        |)
+        |SELECT lang, CAST(qb AS BIGINT) AS qbucket, COUNT(*) AS cnt,
+        | CAST(MIN(n_tok) AS BIGINT) AS lo, CAST(MAX(n_tok) AS BIGINT) AS hi
+        |FROM b GROUP BY lang, qb ORDER BY lang, qbucket""".stripMargin,
     "q_vocab_oov" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

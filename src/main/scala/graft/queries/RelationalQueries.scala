@@ -912,6 +912,19 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Robust outliers: |x - median| > 3·MAD — the scale-free rule the
+    // outliers themselves cannot drag (unlike mean/stddev z-scores).
+    // Two tiny percentile broadcasts; the rows never shuffle.
+    "q_profile_mad" -> ((s, dir) => {
+      Profile.madOutliers(table(s, dir, "lineitem"), "l_extendedprice",
+        nMads = 3.0)
+        .groupBy(col("l_extendedprice_outlier").as("is_outlier"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("is_outlier"))
+    }),
+
     // Equi-frequency quantile binning: 8 buckets from one shared
     // exact-percentile buffer, broadcast back, map-side membership
     // count — bucket populations stay balanced under the skewed price
@@ -1637,6 +1650,19 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op != 'D'
         |) ORDER BY c_custkey""".stripMargin,
+    "q_profile_mad" ->
+      """WITH m AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem
+        |), d AS (
+        |  SELECT l_extendedprice AS v, abs(l_extendedprice - m.med) AS dev
+        |  FROM lineitem CROSS JOIN m
+        |), s AS (
+        |  SELECT quantile_cont(dev, 0.5) AS mad FROM d
+        |)
+        |SELECT d.dev > 3.0 * s.mad AS is_outlier, COUNT(*) AS n,
+        | ROUND(MIN(d.v), 2) AS min_price, ROUND(MAX(d.v), 2) AS max_price
+        |FROM d CROSS JOIN s
+        |GROUP BY 1 ORDER BY is_outlier""".stripMargin,
     "q_profile_bucket" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice,

@@ -95,6 +95,50 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("quantileBucketByGroup: cuts are per group; null groups and values get null buckets") {
+    import spark.implicits._
+    // group a: 1..8 (median 4.5); group b: 101..108 — a GLOBAL cut
+    // would put all of b in the top bucket
+    val df = ((1 to 8).map(v => (Some("a"), Some(v.toDouble))) ++
+      (101 to 108).map(v => (Some("b"), Some(v.toDouble))) :+
+      ((Option.empty[String], Some(1.0))) :+ ((Some("a"), Option.empty[Double])))
+      .toDF("g", "x")
+    val out = rows(Profile.quantileBucketByGroup(df, "g", "x", k = 2)
+      .select(col("g"), col("x"), col("x_qbucket")))
+      .map(r => (Option(r.getAs[String]("g")),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    // each group splits at its OWN median: 4 low + 4 high per group
+    Seq("a", "b").foreach { g =>
+      val bs = out.collect { case (Some(`g`), Some(_), Some(b)) => b }
+      assert(bs.count(_ == 0) === 4 && bs.count(_ == 1) === 4, s"group $g: $bs")
+    }
+    // null group and null value → null bucket
+    assert(out.collect { case (None, _, b) => b } === Seq(None))
+    assert(out.collect { case (Some("a"), None, b) => b } === Seq(None))
+  }
+
+  test("madOutliers: outliers cannot drag the fence; flags match the rule exactly") {
+    import spark.implicits._
+    // 99 values near 10 plus one wild outlier: mean/stddev z-scores
+    // would move with the outlier; median=10, MAD stays ~1
+    val vals = (1 to 99).map(i => 10.0 + (i % 3) - 1) :+ 1e6
+    val out = rows(Profile.madOutliers(vals.toDF("x"), "x", nMads = 3.0)
+      .select(col("x"), col("x_dev"), col("x_outlier")))
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.count(_._3) === 1)
+    assert(out.find(_._3).get._1 === 1e6)
+    // the rule is exactly |x - med| > 3*MAD with med/MAD from the data
+    // (n=100 → quantile_cont(0.5) interpolates ranks 49/50)
+    val medInterp = (vals.sorted.apply(49) + vals.sorted.apply(50)) / 2
+    val devs = vals.map(v => math.abs(v - medInterp)).sorted
+    val mad = (devs(49) + devs(50)) / 2
+    out.foreach { case (x, dev, flag) =>
+      assert(dev === math.abs(x - medInterp))
+      assert(flag === dev > 3.0 * mad)
+    }
+  }
+
   test("keySkewStats finds the planted hot key with its exact share") {
     import spark.implicits._
     val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
