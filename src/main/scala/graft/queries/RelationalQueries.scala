@@ -806,6 +806,25 @@ object RelationalQueries {
     // time — old rows surface NULL for the new column instead of
     // failing the scan (the additive-evolution contract every
     // long-lived lake table relies on).
+    // Dynamic partition overwrite: re-land ONE status partition with
+    // bumped prices; the other partitions must survive untouched
+    // (static overwrite would truncate them — the classic wipe).
+    "q_sink_dynpart" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_dp_").toString + "/orders"
+      val orders = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      Sinks.overwritePartitions(orders, base, Seq("o_orderstatus"))
+      val relanded = orders.filter(col("o_orderstatus") === "O")
+        .withColumn("price", col("price") + 1.0)
+      Sinks.overwritePartitions(relanded, base, Seq("o_orderstatus"))
+      s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("price"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_sink_evolve" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_ev_").toString
       val orders = table(s, dir, "orders")
@@ -1593,6 +1612,12 @@ object RelationalQueries {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_sink_dynpart" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | ROUND(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DOUBLE) + 1.0
+        |   ELSE CAST(o_totalprice AS DOUBLE) END, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sink_evolve" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END

@@ -60,6 +60,28 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Dynamic partition overwrite — the incremental-ETL staple: replace
+    * ONLY the partitions the batch actually contains, leaving every
+    * other partition untouched (static overwrite mode would truncate
+    * the whole table first — the classic full-table-wipe accident).
+    * The idempotent re-land primitive for partitioned lakehouse
+    * tables: re-running a day's batch rewrites that day's partitions
+    * and nothing else.
+    *
+    * The mode rides as a per-WRITE option, not a session conf — no
+    * shared mutable state (the nanosAsLong lesson), and concurrent
+    * writers with different semantics don't fight.
+    */
+  def overwritePartitions(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs at least one partition column")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Training-shard layout: materialize
     * [[graft.operators.Sampling.shardedShuffle]]'s deterministic
     * global permutation as one directory per shard

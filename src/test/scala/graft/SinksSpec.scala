@@ -139,6 +139,19 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === docs.count())
   }
 
+  test("overwritePartitions replaces only the landed partitions, fully") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dynp").toString + "/t"
+    val init = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 20L)).toDF("p", "v")
+    Sinks.overwritePartitions(init, dir, Seq("p"))
+    // re-land partition a with FEWER, different rows — b and c must
+    // survive, and a must hold exactly the new rows (no stale merge)
+    Sinks.overwritePartitions(Seq(("a", 99L)).toDF("p", "v"), dir, Seq("p"))
+    val got = rows(spark.read.parquet(dir).select(col("p"), col("v"))
+      .orderBy(col("p"), col("v"))).map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("a", 99L), ("b", 10L), ("c", 20L)))
+  }
+
   test("readBinaryFiles: whole files arrive as binary rows; glob prunes at listing") {
     val all = rows(graft.sources.Sources
       .readBinaryFiles(spark, "/root/repo/fixtures/media")
