@@ -1048,6 +1048,39 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F4b schemaless JSON via Spark 4's VARIANT type: parse once,
+    // path-extract with types later — the semi-structured path when no
+    // schema is declared (from_json/get_json_object are the schema'd
+    // and string tiers; variant is the binary-encoded engine tier).
+    "q_fn_variant" -> ((s, dir) => {
+      table(s, dir, "events").select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "int").as("vk"),
+        try_variant_get(parse_json(col("props")), "$.missing", "int")
+          .as("v_missing"),
+        is_variant_null(parse_json(col("props"))).as("v_isnull"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F5c map-typed column family: build per-user event-type count
+    // maps, transform values, filter entries, explode back — the
+    // map_* HOF surface with a relationally-expressible oracle.
+    "q_fn_map" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          explode(
+            map_filter(
+              transform_values(col("m"), (_, v) => v * 2),
+              (_, v) => v >= 4))
+            .as(Seq("event_type", "n2")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // F7 null handling.
     "q_fn_null" -> ((s, dir) => {
       table(s, dir, "events").select(
@@ -1751,6 +1784,18 @@ object RelationalQueries {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price_floor, disc_pct_ceil,
         |  qty_sqrt, abs_diff""".stripMargin,
+    "q_fn_variant" ->
+      """SELECT event_id,
+        | TRY_CAST(props->>'$.k' AS INT) AS vk,
+        | TRY_CAST(props->>'$.missing' AS INT) AS v_missing,
+        | FALSE AS v_isnull
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_map" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, n * 2 AS n2 FROM c WHERE n * 2 >= 4
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
