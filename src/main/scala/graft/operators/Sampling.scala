@@ -331,6 +331,8 @@ object Sampling {
     * at 100 TB pick numShards so a shard's rows fit a task, which is
     * also exactly the file size a trainer wants). NULL keys are
     * dropped (the [[sampleByHash]] keyless-rows-never-leak policy).
+    * Contract: `keyCol` is unique — rows SHARING a key get identical
+    * draws, so their relative `pos` is arbitrary; dedupe first.
     */
   def shardedShuffle(
       df: DataFrame, keyCol: String, numShards: Int): DataFrame = {

@@ -133,8 +133,17 @@ object Upsert {
     require(keys.nonEmpty, "applyCdc needs at least one key column")
     require(!base.columns.contains("__cdc_rn"),
       "input column '__cdc_rn' collides with applyCdc's scratch column")
+    // The ordering must be TOTAL or the winner is shuffle-order
+    // dependent: after (ts, op), fully tied rows resolve by the
+    // lexicographically greatest attribute tuple (the scd2Apply
+    // dedup convention), never by arrival order.
+    val attrCols = changes.columns
+      .filterNot(c => keys.contains(c) || c == tsCol || c == opCol).toSeq
+    val tieBreak =
+      if (attrCols.isEmpty) Nil
+      else Seq(struct(attrCols.map(col): _*).desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc, col(opCol).desc)
+      .orderBy(Seq(col(tsCol).desc, col(opCol).desc) ++ tieBreak: _*)
     val latest = changes
       .withColumn("__cdc_rn", row_number().over(w))
       .filter(col("__cdc_rn") === 1)

@@ -51,10 +51,9 @@ object CdcPropertiesSpec extends Properties("ApplyCdc") {
       base: List[(Long, Double)],
       feed: List[Change]): Set[(Long, Double)] = {
     val winners = feed.groupBy(_.id).map { case (id, cs) =>
-      // ts desc, then op desc ('U' > 'I' > 'D'), then value desc so a
-      // FULLY tied feed still resolves deterministically for the
-      // reference (the operator contract only fixes (ts, op); the
-      // generator never emits two ops with equal (id, ts, op))
+      // ts desc, then op desc ('U' > 'I' > 'D'), then the greatest
+      // attribute tuple — the operator's fully TOTAL order, so even a
+      // feed with two values at one (id, ts, op) resolves identically
       id -> cs.maxBy(c => (c.ts, c.op, c.v))
     }
     val untouched = base.filterNot { case (id, _) => winners.contains(id) }
@@ -66,22 +65,16 @@ object CdcPropertiesSpec extends Properties("ApplyCdc") {
 
   property("matches the sequential latest-wins reference on random feeds") =
     forAll(feedGen) { case (base, feed) =>
-      // skip the ambiguous case the operator contract excludes: two
-      // different values for one (id, ts, op)
-      val ambiguous = feed.groupBy(c => (c.id, c.ts, c.op))
-        .exists(_._2.map(_.v).distinct.size > 1)
-      ambiguous || {
-        import spark.implicits._
-        val baseDf = base.toDF("id", "v")
-        val feedDf = feed.map(c => (c.id, c.v, c.ts, c.op))
-          .toDF("id", "v", "ts", "op")
-        val got = Upsert.applyCdc(baseDf, feedDf, Seq("id"), "ts", "op")
-          .select(col("id"), col("v")).collect()
-          .map(r => (r.getLong(0), r.getDouble(1))).toSet
-        val want = reference(base, feed)
-        if (got != want)
-          println(s"base=$base feed=$feed\n got=$got\nwant=$want")
-        got == want
-      }
+      import spark.implicits._
+      val baseDf = base.toDF("id", "v")
+      val feedDf = feed.map(c => (c.id, c.v, c.ts, c.op))
+        .toDF("id", "v", "ts", "op")
+      val got = Upsert.applyCdc(baseDf, feedDf, Seq("id"), "ts", "op")
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = reference(base, feed)
+      if (got != want)
+        println(s"base=$base feed=$feed\n got=$got\nwant=$want")
+      got == want
     }
 }
