@@ -167,16 +167,27 @@ object Text {
     * scan-speed at any corpus size; a DOM-aware boilerplate model
     * slots in behind the same column contract.
     */
+  private[graft] val HtmlSubtreePattern =
+    "(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>"
+  private[graft] val HtmlCommentPattern = "(?s)<!--.*?-->"
+  private[graft] val HtmlTagPattern = "<[^>]+>"
+  private[graft] val WhitespaceRunPattern = "\\s+"
+
+  /** Entity decode order matters: `&amp;` LAST, so `&amp;lt;` renders
+    * as the literal string "&lt;" (the HTML spec's double-escape).
+    */
+  private[graft] val HtmlEntities = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
   def stripHtml(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>", " ")
-    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
-    val decoded = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    val noBlocks = regexp_replace(html, HtmlSubtreePattern, " ")
+    val noComments = regexp_replace(noBlocks, HtmlCommentPattern, " ")
+    val noTags = regexp_replace(noComments, HtmlTagPattern, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, WhitespaceRunPattern, " "))
   }
 
   private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)

@@ -103,6 +103,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sample/split/shard/LSH decision — exposed so SQL callers (and
     // ad-hoc audits of those decisions) compute the identical draw the
     // operators did, through the same allocation-free kernel.
+    // Composed regex/replace chain mirroring Text.stripHtml — the
+    // web-corpus text extractor for SQL callers. Built directly from
+    // catalyst nodes (a Column->Expression round-trip leaves
+    // unresolved ColumnNode wrappers the analyzer won't touch inside a
+    // function builder); the pattern/entity constants are SHARED with
+    // the DSL form, and ExtensionsSpec asserts SQL == DSL bit-for-bit,
+    // so the two chains cannot drift.
+    ext.injectFunction((
+      FunctionIdentifier("strip_html"),
+      info(classOf[GraftExtensions], "strip_html",
+        "strip_html(html) - text extracted from HTML: drops script/" +
+          "style/head subtrees and comments, strips tags, decodes the " +
+          "six common entities, collapses whitespace"),
+      (children: Seq[Expression]) => {
+        arity("strip_html", 1)(children)
+        import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringReplace, StringTrim}
+        import graft.functions.Text
+        def rr(e: Expression, pat: String): Expression =
+          RegExpReplace(e, Literal(pat), Literal(" "))
+        val noTags = rr(rr(rr(children.head,
+          Text.HtmlSubtreePattern), Text.HtmlCommentPattern), Text.HtmlTagPattern)
+        val decoded = Text.HtmlEntities.foldLeft(noTags) {
+          case (e, (ent, ch)) => StringReplace(e, Literal(ent), Literal(ch))
+        }
+        StringTrim(RegExpReplace(
+          decoded, Literal(Text.WhitespaceRunPattern), Literal(" ")))
+      }))
+
     ext.injectFunction((
       FunctionIdentifier("md5_long64"),
       info(classOf[graft.functions.Md5Long64], "md5_long64",

@@ -66,6 +66,17 @@ class ExtensionsSpec extends SparkTestBase {
       assert(h.getLong(0) === viaDslHash.getLong(0))
       assert(h.getLong(0) === viaDslHash.getLong(1))
       assert(h.isNullAt(1)) // null in, null out
+
+      // strip_html via SQL = the DSL chain, bit-for-bit
+      val html = "<body><h1>T &amp; t</h1><script>x</script><p>ok</p></body>"
+      val viaSqlHtml = s.sql(
+        s"""SELECT strip_html('${html.replace("'", "''")}') AS t""")
+        .collect().head.getString(0)
+      val viaDslHtml = s.range(1)
+        .select(graft.functions.Text.stripHtml(lit(html)).as("t"))
+        .collect().head.getString(0)
+      assert(viaSqlHtml === viaDslHtml)
+      assert(viaSqlHtml === "T & t ok")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
