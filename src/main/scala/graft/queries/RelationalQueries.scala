@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{Analytics, AsOfJoin, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -433,6 +433,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // Bloom-pruned semi join: the selective-dim join-pruning pattern
+    // for when the dim key set is too big to broadcast exactly — a
+    // md5-derived bloom of the selected part keys filters lineitem
+    // MAP-SIDE before the shuffle; the exact semi join then removes
+    // false positives, so pruning is transparent and the oracle is the
+    // plain semi join. BloomSpec asserts the filter really prunes and
+    // has zero false negatives.
+    "q_join_bloom" -> ((s, dir) => {
+      val dim = table(s, dir, "part").filter(col("p_size") >= 48)
+      Bloom.prunedSemiJoin(
+          table(s, dir, "lineitem"), "l_partkey", dim, "p_partkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // Heavy-hitter diagnostic: the 25 hottest customer keys in orders
@@ -1438,6 +1455,12 @@ object RelationalQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_skew_keys" ->
       """WITH c AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
