@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Count-min sketch: fixed-memory frequency estimation.
+  *
+  * The 100 TB problem: per-key exact counts over a high-cardinality
+  * column (URLs, n-grams, user ids) produce a result as big as the key
+  * space — too big to broadcast, often too big to store. A CMS
+  * compresses the whole frequency distribution into a depth × width
+  * counter matrix (e.g. 4 × 65536 longs = 2 MiB) with a one-sided
+  * guarantee: `estimate(k) >= true_count(k)`, and
+  * `estimate(k) <= true_count(k) + εN` with probability 1-δ for
+  * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. That makes it the standard
+  * pre-filter for heavy-hitter mining (overestimates can only ADD
+  * candidates, never lose one) and for skew detection feeding
+  * salting/AQE decisions when the key space dwarfs memory.
+  *
+  * Scale shape: the build is ONE partial-combined aggregate over
+  * depth rows per input row — map-side combine collapses each
+  * partition to ≤ depth×width cells before the (bounded, ≤ depth×width
+  * row) shuffle. The matrix is MERGEABLE: cell-wise sum of two
+  * sketches equals the sketch of the unioned input (counters are
+  * linear), so per-partition / per-day sketches roll up without
+  * touching raw data — asserted in `SketchSpec`.
+  *
+  * Portability: row `i`'s column for a key is
+  * `md5_63(key || ':' || i) mod width` (the [[Bloom]] / [[Sampling]]
+  * recipe), so the ENTIRE sketch — every cell and every estimate — is
+  * bit-reproducible in any engine with md5. Unlike the HLL / quantile
+  * sketches (engine-specific binary state, rows-only checks), the CMS
+  * registered query carries a FULL DuckDB oracle that replays the
+  * matrix and the min.
+  */
+object Sketch {
+
+  /** Column index of hash row `i` for `key`, in [0, width). */
+  private def position(key: Column, i: Int, width: Int): Column =
+    pmod(Text.md5Long63(concat(key.cast("string"), lit(":" + i))), lit(width.toLong))
+
+  /** Build the counter matrix as (cms_row, cms_col, cnt) rows — sparse:
+    * zero cells are absent (readers treat missing as 0). NULL keys are
+    * excluded (no frequency identity to count under).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive, got $depth/$width")
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(i => position(col(keyCol), i, width)): _*))
+        .as(Seq("cms_row", "cms_col")))
+      .groupBy("cms_row", "cms_col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with the same (depth, width): cell-wise sum. */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_ unionByName _)
+      .groupBy("cms_row", "cms_col").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point estimates for the distinct keys of `probes`: min over the
+    * depth cells each key hashes to. Missing cells are true zeros
+    * (sparse matrix), so a key the sketch never saw estimates 0 unless
+    * every one of its cells collides with counted keys. The sketch side
+    * is ≤ depth×width rows — broadcast it; the probe side is never
+    * shuffled beyond its own distinct.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0)
+    probes.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        posexplode(array((0 until depth).map(i => position(col(keyCol), i, width)): _*))
+          .as(Seq("cms_row", "cms_col")))
+      .join(broadcast(cms), Seq("cms_row", "cms_col"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, Sketch, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -458,6 +458,24 @@ object RelationalQueries {
     // salting / AQE skew handling).
     "q_skew_keys" -> ((s, dir) => {
       SkewJoin.keySkewStats(table(s, dir, "orders"), "o_custkey", 25)
+    }),
+
+    // Count-min sketch frequency estimation: the fixed-memory
+    // heavy-hitter path when per-key exact counts are as big as the
+    // key space. Width 256 < 1000 distinct customers, so collisions
+    // genuinely occur and the one-sided overestimate is exercised;
+    // est_cnt >= exact_cnt row-for-row. Fully md5-portable, so the
+    // oracle replays the whole matrix — the one sketch family with a
+    // bit-exact cross-engine check (HLL/quantile are rows-only).
+    "q_sketch_cms" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val cms = Sketch.cmsBuild(orders, "o_custkey", depth = 4, width = 256)
+      val est = Sketch.cmsEstimate(cms,
+        orders.filter(col("o_custkey") <= 30), "o_custkey", depth = 4, width = 256)
+      val exact = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("o_custkey"))
+        .select(col("o_custkey").as("custkey"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("custkey"))
     }),
 
     // Single-pass numeric profiling: 5 metrics x 3 columns in ONE
@@ -1470,6 +1488,31 @@ object RelationalQueries {
         |SELECT o_custkey, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, o_custkey LIMIT 25""".stripMargin,
+    "q_sketch_cms" ->
+      """WITH i AS (SELECT unnest(range(4)) AS cms_row),
+        |cells AS (
+        |  SELECT cms_row,
+        |    CAST((('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' || cms_row), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 256 AS BIGINT) AS cms_col,
+        |    COUNT(*) AS cnt
+        |  FROM orders CROSS JOIN i GROUP BY 1, 2
+        |),
+        |probe AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 30),
+        |pcell AS (
+        |  SELECT o_custkey, cms_row,
+        |    CAST((('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' || cms_row), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 256 AS BIGINT) AS cms_col
+        |  FROM probe CROSS JOIN i
+        |),
+        |est AS (
+        |  SELECT o_custkey, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+        |  FROM pcell p LEFT JOIN cells c USING (cms_row, cms_col)
+        |  GROUP BY 1
+        |),
+        |exact AS (SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY 1)
+        |SELECT est.o_custkey AS custkey, est.est_cnt, exact.exact_cnt
+        |FROM est JOIN exact USING (o_custkey)
+        |ORDER BY custkey""".stripMargin,
     "q_profile_stats" ->
       """SELECT * FROM (
         |  SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
