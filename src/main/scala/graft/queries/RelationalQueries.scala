@@ -1083,6 +1083,36 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F4c XML-in-string parsing: schema'd from_xml (elements, typed
+    // fields, absent element -> NULL) + xpath attribute extraction.
+    // The payload is CONSTRUCTED from order columns, so parsing inverts
+    // construction and the oracle recomputes the fields from the
+    // source columns directly — the q_fn_json pattern; only
+    // XML-safe columns are embedded (status/priority/price have no
+    // markup characters). Double fields survive because Java's
+    // double->string->double round-trip is exact.
+    "q_fn_xml" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val xmlSchema = StructType(Seq(
+        StructField("status", StringType), StructField("price", DoubleType),
+        StructField("priority", StringType), StructField("discount", DoubleType)))
+      val payload = concat(
+        lit("<order id=\""), col("o_orderkey"), lit("\"><status>"),
+        col("o_orderstatus"), lit("</status><price>"), col("o_totalprice"),
+        lit("</price><priority>"), col("o_orderpriority"),
+        lit("</priority></order>"))
+      table(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), payload.as("payload"))
+        .select(col("o_orderkey"), from_xml(col("payload"), xmlSchema).as("x"),
+          call_function("xpath_string", col("payload"), lit("/order/@id"))
+            .cast("long").as("xml_id"))
+        .select(col("o_orderkey"),
+          col("x.status").as("xml_status"), col("x.price").as("xml_price"),
+          col("x.priority").as("xml_priority"),
+          col("x.discount").as("xml_discount"), col("xml_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // F4b schemaless JSON via Spark 4's VARIANT type: parse once,
     // path-extract with types later — the semi-structured path when no
     // schema is declared (from_json/get_json_object are the schema'd
@@ -1862,6 +1892,11 @@ object RelationalQueries {
         |)
         |SELECT user_id, event_type, n * 2 AS n2 FROM c WHERE n * 2 >= 4
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_fn_xml" ->
+      """SELECT o_orderkey, o_orderstatus AS xml_status,
+        | o_totalprice AS xml_price, o_orderpriority AS xml_priority,
+        | CAST(NULL AS DOUBLE) AS xml_discount, o_orderkey AS xml_id
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
