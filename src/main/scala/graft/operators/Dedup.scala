@@ -411,16 +411,53 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(!corpus.columns.contains("__gram_h"),
       "input column '__gram_h' collides with decontaminateNgrams' column")
-    def gramHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+
-        explode(graft.functions.Text.ngrams(col("text"), n)).as("__g"): _*)
-        .select(cols :+ graft.functions.Text.md5Long63(col("__g"))
-          .as("__gram_h"): _*)
-    val evalGrams = gramHashes(evalSet).distinct()
-    val contaminated = gramHashes(corpus, col("doc_id")).distinct()
+    val evalGrams = gramHashes(evalSet, n).distinct()
+    val contaminated = gramHashes(corpus, n, col("doc_id")).distinct()
       .join(evalGrams, Seq("__gram_h"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Word n-grams of `text`, md5-hashed to 63-bit keys. */
+  private def gramHashes(df: DataFrame, n: Int, cols: Column*): DataFrame =
+    df.select(cols :+
+      explode(graft.functions.Text.ngrams(col("text"), n)).as("__g"): _*)
+      .select(cols :+ graft.functions.Text.md5Long63(col("__g"))
+        .as("__gram_h"): _*)
+
+  /** Overlap-FRACTION decontamination (the tolerance-based screen used
+    * when any-overlap is too aggressive — boilerplate, idioms, and
+    * common phrases legitimately recur): a corpus doc is dropped only
+    * when more than `maxOverlap` of its DISTINCT word n-grams appear in
+    * the eval set. `maxOverlap = 0` degenerates to
+    * [[decontaminateNgrams]]; gramless docs (shorter than n words) have
+    * nothing to leak and are kept.
+    *
+    * The drop test is `hits > total * maxOverlap` — a multiply, not a
+    * division, so the decision replays bit-identically cross-engine
+    * with no 0/0 edge.
+    *
+    * Same scale shape as the any-overlap screen: distinct (doc, gram)
+    * pairs bound the join input by vocabulary, the per-doc stats are
+    * one partial-combined aggregate, and the corpus shuffles only on
+    * uniform 63-bit keys.
+    */
+  def decontaminateByOverlap(
+      corpus: DataFrame, evalSet: DataFrame, n: Int, maxOverlap: Double): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxOverlap >= 0.0 && maxOverlap <= 1.0,
+      s"maxOverlap must be in [0,1], got $maxOverlap")
+    require(!corpus.columns.contains("__gram_h"),
+      "input column '__gram_h' collides with decontaminateByOverlap's column")
+    val evalGrams = gramHashes(evalSet, n).distinct()
+    val dropped = gramHashes(corpus, n, col("doc_id")).distinct()
+      .join(evalGrams.withColumn("__hit", lit(1)), Seq("__gram_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__total"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .filter(col("__hits") > col("__total") * lit(maxOverlap))
+      .select(col("doc_id"))
+    corpus.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** Exact-Jaccard verification of candidate pairs: re-attach shingle

@@ -122,6 +122,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlap-FRACTION decontamination: tolerance-based screen — a doc
+    // is dropped only when > 50% of its distinct 8-grams appear in the
+    // eval slice, so partially-overlapping docs that the any-overlap
+    // screen (q_decon_ngram) kills survive here. The drop decision is
+    // a multiply (hits > total * 0.5), bit-identical cross-engine.
+    "q_decon_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateByOverlap(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 8, 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dups (md5-derived token hash — full DuckDB oracle).
     // Graph centrality over the near-dup pair graph: 2 PageRank
     // iterations with engine-portable arithmetic, so the DuckDB oracle
@@ -973,6 +986,26 @@ object LlmQueries {
           |  AND md5(trim(regexp_replace(regexp_replace(lower(text),
           |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) NOT IN (SELECT fp FROM efp)
           |ORDER BY doc_id""".stripMargin),
+    "q_decon_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+        |    FROM w WHERE len(w) >= 8
+        |  )
+        |), stats AS (
+        |  SELECT doc_id, COUNT(*) AS total,
+        |    SUM(CASE WHEN gram IN (SELECT gram FROM g WHERE doc_id >= 400)
+        |      THEN 1 ELSE 0 END) AS hits
+        |  FROM g WHERE doc_id < 400 GROUP BY doc_id
+        |), bad AS (
+        |  SELECT doc_id FROM stats WHERE hits > total * 0.5
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "q_decon_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

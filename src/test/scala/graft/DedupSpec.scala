@@ -189,6 +189,31 @@ class DedupSpec extends SparkTestBase {
     assert(wholeDoc === Seq(1L, 2L, 3L))
   }
 
+  test("decontaminateByOverlap: tolerance keeps light overlap, drops heavy, keeps gramless") {
+    // trigrams, threshold 0.5: doc 1 has 2/8 distinct grams in the
+    // eval set (25% — kept); doc 2 is a verbatim eval prefix, 5/5
+    // grams hit (100% — dropped); doc 3 has no trigrams (kept);
+    // doc 4 is clean (kept).
+    val corpus = Seq(
+      (1L, "the quick brown fox then filler words continue padding onward"),
+      (2L, "the quick brown fox jumps over lazy"),
+      (3L, "too short"),
+      (4L, "entirely unrelated catalyst optimizer discussion text")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over lazy dogs sleeping")
+    ).toDF("doc_id", "text")
+    val kept = rows(Dedup.decontaminateByOverlap(corpus, eval_, 3, 0.5)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(kept === Seq(1L, 3L, 4L))
+    // threshold 0 degenerates to the any-overlap screen
+    val strict = rows(Dedup.decontaminateByOverlap(corpus, eval_, 3, 0.0)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    val anyOverlap = rows(Dedup.decontaminateNgrams(corpus, eval_, 3)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(strict === anyOverlap)
+  }
+
   test("simhash: identical docs share signatures; hamming pairs found via bands") {
     val sigs = rows(docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
