@@ -23,6 +23,33 @@ object Text {
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
       t => length(t) > 0))
 
+  /** [[bpeishTokenCount]] in closed form: the lookaround split yields
+    * one piece per maximal alphanumeric run plus one per non-alnum
+    * character — two codegen'd regex passes instead of a split + HOF
+    * filter, and (unlike lookaround, which RE2 lacks) expressible in
+    * any engine, so the count is oracle-checkable. Cross-checked
+    * bit-for-bit against the split form in `SimilarityTextSpec`.
+    */
+  def bpeishTokenCountClosed(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+")) +
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9]", "")))
+
+  /** GPT-2-style pre-tokenizer pieces (the `\'s | ?\p{L}+ | ?\p{N}+ ...`
+    * recipe, ASCII-restricted): contraction suffixes, space-prefixed
+    * letter runs, space-prefixed digit runs, space-prefixed symbol
+    * runs, then bare space runs. Piece count ~ tokenizer cost, the
+    * budget column sequence packing and price estimation key on.
+    * Written to the Java-regex ∩ RE2 subset (non-capturing groups and
+    * greedy `?` only — no lookaround), and both engines resolve
+    * alternation leftmost-first, so external engines count the
+    * identical pieces.
+    */
+  val Gpt2ishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  def gpt2PieceCount(text: Column): Column =
+    regexp_count(text, lit(Gpt2ishPattern))
+
   /** All word n-grams WITH multiplicity — unlike `Dedup.shingles`
     * (which distincts for set-Jaccard), repetition analysis needs the
     * counts. Same guards as shingles: docs shorter than n tokens yield

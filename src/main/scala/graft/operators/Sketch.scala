@@ -60,6 +60,32 @@ object Sketch {
       .groupBy("cms_row", "cms_col").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Predicted equi-join cardinality from two sketches built with the
+    * same (depth, width) over the two join keys: row `d`'s inner
+    * product `Σ_w A[d][w]·B[d][w]` counts every true key match plus
+    * collision noise, so `est = min_d Σ_w A[d][w]·B[d][w]` is a
+    * ONE-SIDED overestimate of `|A ⋈ B|` (the AGMS/CMS inner-product
+    * estimator; with A = B it bounds the self-join size `Σ_k c_k²`,
+    * the classic shuffle-explosion predictor). The planning use: decide
+    * broadcast vs shuffle vs salt BEFORE paying for the join, from two
+    * fixed-memory passes that never shuffle the fact tables.
+    *
+    * Scale shape: both inputs are ≤ depth×width sparse cell rows, so
+    * the matrix join and per-row sums are bounded work regardless of
+    * the corpora the sketches summarize; a depth-row spine keeps rows
+    * with zero overlapping cells in the min (their product is 0 —
+    * disjoint key spaces estimate 0, not "empty result").
+    */
+  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val prod = cmsA.as("a").join(cmsB.as("b"), Seq("cms_row", "cms_col"))
+      .groupBy(col("cms_row"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
+    cmsA.sparkSession.range(depth).select(col("id").as("cms_row"))
+      .join(prod, Seq("cms_row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+  }
+
   /** Point estimates for the distinct keys of `probes`: min over the
     * depth cells each key hashes to. Missing cells are true zeros
     * (sparse matrix), so a key the sketch never saw estimates 0 unless

@@ -521,6 +521,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer-cost estimation: BPE-ish piece counts over a payload
+    // with planted punctuation / contractions / numbers (the corpus
+    // text is bare words, so the shell exercises the symbol and
+    // contraction branches). The boundary-split count runs the
+    // lookaround form here and its closed form in the oracle — the two
+    // are provably equal (cross-checked in SimilarityTextSpec), which
+    // is what makes a lookaround expression driver-checkable at all.
+    "q_text_bpetokens" -> ((s, dir) => {
+      val payload = docs(s, dir).withColumn("pay",
+        concat(lit("It's doc #"), col("doc_id").cast("string"),
+          lit(" (rev 2.1) - "), col("text"), lit(" ...cost $12.50, OK!")))
+      payload.select(
+        col("doc_id"),
+        Text.bpeishTokenCount(col("pay")).as("n_bpeish"),
+        Text.gpt2PieceCount(col("pay")).as("n_gpt2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style within-document repetition: bigram totals and the
     // fraction of text consumed by the top / by repeated bigrams.
     "q_text_rep" -> ((s, dir) => {
@@ -804,6 +822,21 @@ object LlmQueries {
         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS html_text
         |FROM paged ORDER BY doc_id""".stripMargin,
+    "q_text_bpetokens" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'It''s doc #' || CAST(doc_id AS VARCHAR) || ' (rev 2.1) - '
+        |      || text || ' ...cost $12.50, OK!' AS pay
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pay, '[A-Za-z0-9]+'))
+        |    + (length(pay) - length(regexp_replace(pay, '[^A-Za-z0-9]', '', 'g')))
+        |    AS INT) AS n_bpeish,
+        |  CAST(len(regexp_extract_all(pay,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
+        |    AS INT) AS n_gpt2
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       """WITH planted AS (
         |  SELECT doc_id,

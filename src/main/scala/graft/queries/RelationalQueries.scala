@@ -478,6 +478,35 @@ object RelationalQueries {
         .orderBy(col("custkey"))
     }),
 
+    // Join-cardinality prediction from CMS inner products — the
+    // decide-before-you-shuffle diagnostic: est = min over depth rows
+    // of the cellwise product sum, a one-sided overestimate of |A ⋈ B|
+    // (and, with A = B, of the self-join size Σ c_k² that predicts
+    // shuffle explosion). Width 512 under 15k distinct orderkeys, so
+    // collision noise is real and est > exact; both rows assert
+    // est >= exact through the oracle's identical replay.
+    "q_sketch_joinsize" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val cmsO = Sketch.cmsBuild(orders, "o_orderkey", depth = 4, width = 512)
+      val cmsL = Sketch.cmsBuild(li, "l_orderkey", depth = 4, width = 512)
+      val cmsC = Sketch.cmsBuild(orders, "o_custkey", depth = 4, width = 512)
+      val joinExact = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_size"))
+      val selfExact = orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_size"))
+      val r1 = Sketch.cmsJoinSize(cmsO, cmsL, depth = 4)
+        .crossJoin(broadcast(joinExact))
+        .select(lit("orders_lineitem_orderkey").as("rel"),
+          col("est_join_size").as("est_size"), col("exact_size"))
+      val r2 = Sketch.cmsJoinSize(cmsC, cmsC, depth = 4)
+        .crossJoin(broadcast(selfExact))
+        .select(lit("orders_self_custkey").as("rel"),
+          col("est_join_size").as("est_size"), col("exact_size"))
+      r1.unionByName(r2).orderBy(col("rel"))
+    }),
+
     // Single-pass numeric profiling: 5 metrics x 3 columns in ONE
     // aggregate node (15 partial aggregates, one 1-row exchange), then
     // a driver-free explode to per-column rows. The mean goes through
@@ -1543,6 +1572,57 @@ object RelationalQueries {
         |SELECT est.o_custkey AS custkey, est.est_cnt, exact.exact_cnt
         |FROM est JOIN exact USING (o_custkey)
         |ORDER BY custkey""".stripMargin,
+    "q_sketch_joinsize" ->
+      """WITH i AS (SELECT unnest(range(4)) AS cms_row),
+        |co AS (
+        |  SELECT cms_row,
+        |    CAST((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || cms_row), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 512 AS BIGINT) AS cms_col,
+        |    COUNT(*) AS cnt
+        |  FROM orders CROSS JOIN i GROUP BY 1, 2
+        |),
+        |cl AS (
+        |  SELECT cms_row,
+        |    CAST((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || cms_row), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 512 AS BIGINT) AS cms_col,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem CROSS JOIN i GROUP BY 1, 2
+        |),
+        |cc AS (
+        |  SELECT cms_row,
+        |    CAST((('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' || cms_row), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 512 AS BIGINT) AS cms_col,
+        |    COUNT(*) AS cnt
+        |  FROM orders CROSS JOIN i GROUP BY 1, 2
+        |),
+        |ip1 AS (
+        |  SELECT a.cms_row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+        |  FROM co a JOIN cl b USING (cms_row, cms_col) GROUP BY 1
+        |),
+        |est1 AS (
+        |  SELECT MIN(COALESCE(ip, 0)) AS est_size FROM i LEFT JOIN ip1 USING (cms_row)
+        |),
+        |ex1 AS (
+        |  SELECT COUNT(*) AS exact_size FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |),
+        |ip2 AS (
+        |  SELECT a.cms_row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+        |  FROM cc a JOIN cc b USING (cms_row, cms_col) GROUP BY 1
+        |),
+        |est2 AS (
+        |  SELECT MIN(COALESCE(ip, 0)) AS est_size FROM i LEFT JOIN ip2 USING (cms_row)
+        |),
+        |ex2 AS (
+        |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'orders_lineitem_orderkey' AS rel, est1.est_size, ex1.exact_size
+        |  FROM est1 CROSS JOIN ex1
+        |  UNION ALL
+        |  SELECT 'orders_self_custkey', est2.est_size, ex2.exact_size
+        |  FROM est2 CROSS JOIN ex2
+        |) ORDER BY rel""".stripMargin,
     "q_profile_stats" ->
       """SELECT * FROM (
         |  SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,

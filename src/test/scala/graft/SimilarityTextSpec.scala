@@ -388,6 +388,29 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(n === 5)
   }
 
+  test("bpeishTokenCountClosed equals the lookaround split form") {
+    // The closed form (alnum runs + non-alnum char count) is what the
+    // DuckDB oracle replays — RE2 has no lookaround — so the two forms
+    // must agree on every shape: empty, pure punctuation, contractions,
+    // digits, leading/trailing symbols, multi-space runs.
+    val texts = Seq("", "!!", "hello, world!", "it's $12.50 (v2) - OK!",
+      "  spaced   out  ", "abc123", "#42;", "a!b.c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = rows(df.select(
+      Text.bpeishTokenCount(col("text")).as("a"),
+      Text.bpeishTokenCountClosed(col("text")).as("b")))
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      s"mismatch on ${texts(got.indexOf(r))}"))
+  }
+
+  test("gpt2PieceCount segments contractions, numbers and symbols") {
+    val df = Seq((1L, "It's over 9000, really!")).toDF("doc_id", "text")
+    val n = rows(df.select(Text.gpt2PieceCount(col("text")))).head.getInt(0)
+    // Pieces: "It" "'s" " over" " 9000" "," " really" "!"
+    assert(n === 7)
+  }
+
   test("punctRatio pins empty text to 0.0, never NULL") {
     // Spark's Divide yields NULL on a zero divisor; an unguarded ratio
     // would make quality filters silently DROP empty docs instead of

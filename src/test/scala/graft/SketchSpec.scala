@@ -51,6 +51,35 @@ class SketchSpec extends SparkTestBase {
     assert(est === Map("absent1" -> 0L, "absent2" -> 0L)) // null probe dropped
   }
 
+  test("cmsJoinSize is one-sided and exact at a collision-free width") {
+    // Second relation: key k appears 3 times for k <= 10 — true join
+    // size = sum over shared keys of c_a * c_b.
+    val other = (1 to 10).flatMap(k => Seq.fill(3)(s"key$k")).toDF("k")
+    val exactJoin = corpus.as("a").join(other.as("b"), Seq("k")).count()
+    def est(width: Int): Long = {
+      val a = Sketch.cmsBuild(corpus, "k", 4, width)
+      val b = Sketch.cmsBuild(other, "k", 4, width)
+      Sketch.cmsJoinSize(a, b, 4).as[Long].collect().head
+    }
+    assert(est(8) >= exactJoin, "inner-product estimate went below the true join size")
+    assert(est(1 << 14) === exactJoin, "collision-free estimate should be exact")
+  }
+
+  test("cmsJoinSize of disjoint key spaces estimates 0 at a collision-free width") {
+    val other = Seq("no1", "no2", "no3").toDF("k")
+    val a = Sketch.cmsBuild(corpus, "k", 4, 1 << 14)
+    val b = Sketch.cmsBuild(other, "k", 4, 1 << 14)
+    assert(Sketch.cmsJoinSize(a, b, 4).as[Long].collect().head === 0L)
+  }
+
+  test("self-join cmsJoinSize bounds sum of squared key counts") {
+    val exactSelf = exact.values.map(c => c * c).sum
+    val cms = Sketch.cmsBuild(corpus, "k", 4, 16)
+    assert(Sketch.cmsJoinSize(cms, cms, 4).as[Long].collect().head >= exactSelf)
+    val wide = Sketch.cmsBuild(corpus, "k", 4, 1 << 14)
+    assert(Sketch.cmsJoinSize(wide, wide, 4).as[Long].collect().head === exactSelf)
+  }
+
   test("build is a single partial-combined aggregate; estimate broadcasts the sketch") {
     val cms = Sketch.cmsBuild(corpus, "k", 4, 64)
     val plan = planString(Sketch.cmsEstimate(cms, corpus, "k", 4, 64))
