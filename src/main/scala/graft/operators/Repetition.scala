@@ -74,6 +74,51 @@ object Repetition {
           .as("entropy"))
   }
 
+  /** CROSS-document duplicated-span coverage — the diagnostic behind
+    * exact-substring dedup (the "dedup training data makes LMs better"
+    * screen): for each document, the fraction of its token positions
+    * covered by at least one word n-gram whose corpus document
+    * frequency is >= `minDf`. A doc scoring high is mostly made of
+    * text that recurs across the corpus (mirrors, boilerplate,
+    * templated spam) even when no single whole-doc or chunk hash
+    * matches. Positions (not gram counts) are what's measured: two
+    * overlapping hot n-grams cover n+1 positions, not 2n, so the score
+    * is a true "share of the text" in [0, 1].
+    *
+    * Scale shape: positional grams are a map-side generate; the
+    * document-frequency pass and the hot semi join both key on the
+    * 63-bit md5 gram hash ([[graft.functions.Text.md5Long63]]) — the
+    * gram strings never shuffle, and the df>=minDf filter bounds the
+    * hot side by the recurring vocabulary. Covered positions dedup in
+    * one partial-combined distinct before the per-doc count. Docs
+    * shorter than n tokens have no grams and score 0 via the left
+    * join, not by dropping out.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // posexplode index i is 0-based; gram i starts at token position
+    // i+1 and covers positions i+1 .. i+n (1-based).
+    val grams = docs.select(col("doc_id"),
+      posexplode(Text.ngrams(col("text"), n)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("p0"), Text.md5Long63(col("gram")).as("gh"))
+    val hot = grams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gh"))
+    val covered = grams.join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + n)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    docs.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cov"), lit(0L)).cast("int").as("covered_tokens"),
+        coalesce(round(col("cov").cast("double") / col("n_tokens"), 6), lit(0.0))
+          .as("dup_span_frac"))
+  }
+
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(Text.ngrams(col("text"), n)).as("gram"))

@@ -546,6 +546,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CROSS-document duplicated-span coverage: per doc, the fraction
+    // of token positions covered by 4-grams recurring in >= 2 docs —
+    // the exact-substring-dedup diagnostic that catches mirrored /
+    // templated text no whole-doc hash sees. Position coverage, not
+    // gram counts: overlapping hot grams merge through the distinct.
+    "q_text_dupspan" -> ((s, dir) => {
+      Repetition.dupSpanStats(docs(s, dir), n = 4, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution diversity: rational Simpson concentration
     // (exact integer sums, one division — bit-portable; the Shannon
     // entropy column is library-grade and unit-tested instead, since
@@ -837,6 +847,29 @@ object LlmQueries {
         |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
         |    AS INT) AS n_gpt2
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_text_dupspan" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+        |    i -> struct_pack(p := i,
+        |      g := array_to_string(list_slice(w, i, i + 3), ' ')))) AS u
+        |  FROM t
+        |),
+        |g AS (SELECT doc_id, u.p AS p1, u.g AS gram FROM g0),
+        |hot AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING COUNT(*) >= 2
+        |),
+        |cov AS (
+        |  SELECT doc_id, COUNT(*) AS cov FROM (
+        |    SELECT DISTINCT doc_id, p1 + o AS pos
+        |    FROM g JOIN hot USING (gram) CROSS JOIN range(0, 4) AS oo(o)
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |  CAST(COALESCE(cov.cov, 0) AS INT) AS covered_tokens,
+        |  COALESCE(ROUND(CAST(cov.cov AS DOUBLE) / len(w), 6), 0.0) AS dup_span_frac
+        |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -379,6 +379,26 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(st(2) === ((3L, 0, 0, 0.0, 0.0)))
   }
 
+  test("dupSpanStats: coverage merges overlapping hot grams and zeroes clean/short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 & 2 share the 4-token run "p q r s" twice-shifted:
+      // hot 4-grams "p q r s" and "q r s t" overlap — together they
+      // cover positions 1..5 of doc 1 (5 tokens, not 8).
+      (1L, "p q r s t x1 y1 z1"),
+      (2L, "a2 p q r s t b2 c2"),
+      (3L, "u v w only here nothing shared"), // no hot grams -> 0
+      (4L, "too few")                         // < n tokens -> 0 via left join
+    ).toDF("doc_id", "text")
+    val st = rows(graft.operators.Repetition.dupSpanStats(docs, n = 4, minDf = 2)
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(st(0) === ((1L, 8, 5, 0.625)))
+    assert(st(1) === ((2L, 8, 5, 0.625)))
+    assert(st(2) === ((3L, 7, 0, 0.0)))
+    assert(st(3) === ((4L, 2, 0, 0.0)))
+  }
+
   test("bpeishTokenCount counts words and punctuation separately") {
     val df = Seq((1L, "hello, world!")).toDF("doc_id", "text")
     val n = rows(df.select(Text.bpeishTokenCount(col("text")))).head.getInt(0)
