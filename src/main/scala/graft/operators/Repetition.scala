@@ -119,6 +119,56 @@ object Repetition {
           .as("dup_span_frac"))
   }
 
+  /** Substring-granularity dedup REWRITE — the action behind
+    * [[dupSpanStats]] (the "deduplicating training data" recipe at
+    * span level): drop every token position covered by a corpus-hot
+    * n-gram and reassemble the survivors in order, keeping the
+    * documents themselves. Whole-doc and chunk dedup can only keep or
+    * kill; this removes the mirrored boilerplate from otherwise-unique
+    * documents — the highest-value tier of a 100 TB dedup pass.
+    *
+    * Output: (doc_id, clean_text, n_removed). A fully-covered doc
+    * keeps a row with empty text (the caller decides whether empties
+    * survive); a doc with no grams (or no hot grams) passes through
+    * byte-identical.
+    *
+    * Scale shape: [[dupSpanStats]]'s bounded hot set and position
+    * dedup, plus one token-stream anti join on (doc, pos) and one
+    * per-doc reassembly aggregate (sorted inside the aggregate — no
+    * window). Reassembly concatenates only SURVIVING tokens, so the
+    * width of the agg state is bounded by the doc itself.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val grams = docs.select(col("doc_id"),
+      posexplode(Text.ngrams(col("text"), n)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("p0"), Text.md5Long63(col("gram")).as("gh"))
+    val hot = grams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gh"))
+    val covered = grams.join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + n)).as("pos"))
+      .distinct()
+    val kept = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), Text.tokenCount(col("text")).as("nt"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("nt") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_removed"))
+  }
+
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(Text.ngrams(col("text"), n)).as("gram"))

@@ -556,6 +556,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-granularity dedup rewrite: remove every token position
+    // covered by a corpus-hot 4-gram, keep the document. Near-dup docs
+    // lose their mirrored spans; exact-dup docs wipe to empty; clean
+    // docs pass through byte-identical — all replayed span-for-span.
+    "q_dedup_spans" -> ((s, dir) => {
+      Repetition.removeDupSpans(docs(s, dir), n = 4, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution diversity: rational Simpson concentration
     // (exact integer sums, one division — bit-portable; the Shannon
     // entropy column is library-grade and unit-tested instead, since
@@ -870,6 +879,38 @@ object LlmQueries {
         |  CAST(COALESCE(cov.cov, 0) AS INT) AS covered_tokens,
         |  COALESCE(ROUND(CAST(cov.cov AS DOUBLE) / len(w), 6), 0.0) AS dup_span_frac
         |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+        |    i -> struct_pack(p := i,
+        |      g := array_to_string(list_slice(w, i, i + 3), ' ')))) AS u
+        |  FROM t
+        |),
+        |g AS (SELECT doc_id, u.p AS p1, u.g AS gram FROM g0),
+        |hot AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING COUNT(*) >= 2
+        |),
+        |covpos AS (
+        |  SELECT DISTINCT doc_id, p1 + o AS pos
+        |  FROM g JOIN hot USING (gram) CROSS JOIN range(0, 4) AS oo(o)
+        |),
+        |tok0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(p := i, tk := w[i]))) AS u
+        |  FROM t
+        |),
+        |tok AS (SELECT doc_id, u.p AS pos, u.tk AS tok FROM tok0),
+        |kept AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM tok ANTI JOIN covpos USING (doc_id, pos)
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |  CAST(len(w) - COALESCE(k.n_kept, 0) AS INT) AS n_removed
+        |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       """WITH planted AS (
         |  SELECT doc_id,

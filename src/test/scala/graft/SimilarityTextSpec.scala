@@ -399,6 +399,35 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(st(3) === ((4L, 2, 0, 0.0)))
   }
 
+  test("removeDupSpans strips covered spans, wipes exact dups, passes clean docs through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t x1 y1 z1"),   // loses positions 1..5 -> "x1 y1 z1"
+      (2L, "a2 p q r s t b2 c2"),   // loses positions 2..6 -> "a2 b2 c2"
+      (3L, "m m m m"),              // self-repetition only: df=1 -> untouched
+      (4L, "u v w clean doc here")  // untouched
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.Repetition.removeDupSpans(docs, n = 4, minDf = 2)
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out(0) === ((1L, "x1 y1 z1", 5)))
+    assert(out(1) === ((2L, "a2 b2 c2", 5)))
+    assert(out(2) === ((3L, "m m m m", 0)))
+    assert(out(3) === ((4L, "u v w clean doc here", 0)))
+  }
+
+  test("removeDupSpans wipes a doc whose every position is covered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "d1 d2 d3 d4"),
+      (2L, "d1 d2 d3 d4")
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.Repetition.removeDupSpans(docs, n = 4, minDf = 2)
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out === Seq((1L, "", 4), (2L, "", 4)))
+  }
+
   test("bpeishTokenCount counts words and punctuation separately") {
     val df = Seq((1L, "hello, world!")).toDF("doc_id", "text")
     val n = rows(df.select(Text.bpeishTokenCount(col("text")))).head.getInt(0)
