@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf}
+import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -269,6 +269,16 @@ object LlmQueries {
         .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
           round(col("v"), 6).as("proj_val"))
         .orderBy(col("vec_id"), col("dim_idx"))
+    }),
+
+    // Class-prototype centroids: per-label mean embedding through the
+    // decimal-exact KMeans update recipe — groups·dim rows cross the
+    // wire, corpus never shuffled; every component oracle-replayed.
+    "q_embed_centroid" -> ((s, dir) => {
+      VectorAgg.meanVectors(embs(s, dir)
+        .select(col("label"), col("embedding")), "label", "embedding")
+        .select(col("label"), col("n_vecs"), col("pos"), col("comp"))
+        .orderBy(col("label"), col("pos"))
     }),
 
     // Deterministic train/holdout split: every doc's bucket and split
@@ -1326,6 +1336,12 @@ object LlmQueries {
         |  COALESCE(m2.comp, c1.comp) AS component
         |FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
         |ORDER BY centroid_id, pos""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT label, COUNT(*) AS n_vecs, CAST(j AS INT) AS pos,
+        |  CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
+        |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+        |FROM embeddings CROSS JOIN range(64) r(j)
+        |GROUP BY label, j ORDER BY label, pos""".stripMargin,
     "q_embed_quant" ->
       """SELECT vec_id,
         | ROUND(sqrt(list_sum(list_transform(embedding,

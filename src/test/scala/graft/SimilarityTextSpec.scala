@@ -428,6 +428,24 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out === Seq((1L, "", 4), (2L, "", 4)))
   }
 
+  test("meanVectors: per-group component means, null group kept") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Seq(1.0f, 2.0f)),
+      (Some(1), Seq(3.0f, 6.0f)),
+      (Some(2), Seq(5.0f, 5.0f)),
+      (None, Seq(7.0f, 9.0f))
+    ).toDF("label", "vec")
+    val out = rows(graft.operators.VectorAgg.meanVectors(df, "label", "vec")
+      .orderBy(col("label").asc_nulls_last, col("pos")))
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1), r.getInt(2), r.getFloat(3)))
+    assert(out === Seq(
+      (1, 2L, 0, 2.0f), (1, 2L, 1, 4.0f),
+      (2, 1L, 0, 5.0f), (2, 1L, 1, 5.0f),
+      (-1, 1L, 0, 7.0f), (-1, 1L, 1, 9.0f)))
+  }
+
   test("bpeishTokenCount counts words and punctuation separately") {
     val df = Seq((1L, "hello, world!")).toDF("doc_id", "text")
     val n = rows(df.select(Text.bpeishTokenCount(col("text")))).head.getInt(0)
