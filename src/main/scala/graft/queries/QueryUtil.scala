@@ -97,10 +97,21 @@ object QueryUtil {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     val df = spark.read.parquet(path)
+    // The cast keys off the ACTUAL read type, not the declaration: the
+    // harness has shipped events.ts as both TIMESTAMP(NANOS) (surfaced
+    // as epoch-nanos long under the legacy conf) and plain
+    // timestamp[us] (surfaced as TIMESTAMP_NTZ) across regenerations.
+    // Either way the column lands as session-zone TimestampType with
+    // identical microsecond instants (session TZ is UTC everywhere), so
+    // every downstream query and oracle sees one stable type.
     declared.foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c))
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+      d.schema.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
     }
   }
 

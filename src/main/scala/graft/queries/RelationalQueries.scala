@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, IncrementalAgg, Profile, Quality, RangeJoin, Sketch, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, HeavyHitters, IncrementalAgg, Profile, Quality, RangeJoin, Sketch, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -505,6 +505,23 @@ object RelationalQueries {
         .select(lit("orders_self_custkey").as("rel"),
           col("est_join_size").as("est_size"), col("exact_size"))
       r1.unionByName(r2).orderBy(col("rel"))
+    }),
+
+    // Exact heavy hitters through a bounded-state candidate pass: a
+    // Misra-Gries summary (k=100 counters << 1003 distinct keys, so
+    // evictions genuinely fire) proposes candidates map-side, then an
+    // exact count over only candidate rows decides. The skewed key is
+    // derived (3 hot keys at ~8% share over a 1000-key cold tail)
+    // because TPC-H columns are uniform. The output is EXACT, so the
+    // oracle is the plain HAVING aggregate — no sketch replay.
+    "q_sketch_heavy" -> ((s, dir) => {
+      val keyed = table(s, dir, "orders").select(
+        when(col("o_orderkey") % 4 === 0,
+          concat(lit("hot_"), col("o_orderkey") % 3))
+          .otherwise(concat(lit("cold_"), col("o_custkey"))).as("k"))
+      HeavyHitters.heavyHitters(keyed, "k", minShare = 0.02)
+        .select(col("key"), col("cnt"), col("share"))
+        .orderBy(col("key"))
     }),
 
     // Single-pass numeric profiling: 5 metrics x 3 columns in ONE
@@ -1623,6 +1640,17 @@ object RelationalQueries {
         |  SELECT 'orders_self_custkey', est2.est_size, ex2.exact_size
         |  FROM est2 CROSS JOIN ex2
         |) ORDER BY rel""".stripMargin,
+    "q_sketch_heavy" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'hot_' || (o_orderkey % 3)
+        |              ELSE 'cold_' || o_custkey END AS key
+        |  FROM orders
+        |), t AS (SELECT COUNT(*) AS total FROM keyed),
+        |c AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY 1)
+        |SELECT key, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
+        |FROM c CROSS JOIN t
+        |WHERE cnt > total * 0.02
+        |ORDER BY key""".stripMargin,
     "q_profile_stats" ->
       """SELECT * FROM (
         |  SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
