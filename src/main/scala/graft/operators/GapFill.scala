@@ -63,4 +63,65 @@ object GapFill {
         last(col(valCol), ignoreNulls = true).over(locf).as(s"${valCol}_filled"),
         col(valCol).isNotNull.as("observed"))
   }
+
+  /** Exponentially-weighted moving average per key:
+    * `s_0 = x_0`, `s_t = alpha*x_t + (1-alpha)*s_{t-1}` over each key's
+    * time-ordered series — the standard smoother for sensor feeds and
+    * rate metrics, where a windowed mean lags and a full mean forgets
+    * nothing.
+    *
+    * EWMA is a RECURSION, which no window frame expresses: Spark (and
+    * SQL) window aggregates cannot reference their own previous output.
+    * The closed form `alpha * Σ (1-alpha)^(t-i) x_i` exists but routes
+    * through `pow`, whose cross-engine bit behavior is exactly what the
+    * portability rules avoid. So: one `collect_list` per key, one
+    * in-aggregate `sort_array` (deterministic (ts, x) order, no window
+    * shuffle), one `aggregate` HOF left fold emitting every step. Per-key
+    * memory is the series length — the [[Packing.concatPacked]]
+    * batch-bounded contract; segment epoch-long series upstream.
+    *
+    * Portability: each step is two multiplies and one add on doubles in
+    * a FIXED fold order, so any engine replaying the recursion (DuckDB:
+    * a recursive CTE) matches bit-for-bit — IEEE rounding is
+    * deterministic; only operand order ever diverges. `alpha` must be
+    * dyadic (m/2^n, n <= 10) so `1-alpha` is computed EXACTLY here and
+    * an oracle can write both as plain literals — for a non-dyadic 0.3,
+    * `1.0 - nearest(0.3)` need not equal `nearest(0.7)`, and the oracle's
+    * written literal silently diverges from the plan's constant.
+    *
+    * Scale shape: one shuffle (the groupBy), fold and explode map-side
+    * after it; output is one row per input observation.
+    */
+  def ewma(df: DataFrame, key: String, tsCol: String, valCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require((alpha * 1024.0) == math.rint(alpha * 1024.0),
+      s"alpha must be dyadic (m/2^n, n <= 10) so 1-alpha is exact; got $alpha")
+    val reserved = Seq("__ew_series", "__ew_out")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input already has a column named $c (reserved)"))
+
+    val series = df
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valCol).cast("double").as("x")))).as("__ew_series"))
+    val zero = struct(
+      lit(null).cast("double").as("prev"),
+      expr("CAST(array() AS array<struct<ts:timestamp,ewma:double>>)").as("out"))
+    val folded = series.select(col(key),
+      aggregate(col("__ew_series"), zero,
+        (acc, e) => {
+          val s = when(acc("prev").isNull, e("x"))
+            .otherwise(lit(alpha) * e("x") + lit(1.0 - alpha) * acc("prev"))
+          struct(s.as("prev"),
+            concat(acc("out"), array(struct(e("ts").as("ts"), s.as("ewma"))))
+              .as("out"))
+        },
+        acc => acc("out")).as("__ew_out"))
+    folded
+      .select(col(key), explode(col("__ew_out")).as("e"))
+      .select(col(key), col("e.ts").as(tsCol), col("e.ewma").as("ewma"))
+  }
 }

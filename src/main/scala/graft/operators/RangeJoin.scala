@@ -110,4 +110,43 @@ object RangeJoin {
       .filter(col(BinCol) === bin(greatest(col(lStart), col(rStart)), binWidth))
       .drop(BinCol)
   }
+
+  /** Gaps-and-islands: collapse each key's overlapping-or-touching
+    * closed intervals `[start, end]` into maximal merged spans — the
+    * coverage question (when was ANY replica up / ANY shipment in
+    * flight) that a naive self-join answers quadratically.
+    *
+    * Linear shape instead: per key ordered by (start, end), an interval
+    * starts a new island iff its start exceeds the running max end of
+    * every earlier interval; the island id is the running count of such
+    * breaks, and one aggregate per (key, island) emits the span. Both
+    * windows AND the final aggregate share the per-key hash
+    * partitioning (partitioning by `key` co-locates every (key, island)
+    * group), so the whole operator costs ONE shuffle. Inputs with
+    * start > end are rejected rows and dropped (not silently widened).
+    *
+    * Output: key, island_start, island_end, n_merged — deterministic,
+    * so the oracle replays the identical two-window form in SQL.
+    */
+  def mergeIntervals(
+      df: DataFrame, key: String, startCol: String, endCol: String): DataFrame = {
+    val reserved = Seq("__mi_prev_max", "__mi_island")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input already has a column named $c (reserved)"))
+    import org.apache.spark.sql.expressions.Window
+    val byStart = Window.partitionBy(col(key))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(startCol) <= col(endCol))
+      .withColumn("__mi_prev_max", max(col(endCol)).over(prevMax))
+      .withColumn("__mi_island",
+        sum(when(col("__mi_prev_max").isNull
+            || col(startCol) > col("__mi_prev_max"), 1L).otherwise(0L))
+          .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__mi_island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__mi_island")
+  }
 }

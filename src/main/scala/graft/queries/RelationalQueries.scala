@@ -785,6 +785,38 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // EWMA smoothing — a per-key RECURSION no window frame expresses
+    // (each output references the previous output). One groupBy
+    // shuffle, in-aggregate sort, HOF left fold; alpha=0.25 is dyadic
+    // so alpha and 1-alpha are exact doubles and the DuckDB recursive
+    // CTE replays the fold bit-for-bit (see GapFill.ewma's Scaladoc).
+    "q_ts_ewma" -> ((s, dir) => {
+      GapFill.ewma(
+        table(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", alpha = 0.25)
+        .orderBy(col("user_id"), col("ts"), col("ewma"))
+    }),
+
+    // Gaps-and-islands: merge each supplier's overlapping shipment
+    // windows [shipdate, shipdate + 3*qty days] into coverage spans
+    // (the harness lineitem carries no receiptdate, so the in-flight
+    // window is derived). Two windows + the final aggregate all share
+    // the per-key hash partitioning — ONE shuffle total (vs the
+    // quadratic self-join form). The qty filter sparsifies TPC-H's
+    // uniform dates so real gaps exist at sf0.01.
+    "q_ts_islands" -> ((s, dir) => {
+      RangeJoin.mergeIntervals(
+        table(s, dir, "lineitem").filter(col("l_quantity") <= 4)
+          .select(col("l_suppkey"), col("l_shipdate").cast("date").as("l_ship"),
+            date_add(col("l_shipdate").cast("date"),
+              (col("l_quantity") * lit(3)).cast("int")).as("l_receipt")),
+        "l_suppkey", "l_ship", "l_receipt")
+        .select(col("l_suppkey").as("suppkey"),
+          col("island_start"), col("island_end"), col("n_merged"))
+        .orderBy(col("suppkey"), col("island_start"))
+    }),
+
     // O2b per-GROUP top-k through the bounded-heap typed Aggregator —
     // the scalable alternative to the row_number window: the window
     // sorts every group member behind one exchange; the aggregator's
@@ -1834,6 +1866,42 @@ object RelationalQueries {
         |  o.value IS NOT NULL AS observed
         |FROM spine s LEFT JOIN o ON s.user_id = o.user_id AND s.bucket = o.bucket
         |ORDER BY s.user_id, s.bucket""".stripMargin,
+    "q_ts_ewma" ->
+      """WITH RECURSIVE ranked AS (
+        |  SELECT user_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, ts, rn, value::DOUBLE AS ewma FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.user_id, k.ts, k.rn,
+        |    0.25::DOUBLE * k.value + 0.75::DOUBLE * r.ewma
+        |  FROM ranked k JOIN r ON k.user_id = r.user_id AND k.rn = r.rn + 1
+        |)
+        |SELECT user_id, ts, ewma FROM r
+        |ORDER BY user_id, ts, ewma""".stripMargin,
+    "q_ts_islands" ->
+      """WITH src AS (
+        |  SELECT l_suppkey, l_shipdate::DATE AS s,
+        |    l_shipdate::DATE + (l_quantity * 3)::INT AS e
+        |  FROM lineitem WHERE l_quantity <= 4
+        |), w AS (
+        |  SELECT l_suppkey, s, e,
+        |    MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM src
+        |), isl AS (
+        |  SELECT l_suppkey, s, e,
+        |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w
+        |)
+        |SELECT l_suppkey AS suppkey, MIN(s) AS island_start,
+        |  MAX(e) AS island_end, COUNT(*) AS n_merged
+        |FROM isl GROUP BY l_suppkey, island
+        |ORDER BY suppkey, island_start""".stripMargin,
     "q_sink_zorder" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders

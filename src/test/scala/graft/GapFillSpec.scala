@@ -46,4 +46,39 @@ class GapFillSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("__gf_bucket"))
   }
+
+  test("ewma replays the sequential recursion per key, s_0 = x_0") {
+    val df = Seq(
+      ("A", ts(0), 8.0), ("A", ts(1), 4.0), ("A", ts(2), 2.0),
+      ("B", ts(5), 10.0)
+    ).toDF("k", "t", "v").repartition(3) // fold must not depend on layout
+    val out = rows(GapFill.ewma(df, "k", "t", "v", alpha = 0.5)
+      .orderBy(col("k"), col("t")))
+      .map(r => (r.getString(0), r.getDouble(2)))
+    // A: 8; 0.5*4+0.5*8 = 6; 0.5*2+0.5*6 = 4. B: seed only.
+    assert(out === Seq(("A", 8.0), ("A", 6.0), ("A", 4.0), ("B", 10.0)))
+  }
+
+  test("ewma orders ties by (ts, value) and drops null observations") {
+    val df = Seq(
+      ("A", ts(1), Some(4.0)), ("A", ts(1), Some(2.0)), // ts tie: 2 folds first
+      ("A", ts(2), None), ("A", ts(3), Some(6.0))
+    ).toDF("k", "t", "v")
+    val out = rows(GapFill.ewma(df, "k", "t", "v", alpha = 0.25)
+      .orderBy(col("t"), col("ewma"))).map(_.getDouble(2))
+    // 2; 0.25*4+0.75*2 = 2.5; null dropped; 0.25*6+0.75*2.5 = 3.375
+    assert(out === Seq(2.0, 2.5, 3.375))
+  }
+
+  test("ewma rejects non-dyadic alpha (the 1-alpha literal trap) and reserved columns") {
+    val df = Seq(("A", ts(0), 1.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      GapFill.ewma(df, "k", "t", "v", alpha = 0.3)
+    }
+    assert(e.getMessage.contains("dyadic"))
+    val e2 = intercept[IllegalArgumentException] {
+      GapFill.ewma(df.withColumn("__ew_out", lit(1)), "k", "t", "v", 0.5)
+    }
+    assert(e2.getMessage.contains("__ew_out"))
+  }
 }

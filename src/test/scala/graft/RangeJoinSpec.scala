@@ -94,4 +94,39 @@ class RangeJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("mergeIntervals collapses overlap and touch, keeps gaps, per key") {
+    val df = Seq(
+      ("A", 1L, 5L), ("A", 4L, 8L),   // overlap -> [1,8]
+      ("A", 8L, 9L),                  // touch (closed) -> [1,9]
+      ("A", 11L, 12L),                // gap -> own island
+      ("B", 2L, 3L),                  // other key untouched
+      ("A", 2L, 3L)                   // contained -> absorbed in [1,9]
+    ).toDF("k", "s", "e").repartition(4)
+    val out = rows(RangeJoin.mergeIntervals(df, "k", "s", "e")
+      .orderBy(col("k"), col("island_start")))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      ("A", 1L, 9L, 4L), ("A", 11L, 12L, 1L), ("B", 2L, 3L, 1L)))
+  }
+
+  test("mergeIntervals: a later-starting but longer interval extends the running max") {
+    // [1,10] then [2,3] then [4,12]: naive lag(end) would break at 4>3,
+    // but the running MAX(end) keeps one island through 12.
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 3L), ("A", 4L, 12L)).toDF("k", "s", "e")
+    val out = rows(RangeJoin.mergeIntervals(df, "k", "s", "e"))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq((1L, 12L, 3L)))
+  }
+
+  test("mergeIntervals drops inverted intervals and fails fast on reserved names") {
+    val df = Seq(("A", 5L, 1L), ("A", 2L, 4L)).toDF("k", "s", "e")
+    val out = rows(RangeJoin.mergeIntervals(df, "k", "s", "e"))
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out === Seq((2L, 4L)))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.mergeIntervals(df.withColumn("__mi_island", lit(1)), "k", "s", "e")
+    }
+    assert(e.getMessage.contains("__mi_island"))
+  }
 }
