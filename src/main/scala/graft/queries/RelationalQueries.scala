@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, HeavyHitters, IncrementalAgg, Profile, Quality, RangeJoin, Sketch, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, HeavyHitters, IncrementalAgg, Profile, Quality, RangeJoin, Reachability, Sketch, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -783,6 +783,24 @@ object RelationalQueries {
           .select(col("user_id"), col("ts"), col("value")),
         "user_id", "ts", "value", stepSeconds = 21600L)
         .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // Bounded-depth reachability (min-hop transitive-closure slice)
+    // via level-synchronous BFS: frontier joins edges once per hop, an
+    // anti join kills revisits, so work is O(reachable pairs) — the
+    // recursive-CTE oracle instead enumerates every PATH <= 3 hops and
+    // groups to the min, the form that explodes at corpus scale. The
+    // graph is a derived functional graph over suppliers (out-degree 2
+    // modular edges: cycles and diamonds genuinely occur; TPC-H has no
+    // native edge list).
+    "q_graph_reach" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier")
+      val edges = sup.select(col("s_suppkey").as("src"),
+          ((col("s_suppkey") * 7) % 100).as("dst"))
+        .unionByName(sup.select(col("s_suppkey").as("src"),
+          ((col("s_suppkey") * 13 + 1) % 100).as("dst")))
+      Reachability.kHop(edges, maxHops = 3)
+        .orderBy(col("src"), col("dst"))
     }),
 
     // EWMA smoothing — a per-key RECURSION no window frame expresses
@@ -1866,6 +1884,20 @@ object RelationalQueries {
         |  o.value IS NOT NULL AS observed
         |FROM spine s LEFT JOIN o ON s.user_id = o.user_id AND s.bucket = o.bucket
         |ORDER BY s.user_id, s.bucket""".stripMargin,
+    "q_graph_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT s_suppkey AS src, (s_suppkey * 7) % 100 AS dst FROM supplier
+        |  UNION
+        |  SELECT s_suppkey, (s_suppkey * 13 + 1) % 100 FROM supplier
+        |), r AS (
+        |  SELECT src, dst, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1
+        |  FROM r JOIN e ON r.dst = e.src WHERE r.hops < 3
+        |)
+        |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin,
     "q_ts_ewma" ->
       """WITH RECURSIVE ranked AS (
         |  SELECT user_id, ts, value,
