@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorOps
+
+/** Product quantization (PQ): compress a d-dim float corpus to m
+  * small codes by splitting each vector into m subvectors and learning
+  * an independent k-centroid codebook per subspace (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Why this matters at 100 TB: a 64-dim float32 corpus is 256 B/vector;
+  * PQ at m=8, k<=256 stores 8 one-byte codes (+ one float norm) —
+  * ~32× smaller, the difference between an ANN index that lives in
+  * executor memory and one that spills. Scoring against codes costs a
+  * LUT lookup per subspace instead of a d-wide dot product.
+  *
+  * Decomposition: the DOT PRODUCT is separable over subspaces —
+  * `dot(q, x) = Σ_s dot(q_s, x_s) ≈ Σ_s dot(q_s, c_{s, code_s})` —
+  * so with each vector's EXACT full norm stored alongside its codes
+  * (one scalar, essentially free), approximate cosine is
+  * `pq_dot / (|q|·|x|)`: asymmetric distance computation (ADC) in the
+  * same cosine ranking the exact operators use, re-rankable by
+  * [[Similarity]]'s exact path.
+  *
+  * Training reuses [[KMeans.fit]] per subspace unchanged (same
+  * deterministic seeding, tie-breaks, and 6-place portable rounding),
+  * so the full train → encode → score pipeline replays bit-for-bit in
+  * an external engine — the registered queries carry complete DuckDB
+  * oracles, sketch-free.
+  *
+  * Scale shape: training touches the corpus m·iters times with
+  * map-side-only assignment (codebooks ride the plan as literals);
+  * encoding is ONE map-side projection (zero shuffles); ADC scoring is
+  * a broadcast equi-join of the exploded code column against the
+  * (probes × m × k)-row LUT, one partial-combined sum per (probe,
+  * candidate), and a map-side [[TopKAggregator]] — the exchange after
+  * scoring carries k rows per probe per partition, never the corpus.
+  *
+  * Portability arithmetic: per-subspace LUT dots are rounded to 6
+  * places then summed EXACTLY as DECIMAL(38,12) — m doubles added in
+  * shuffle order would be partition-order-dependent; the decimal sum
+  * is not. The final score rounds after the norm division (the
+  * [[KMeans]] recipe).
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks: `books(s)` lists that subspace's
+    * (centroid_id, centroid) pairs; every subvector has length
+    * `subDim`.
+    */
+  case class Codebooks(subDim: Int, books: Array[Array[(Long, Array[Float])]]) {
+    def m: Int = books.length
+    def k: Int = books.head.length
+  }
+
+  private def subCol(vecCol: String, s: Int, subDim: Int): Column =
+    slice(col(vecCol), s * subDim + 1, subDim)
+
+  /** Train m independent codebooks over `corpus(idCol, vecCol)` whose
+    * vectors have dimension m * subDim. Model size m·k·subDim floats —
+    * driver-bounded, the legitimate broadcast-model idiom.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): Codebooks = {
+    require(m > 0 && subDim > 0, s"m/subDim must be positive, got $m/$subDim")
+    val books = (0 until m).map { s =>
+      KMeans.fit(
+        corpus.select(col(idCol).as("id"), subCol(vecCol, s, subDim).as("vec")),
+        k, iters)
+    }.toArray
+    Codebooks(subDim, books)
+  }
+
+  /** Codebooks flattened to (subspace, centroid_id, pos, component)
+    * rows — the element-exact oracle/storage shape ([[KMeans.fitDF]]).
+    */
+  def codebookDF(corpus: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, s) =>
+      book.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, p) => (s, cid, p, x) }
+      }
+    }.toSeq.toDF("subspace", "centroid_id", "pos", "component")
+  }
+
+  /** Per-subspace norms of the codebook centroids, for cosine
+    * assignment (same left-to-right double fold as the oracle).
+    */
+  private def withNorms(book: Array[(Long, Array[Float])]) =
+    book.map { case (cid, v) =>
+      var n = 0.0
+      v.foreach(x => n += x.toDouble * x.toDouble)
+      (cid, v, math.sqrt(n))
+    }
+
+  /** Encode the corpus: (id, vec_norm, subspace, code) rows, where
+    * `code` is the cosine-nearest centroid of that subspace (ties to
+    * the lowest centroid id — the [[KMeans]] assignment rule) and
+    * `vec_norm` is the EXACT full-vector norm kept for ADC. Map-side
+    * only: the codebooks ride the plan as literals, nothing shuffles.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val reserved = (0 until cb.m).map(s => s"__pq_sub$s") ++
+      (0 until cb.m).map(s => s"__pq_n$s")
+    reserved.foreach(c => require(!corpus.columns.contains(c),
+      s"input already has a column named $c (reserved)"))
+    // Two projection boundaries so each subvector and its norm evaluate
+    // ONCE (Catalyst substitutes, it does not let-bind — referencing
+    // the slice inside every centroid score would re-slice k times).
+    val subs = corpus.select(
+      Seq(col(idCol).as("id"), VectorOps.norm(col(vecCol)).as("vec_norm")) ++
+        (0 until cb.m).map(s => subCol(vecCol, s, cb.subDim).as(s"__pq_sub$s")): _*)
+    val normed = subs.select(
+      Seq(col("id"), col("vec_norm")) ++
+        (0 until cb.m).flatMap(s => Seq(col(s"__pq_sub$s"),
+          VectorOps.norm(col(s"__pq_sub$s")).as(s"__pq_n$s"))): _*)
+    val codes = (0 until cb.m).map { s =>
+      val best = array_max(array(withNorms(cb.books(s)).toIndexedSeq.map {
+        case (cid, cv, cn) =>
+          struct(
+            VectorOps.guardCos(try_divide(
+              VectorOps.dot(col(s"__pq_sub$s"), typedlit(cv)),
+              col(s"__pq_n$s") * lit(cn))).as("s"),
+            lit(-cid).as("negc"))
+      }: _*))
+      (-best.getField("negc")).as(s"__pq_code$s")
+    }
+    normed.select(Seq(col("id"), col("vec_norm")) ++ codes: _*)
+      .select(col("id"), col("vec_norm"),
+        posexplode(array((0 until cb.m).map(s => col(s"__pq_code$s")): _*))
+          .as(Seq("subspace", "code")))
+  }
+
+  /** ADC top-k: for each probe, the `kNN` candidates with the highest
+    * PQ-approximated cosine. `encoded` is [[encode]]'s output (the
+    * stored index); probes bring full vectors. Output:
+    * (probe_id, neighbor_id, pq_score).
+    */
+  def adcTopK(encoded: DataFrame, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, cb: Codebooks, kNN: Int): DataFrame = {
+    require(kNN > 0, s"kNN must be positive, got $kNN")
+    val subs = probes.select(
+      Seq(col(probeIdCol).as("probe_id"),
+        VectorOps.norm(col(probeVecCol)).as("__pq_pnorm")) ++
+        (0 until cb.m).map(s =>
+          subCol(probeVecCol, s, cb.subDim).as(s"__pq_sub$s")): _*)
+    // LUT: m·k (subspace, code, rounded dot) entries per probe.
+    val entries = (0 until cb.m).flatMap { s =>
+      cb.books(s).map { case (cid, cv) =>
+        struct(lit(s).as("subspace"), lit(cid).as("code"),
+          round(VectorOps.dot(col(s"__pq_sub$s"), typedlit(cv)), 6).as("pdot"))
+      }
+    }
+    val lut = subs.select(col("probe_id"), col("__pq_pnorm"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("probe_id"), col("__pq_pnorm"),
+        col("e.subspace").as("subspace"), col("e.code").as("code"),
+        col("e.pdot").as("pdot"))
+    encoded
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(
+        sum(col("pdot").cast(DecimalType(38, 12))).cast("double").as("pq_dot"),
+        first(col("vec_norm")).as("__nx"), first(col("__pq_pnorm")).as("__nq"))
+      .select(col("probe_id"), col("id"),
+        VectorOps.guardCos(round(
+          try_divide(col("pq_dot"), col("__nq") * col("__nx")), 6)).as("score"))
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(kNN)(col("id"), col("score")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("e"))
+      .select(col("probe_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("pq_score"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
+import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, ProductQuant, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -240,6 +240,33 @@ object LlmQueries {
     "q_ivf_train" -> ((s, dir) => {
       KMeans.fitDF(corpus(s, dir), k = 4, iters = 2)
         .orderBy(col("centroid_id"), col("pos"))
+    }),
+
+    // Product quantization codes: 4 independent 4-centroid codebooks
+    // over 16-dim subvectors (one KMeans iteration each, the portable
+    // recipe), then a map-side argmax encode — 64 floats become 4
+    // small codes. The oracle replays per-subspace training AND the
+    // assignment, so every code is a full cross-engine check.
+    "q_pq_codes" -> ((s, dir) => {
+      val cb = ProductQuant.fit(corpus(s, dir), "id", "vec",
+        m = 4, subDim = 16, k = 4, iters = 1)
+      ProductQuant.encode(corpus(s, dir), "id", "vec", cb)
+        .select(col("id").as("vec_id"), col("subspace"), col("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // PQ asymmetric-distance top-k: probes score the COMPRESSED corpus
+    // via per-subspace LUT dots (rounded then decimal-summed — m
+    // doubles in shuffle order would be order-dependent) over stored
+    // exact norms; map-side TopKAggregator bounds the exchange to k
+    // rows per probe per partition. Full oracle: train + encode + LUT
+    // + scoring all replay in DuckDB.
+    "q_ann_pq" -> ((s, dir) => {
+      val cb = ProductQuant.fit(corpus(s, dir), "id", "vec",
+        m = 4, subDim = 16, k = 4, iters = 1)
+      val enc = ProductQuant.encode(corpus(s, dir), "id", "vec", cb)
+      ProductQuant.adcTopK(enc, probes(s, dir), "probe_id", "vec", cb, kNN = 3)
+        .orderBy(col("probe_id"), col("pq_score").desc, col("neighbor_id"))
     }),
 
     // Embedding storage prep: L2 norm, symmetric int8 quantization and
@@ -692,6 +719,71 @@ object LlmQueries {
        |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |     * sqrt(list_sum(list_transform(range(1, len($b) + 1),
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** DuckDB replay of [[ProductQuant]] training + encoding at the
+    * registered configuration (m=4 subspaces x 16 dims, k=4, one
+    * KMeans iteration) — the q_ivf_train CTE pattern, stamped per
+    * subspace. Emits, for each subspace s: seed/assignment/means/final
+    * codebook (`cbl$s`: cid -> centroid list) and the final code
+    * assignment (`enc$s`: id -> code). Returns the CTE list without
+    * the WITH keyword.
+    */
+  private def pqCtes: String = (0 until 4).map { s =>
+    val lo = s * 16 + 1
+    val hi = (s + 1) * 16
+    s"""seed$s AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+       |), sn$s AS (
+       |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+       |  FROM seed$s
+       |), a$s AS (
+       |  SELECT id, sub, cid FROM (
+       |    SELECT id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+       |        list_sum(list_transform(range(1, 17), i -> sub[i] * nce[i]))
+       |        / (sqrt(list_sum(list_transform(sub, x -> x * x))) * nrm)
+       |        DESC, cid) AS rn
+       |    FROM (
+       |      SELECT e.vec_id AS id,
+       |        list_transform(e.embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS sub,
+       |        n.cid, n.ce AS nce, n.nrm
+       |      FROM embeddings e CROSS JOIN sn$s n
+       |    )
+       |  ) WHERE rn = 1
+       |), m$s AS (
+       |  SELECT cid, j AS pos,
+       |    CAST(ROUND(CAST(SUM(CAST(ROUND(sub[CAST(j AS INT) + 1], 6)
+       |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+       |  FROM a$s CROSS JOIN range(16) r(j) GROUP BY cid, j
+       |), cb$s AS (
+       |  SELECT sd.cid, r.j AS pos,
+       |    COALESCE(m$s.comp, CAST(sd.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
+       |  FROM seed$s sd CROSS JOIN range(16) r(j)
+       |  LEFT JOIN m$s ON m$s.cid = sd.cid AND m$s.pos = r.j
+       |), cbl$s AS (
+       |  SELECT cid, list(CAST(comp AS DOUBLE) ORDER BY pos) AS ce
+       |  FROM cb$s GROUP BY cid
+       |), cbn$s AS (
+       |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+       |  FROM cbl$s
+       |), enc$s AS (
+       |  SELECT id, cid AS code FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+       |        list_sum(list_transform(range(1, 17), i -> sub[i] * nce[i]))
+       |        / (sqrt(list_sum(list_transform(sub, x -> x * x))) * nrm)
+       |        DESC, cid) AS rn
+       |    FROM (
+       |      SELECT e.vec_id AS id,
+       |        list_transform(e.embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS sub,
+       |        n.cid, n.ce AS nce, n.nrm
+       |      FROM embeddings e CROSS JOIN cbn$s n
+       |    )
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }.mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" ->
@@ -1278,6 +1370,64 @@ object LlmQueries {
         | string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY lang, batch_id
         |ORDER BY lang, batch_id""".stripMargin,
+    "q_pq_codes" ->
+      (s"WITH $pqCtes" +
+        """
+          |SELECT vec_id, subspace, code FROM (
+          |  SELECT id AS vec_id, 0 AS subspace, code FROM enc0
+          |  UNION ALL SELECT id, 1, code FROM enc1
+          |  UNION ALL SELECT id, 2, code FROM enc2
+          |  UNION ALL SELECT id, 3, code FROM enc3
+          |)
+          |ORDER BY vec_id, subspace""".stripMargin),
+    "q_ann_pq" ->
+      (s"WITH $pqCtes," +
+        """
+          |pn AS (
+          |  SELECT vec_id AS probe_id, embedding AS pe,
+          |    sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nq
+          |  FROM embeddings WHERE vec_id < 5
+          |), xn AS (
+          |  SELECT vec_id AS id,
+          |    sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nx
+          |  FROM embeddings
+          |),""".stripMargin +
+        (0 until 4).map { s =>
+          val off = s * 16
+          s"""
+             |lut$s AS (
+             |  SELECT p.probe_id, c.cid AS code,
+             |    ROUND(list_sum(list_transform(range(1, 17),
+             |      i -> CAST(p.pe[$off + i] AS DOUBLE) * c.ce[i])), 6) AS pdot
+             |  FROM pn p CROSS JOIN cbl$s c
+             |)""".stripMargin
+        }.mkString(",") + "," +
+        """
+          |contrib AS (""".stripMargin +
+        (0 until 4).map { s =>
+          s"""
+             |  SELECT l.probe_id, e.id, l.pdot
+             |  FROM enc$s e JOIN lut$s l ON e.code = l.code""".stripMargin
+        }.mkString("\n  UNION ALL") +
+        """
+          |), sc AS (
+          |  SELECT probe_id, id,
+          |    CAST(SUM(CAST(pdot AS DECIMAL(38,12))) AS DOUBLE) AS pq_dot
+          |  FROM contrib GROUP BY probe_id, id
+          |), scored AS (
+          |  SELECT sc.probe_id, sc.id,
+          |    ROUND(sc.pq_dot / (pn.nq * xn.nx), 6) AS pq_score
+          |  FROM sc JOIN pn USING (probe_id) JOIN xn ON xn.id = sc.id
+          |), r AS (
+          |  SELECT probe_id, id, pq_score,
+          |    ROW_NUMBER() OVER (PARTITION BY probe_id
+          |      ORDER BY pq_score DESC, id) AS rn
+          |  FROM scored
+          |)
+          |SELECT probe_id, id AS neighbor_id, pq_score FROM r WHERE rn <= 3
+          |ORDER BY probe_id, pq_score DESC, neighbor_id""".stripMargin),
     "q_ivf_train" ->
       """WITH seed AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
