@@ -35,4 +35,44 @@ object VectorAgg {
           .cast("double") / count(lit(1))).as("m"))
       .select(col(groupCol), col("n_vecs"), col("pos"),
         round(col("m"), 6).cast("float").as("comp"))
+
+  /** Per-dimension z-score standardization of the corpus — the feature
+    * scaling step before distance-based methods (k-means, ANN) when
+    * dimensions carry different scales, and the drift-normalization
+    * step when corpora from different encoders mix.
+    *
+    * Output is the exploded (vec_id, pos, z) form:
+    * `z = round((x - mean_pos) / std_pos, 6)`, with a constant
+    * dimension (std = 0) yielding NULL rather than an ANSI error.
+    *
+    * Scale shape: one posexplode scan feeds ONE partially-combined
+    * per-dimension moment aggregate (dim result rows); the tiny stats
+    * frame broadcasts back onto the exploded corpus — the corpus is
+    * never shuffled.
+    *
+    * Portability: inputs quantize to 6 places, so both the sum and the
+    * sum of squares accumulate EXACTLY in DECIMAL(38,12) (x_r² carries
+    * exactly 12 decimals); mean, E[x²], `var = E[x²] - mean²`, sqrt,
+    * and the final division are then single IEEE ops in a fixed order —
+    * an external engine lands on identical bits (population variance,
+    * the textbook replayable form; the shifted-data cancellation risk
+    * is bounded by the 6-place input quantization).
+    */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        round(col("x").cast("double"), 6).as("xr"))
+    val stats = ex.groupBy(col("pos"))
+      .agg(
+        (sum(col("xr").cast(DecimalType(38, 12))).cast("double")
+          / count(lit(1))).as("mean"),
+        (sum((col("xr") * col("xr")).cast(DecimalType(38, 12))).cast("double")
+          / count(lit(1))).as("ex2"))
+      .select(col("pos"), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    ex.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        round(try_divide(col("xr") - col("mean"), col("std")), 6).as("z"))
+  }
 }

@@ -308,6 +308,17 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Per-dimension z-score standardization: one posexplode scan, one
+    // partial-combined per-dim moment aggregate (64 result rows), the
+    // tiny stats frame broadcast back — the corpus never shuffles.
+    // Exact-decimal moments over 6-place-quantized inputs make every
+    // z replayable (see VectorAgg.standardizeDims).
+    "q_embed_standard" -> ((s, dir) => {
+      VectorAgg.standardizeDims(embs(s, dir)
+        .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Deterministic train/holdout split: every doc's bucket and split
     // are a pure md5 function of its id — same assignment in DuckDB,
     // hash-checked per row.
@@ -1492,6 +1503,23 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_embed_standard" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(j AS INT) AS pos,
+        |    ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6) AS xr
+        |  FROM embeddings CROSS JOIN range(64) r(j)
+        |), st AS (
+        |  SELECT pos,
+        |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean,
+        |    CAST(SUM(CAST(xr * xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ex2
+        |  FROM ex GROUP BY pos
+        |), sd AS (
+        |  SELECT pos, mean, sqrt(ex2 - mean * mean) AS std FROM st
+        |)
+        |SELECT ex.vec_id, ex.pos,
+        |  ROUND((ex.xr - sd.mean) / NULLIF(sd.std, 0), 6) AS z
+        |FROM ex JOIN sd USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
     "q_embed_quant" ->
       """SELECT vec_id,
         | ROUND(sqrt(list_sum(list_transform(embedding,

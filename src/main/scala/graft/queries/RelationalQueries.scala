@@ -1436,6 +1436,26 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Last-touch attribution: each purchase credits the latest click
+    // at-or-before it (per user) within a 7-day window — the as-of
+    // join composed into the marketing-analytics shape, then one
+    // revenue rollup per derived channel. Same single-shuffle as-of
+    // plan as q_join_asof; DuckDB's native ASOF JOIN is the oracle.
+    "q_attr_lasttouch" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val touch = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("tts"),
+          concat(lit("ch_"), col("event_id") % 3).as("channel"))
+      AsOfJoin.asof(conv, touch, "user_id", "ts", "tts",
+          Map("channel" -> "channel"), inner = true,
+          tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
     // Weekly cohort retention: first-touch min + (user, week) distinct
     // both shuffle on user_id; the per-week cohort sizes are a bounded
     // frame broadcast back onto the cells (plan: one broadcast join, no
@@ -2356,6 +2376,20 @@ object RelationalQueries {
         |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3
         |)
         |SELECT user_id, t_1, t_2, t_3, t_4 FROM s4 ORDER BY user_id""".stripMargin,
+    "q_attr_lasttouch" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, ts AS tts, 'ch_' || (event_id % 3) AS channel
+        |  FROM events WHERE event_type = 'click'
+        |), att AS (
+        |  SELECT c.value, t.channel, c.ts, t.tts
+        |  FROM conv c ASOF JOIN t ON c.user_id = t.user_id AND c.ts >= t.tts
+        |)
+        |SELECT channel, COUNT(*) AS n_conv,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM att WHERE ts - tts <= INTERVAL 7 DAY
+        |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_cohort" ->
       """WITH firsts AS (
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

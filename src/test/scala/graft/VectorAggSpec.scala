@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorAgg
+
+class VectorAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("standardizeDims: z-scores match the hand-computed per-dimension moments") {
+    // dim 0: values 1,3 -> mean 2, var 1, std 1; dim 1: 2,2 -> std 0.
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 2f))).toDF("id", "vec")
+    val out = rows(VectorAgg.standardizeDims(df, "id", "vec")
+      .orderBy(col("vec_id"), col("pos")))
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out === Seq(
+      (1L, 0, -1.0), (1L, 1, null), // constant dim -> NULL, not an ANSI error
+      (2L, 0, 1.0), (2L, 1, null)))
+  }
+
+  test("standardizeDims: standardized column has mean ~0 and std ~1 per dimension") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 50L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 10f)))
+      .toDF("id", "vec").repartition(5)
+    val z = VectorAgg.standardizeDims(df, "id", "vec")
+    val stats = rows(z.groupBy(col("pos"))
+      .agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s"))
+      .orderBy(col("pos")))
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    stats.foreach { case (m, s) =>
+      assert(math.abs(m) < 1e-6, s"mean $m not ~0")
+      assert(math.abs(s - 1.0) < 1e-6, s"std $s not ~1")
+    }
+  }
+
+  test("standardizeDims is partition-layout independent (exact decimal moments)") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 30L).map(i => (i, Array.fill(3)(rnd.nextFloat())))
+    val a = rows(VectorAgg.standardizeDims(
+      base.toDF("id", "vec").repartition(1), "id", "vec")
+      .orderBy(col("vec_id"), col("pos"))).map(_.getDouble(2))
+    val b = rows(VectorAgg.standardizeDims(
+      base.toDF("id", "vec").repartition(7), "id", "vec")
+      .orderBy(col("vec_id"), col("pos"))).map(_.getDouble(2))
+    assert(a === b)
+  }
+}
