@@ -559,6 +559,34 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("avg_7d"))
     }),
 
+    // W3 (rolling MEDIAN): Spark's window engine has no median — the
+    // robust smoother a spiky metric needs (one outlier saturates a
+    // trailing mean for the whole frame; the median sheds it). Frame
+    // values collect into a sorted array per row (O(frame) memory —
+    // fine for the bounded 4-row frame; an unbounded frame would need
+    // a sketch), midpoint interpolation averages the two central
+    // values. Both engines' interpolation lands within 1 ulp; the
+    // 6-place round absorbs it (2-decimal inputs put true midpoints
+    // >= 5e-7 from every rounding boundary, 1e7x the ulp noise).
+    "q_window_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("value")).rowsBetween(-3, 0)
+      table(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          sort_array(collect_list(col("value").cast("double")).over(w))
+            .as("__arr"))
+        .select(col("user_id"), col("ts"), col("value"),
+          round(when(size(col("__arr")) % 2 === 1,
+              element_at(col("__arr"),
+                ((size(col("__arr")) + 1) / 2).cast("int")))
+            .otherwise((element_at(col("__arr"),
+                (size(col("__arr")) / 2).cast("int"))
+              + element_at(col("__arr"),
+                (size(col("__arr")) / 2).cast("int") + 1))
+              / lit(2.0)), 6).as("med_4"))
+        .orderBy(col("user_id"), col("ts"), col("value"))
+    }),
+
     // F-family: bitwise ops (and/or/xor/shifts) — the key-manipulation
     // primitives partitioners and bucketing schemes lean on.
     "q_fn_bitwise" -> ((s, dir) => {
@@ -2376,6 +2404,13 @@ object RelationalQueries {
         |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3
         |)
         |SELECT user_id, t_1, t_2, t_3, t_4 FROM s4 ORDER BY user_id""".stripMargin,
+    "q_window_median" ->
+      """SELECT user_id, ts, value,
+        |  ROUND(median(value::DOUBLE) OVER (PARTITION BY user_id
+        |    ORDER BY ts, value ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+        |    AS med_4
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts, value""".stripMargin,
     "q_attr_lasttouch" ->
       """WITH conv AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
