@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lead, max, min, row_number, struct}
+import org.apache.spark.sql.functions.{coalesce, col, lead, lit, max, min, row_number, struct, when}
 
 /** Warehouse merge (SCD-1 upsert): apply a batch of keyed changes to a
   * base table — matched keys take the update row wholesale, unmatched
@@ -152,5 +152,53 @@ object Upsert {
     val changedKeys = latest.select(keys.map(col): _*)
     val cond = keys.map(k => base(k) <=> changedKeys(k)).reduce(_ && _)
     base.join(changedKeys, cond, "left_anti").unionByName(survivors)
+  }
+
+  /** Snapshot diff — CDC EXTRACTION when no change feed exists: given
+    * two states of the same keyed table, emit one row per changed key
+    * with `change_type` 'I' (in after only), 'D' (in before only) or
+    * 'U' (present in both with different non-key values); unchanged
+    * keys emit nothing. The output IS a change feed: replaying it onto
+    * `before` via [[applyCdc]] reconstructs `after` — the round-trip
+    * [[UpsertSpec]] asserts.
+    *
+    * Value columns carry the AFTER image for I/U and the BEFORE image
+    * for D (the row being removed — an after-image would be all-null).
+    *
+    * Scale shape: one full-outer equi-join on the key (both sides
+    * shuffle once, or zero times off bucketed/co-partitioned bases);
+    * the unchanged majority dies in a pipelined null-safe struct
+    * comparison BEFORE anything else happens, so downstream cost is
+    * proportional to the CHANGED rows — the property that makes
+    * diff-based CDC viable on a 100 TB table where changes are sparse.
+    * Both frames must share the schema; NULL keys match null-safely
+    * and NULL-vs-NULL values compare equal (no phantom updates).
+    */
+  def diffSnapshots(
+      before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val valCols = before.columns.filterNot(keys.contains).toSeq
+    require(valCols.nonEmpty,
+      "diffSnapshots needs at least one non-key column (key-only tables " +
+        "diff to pure membership: use except/intersect)")
+    val b = before.select(
+      struct(keys.map(col): _*).as("__d_bk"),
+      struct(valCols.map(col): _*).as("__d_bv"))
+    val a = after.select(
+      struct(keys.map(col): _*).as("__d_ak"),
+      struct(valCols.map(col): _*).as("__d_av"))
+    val joined = b.join(a, col("__d_bk") <=> col("__d_ak"), "full_outer")
+      .filter(!(col("__d_bv") <=> col("__d_av"))) // unchanged rows die here
+    val changeType = when(col("__d_bk").isNull, lit("I"))
+      .when(col("__d_ak").isNull, lit("D"))
+      .otherwise(lit("U"))
+    val image = when(col("__d_ak").isNull, col("__d_bv")).otherwise(col("__d_av"))
+    val keyImage = coalesce(col("__d_ak"), col("__d_bk"))
+    joined.select(
+      Seq(changeType.as("change_type")) ++
+        keys.map(k => keyImage.getField(k).as(k)) ++
+        valCols.map(c => image.getField(c).as(c)): _*)
   }
 }

@@ -1067,6 +1067,29 @@ object RelationalQueries {
     // deletes, inserts) resolves to latest-per-key and lands on the
     // base in one anti join + union — deletes remove, the second
     // update wins, unchanged rows pass through.
+    // Snapshot diff — CDC extraction when no change feed exists: two
+    // states of the orders table (deterministic planted deletes /
+    // updates / inserts) diff to one row per CHANGED key; the
+    // unchanged majority dies in a pipelined null-safe struct compare
+    // right after the single full-outer key join, so cost tracks the
+    // change volume, not the table (Upsert.diffSnapshots).
+    "q_diff_snapshots" -> ((s, dir) => {
+      val before = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val mutated = before.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val inserts = before.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus"))
+      Upsert.diffSnapshots(before, mutated.unionByName(inserts),
+          Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+
     "q_cdc_apply" -> ((s, dir) => {
       val cust = table(s, dir, "customer").select(
         col("c_custkey"), col("c_name"),
@@ -2031,6 +2054,38 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT * FROM upd
         |) ORDER BY c_custkey""".stripMargin,
+    "q_diff_snapshots" ->
+      """WITH bt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), at AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+        |  FROM orders WHERE o_orderkey % 101 = 0
+        |), j AS (
+        |  SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+        |    b.o_custkey AS bc, a.o_custkey AS ac,
+        |    b.o_totalprice AS bp, a.o_totalprice AS ap,
+        |    b.o_orderstatus AS bst, a.o_orderstatus AS ast
+        |  FROM bt b FULL OUTER JOIN at a ON b.o_orderkey = a.o_orderkey
+        |)
+        |SELECT
+        |  CASE WHEN bk IS NULL THEN 'I' WHEN ak IS NULL THEN 'D'
+        |       ELSE 'U' END AS change_type,
+        |  COALESCE(ak, bk) AS o_orderkey,
+        |  CASE WHEN ak IS NULL THEN bc ELSE ac END AS o_custkey,
+        |  CASE WHEN ak IS NULL THEN bp ELSE ap END AS o_totalprice,
+        |  CASE WHEN ak IS NULL THEN bst ELSE ast END AS o_orderstatus
+        |FROM j
+        |WHERE NOT (bk IS NOT NULL AND ak IS NOT NULL
+        |  AND bc IS NOT DISTINCT FROM ac
+        |  AND bp IS NOT DISTINCT FROM ap
+        |  AND bst IS NOT DISTINCT FROM ast)
+        |ORDER BY o_orderkey, change_type""".stripMargin,
     "q_cdc_apply" ->
       """WITH ch AS (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,

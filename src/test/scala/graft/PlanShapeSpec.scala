@@ -321,4 +321,31 @@ class PlanShapeSpec extends SparkTestBase {
         s"no runtime bloom filter was injected:\n$p")
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("q_ann_pq: the ADC LUT joins by broadcast; no sort-merge join of the corpus") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"ADC scoring must never shuffle-sort the corpus against the tiny LUT:\n$p")
+  }
+
+  test("q_embed_standard: per-dim stats broadcast back onto the exploded corpus") {
+    val p = plan("q_embed_standard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sketch_heavy: candidate membership joins by broadcast before the exact count") {
+    val p = plan("q_sketch_heavy")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_ts_islands: both windows and the island aggregate share ONE exchange") {
+    val p = plan("q_ts_islands")
+    // one exchange for the per-key windows; the final orderBy adds a
+    // range exchange. Anything more means the (key, island) aggregate
+    // re-shuffled data the key partitioning already co-located.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges (window + output sort):\n$p")
+  }
 }

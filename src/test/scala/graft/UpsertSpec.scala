@@ -122,4 +122,46 @@ class UpsertSpec extends SparkTestBase {
       Upsert.scd2Apply(noIv, changes, Seq("id"), "ts")
     }
   }
+
+  test("diffSnapshots classifies I/D/U, skips unchanged, and NULL==NULL is no update") {
+    val before = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0)
+    ).toDF("id", "tag", "amt")
+    val after = Seq(
+      (1L, Some("a"), 10.0),                 // unchanged -> no row
+      (2L, Some("B"), 20.0),                 // U (value change)
+      (3L, None: Option[String], 30.0),      // unchanged with NULL tag -> no row
+      (5L, Some("e"), 50.0)                  // I; id 4 -> D
+    ).toDF("id", "tag", "amt")
+    val out = rows(Upsert.diffSnapshots(before, after, Seq("id"))
+      .orderBy(col("id")))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out === Seq(
+      ("U", 2L, "B", 20.0),   // after image
+      ("D", 4L, "d", 40.0),   // before image (the row being removed)
+      ("I", 5L, "e", 50.0)))
+  }
+
+  test("diffSnapshots round-trips: applying the diff as CDC reconstructs 'after'") {
+    val before = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    val after = Seq((1L, 1.0), (2L, 2.5), (5L, 5.0)).toDF("id", "v")
+    val feed = Upsert.diffSnapshots(before, after, Seq("id"))
+      .withColumnRenamed("change_type", "op")
+      .withColumn("ts", lit(1L))
+    val rebuilt = Upsert.applyCdc(before, feed, Seq("id"), "ts", "op")
+    assert(rows(rebuilt.orderBy(col("id"))).map(r => (r.getLong(0), r.getDouble(1)))
+      === rows(after.orderBy(col("id"))).map(r => (r.getLong(0), r.getDouble(1))))
+  }
+
+  test("diffSnapshots fails fast on schema mismatch and key-only tables") {
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    intercept[IllegalArgumentException] {
+      Upsert.diffSnapshots(a, a.withColumnRenamed("tag", "t2"), Seq("id"))
+    }
+    val keyOnly = Seq(Tuple1(1L)).toDF("id")
+    intercept[IllegalArgumentException] {
+      Upsert.diffSnapshots(keyOnly, keyOnly, Seq("id"))
+    }
+  }
 }
