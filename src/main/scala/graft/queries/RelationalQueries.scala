@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
-import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, HeavyHitters, IncrementalAgg, Profile, Quality, RangeJoin, Reachability, Sketch, SkewJoin, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Bloom, GapFill, Geo, HeavyHitters, IncrementalAgg, Profile, Quality, RangeJoin, Reachability, Sketch, SkewJoin, Upsert}
 import graft.sources.{Sinks, Sources}
 import QueryUtil._
 
@@ -1067,6 +1067,26 @@ object RelationalQueries {
     // deletes, inserts) resolves to latest-per-key and lands on the
     // base in one anti join + union — deletes remove, the second
     // update wins, unchanged rows pass through.
+    // Spatial nearest-neighbor as a grid-cell equi-join: probes
+    // explode to their 3x3 cell neighborhood (x9 on the SMALL side),
+    // candidates keep one home cell, exact squared-Euclidean verify +
+    // per-probe argmin — the cross-join-free spatial join. Coordinates
+    // are key-derived dyadic doubles (TPC-H has no geometry), so every
+    // distance is IEEE-exact and the naive cross-join oracle matches
+    // bit-for-bit.
+    "q_geo_nearest" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 100).cast("double") + lit(0.25)).as("px"),
+        (((col("c_custkey") * 7) % 100).cast("double") + lit(0.75)).as("py"))
+      val sup = table(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 10).cast("double") * lit(10.0) + lit(0.5)).as("sx"),
+        (floor(col("s_suppkey").cast("double") / lit(10.0)) * lit(10.0)
+          + lit(0.5)).as("sy"))
+      Geo.nearestWithinRadius(cust, "c_custkey", "px", "py",
+          sup, "s_suppkey", "sx", "sy", radius = 8.0)
+        .orderBy(col("c_custkey"))
+    }),
+
     // Snapshot diff — CDC extraction when no change feed exists: two
     // states of the orders table (deterministic planted deletes /
     // updates / inserts) diff to one row per CHANGED key; the
@@ -2054,6 +2074,29 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT * FROM upd
         |) ORDER BY c_custkey""".stripMargin,
+    "q_geo_nearest" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 100)::DOUBLE + 0.25 AS px,
+        |    ((c_custkey * 7) % 100)::DOUBLE + 0.75 AS py
+        |  FROM customer
+        |), sup AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey % 10)::DOUBLE * 10.0 + 0.5 AS sx,
+        |    FLOOR(s_suppkey::DOUBLE / 10.0) * 10.0 + 0.5 AS sy
+        |  FROM supplier
+        |), pairs AS (
+        |  SELECT c.c_custkey, c.px, c.py, s.s_suppkey,
+        |    (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy)
+        |      AS dist_sq
+        |  FROM cust c CROSS JOIN sup s
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |    ORDER BY dist_sq, s_suppkey) AS rn
+        |  FROM pairs WHERE dist_sq <= 64.0
+        |)
+        |SELECT c_custkey, px, py, s_suppkey, dist_sq FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
     "q_diff_snapshots" ->
       """WITH bt AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders

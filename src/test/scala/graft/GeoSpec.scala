@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+
+class GeoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def nearest(
+      probes: Seq[(Long, Double, Double)], cands: Seq[(Long, Double, Double)],
+      r: Double): Seq[(Long, Long, Double)] =
+    rows(Geo.nearestWithinRadius(
+      probes.toDF("pid", "px", "py").repartition(3), "pid", "px", "py",
+      cands.toDF("cid", "cx", "cy").repartition(2), "cid", "cx", "cy", r)
+      .orderBy(col("pid")))
+      .map(x => (x.getLong(0), x.getLong(3), x.getDouble(4)))
+
+  test("matches the naive all-pairs result on a random planar set") {
+    val rnd = new scala.util.Random(5)
+    val probes = (1L to 60L).map(i => (i, rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+    val cands = (1L to 40L).map(i => (i, rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+    val r = 6.0
+    val naive = probes.flatMap { case (pid, px, py) =>
+      val within = cands.map { case (cid, cx, cy) =>
+        (cid, (px - cx) * (px - cx) + (py - cy) * (py - cy))
+      }.filter(_._2 <= r * r)
+      if (within.isEmpty) None
+      else {
+        val (cid, d) = within.minBy { case (cid, d) => (d, cid) }
+        Some((pid, cid, d))
+      }
+    }
+    assert(nearest(probes, cands, r) === naive)
+  }
+
+  test("a candidate just outside the radius is excluded; just inside is kept") {
+    val probes = Seq((1L, 0.0, 0.0))
+    val cands = Seq((10L, 3.0, 4.0), (20L, 5.0, 0.125))
+    // |(3,4)| = 5 exactly: kept at r=5 (closed ball). |(5,0.125)| > 5.
+    assert(nearest(probes, cands, 5.0) === Seq((1L, 10L, 25.0)))
+  }
+
+  test("neighbor-cell candidates are found across cell boundaries") {
+    // probe at the very edge of its cell; candidate sits in the next
+    // cell over but within the radius.
+    val probes = Seq((1L, 9.9, 0.0))
+    val cands = Seq((7L, 10.1, 0.0))
+    val d = 9.9 - 10.1
+    assert(nearest(probes, cands, 10.0) === Seq((1L, 7L, d * d)))
+  }
+
+  test("distance ties break to the lowest candidate id") {
+    val probes = Seq((1L, 0.0, 0.0))
+    val cands = Seq((30L, 1.0, 0.0), (20L, -1.0, 0.0))
+    assert(nearest(probes, cands, 2.0) === Seq((1L, 20L, 1.0)))
+  }
+
+  test("probes with no candidate in range emit nothing; negative coords work") {
+    val probes = Seq((1L, -20.0, -20.0), (2L, -1.0, -1.0))
+    val cands = Seq((5L, -1.5, -1.5))
+    val got = nearest(probes, cands, 1.0)
+    assert(got === Seq((2L, 5L, 0.5)))
+  }
+}
