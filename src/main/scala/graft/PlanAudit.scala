@@ -15,7 +15,10 @@ object PlanAudit {
       "q_embed_project", "q_sample_shard", "q_text_html", "q_source_binary",
       "q_pack_concat", "q_cdc_apply", "q_profile_bucket", "q_join_asof_tol",
       "q_vocab_oov", "q_decon_ngram", "q_sample_dsir", "q_sample_mix",
-      "q_split_leakfree")
+      "q_split_leakfree", "q_sketch_heavy", "q_pq_codes", "q_ann_pq",
+      "q_graph_reach", "q_ts_ewma", "q_ts_islands", "q_window_median",
+      "q_attr_lasttouch", "q_embed_standard", "q_diff_snapshots",
+      "q_geo_nearest")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per hop, one equi-join shuffle on the frontier's dst
   * and one anti-join shuffle on (src, dst); state is O(reachable
-  * pairs) + O(E), nothing collects to the driver. `maxHops` is a small
-  * constant, so the plan's linear growth is bounded; the reach set is
-  * `localCheckpoint`ed each level (the [[PageRank.ranks]] pattern) to
-  * keep lineage flat and stop Spark re-deriving level h-1 at level h.
+  * pairs) + O(E), nothing collects to the driver. Each level is
+  * persisted, eagerly materialized, and re-exposed through an RDD
+  * boundary so the accumulated union's logical plan stays FLAT —
+  * without the boundary it doubles per level (exponential analysis
+  * cost with depth), and localCheckpoint is not an option (see the
+  * in-method comment).
   *
   * Semantics: hops >= 1 only (a vertex is not reported at hop 0);
   * a cycle back to the source DOES report (v, v, cycle_len). Multi-
@@ -43,39 +45,51 @@ object Reachability {
       .distinct()
       .persist()
     e.count() // materialize once; every level joins this frame
-    // Lineage control is persist + eager count per level, NOT
-    // localCheckpoint: a checkpointed frame (LogicalRDD) carries its
-    // origin's constraints, and unioning it later trips Union
-    // constraint rewriting on the stale attribute ids (observed as
-    // NoSuchElementException in rewriteConstraints). Depth is bounded
-    // by maxHops, so plain cached lineage stays flat enough; superseded
-    // reach caches are released as soon as their successor materializes.
+    // Lineage control per level is persist + eager count + an RDD
+    // boundary, NOT localCheckpoint: a checkpointed frame (LogicalRDD)
+    // carries its origin's constraints, and unioning it later trips
+    // Union constraint rewriting on the stale attribute ids (observed
+    // as NoSuchElementException in rewriteConstraints).
+    // `createDataFrame(df.rdd, df.schema)` gives the same flat plan
+    // with NO carried constraints; without it the logical plan under
+    // the accumulated union doubles per level (each child embeds its
+    // predecessors even when cached) — exponential ANALYSIS cost with
+    // depth even though execution reads the caches. Reads hit the
+    // level's cache through the RDD; superseded caches are released as
+    // soon as their successor materializes.
+    val spark = edges.sparkSession
+    val cachedLevels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // (flat frame, row count): persist + count the real plan, then hand
+    // back a LogicalRDD view of its cache.
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val cached = df.persist()
+      val n = cached.count()
+      cachedLevels += cached
+      (spark.createDataFrame(cached.rdd, cached.schema), n)
+    }
     try {
-      var reach = e.withColumn("hops", lit(1L)).persist()
-      reach.count()
+      var (reach, _) = materialize(e.withColumn("hops", lit(1L)))
       var frontier = reach
       var frontierSize = 1L
       var h = 1
-      val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
       while (h < maxHops && frontierSize > 0) {
-        val next = frontier.alias("f")
+        val (next, n) = materialize(frontier.alias("f")
           .join(e.alias("e"), col("f.dst") === col("e.src"))
           .select(col("f.src").as("src"), col("e.dst").as("dst"))
           .distinct()
           .join(reach, Seq("src", "dst"), "left_anti")
-          .withColumn("hops", lit((h + 1).toLong))
-          .persist()
-        frontierSize = next.count()
-        val grown = reach.unionByName(next).persist()
-        grown.count()
-        retired += reach
-        retired += next // still readable this round; dropped after the loop
+          .withColumn("hops", lit((h + 1).toLong)))
+        frontierSize = n
+        val (grown, _) = materialize(reach.unionByName(next))
         reach = grown
         frontier = next
         h += 1
       }
-      retired.foreach(_.unpersist())
-      reach // persisted + materialized; caller unpersists when done
+      // Only the cache backing the FINAL frame must outlive the call;
+      // evicting it degrades to an RDD-lineage recompute, never a wrong
+      // answer. Intermediate level caches are released here.
+      cachedLevels.dropRight(1).foreach(_.unpersist())
+      reach
     } finally e.unpersist()
   }
 }
