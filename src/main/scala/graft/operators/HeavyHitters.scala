@@ -139,4 +139,34 @@ object HeavyHitters {
       .select(col("key"), col("cnt"),
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
   }
+
+  /** [[heavyHitters]] per group: keys exceeding `minShare` of THEIR
+    * GROUP's rows — hot keys per tenant / per day / per shard, the
+    * operational telemetry shape. One Misra-Gries aggregate per group
+    * (each group's summary is independently <= k entries, so the
+    * exchange carries <= k rows per group per partition), then the same
+    * broadcast-membership exact verify scoped by (group, key).
+    * Output: (group, key, cnt, share), share of the group's total.
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      minShare: Double, slack: Double = 2.0): DataFrame = {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0,1), got $minShare")
+    require(slack >= 1.0, s"slack must be >= 1, got $slack")
+    val k = math.ceil(slack / minShare).toInt
+    val mg = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(keyCol).cast("string").as("key"))
+    val cand = keyed.groupBy(col("grp")).agg(mg(col("key")).as("__mg"))
+      .select(col("grp"), explode(col("__mg")).as("e"))
+      .select(col("grp"), col("e.key").as("key"))
+    val totals = keyed.groupBy(col("grp")).agg(count(lit(1)).as("total"))
+    keyed
+      .join(broadcast(cand), Seq("grp", "key"), "left_semi")
+      .groupBy(col("grp"), col("key")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("grp"))
+      .filter(col("cnt") > col("total") * lit(minShare))
+      .select(col("grp").as(groupCol), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+  }
 }

@@ -524,6 +524,41 @@ object RelationalQueries {
         .orderBy(col("key"))
     }),
 
+    // Per-group heavy hitters — hot keys per tenant/shard, the
+    // operational telemetry shape: one Misra-Gries summary PER GROUP
+    // (each independently bounded by k), then the broadcast-membership
+    // exact verify scoped by (group, key). Exact output, plain
+    // per-group HAVING oracle.
+    "q_sketch_heavy_group" -> ((s, dir) => {
+      val keyed = table(s, dir, "orders").select(col("o_orderpriority"),
+        when(col("o_orderkey") % 4 === 0,
+          concat(lit("hot_"), col("o_orderkey") % 3))
+          .otherwise(concat(lit("cold_"), col("o_custkey"))).as("k"))
+      HeavyHitters.heavyHittersPerGroup(keyed, "o_orderpriority", "k",
+          minShare = 0.03)
+        .orderBy(col("o_orderpriority"), col("key"))
+    }),
+
+    // F-family: CSV-in-a-string (from_csv) — the payload-column twin
+    // of q_fn_json/q_fn_xml: the CSV text is CONSTRUCTED from order
+    // columns, so parsing provably inverts construction and the oracle
+    // is the original columns (doubles round-trip exactly through
+    // shortest-repr toString/parse).
+    "q_fn_csv" -> ((s, dir) => {
+      val src = table(s, dir, "orders").select(col("o_orderkey"),
+        concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date")).as("line"))
+      src.select(col("o_orderkey"),
+          from_csv(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "k BIGINT, status STRING, total DOUBLE, odate DATE"),
+            Map.empty[String, String]).as("p"))
+        .select(col("o_orderkey"), col("p.k").as("k"),
+          col("p.status").as("status"), col("p.total").as("total"),
+          col("p.odate").as("odate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Single-pass numeric profiling: 5 metrics x 3 columns in ONE
     // aggregate node (15 partial aggregates, one 1-row exchange), then
     // a driver-free explode to per-column rows. The mean goes through
@@ -1781,6 +1816,27 @@ object RelationalQueries {
         |  SELECT 'orders_self_custkey', est2.est_size, ex2.exact_size
         |  FROM est2 CROSS JOIN ex2
         |) ORDER BY rel""".stripMargin,
+    "q_sketch_heavy_group" ->
+      """WITH keyed AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'hot_' || (o_orderkey % 3)
+        |         ELSE 'cold_' || o_custkey END AS key
+        |  FROM orders
+        |), t AS (
+        |  SELECT o_orderpriority, COUNT(*) AS total FROM keyed GROUP BY 1
+        |), c AS (
+        |  SELECT o_orderpriority, key, COUNT(*) AS cnt
+        |  FROM keyed GROUP BY 1, 2
+        |)
+        |SELECT c.o_orderpriority, c.key, c.cnt,
+        |  ROUND(c.cnt::DOUBLE / t.total, 6) AS share
+        |FROM c JOIN t USING (o_orderpriority)
+        |WHERE c.cnt > t.total * 0.03
+        |ORDER BY o_orderpriority, key""".stripMargin,
+    "q_fn_csv" ->
+      """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS status,
+        |  o_totalprice AS total, o_orderdate::DATE AS odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sketch_heavy" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'hot_' || (o_orderkey % 3)

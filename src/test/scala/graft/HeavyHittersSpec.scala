@@ -58,6 +58,18 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(hh.forall(_._3 === 0.2))
   }
 
+  test("per-group: each group's heavies are judged against ITS OWN total") {
+    // group A: 'x' at 50% (heavy); group B: same key 'x' at 4% (not).
+    val df = (
+      Seq.fill(50)(("A", "x")) ++ (1 to 50).map(i => ("A", s"a$i")) ++
+        Seq.fill(4)(("B", "x")) ++ (1 to 96).map(i => ("B", s"b$i"))
+    ).toDF("g", "k").repartition(6)
+    val hh = rows(HeavyHitters.heavyHittersPerGroup(df, "g", "k", minShare = 0.2)
+      .orderBy(col("g"), col("key")))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(hh === Seq(("A", "x", 50L, 0.5)))
+  }
+
   test("superset guarantee holds across randomized zipf corpora and partitionings") {
     for (seed <- 1 to 3; parts <- Seq(1, 7)) {
       val rnd = new scala.util.Random(seed)
