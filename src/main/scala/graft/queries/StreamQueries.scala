@@ -130,6 +130,18 @@ object StreamQueries {
         .orderBy(col("station_id"), col("at"))
     }),
 
+    // ST4b: streaming EWMA over the same deduped station feed —
+    // alpha=0.5 keeps every smoothed value an exact half-integer, so
+    // the VALUES oracle is the hand-folded recursion per station.
+    "q_stream_ewma" -> ((s, _) => {
+      runToBatch(s,
+        Streams.availabilityEwma(
+          Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),
+          alpha = 0.5)
+          .toDF())
+        .orderBy(col("station_id"), col("at"))
+    }),
+
     // J7 stream-stream join: station reports x their hour's weather
     // observation, both sides file-drop streams, hour-bucket equi key +
     // range residual, weather deduped to one observation per hour.
@@ -317,6 +329,17 @@ object StreamQueries {
         | (CAST(99950133 AS BIGINT), 'restock', CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3),
         | (CAST(213688169 AS BIGINT), 'stockout', CAST('2024-02-01 01:15:00' AS TIMESTAMP), 0)
         |) AS t(station_id, event, at, bikes)
+        |ORDER BY station_id, at""".stripMargin,
+    "q_stream_ewma" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), CAST('2024-01-31 23:45:00' AS TIMESTAMP), 0, CAST(0.0 AS DOUBLE)),
+        | (CAST(99950133 AS BIGINT), CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3, CAST(1.5 AS DOUBLE)),
+        | (CAST(213688169 AS BIGINT), CAST('2024-01-31 23:50:00' AS TIMESTAMP), 5, CAST(5.0 AS DOUBLE)),
+        | (CAST(213688169 AS BIGINT), CAST('2024-02-01 00:50:00' AS TIMESTAMP), 4, CAST(4.5 AS DOUBLE)),
+        | (CAST(213688169 AS BIGINT), CAST('2024-02-01 01:15:00' AS TIMESTAMP), 0, CAST(2.25 AS DOUBLE)),
+        | (CAST(19179944124 AS BIGINT), CAST('2024-01-31 22:45:00' AS TIMESTAMP), 12, CAST(12.0 AS DOUBLE)),
+        | (CAST(19179944124 AS BIGINT), CAST('2024-02-01 00:55:00' AS TIMESTAMP), 11, CAST(11.5 AS DOUBLE))
+        |) AS t(station_id, at, bikes, ewma)
         |ORDER BY station_id, at""".stripMargin,
     "q_stream_sessions" ->
       """SELECT * FROM (VALUES

@@ -27,6 +27,13 @@ case class StockoutState(bikes: Int, asOf: java.sql.Timestamp)
 case class StockoutEvent(
     station_id: Long, event: String, at: java.sql.Timestamp, bikes: Int)
 
+/** Running EWMA per station, carried between micro-batches. */
+case class EwmaState(value: Double, asOf: java.sql.Timestamp)
+
+/** One smoothed observation: the raw count and its running EWMA. */
+case class EwmaPoint(
+    station_id: Long, at: java.sql.Timestamp, bikes: Int, ewma: Double)
+
 /** Structured Streaming variant of the ingest→transform pipeline
   * (SURVEY.md §2.10). The reference "streams" by hourly cron
   * (`airflow/dags/etl_dag.py:317`, `catchup=False` `:318`,
@@ -208,6 +215,72 @@ object Streams {
       .groupByKey(_.station_id)
       .flatMapGroupsWithState[StockoutState, StockoutEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(trackStockouts)
+  }
+
+  /** ST4b — streaming EWMA per station: the continuous counterpart of
+    * the batch `GapFill.ewma` fold. Same recursion (`s_0 = x_0`,
+    * `s_t = alpha*x_t + (1-alpha)*s_{t-1}`), but the "previous value"
+    * lives in keyed state ACROSS micro-batches, which no streaming
+    * window aggregate expresses. Batch/stream parity holds because the
+    * ordering contract matches the batch fold: within a batch rows
+    * sort by event time, and cross-batch stragglers older than the
+    * state are DROPPED (the [[stockoutTransitions]] convention) rather
+    * than retroactively re-folding history — a replay of the same feed
+    * in one batch or many produces the same points for in-order data.
+    *
+    * State per station is one (value, asOf) pair; eviction mirrors
+    * [[stockoutTransitions]] (event-time timeout after
+    * [[IdleRetentionMs]]), after which a returning station RE-SEEDS
+    * (`s = x`) rather than resuming a stale mean. `alpha` must be
+    * dyadic (the `GapFill.ewma` portability contract).
+    */
+  def availabilityEwma(
+      updates: DataFrame, alpha: Double = 0.25): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require((alpha * 1024.0) == math.rint(alpha * 1024.0),
+      s"alpha must be dyadic (m/2^n, n <= 10), got $alpha")
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val cleaned = updates
+      .select(col("station_id"), col("num_bikes_available"), col("last_reported"))
+      .filter(col("station_id").isNotNull &&
+        col("num_bikes_available").isNotNull && col("last_reported").isNotNull)
+    (if (hasWatermark(cleaned)) cleaned
+     else cleaned.withWatermark("last_reported", "2 hours"))
+      .as[StationPing]
+      .groupByKey(_.station_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(trackEwma(alpha))
+  }
+
+  private def trackEwma(alpha: Double)(
+      stationId: Long, rows: Iterator[StationPing],
+      state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val beta = 1.0 - alpha // exact for dyadic alpha
+      val out = Seq.newBuilder[EwmaPoint]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.last_reported.getTime).foreach { p =>
+        val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
+        if (!late) {
+          val s = cur match {
+            case None => p.num_bikes_available.toDouble
+            case Some(st) => alpha * p.num_bikes_available + beta * st.value
+          }
+          out += EwmaPoint(stationId, p.last_reported, p.num_bikes_available, s)
+          cur = Some(EwmaState(s, p.last_reported))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(math.max(
+          s.asOf.getTime + IdleRetentionMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.result().iterator
+    }
   }
 
   private def trackStockouts(

@@ -102,6 +102,47 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST4b: streaming EWMA folds across micro-batches and matches the batch recursion") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val t0 = 1706745000L
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val out = Streams.availabilityEwma(
+      mem.toDF().toDF("station_id", "num_bikes_available", "last_reported"),
+      alpha = 0.5)
+    val q = out.writeStream.format("memory").queryName("ewma_t")
+      .outputMode("append").start()
+    try {
+      def points() = rows(spark.table("ewma_t"))
+        .map(r => (r.getAs[Long]("station_id"), r.getAs[Timestamp]("at"),
+          r.getAs[Double]("ewma")))
+
+      // seed in batch 1; continue in batch 2 — state must carry over:
+      // 8; 0.5*4+0.5*8 = 6; 0.5*2+0.5*6 = 4 (the GapFillSpec sequence).
+      mem.addData((1L, 8, ts(t0)))
+      q.processAllAvailable()
+      mem.addData((1L, 2, ts(t0 + 1200)), (1L, 4, ts(t0 + 600))) // out of order in-batch
+      q.processAllAvailable()
+      assert(points().toSet === Set(
+        (1L, ts(t0), 8.0), (1L, ts(t0 + 600), 6.0), (1L, ts(t0 + 1200), 4.0)))
+
+      // cross-batch straggler older than state: dropped, no point emitted
+      mem.addData((1L, 100, ts(t0 + 300)))
+      q.processAllAvailable()
+      assert(points().size === 3)
+
+      // evict via the 24 h idle timeout, then the returning station
+      // RE-SEEDS at its raw value instead of resuming the stale mean
+      val far = t0 + 30L * 3600
+      mem.addData((9L, 1, ts(far))); q.processAllAvailable()
+      mem.addData((9L, 1, ts(far + 60))); q.processAllAvailable()
+      mem.addData((1L, 10, ts(far + 120))); q.processAllAvailable()
+      val s1 = points().filter(p => p._1 == 1L && p._2 == ts(far + 120))
+      assert(s1 === Seq((1L, ts(far + 120), 10.0)),
+        s"evicted station must re-seed, got $s1")
+    } finally q.stop()
+  }
+
   test("J7: stream-stream join matches station updates to same-hour weather at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val stMem = MemoryStream[String]
