@@ -54,6 +54,39 @@ object IncrementalAgg {
         max(col("max_v")).as("max_v"))
   }
 
+  /** Incremental JOIN-view maintenance: the delta of `A join B` under
+    * append-only deltas, from the distributive rewrite
+    * `Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB`.
+    *
+    * The refresh cost argument: each term joins a DELTA against a base
+    * (or the other delta) — with daily deltas a materialized join view
+    * refreshes by joining one day against the base tables instead of
+    * re-joining 100 TB x 100 TB. In every term the delta side is small
+    * and broadcastable; the base side is scanned but never shuffled
+    * when the view is bucketed on the key (the [[Upsert.upsert]]
+    * argument). Appending the returned delta to the old view IS the
+    * new view — `q_incremental_join` proves that equivalence against a
+    * full-recompute oracle.
+    *
+    * Append-only contract: updates/deletes need the CDC channels
+    * ([[Upsert.applyCdc]] / [[Upsert.diffSnapshots]]) and per-row
+    * retraction bookkeeping, deliberately out of scope here.
+    * Column sets must be disjoint except the join key.
+    */
+  def joinDelta(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame = {
+    val shared = aOld.columns.toSet.intersect(bOld.columns.toSet)
+    require(shared == Set(key),
+      s"sides must share exactly the join key '$key'; shared: ${shared.mkString(", ")}")
+    require(aOld.columns.sameElements(aDelta.columns) &&
+      bOld.columns.sameElements(bDelta.columns),
+      "each side's delta must match its base schema")
+    aDelta.join(bOld, key)
+      .unionByName(aOld.join(bDelta, key))
+      .unionByName(aDelta.join(bDelta, key))
+  }
+
   /** Read-time view over a state table: exposes the algebraic measures
     * plus the derived average (decimal sum cast to double, divided by
     * the count — the project-wide portable-average shape).

@@ -233,6 +233,30 @@ object RelationalQueries {
     // DuckDB oracle is a FULL RECOMPUTE over the whole table, proving
     // finish(merge(build(old), build(new))) == recompute exactly (the
     // decimal-sum state makes the merge order-independent).
+    // Incremental JOIN-view maintenance: both tables split into
+    // (old, delta) slices, the maintained view = old view + the
+    // three-term delta join (dA><Bold, Aold><dB, dA><dB) — and the
+    // oracle is the FULL recompute over the complete tables, so a
+    // hash match proves the maintenance algebra end-to-end. Each delta
+    // term broadcasts its small side at real refresh cadences.
+    "q_incremental_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"))
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val aDelta = o.filter(col("o_orderkey") % 10 === 0)
+      val bOld = l.filter(col("o_orderkey") % 7 =!= 0)
+      val bDelta = l.filter(col("o_orderkey") % 7 === 0)
+      val oldView = aOld.join(bOld, "o_orderkey")
+      val newView = oldView.unionByName(
+        IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, "o_orderkey"))
+      newView.groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag"))
+    }),
+
     "q_agg_incremental" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val cut = lit("1997-06-01").cast("date")
@@ -1681,6 +1705,13 @@ object RelationalQueries {
         | COUNT(DISTINCT s_suppkey) AS n_supp
         |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
         |GROUP BY c.k ORDER BY c.k NULLS FIRST""".stripMargin,
+    "q_incremental_join" ->
+      """SELECT o_orderpriority, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
     "q_agg_incremental" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,

@@ -68,4 +68,37 @@ class IncrementalAggSpec extends SparkTestBase {
     val b = out(1)
     assert(b.isNullAt(1) && b.getLong(2) === 0L && b.isNullAt(3) && b.isNullAt(5))
   }
+
+  test("joinDelta: old view + delta equals the full recompute for any split") {
+    import spark.implicits._
+    val aAll = (1L to 40L).map(i => (i % 12, s"a$i")).toDF("k", "av")
+    val bAll = (1L to 60L).map(i => (i % 12, s"b$i")).toDF("k", "bv")
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val aCut = r2.nextInt(12).toLong
+      val bCut = r2.nextInt(12).toLong
+      val (aOld, aDelta) = (aAll.filter(col("k") < aCut), aAll.filter(col("k") >= aCut))
+      val (bOld, bDelta) = (bAll.filter(col("k") < bCut), bAll.filter(col("k") >= bCut))
+      val maintained = aOld.join(bOld, "k").unionByName(
+        IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, "k"))
+      val full = aAll.join(bAll, "k")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        rows(df.orderBy(col("k"), col("av"), col("bv")))
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(canon(maintained) === canon(full), s"split seed $seed diverged")
+    }
+  }
+
+  test("joinDelta fails fast on overlapping non-key columns or schema drift") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "v") // clashing value column name
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.joinDelta(a, a, b, b, "k")
+    }
+    val b2 = Seq((1L, "y")).toDF("k", "bv")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.joinDelta(a, a.withColumnRenamed("v", "v2"), b2, b2, "k")
+    }
+  }
 }
