@@ -233,6 +233,35 @@ object RelationalQueries {
     // DuckDB oracle is a FULL RECOMPUTE over the whole table, proving
     // finish(merge(build(old), build(new))) == recompute exactly (the
     // decimal-sum state makes the merge order-independent).
+    // Point-in-time (temporal validity) join: each order joins the
+    // dimension VERSION valid at its order date — the SCD2 lookup that
+    // makes historical reports reproducible (today's segment must not
+    // rewrite 1995's revenue). The equi key (custkey) bounds the probe
+    // to that key's few versions, so the interval residual filters a
+    // handful of rows per order — a plain hash join, no band machinery
+    // needed (contrast q_join_range, where NO equi key exists). The
+    // two-version history is derived deterministically (TPC-H has no
+    // native history table).
+    "q_join_temporal" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(col("c_custkey"))
+      val changeDate = expr("date_add(DATE '1995-01-01', CAST(c_custkey % 365 AS INT))")
+      val hist = cust.select(col("c_custkey"), lit("seg_old").as("segment"),
+          lit(java.sql.Date.valueOf("1990-01-01")).as("valid_from"),
+          changeDate.as("valid_to"))
+        .unionByName(cust.select(col("c_custkey"),
+          concat(lit("seg_new_"), col("c_custkey") % 3).as("segment"),
+          changeDate.as("valid_from"),
+          lit(null).cast("date").as("valid_to")))
+      val o = table(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("odate"), col("o_totalprice"))
+      o.join(hist, col("o_custkey") === col("c_custkey") &&
+          col("valid_from") <= col("odate") &&
+          (col("valid_to").isNull || col("odate") < col("valid_to")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("segment"))
+    }),
+
     // Incremental JOIN-view maintenance: both tables split into
     // (old, delta) slices, the maintained view = old view + the
     // three-term delta join (dA><Bold, Aold><dB, dA><dB) — and the
@@ -1705,6 +1734,23 @@ object RelationalQueries {
         | COUNT(DISTINCT s_suppkey) AS n_supp
         |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
         |GROUP BY c.k ORDER BY c.k NULLS FIRST""".stripMargin,
+    "q_join_temporal" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, 'seg_old' AS segment,
+        |    DATE '1990-01-01' AS valid_from,
+        |    DATE '1995-01-01' + (c_custkey % 365)::INT AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'seg_new_' || (c_custkey % 3),
+        |    DATE '1995-01-01' + (c_custkey % 365)::INT, NULL
+        |  FROM customer
+        |)
+        |SELECT segment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+        |  AND h.valid_from <= o.o_orderdate::DATE
+        |  AND (h.valid_to IS NULL OR o.o_orderdate::DATE < h.valid_to)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q_incremental_join" ->
       """SELECT o_orderpriority, l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
