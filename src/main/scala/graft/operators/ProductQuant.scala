@@ -136,6 +136,136 @@ object ProductQuant {
           .as(Seq("subspace", "code")))
   }
 
+  /** IVF-PQ index rows: (id, list_id, vec_norm, subspace, code) — the
+    * composition real ANN systems deploy (FAISS's IVFPQ; Jégou et al.
+    * §V): a coarse quantizer routes each vector to an inverted list,
+    * and PQ codes store the RESIDUAL `vec - centroid(list)` — residuals
+    * concentrate near zero, so the same code budget quantizes them far
+    * more accurately than raw vectors.
+    *
+    * `centroids` is the coarse codebook (a small trained model —
+    * [[KMeans.fit]] output, or a deterministic subset for tests);
+    * `cb` quantizes residuals, trained by [[fit]] over the residual
+    * frame this method also produces (pass the same centroids).
+    * Assignment is the [[KMeans]] cosine rule (ties to lowest id);
+    * residual components are quantized to float (CAST REAL — the
+    * replayable step). Map-side only, like [[encode]].
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])], cb: Codebooks): DataFrame = {
+    val res = residuals(corpus, idCol, vecCol, centroids)
+    encode(res, "id", "residual", cb)
+      .withColumnRenamed("vec_norm", "res_norm")
+      .join(res.select(col("id"), col("list_id"), col("orig_norm")), Seq("id"))
+      .select(col("id"), col("list_id"), col("orig_norm").as("vec_norm"),
+        col("subspace"), col("code"))
+  }
+
+  /** (id, list_id, residual float vector, orig_norm) for `corpus`
+    * under the coarse `centroids`: the training frame for the residual
+    * codebooks AND the encode input. The chosen centroid rides the
+    * plan as a literal selected by the assignment argmax — map-side,
+    * no shuffle.
+    */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one coarse centroid")
+    val scored = withNorms(centroids)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      VectorOps.norm(col(vecCol)).as("orig_norm"))
+    val best = array_max(array(scored.toIndexedSeq.map { case (cid, cv, cn) =>
+      struct(
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("__v"), typedlit(cv)),
+          col("orig_norm") * lit(cn))).as("s"),
+        lit(-cid).as("negc"))
+    }: _*))
+    val withList = base
+      .select(col("id"), col("__v"), col("orig_norm"),
+        (-best.getField("negc")).as("list_id"))
+    // Literal centroid selection: element_at over an array-of-arrays
+    // literal, indexed by the list's POSITION in `centroids` (+1).
+    val centroidLookup = array(centroids.toIndexedSeq.map {
+      case (_, cv) => typedlit(cv)
+    }: _*)
+    val idxOf = centroids.map(_._1).zipWithIndex.toMap
+    val posExpr = centroids.toIndexedSeq.foldLeft(lit(-1)) { case (acc, (cid, _)) =>
+      when(col("list_id") === cid, lit(idxOf(cid) + 1)).otherwise(acc)
+    }
+    withList.select(col("id"), col("list_id"), col("orig_norm"),
+      transform(
+        zip_with(col("__v"), element_at(centroidLookup, posExpr),
+          (x, c) => x.cast("double") - c.cast("double")),
+        d => d.cast("float")).as("residual"))
+  }
+
+  /** IVF-PQ ADC top-k: probes visit only their `nProbe` best lists;
+    * each candidate scores as
+    * `dot(q, x) ≈ dot(q, centroid(list)) + Σ_s LUT_s[code_s]`
+    * over the stored exact norms. Both parts are rounded to 6 places
+    * and DECIMAL-summed, so the score replays cross-engine. The list
+    * pruning is the scale lever: at nList=1024, nProbe=32, the scan
+    * touches ~3% of the codes.
+    */
+  def ivfPqTopK(encoded: DataFrame, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, centroids: Array[(Long, Array[Float])],
+      cb: Codebooks, nProbe: Int, kNN: Int): DataFrame = {
+    require(nProbe > 0 && kNN > 0, s"nProbe/kNN must be positive: $nProbe/$kNN")
+    val scored = withNorms(centroids)
+    val subs = probes.select(
+      Seq(col(probeIdCol).as("probe_id"), col(probeVecCol).as("__pv"),
+        VectorOps.norm(col(probeVecCol)).as("__pq_pnorm")) ++
+        (0 until cb.m).map(s =>
+          subCol(probeVecCol, s, cb.subDim).as(s"__pq_sub$s")): _*)
+    // Per probe: nProbe best lists, each with the rounded coarse dot.
+    val listEntries = scored.toIndexedSeq.map { case (cid, cv, cn) =>
+      struct(lit(cid).as("list_id"),
+        round(VectorOps.dot(col("__pv"), typedlit(cv)), 6).as("cdot"),
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("__pv"), typedlit(cv)),
+          col("__pq_pnorm") * lit(cn))).as("cscore"))
+    }
+    val lists = subs
+      .select(Seq(col("probe_id"), col("__pq_pnorm")) ++
+        (0 until cb.m).map(s => col(s"__pq_sub$s")) :+
+          explode(array(listEntries: _*)).as("le"): _*)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("le.cscore").desc, col("le.list_id"))))
+      .filter(col("__rk") <= nProbe)
+      .select(Seq(col("probe_id"), col("__pq_pnorm"),
+        col("le.list_id").as("list_id"), col("le.cdot").as("cdot")) ++
+          (0 until cb.m).map(s => col(s"__pq_sub$s")): _*)
+    // Residual LUT per (probe, visited list): m*k rounded dots.
+    val entries = (0 until cb.m).flatMap { s =>
+      cb.books(s).map { case (cid, cv) =>
+        struct(lit(s).as("subspace"), lit(cid).as("code"),
+          round(VectorOps.dot(col(s"__pq_sub$s"), typedlit(cv)), 6).as("pdot"))
+      }
+    }
+    val lut = lists.select(col("probe_id"), col("__pq_pnorm"),
+        col("list_id"), col("cdot"), explode(array(entries: _*)).as("e"))
+      .select(col("probe_id"), col("__pq_pnorm"), col("list_id"), col("cdot"),
+        col("e.subspace").as("subspace"), col("e.code").as("code"),
+        col("e.pdot").as("pdot"))
+    encoded
+      .join(broadcast(lut), Seq("list_id", "subspace", "code"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(
+        (sum(col("pdot").cast(DecimalType(38, 12)))
+          + first(col("cdot")).cast(DecimalType(38, 12)))
+          .cast("double").as("pq_dot"),
+        first(col("vec_norm")).as("__nx"), first(col("__pq_pnorm")).as("__nq"))
+      .select(col("probe_id"), col("id"),
+        VectorOps.guardCos(round(
+          try_divide(col("pq_dot"), col("__nq") * col("__nx")), 6)).as("score"))
+      .groupBy(col("probe_id"))
+      .agg(TopK.topK(kNN)(col("id"), col("score")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("e"))
+      .select(col("probe_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("pq_score"))
+  }
+
   /** ADC top-k: for each probe, the `kNN` candidates with the highest
     * PQ-approximated cosine. `encoded` is [[encode]]'s output (the
     * stored index); probes bring full vectors. Output:

@@ -255,6 +255,33 @@ object LlmQueries {
         .orderBy(col("vec_id"), col("subspace"))
     }),
 
+    // IVF-PQ: the composition real ANN systems deploy — a coarse
+    // quantizer routes vectors to inverted lists, PQ codes store the
+    // RESIDUAL vec - centroid(list), probes visit only their nProbe
+    // best lists, and ADC scores dot(q,c_list) + sum_s LUT[code_s]
+    // over stored exact norms. Coarse centroids are vectors 10..13
+    // (NOT the PQ seeds, ids 0..3) so every training seed residual is
+    // nonzero — a zero-norm subvector scores every centroid as
+    // degenerate, and while a FULLY degenerate row ties to centroid 0
+    // identically in both engines, a zero SEED centroid would create
+    // mixed real/NaN orderings where Spark (sentinel -2, ranks last)
+    // and DuckDB (NaN ranks first in DESC) disagree. Full oracle:
+    // coarse assignment, residuals, one PQ training iteration, encode,
+    // list pruning, and scoring all replay.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cents = c.filter(col("id") >= 10 && col("id") < 14)
+        .orderBy(col("id")).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+      val res = ProductQuant.residuals(c, "id", "vec", cents)
+      val cb = ProductQuant.fit(res, "id", "residual",
+        m = 4, subDim = 16, k = 4, iters = 1)
+      val enc = ProductQuant.ivfPqEncode(c, "id", "vec", cents, cb)
+      ProductQuant.ivfPqTopK(enc, probes(s, dir), "probe_id", "vec",
+          cents, cb, nProbe = 2, kNN = 3)
+        .orderBy(col("probe_id"), col("pq_score").desc, col("neighbor_id"))
+    }),
+
     // PQ asymmetric-distance top-k: probes score the COMPRESSED corpus
     // via per-subspace LUT dots (rounded then decimal-summed — m
     // doubles in shuffle order would be order-dependent) over stored
@@ -795,6 +822,99 @@ object LlmQueries {
        |  ) WHERE rn = 1
        |)""".stripMargin
   }.mkString(",\n")
+
+  /** DuckDB replay of the IVF-PQ pipeline at the registered
+    * configuration: coarse centroids = vectors 10..13 (relabeled
+    * 0..3), cosine assignment, float-quantized residuals, one PQ
+    * training iteration per 16-dim subspace over the residuals, final
+    * encode, nProbe=2 list pruning, and decimal-summed ADC scoring.
+    */
+  private def ivfPqCtes: String = {
+    val base =
+      """cc AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM (SELECT * FROM embeddings
+        |        WHERE vec_id >= 10 AND vec_id < 14 ORDER BY vec_id)
+        |), ccn AS (
+        |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+        |  FROM cc
+        |), xn AS (
+        |  SELECT vec_id AS id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nx
+        |  FROM embeddings
+        |), asn AS (
+        |  SELECT id, emb, list_id FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS emb, n.cid AS list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * n.ce[i]))
+        |        / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * n.nrm) DESC, n.cid) AS rn
+        |    FROM embeddings e CROSS JOIN ccn n
+        |  ) WHERE rn = 1
+        |), resv AS (
+        |  SELECT a.id, a.list_id,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(CAST(CAST(a.emb[i] AS DOUBLE) - c.ce[i] AS REAL) AS DOUBLE))
+        |      AS rv
+        |  FROM asn a JOIN cc c ON c.cid = a.list_id
+        |)""".stripMargin
+    val perSub = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = (s + 1) * 16
+      s"""seedR$s AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, rv[$lo:$hi] AS ce
+         |  FROM (SELECT * FROM resv ORDER BY id LIMIT 4)
+         |), snR$s AS (
+         |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+         |  FROM seedR$s
+         |), aR$s AS (
+         |  SELECT id, sub, cid FROM (
+         |    SELECT id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+         |        list_sum(list_transform(range(1, 17), i -> sub[i] * nce[i]))
+         |        / (sqrt(list_sum(list_transform(sub, x -> x * x))) * nrm)
+         |        DESC, cid) AS rn
+         |    FROM (
+         |      SELECT r.id, r.rv[$lo:$hi] AS sub, n.cid, n.ce AS nce, n.nrm
+         |      FROM resv r CROSS JOIN snR$s n
+         |    )
+         |  ) WHERE rn = 1
+         |), mR$s AS (
+         |  SELECT cid, j AS pos,
+         |    CAST(ROUND(CAST(SUM(CAST(ROUND(sub[CAST(j AS INT) + 1], 6)
+         |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+         |  FROM aR$s CROSS JOIN range(16) r(j) GROUP BY cid, j
+         |), cbR$s AS (
+         |  SELECT sd.cid, r.j AS pos,
+         |    COALESCE(mR$s.comp, CAST(sd.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
+         |  FROM seedR$s sd CROSS JOIN range(16) r(j)
+         |  LEFT JOIN mR$s ON mR$s.cid = sd.cid AND mR$s.pos = r.j
+         |), cblR$s AS (
+         |  SELECT cid, list(CAST(comp AS DOUBLE) ORDER BY pos) AS ce
+         |  FROM cbR$s GROUP BY cid
+         |), cbnR$s AS (
+         |  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+         |  FROM cblR$s
+         |), encR$s AS (
+         |  SELECT id, cid AS code FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+         |        list_sum(list_transform(range(1, 17), i -> sub[i] * nce[i]))
+         |        / (sqrt(list_sum(list_transform(sub, x -> x * x))) * nrm)
+         |        DESC, cid) AS rn
+         |    FROM (
+         |      SELECT r.id, r.rv[$lo:$hi] AS sub, n.cid, n.ce AS nce, n.nrm
+         |      FROM resv r CROSS JOIN cbnR$s n
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + perSub
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" ->
@@ -1381,6 +1501,66 @@ object LlmQueries {
         | string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY lang, batch_id
         |ORDER BY lang, batch_id""".stripMargin,
+    "q_ann_ivfpq" ->
+      (s"WITH $ivfPqCtes," +
+        """
+          |pn AS (
+          |  SELECT vec_id AS probe_id, embedding AS pe,
+          |    sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nq
+          |  FROM embeddings WHERE vec_id < 5
+          |), plist AS (
+          |  SELECT probe_id, list_id, cdot FROM (
+          |    SELECT p.probe_id, n.cid AS list_id,
+          |      ROUND(list_sum(list_transform(range(1, 65),
+          |        i -> CAST(p.pe[i] AS DOUBLE) * n.ce[i])), 6) AS cdot,
+          |      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+          |        list_sum(list_transform(range(1, 65),
+          |          i -> CAST(p.pe[i] AS DOUBLE) * n.ce[i])) / (p.nq * n.nrm)
+          |        DESC, n.cid) AS rk
+          |    FROM pn p CROSS JOIN ccn n
+          |  ) WHERE rk <= 2
+          |),""".stripMargin +
+        (0 until 4).map { s =>
+          val off = s * 16
+          s"""
+             |lutR$s AS (
+             |  SELECT p.probe_id, c.cid AS code,
+             |    ROUND(list_sum(list_transform(range(1, 17),
+             |      i -> CAST(p.pe[$off + i] AS DOUBLE) * c.ce[i])), 6) AS pdot
+             |  FROM pn p CROSS JOIN cblR$s c
+             |)""".stripMargin
+        }.mkString(",") + "," +
+        """
+          |cand AS (
+          |  SELECT pl.probe_id, r.id, pl.cdot
+          |  FROM plist pl JOIN resv r ON r.list_id = pl.list_id
+          |), contrib AS (""".stripMargin +
+        (0 until 4).map { s =>
+          s"""
+             |  SELECT c.probe_id, c.id, l.pdot
+             |  FROM cand c JOIN encR$s e ON e.id = c.id
+             |    JOIN lutR$s l ON l.probe_id = c.probe_id AND l.code = e.code""".stripMargin
+        }.mkString("\n  UNION ALL") +
+        """
+          |), sc AS (
+          |  SELECT probe_id, id, SUM(CAST(pdot AS DECIMAL(38,12))) AS pqsum
+          |  FROM contrib GROUP BY probe_id, id
+          |), tot AS (
+          |  SELECT s.probe_id, s.id,
+          |    CAST(s.pqsum + CAST(c.cdot AS DECIMAL(38,12)) AS DOUBLE) AS pq_dot
+          |  FROM sc s JOIN cand c ON c.probe_id = s.probe_id AND c.id = s.id
+          |), scored AS (
+          |  SELECT t.probe_id, t.id, ROUND(t.pq_dot / (pn.nq * xn.nx), 6) AS pq_score
+          |  FROM tot t JOIN pn ON pn.probe_id = t.probe_id JOIN xn ON xn.id = t.id
+          |), r AS (
+          |  SELECT probe_id, id, pq_score,
+          |    ROW_NUMBER() OVER (PARTITION BY probe_id
+          |      ORDER BY pq_score DESC, id) AS rn
+          |  FROM scored
+          |)
+          |SELECT probe_id, id AS neighbor_id, pq_score FROM r WHERE rn <= 3
+          |ORDER BY probe_id, pq_score DESC, neighbor_id""".stripMargin),
     "q_pq_codes" ->
       (s"WITH $pqCtes" +
         """

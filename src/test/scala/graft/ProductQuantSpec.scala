@@ -93,4 +93,49 @@ class ProductQuantSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("__pq_sub0"))
   }
+
+  // IVF-PQ: dim 4 = 2 subspaces x 2; coarse centroids along distinct axes.
+  private val coarse = Array(
+    0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+  private lazy val ivfCorpus = Seq(
+    (0L, Array(4f, 0f, 2f, 0f)), // routes to list 0, residual (3,0,2,0)
+    (1L, Array(0f, 4f, 0f, 2f)), // routes to list 1, residual (0,3,0,2)
+    (2L, Array(4f, 0f, 0f, 0f))  // routes to list 0, residual (3,0,0,0)
+  ).toDF("id", "vec")
+
+  test("residuals: routing to the cosine-nearest list, exact subtraction and norms") {
+    val r = rows(ProductQuant.residuals(ivfCorpus, "id", "vec", coarse)
+      .orderBy(col("id")))
+      .map(x => (x.getLong(0), x.getLong(1),
+        x.getSeq[Float](3).toList, x.getDouble(2)))
+    assert(r(0) === ((0L, 0L, List(3f, 0f, 2f, 0f), math.sqrt(20.0))))
+    assert(r(1) === ((1L, 1L, List(0f, 3f, 0f, 2f), math.sqrt(20.0))))
+    assert(r(2) === ((2L, 0L, List(3f, 0f, 0f, 0f), 4.0)))
+  }
+
+  test("ivfPq ADC score is exact when a residual sits ON its codebook centroid") {
+    val res = ProductQuant.residuals(ivfCorpus, "id", "vec", coarse)
+    // seeds = residuals of ids 0 and 1 (both nonzero) -> id 0's residual
+    // quantizes losslessly, so its self-score must be exactly 1.
+    val rcb = ProductQuant.fit(res, "id", "residual",
+      m = 2, subDim = 2, k = 2, iters = 0)
+    val enc = ProductQuant.ivfPqEncode(ivfCorpus, "id", "vec", coarse, rcb)
+    val probesDf = ivfCorpus.filter(col("id") === 0L)
+      .select(col("id").as("probe_id"), col("vec"))
+    val got = rows(ProductQuant.ivfPqTopK(enc, probesDf, "probe_id", "vec",
+        coarse, rcb, nProbe = 2, kNN = 3))
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) === 1.0, s"lossless self-reconstruction must score 1.0: $got")
+  }
+
+  test("ivfPq with nProbe=1 only surfaces candidates from the probe's best list") {
+    val res = ProductQuant.residuals(ivfCorpus, "id", "vec", coarse)
+    val rcb = ProductQuant.fit(res, "id", "residual", 2, 2, 2, iters = 0)
+    val enc = ProductQuant.ivfPqEncode(ivfCorpus, "id", "vec", coarse, rcb)
+    val probesDf = ivfCorpus.filter(col("id") === 0L)
+      .select(col("id").as("probe_id"), col("vec"))
+    val ids = rows(ProductQuant.ivfPqTopK(enc, probesDf, "probe_id", "vec",
+        coarse, rcb, nProbe = 1, kNN = 5)).map(_.getLong(1)).toSet
+    assert(ids === Set(0L, 2L), s"list 1 must be pruned, got $ids") // id 1 lives in list 1
+  }
 }
