@@ -54,6 +54,48 @@ object IncrementalAgg {
         max(col("max_v")).as("max_v"))
   }
 
+  /** Retraction-aware state maintenance — the DELETE channel: subtract
+    * a batch of removed rows from the state without touching the base
+    * table, rebuilding only where algebra cannot answer.
+    *
+    * Sums and counts retract EXACTLY (decimal subtraction is the group
+    * inverse); min/max are NOT invertible — removing a non-extreme
+    * value leaves them correct, but removing the stored extreme leaves
+    * the new extreme unknown without a rescan. So each group gets a
+    * `needs_rebuild` flag: true iff some deleted value ties the stored
+    * min or max. The refresh pattern: keep unflagged groups as-is
+    * (pure state math, zero base I/O) and rescan ONLY the flagged
+    * groups' slice of the base — at real delete rates that is a
+    * key-pruned read of a few groups, not a 100 TB pass.
+    * `q_agg_retract` proves state-minus-deletes + selective rebuild
+    * equals the full recompute over the surviving rows.
+    *
+    * Contract: `deletes` rows must actually exist in the aggregated
+    * base (retracting a phantom row corrupts sums silently — guard
+    * upstream with an anti-join when the feed is untrusted); groups
+    * whose rows are ALL deleted surface with n_v = 0 and null
+    * min/max, matching [[buildState]] on an empty slice.
+    */
+  def retractState(
+      state: DataFrame, deletes: DataFrame,
+      groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "retractState needs at least one group column")
+    val del = deletes.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col(valueCol).cast(DecimalType(28, 2))).as("__d_sum"),
+        count(col(valueCol)).as("__d_n"),
+        min(col(valueCol)).as("__d_min"),
+        max(col(valueCol)).as("__d_max"))
+    state.join(del, groupCols, "left")
+      .select(
+        groupCols.map(col) ++ Seq(
+          (col("sum_v") - coalesce(col("__d_sum"), lit(0))).as("sum_v"),
+          (col("n_v") - coalesce(col("__d_n"), lit(0L))).as("n_v"),
+          col("min_v"), col("max_v"),
+          (col("__d_min") <=> col("min_v") || col("__d_max") <=> col("max_v"))
+            .as("needs_rebuild")): _*)
+  }
+
   /** Incremental JOIN-view maintenance: the delta of `A join B` under
     * append-only deltas, from the distributive rewrite
     * `Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB`.

@@ -286,6 +286,33 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("l_returnflag"))
     }),
 
+    // Retraction-aware maintenance: the DELETE channel. Sums/counts
+    // retract by exact decimal subtraction; groups whose stored
+    // min/max was deleted are flagged and rebuilt from the surviving
+    // slice only (key-pruned partial rescan) — everything else is pure
+    // state math. The oracle is the full recompute over survivors, so
+    // a hash match proves retraction + selective rebuild end-to-end.
+    "q_agg_retract" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val groups = Seq("l_returnflag", "l_linestatus")
+      val deletes = li.filter(col("l_orderkey") % 5 === 0)
+      val survivors = li.filter(col("l_orderkey") % 5 =!= 0)
+      val retracted = IncrementalAgg.retractState(
+        IncrementalAgg.buildState(li, groups, "l_extendedprice"),
+        deletes, groups, "l_extendedprice")
+      val keep = retracted.filter(!col("needs_rebuild")).drop("needs_rebuild")
+      val rebuilt = IncrementalAgg.buildState(
+        survivors.join(broadcast(
+            retracted.filter(col("needs_rebuild")).select(groups.map(col): _*)),
+          groups, "left_semi"),
+        groups, "l_extendedprice")
+      IncrementalAgg.finish(keep.unionByName(rebuilt))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_v").cast("double").as("sum_v"), col("n_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q_agg_incremental" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val cut = lit("1997-06-01").cast("date")
@@ -1758,6 +1785,17 @@ object RelationalQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin,
+    "q_agg_retract" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        | COUNT(l_extendedprice) AS n_v,
+        | MIN(l_extendedprice) AS min_v,
+        | MAX(l_extendedprice) AS max_v,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_v
+        |FROM lineitem WHERE l_orderkey % 5 <> 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_incremental" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,

@@ -89,6 +89,32 @@ class IncrementalAggSpec extends SparkTestBase {
     }
   }
 
+  test("retractState: sums/counts subtract exactly; rebuild flags only touched extremes") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0)).toDF("k", "v")
+    val st = IncrementalAgg.buildState(base, Seq("k"), "v")
+    // delete a mid value from a (extremes intact), and b's max.
+    val deletes = Seq(("a", 5.0), ("b", 4.0)).toDF("k", "v")
+    val out = rows(IncrementalAgg.retractState(st, deletes, Seq("k"), "v")
+      .orderBy(col("k")))
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue(), r.getLong(2),
+        r.getBoolean(5)))
+    assert(out === Seq(("a", 10.0, 2L, false), ("b", 2.0, 1L, true)))
+  }
+
+  test("retractState: a group with no deletes passes through unflagged and unchanged") {
+    import spark.implicits._
+    val base = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val st = IncrementalAgg.buildState(base, Seq("k"), "v")
+    val deletes = Seq(("a", 1.0)).toDF("k", "v")
+    val out = rows(IncrementalAgg.retractState(st, deletes, Seq("k"), "v")
+      .orderBy(col("k")))
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(5)))
+    assert(out === Seq(("a", 0L, true), ("b", 1L, false)))
+  }
+
   test("joinDelta fails fast on overlapping non-key columns or schema drift") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("k", "v")
