@@ -354,4 +354,59 @@ object Sampling {
       .withColumn("global_pos", col("pos") * numShards + col("shard"))
       .drop("__ord")
   }
+
+  /** k-center greedy / farthest-point coreset over an embedding
+    * corpus: pick the lowest-id vector, then repeatedly the vector
+    * whose highest cosine to ANY selected vector is LOWEST (the least
+    * covered point; ties to the lowest id) — the classic 2-approximate
+    * k-center seeding (Gonzalez '85), used for diverse-subset
+    * selection of training data and for k-means++-style seeding when
+    * determinism matters more than randomization.
+    *
+    * Scale shape per round: the selected set rides the plan as
+    * literals (a bounded model, the [[KMeans]] codebook idiom), so
+    * coverage scoring is one map-side pass, and the argmin is a
+    * TakeOrderedAndProject (k rows total ever reach the driver). k
+    * full scans for k picks is inherent to the greedy; persist the
+    * (id, vec, norm) projection for corpus-scale runs.
+    *
+    * Output: (sel_rank, vec id) for ranks 0..k-1 — rank 0 is the seed.
+    * Arithmetic is the [[graft.functions.VectorOps]] cosine (guarded,
+    * left-fold), so an external oracle replays every round's argmin.
+    */
+  def farthestPointSample(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.VectorOps
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+        VectorOps.norm(col(vecCol)).as("__n"))
+    val seedRow = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("__v")).collect()
+    require(seedRow.nonEmpty, "corpus is empty")
+    var selected = List[(Long, Array[Float])](
+      (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
+    while (selected.size < k) {
+      val chosenIds = selected.map(_._1)
+      val covers = selected.map { case (_, sv) =>
+        var n = 0.0; sv.foreach(x => n += x.toDouble * x.toDouble)
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("__v"), typedlit(sv)),
+          col("__n") * lit(math.sqrt(n))))
+      }
+      // greatest() requires >= 2 args; duplicating the single cover is a no-op.
+      val cover = greatest((if (covers.size == 1) covers ++ covers else covers): _*)
+      val next = base
+        .filter(!col("id").isInCollection(chosenIds))
+        .select(col("id"), col("__v"), cover.as("__cover"))
+        .orderBy(col("__cover").asc, col("id").asc)
+        .limit(1).collect()
+      require(next.nonEmpty, s"corpus exhausted before k=$k picks")
+      selected = selected :+ ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _), r) => (r, id) }.toDF("sel_rank", "vec_id")
+  }
 }

@@ -335,6 +335,16 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // k-center greedy coreset: 4 farthest-point picks over the
+    // embedding corpus — the deterministic diverse-subset selector
+    // (selected set rides the plan as literals; argmin per round is a
+    // TakeOrderedAndProject, k rows total reach the driver). The
+    // oracle unrolls the 4 greedy rounds as chained CTEs.
+    "q_sample_coreset" -> ((s, dir) => {
+      Sampling.farthestPointSample(corpus(s, dir), "id", "vec", k = 4)
+        .orderBy(col("sel_rank"))
+    }),
+
     // Per-dimension z-score standardization: one posexplode scan, one
     // partial-combined per-dim moment aggregate (64 result rows), the
     // tiny stats frame broadcast back — the corpus never shuffles.
@@ -1683,6 +1693,34 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_sample_coreset" ->
+      (s"""WITH s1 AS (
+         |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+         |), c1 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS emb,
+         |    ${duckCos("e.embedding", "s.embedding")} AS cover
+         |  FROM embeddings e CROSS JOIN s1 s WHERE e.vec_id <> s.vec_id
+         |), s2 AS (SELECT id, emb FROM c1 ORDER BY cover, id LIMIT 1
+         |), c2 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS emb,
+         |    GREATEST(${duckCos("e.embedding", "p1.embedding")},
+         |      ${duckCos("e.embedding", "p2.emb")}) AS cover
+         |  FROM embeddings e CROSS JOIN s1 p1 CROSS JOIN s2 p2
+         |  WHERE e.vec_id <> p1.vec_id AND e.vec_id <> p2.id
+         |), s3 AS (SELECT id, emb FROM c2 ORDER BY cover, id LIMIT 1
+         |), c3 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS emb,
+         |    GREATEST(${duckCos("e.embedding", "p1.embedding")},
+         |      ${duckCos("e.embedding", "p2.emb")},
+         |      ${duckCos("e.embedding", "p3.emb")}) AS cover
+         |  FROM embeddings e CROSS JOIN s1 p1 CROSS JOIN s2 p2 CROSS JOIN s3 p3
+         |  WHERE e.vec_id <> p1.vec_id AND e.vec_id <> p2.id AND e.vec_id <> p3.id
+         |), s4 AS (SELECT id, emb FROM c3 ORDER BY cover, id LIMIT 1)
+         |SELECT 0 AS sel_rank, s1.vec_id FROM s1
+         |UNION ALL SELECT 1, s2.id FROM s2
+         |UNION ALL SELECT 2, s3.id FROM s3
+         |UNION ALL SELECT 3, s4.id FROM s4
+         |ORDER BY sel_rank""".stripMargin),
     "q_embed_standard" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(j AS INT) AS pos,

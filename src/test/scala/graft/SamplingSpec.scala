@@ -271,4 +271,35 @@ class SamplingSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(split(20L) === solo(20L) && split(21L) === solo(21L))
   }
+
+  test("farthestPointSample greedily picks the least-covered vector each round") {
+    import spark.implicits._
+    // Three tight clusters along axes + the lowest-id seed in cluster X:
+    // greedy must visit each OTHER cluster before returning to X.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),  // seed (cluster X)
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), // near seed
+      (2L, Array(0f, 1f, 0f, 0f)),  // cluster Y
+      (3L, Array(0f, 0f, 1f, 0f)),  // cluster Z
+      (4L, Array(0f, 0.95f, 0.05f, 0f)) // near Y
+    ).toDF("id", "vec").repartition(3)
+    val picks = rows(graft.operators.Sampling
+      .farthestPointSample(vecs, "id", "vec", k = 3)
+      .orderBy(col("sel_rank"))).map(r => (r.getInt(0), r.getLong(1)))
+    assert(picks.head === ((0, 0L))) // rank 0 = lowest id
+    // next two picks are the two orthogonal clusters (order by coverage,
+    // both orthogonal to the seed -> tie broken by id: 2 then 3).
+    assert(picks.map(_._2) === Seq(0L, 2L, 3L))
+  }
+
+  test("farthestPointSample: k=1 returns just the seed; k > corpus fails fast") {
+    import spark.implicits._
+    val vecs = Seq((7L, Array(1f, 0f)), (9L, Array(0f, 1f))).toDF("id", "vec")
+    val one = rows(graft.operators.Sampling
+      .farthestPointSample(vecs, "id", "vec", 1)).map(_.getLong(1))
+    assert(one === Seq(7L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.farthestPointSample(vecs, "id", "vec", 5)
+    }
+  }
 }
