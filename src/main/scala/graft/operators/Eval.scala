@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classifier-evaluation metrics over (score, label) columns — the
+  * eval side of a data pipeline (quality-filter calibration, dedup
+  * classifier tuning, retrieval relevance): exact, engine-portable
+  * formulations instead of sketchy sampled curves.
+  *
+  * Both operators are rank arithmetic: one sort-shuffle of the scored
+  * rows, integer cumulative counts, and a handful of divisions — no
+  * approximation anywhere, so the DuckDB oracles replay them exactly.
+  */
+object Eval {
+
+  /** Area under the ROC curve via the rank-sum (Mann-Whitney U)
+    * identity: `AUC = (Σ_{positives} rank - n⁺(n⁺+1)/2) / (n⁺ n⁻)`,
+    * with TIED scores assigned their average rank — the textbook-exact
+    * treatment (a deterministic tie-BREAK instead would bias AUC by
+    * the break order). A score group's average rank is
+    * rows_before + (n+1)/2: halves are exact in binary, and the rank
+    * sum accumulates as DECIMAL(38,1), so the single final division is
+    * the only floating-point step.
+    *
+    * Scale shape: per-score partial aggregation collapses the corpus
+    * map-side; the ordered window then runs over |distinct scores|
+    * rows only, and one 1-row aggregate finishes. Output:
+    * (auc, n_pos, n_neg).
+    *
+    * NULL scores or labels are dropped (no rank identity); `labelCol`
+    * is boolean-ish (cast to int 0/1).
+    */
+  def aucByRank(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+    // Per-score combine FIRST (map-side partial), so the only ordered
+    // window runs over |distinct scores| rows — the operator's real
+    // state bound. A continuous score at corpus scale should be
+    // quantized upstream (round to 6 is standard and leaves AUC
+    // differences below reporting precision).
+    val perScore = scored.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val before = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Tied scores take their AVERAGE rank (exact halves):
+    // avg_rank(group) = rows_before + (n_group + 1)/2.
+    val withRank = perScore.withColumn("__avg_rank",
+      (coalesce(sum(col("__n")).over(before), lit(0L)).cast("double")
+        + (col("__n") + 1).cast("double") / lit(2.0)))
+    withRank.agg(
+        sum((col("__np").cast("double") * col("__avg_rank"))
+          .cast(DecimalType(38, 1))).as("__pos_rank_sum"),
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"))
+      .select(
+        round(
+          (col("__pos_rank_sum").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
+              / lit(2.0))
+            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Precision/recall curve: one point per DISTINCT score threshold t
+    * (classify positive iff score >= t), descending. Cumulative true
+    * positives and predicted positives come from one running window
+    * over the per-score aggregates (|distinct scores| rows — the heavy
+    * lifting is the per-score combine, which is map-side partial).
+    * Output: (threshold, n_predicted, tp, precision, recall), both
+    * ratios rounded to 6 after the division.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("threshold"),
+        col(labelCol).cast("int").as("__y"))
+    val perScore = scored.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val desc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totalPos = scored.agg(sum(col("__y")).as("__total_pos"))
+    perScore
+      .withColumn("n_predicted", sum(col("__n")).over(desc))
+      .withColumn("tp", sum(col("__np")).over(desc))
+      .crossJoin(broadcast(totalPos))
+      .select(col("threshold"), col("n_predicted"), col("tp"),
+        round(col("tp").cast("double") / col("n_predicted"), 6).as("precision"),
+        round(col("tp").cast("double") / col("__total_pos"), 6).as("recall"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, KMeans, Packing, ProductQuant, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
+import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, Packing, ProductQuant, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -333,6 +333,24 @@ object LlmQueries {
         .select(col("label"), col("embedding")), "label", "embedding")
         .select(col("label"), col("n_vecs"), col("pos"), col("comp"))
         .orderBy(col("label"), col("pos"))
+    }),
+
+    // Exact rank-based AUC (Mann-Whitney with average ranks for ties)
+    // and the full precision/recall curve for a derived classifier
+    // (dimension-2 component predicting label parity) — the eval
+    // primitives a quality-filter pipeline tunes thresholds with.
+    // Per-score partial aggregation bounds the ordered window by the
+    // distinct-score cardinality.
+    "q_eval_auc" -> ((s, dir) => {
+      Eval.aucByRank(embs(s, dir).select(
+        element_at(col("embedding"), 2).cast("double").as("score"),
+        (col("label") % 2).as("y")), "score", "y")
+    }),
+    "q_eval_pr" -> ((s, dir) => {
+      Eval.prCurve(embs(s, dir).select(
+        element_at(col("embedding"), 2).cast("double").as("score"),
+        (col("label") % 2).as("y")), "score", "y")
+        .orderBy(col("threshold").desc)
     }),
 
     // k-center greedy coreset: 4 farthest-point picks over the
@@ -1693,6 +1711,82 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_eval_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), g AS (
+        |  SELECT sc, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY sc
+        |), r AS (
+        |  SELECT n, np,
+        |    COALESCE(SUM(n) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
+        |  FROM g
+        |)
+        |SELECT
+        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
+        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
+        |    / (SUM(np)::DOUBLE * SUM(n - np)::DOUBLE), 6) AS auc,
+        |  CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
+        |FROM r""".stripMargin,
+    "q_eval_pr" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS threshold, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), g AS (
+        |  SELECT threshold, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY threshold
+        |), t AS (SELECT SUM(y) AS total_pos FROM s)
+        |SELECT threshold,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_predicted,
+        |  CAST(SUM(np) OVER w AS BIGINT) AS tp,
+        |  ROUND((SUM(np) OVER w)::DOUBLE / (SUM(n) OVER w), 6) AS precision,
+        |  ROUND((SUM(np) OVER w)::DOUBLE / t.total_pos, 6) AS recall
+        |FROM g CROSS JOIN t
+        |WINDOW w AS (ORDER BY threshold DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY threshold DESC""".stripMargin,
+    "q_eval_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), g AS (
+        |  SELECT sc, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY sc
+        |), r AS (
+        |  SELECT n, np,
+        |    COALESCE(SUM(n) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
+        |  FROM g
+        |)
+        |SELECT
+        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
+        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
+        |    / (SUM(np)::DOUBLE * SUM(n - np)::DOUBLE), 6) AS auc,
+        |  CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
+        |FROM r""".stripMargin,
+    "q_eval_pr" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS threshold, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), g AS (
+        |  SELECT threshold, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY threshold
+        |), t AS (SELECT SUM(y) AS total_pos FROM s)
+        |SELECT threshold,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_predicted,
+        |  CAST(SUM(np) OVER w AS BIGINT) AS tp,
+        |  ROUND((SUM(np) OVER w)::DOUBLE / (SUM(n) OVER w), 6) AS precision,
+        |  ROUND((SUM(np) OVER w)::DOUBLE / t.total_pos, 6) AS recall
+        |FROM g CROSS JOIN t
+        |WINDOW w AS (ORDER BY threshold DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY threshold DESC""".stripMargin,
     "q_sample_coreset" ->
       (s"""WITH s1 AS (
          |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1

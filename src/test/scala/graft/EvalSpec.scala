@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def auc(rows0: Seq[(Double, Int)]): Double =
+    rows(Eval.aucByRank(rows0.toDF("s", "y").repartition(3), "s", "y"))
+      .head.getDouble(0)
+
+  test("AUC: perfect separation is 1, inverted is 0, constant scores are 0.5") {
+    val sep = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))
+    assert(auc(sep) === 1.0)
+    assert(auc(sep.map { case (s, y) => (s, 1 - y) }) === 0.0)
+    assert(auc(Seq((0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1))) === 0.5)
+  }
+
+  test("AUC matches brute-force concordance counting with tie credit on random data") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.fill(300)((math.round(rnd.nextDouble() * 20) / 20.0, // heavy ties
+      if (rnd.nextDouble() < 0.4) 1 else 0))
+    val pos = data.filter(_._2 == 1).map(_._1)
+    val neg = data.filter(_._2 == 0).map(_._1)
+    val pairs = for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val brute = BigDecimal(pairs.sum / (pos.size.toDouble * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(auc(data) - brute) < 2e-6, s"${auc(data)} vs $brute")
+  }
+
+  test("AUC is invariant to partitioning and drops null scores/labels") {
+    val data = Seq((0.3, 0), (0.7, 1), (0.5, 1), (0.4, 0))
+    val withNulls = data.map { case (s, y) => (Some(s), Some(y)) } ++
+      Seq((None, Some(1)), (Some(0.9), None))
+    val clean = auc(data)
+    val got = rows(Eval.aucByRank(
+      withNulls.toDF("s", "y").repartition(5), "s", "y")).head
+    assert(got.getDouble(0) === clean)
+    assert(got.getLong(1) === 2L && got.getLong(2) === 2L)
+  }
+
+  test("PR curve: recall climbs to 1, precision matches brute force at every threshold") {
+    val data = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.7, 1), (0.4, 0), (0.2, 1))
+    val pr = rows(Eval.prCurve(data.toDF("s", "y"), "s", "y")
+      .orderBy(col("threshold").desc))
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nPos = data.count(_._2 == 1).toDouble
+    pr.foreach { case (t, nPred, tp, prec, rec) =>
+      val predicted = data.filter(_._1 >= t)
+      assert(nPred === predicted.size.toLong)
+      assert(tp === predicted.count(_._2 == 1).toLong)
+      assert(prec === BigDecimal(tp / nPred.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(rec === BigDecimal(tp / nPos)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(pr.last._5 === 1.0) // lowest threshold predicts everything
+    assert(pr.map(_._5) === pr.map(_._5).sorted) // recall non-decreasing
+  }
+}
