@@ -341,6 +341,35 @@ object LlmQueries {
     // primitives a quality-filter pipeline tunes thresholds with.
     // Per-score partial aggregation bounds the ordered window by the
     // distinct-score cardinality.
+    // Retrieval eval: mean reciprocal rank of the first SAME-LABEL hit
+    // in the exact cosine top-10 (probes that never hit contribute 0 —
+    // the standard MRR convention). Reciprocal ranks are doubles cast
+    // to DECIMAL(38,12) (no 1/k for k <= 10 sits on a 12-decimal
+    // rounding boundary), so the mean is shuffle-order independent.
+    "q_eval_mrr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val ranked = Similarity.bruteForceTopK(corpus(s, dir), probes(s, dir), 10)
+        .withColumn("rank", row_number().over(w))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), Seq("neighbor_id"))
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("__pl")), Seq("probe_id"))
+      val firstRel = ranked
+        .groupBy(col("probe_id"))
+        .agg(min(when(col("__nl") === col("__pl"), col("rank"))).as("__frk"))
+      firstRel.agg(
+          round(sum(coalesce(
+              try_divide(lit(1.0), col("__frk"))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 12)),
+              lit(java.math.BigDecimal.ZERO)
+                .cast(org.apache.spark.sql.types.DecimalType(38, 12))))
+            .cast("double") / count(lit(1)), 6).as("mrr"),
+          count(lit(1)).as("n_probes"), count(col("__frk")).as("n_hit"))
+    }),
+
     "q_eval_auc" -> ((s, dir) => {
       Eval.aucByRank(embs(s, dir).select(
         element_at(col("embedding"), 2).cast("double").as("score"),
@@ -1711,44 +1740,42 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
-    "q_eval_auc" ->
-      """WITH s AS (
-        |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
-        |  FROM embeddings
-        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
-        |), g AS (
-        |  SELECT sc, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY sc
+    "q_eval_mrr" ->
+      """WITH p AS (
+        |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT p.pid AS probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(p.pe) + 1),
+        |        i -> CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))))) AS cos_raw
+        |  FROM embeddings e JOIN p ON e.vec_id != p.pid
         |), r AS (
-        |  SELECT n, np,
-        |    COALESCE(SUM(n) OVER (ORDER BY sc
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
-        |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
-        |  FROM g
-        |)
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM s
+        |), topk AS (
+        |  SELECT probe_id, neighbor_id, cos_raw FROM r WHERE rn <= 10
+        |), rk AS (
+        |  SELECT probe_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS rank
+        |  FROM topk
+        |), lab AS (SELECT vec_id, label FROM embeddings),
+        |rel AS (
+        |  SELECT t.probe_id, MIN(t.rank) AS frk
+        |  FROM rk t JOIN lab nl ON nl.vec_id = t.neighbor_id
+        |    JOIN lab pl ON pl.vec_id = t.probe_id
+        |  WHERE nl.label = pl.label GROUP BY t.probe_id
+        |), pp AS (SELECT DISTINCT probe_id FROM rk)
         |SELECT
-        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
-        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
-        |    / (SUM(np)::DOUBLE * SUM(n - np)::DOUBLE), 6) AS auc,
-        |  CAST(SUM(np) AS BIGINT) AS n_pos,
-        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
-        |FROM r""".stripMargin,
-    "q_eval_pr" ->
-      """WITH s AS (
-        |  SELECT CAST(embedding[2] AS DOUBLE) AS threshold, (label % 2) AS y
-        |  FROM embeddings
-        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
-        |), g AS (
-        |  SELECT threshold, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY threshold
-        |), t AS (SELECT SUM(y) AS total_pos FROM s)
-        |SELECT threshold,
-        |  CAST(SUM(n) OVER w AS BIGINT) AS n_predicted,
-        |  CAST(SUM(np) OVER w AS BIGINT) AS tp,
-        |  ROUND((SUM(np) OVER w)::DOUBLE / (SUM(n) OVER w), 6) AS precision,
-        |  ROUND((SUM(np) OVER w)::DOUBLE / t.total_pos, 6) AS recall
-        |FROM g CROSS JOIN t
-        |WINDOW w AS (ORDER BY threshold DESC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY threshold DESC""".stripMargin,
+        |  ROUND(CAST(SUM(COALESCE(CAST(1.0 / frk AS DECIMAL(38,12)),
+        |    CAST(0 AS DECIMAL(38,12)))) AS DOUBLE) / COUNT(*), 6) AS mrr,
+        |  COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
+        |FROM pp LEFT JOIN rel USING (probe_id)""".stripMargin,
     "q_eval_auc" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
