@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, Packing, ProductQuant, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
+import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, Packing, ProductQuant, Profile, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -368,6 +368,25 @@ object LlmQueries {
                 .cast(org.apache.spark.sql.types.DecimalType(38, 12))))
             .cast("double") / count(lit(1)), 6).as("mrr"),
           count(lit(1)).as("n_probes"), count(col("__frk")).as("n_hit"))
+    }),
+
+    // Calibration / reliability bins: equi-frequency score deciles
+    // (the shared-percentile-buffer bucketing operator) with per-bin
+    // mean score and empirical positive rate — the reliability-diagram
+    // input that tells a threshold-tuner whether scores MEAN their
+    // probabilities. Decimal-exact mean over 6-place-rounded scores.
+    "q_eval_calibration" -> ((s, dir) => {
+      val scored = embs(s, dir).select(
+        element_at(col("embedding"), 2).cast("double").as("score"),
+        (col("label") % 2).as("y"))
+      Profile.quantileBucket(scored, "score", 10)
+        .groupBy(col("score_qbucket").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("score"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_score"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+        .orderBy(col("bin"))
     }),
 
     "q_eval_auc" -> ((s, dir) => {
@@ -1740,6 +1759,25 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_eval_calibration" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), q AS (
+        |  SELECT quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM s
+        |), b AS (
+        |  SELECT CAST(len(list_filter(q.cuts, c -> s.score > c)) AS BIGINT)
+        |    AS bin, s.score, s.y
+        |  FROM s CROSS JOIN q
+        |)
+        |SELECT bin, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_score,
+        |  ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_eval_mrr" ->
       """WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
