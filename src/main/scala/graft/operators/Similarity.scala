@@ -159,6 +159,41 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Band-bucket LOAD diagnostic for the sign-LSH index: per band, the
+    * occupied-bucket count, the largest bucket, and the sum of squared
+    * bucket sizes — the last being EXACTLY the candidate-pair count
+    * that band's self-join would generate (the shuffle-explosion
+    * predictor, the per-band analogue of [[Sketch.cmsJoinSize]]'s
+    * self-join bound). Read this BEFORE running a banded join: a band
+    * whose max bucket holds half the corpus means the hash family or
+    * band width is wrong for the data, and salting won't save a
+    * candidate set that is quadratic by construction.
+    *
+    * Scale shape: signatures are the same single-pass codegen'd
+    * expression the joins use; two partial-combined aggregations
+    * ((band, bucket) then band) — output is nBands rows. Exact
+    * integer arithmetic end to end, so the md5-derived replay is a
+    * full cross-engine oracle.
+    */
+  def lshBucketStats(embs: DataFrame, dim: Int, nPlanes: Int = 16,
+      bitsPerBand: Int = 2, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bitsPerBand == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bitsPerBand ($bitsPerBand)")
+    require(nPlanes <= 60, s"nPlanes ($nPlanes) must fit a packed long")
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val nBands = nPlanes / bitsPerBand
+    embs
+      .select(packedSignBits(col("vec"), planes).as("sig"))
+      .select(explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          bucketOfBits(col("sig"), b, bitsPerBand).as("bucket"))): _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+        sum(col("c") * col("c")).as("self_join_pairs"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `vec` (array<float>,
     * `dim` elements) → array<double> of `outDim` components, component
     * j being the left-fold double dot with the j-th md5-derived

@@ -401,6 +401,16 @@ object LlmQueries {
         .orderBy(col("threshold").desc)
     }),
 
+    // Band-bucket load diagnostic for the sign-LSH index: per band,
+    // occupied buckets, the largest bucket, and the exact candidate
+    // count its self-join would generate (sum of squared bucket sizes)
+    // — the read-before-you-join skew predictor for banded joins.
+    // Fully integer, fully md5-replayable.
+    "q_diag_lshload" -> ((s, dir) => {
+      Similarity.lshBucketStats(corpus(s, dir), dim = 64)
+        .orderBy(col("band"))
+    }),
+
     // k-center greedy coreset: 4 farthest-point picks over the
     // embedding corpus — the deterministic diverse-subset selector
     // (selected set rides the plan as literals; argmin per round is a
@@ -1759,6 +1769,29 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_diag_lshload" ->
+      (s"""WITH pw AS (
+         |  SELECT j, d, ${duckPlaneW(42L)} AS w
+         |  FROM range(16) a(j) CROSS JOIN range(64) b(d)
+         |), pl AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
+         |), bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN pl
+         |), bkt AS (
+         |  SELECT vec_id, CAST(j // 2 AS INT) AS band,
+         |    CAST(SUM(bit * (1 << CAST(j % 2 AS INT))) AS INT) AS bucket
+         |  FROM bits GROUP BY vec_id, band
+         |), c AS (
+         |  SELECT band, bucket, COUNT(*) AS c FROM bkt GROUP BY band, bucket
+         |)
+         |SELECT band, COUNT(*) AS n_buckets,
+         |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(c * c) AS BIGINT) AS self_join_pairs
+         |FROM c GROUP BY band ORDER BY band""".stripMargin),
     "q_eval_calibration" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
