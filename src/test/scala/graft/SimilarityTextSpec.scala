@@ -618,4 +618,27 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(got === Seq(1L -> "a.example.org", 2L -> "",
       3L -> "just.host", 4L -> "h.example.net"))
   }
+
+  test("lshBucketStats: per-band invariants and partitioning determinism") {
+    import graft.operators.Similarity
+    val stats = rows(Similarity.lshBucketStats(
+      corpus, dim = 3, nPlanes = 8, bitsPerBand = 2).orderBy(col("band")))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._1) === (0 until 4)) // nPlanes/bitsPerBand bands
+    val n = corpus.count()
+    stats.foreach { case (band, nBuckets, maxB, sjp) =>
+      assert(nBuckets >= 1 && nBuckets <= 4, s"band $band: 2-bit buckets")
+      assert(maxB <= n && maxB >= (n + 3) / 4)
+      // sum of squares is bounded by (max possible) n^2 and >= n (all
+      // singleton buckets); and a band's bucket sizes sum to n, so
+      // sjp >= n^2 / nBuckets by Cauchy-Schwarz.
+      assert(sjp >= n && sjp <= n * n)
+      assert(sjp * nBuckets >= n * n)
+    }
+    val again = rows(Similarity.lshBucketStats(
+      corpus.repartition(4), dim = 3, nPlanes = 8, bitsPerBand = 2)
+      .orderBy(col("band")))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again === stats)
+  }
 }
