@@ -340,6 +340,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("star schema: every dimension broadcasts, the fact table is never shuffled for joins") {
+    // The canonical warehouse plan: fact joins N small dims -> N
+    // BroadcastHashJoins stacked over ONE fact scan; a SortMergeJoin
+    // would mean a dim crossed the broadcast threshold or stats lied.
+    val fact = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val part = spark.read.parquet(s"$Sf/part.parquet")
+    val supplier = spark.read.parquet(s"$Sf/supplier.parquet")
+    val p = planString(fact
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_ts_islands: both windows and the island aggregate share ONE exchange") {
     val p = plan("q_ts_islands")
     // one exchange for the per-key windows; the final orderBy adds a
