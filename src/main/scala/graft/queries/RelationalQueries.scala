@@ -946,6 +946,32 @@ object RelationalQueries {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // Inter-arrival (burstiness) profile: per-user gap statistics over
+    // consecutive events — the cadence signal behind bot detection,
+    // session-gap tuning, and retention features. Gaps are EXACT
+    // epoch-microsecond differences (unix_micros / epoch_us, no
+    // seconds truncation), so min/max/sums are integer-exact and the
+    // mean is ONE IEEE division of exact integers — left unrounded
+    // deliberately: round(x, 6) on an 11-digit value needs more
+    // precision than a double carries and the engines' rounding would
+    // diverge in the last ulp, while the raw quotient is bit-identical.
+    "q_ts_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          (sum(col("gap")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_gap_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // EWMA smoothing — a per-key RECURSION no window frame expresses
     // (each output references the previous output). One groupBy
     // shuffle, in-aggregate sort, HOF left fold; alpha=0.25 is dyadic
@@ -2160,6 +2186,20 @@ object RelationalQueries {
         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
+    "q_ts_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, us - prev AS gap FROM e WHERE prev IS NOT NULL
+        |)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+        |  SUM(gap)::DOUBLE / COUNT(*)::DOUBLE AS mean_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ts_ewma" ->
       """WITH RECURSIVE ranked AS (
         |  SELECT user_id, ts, value,
