@@ -421,6 +421,30 @@ object LlmQueries {
         .orderBy(col("sel_rank"))
     }),
 
+    // Embedding drift between cohorts: per-dimension exact-decimal
+    // mean difference between the label-0 and label-1 slices — the
+    // encoder/corpus drift monitor (a new encoder version or data
+    // source shifts dimensions; this localizes WHICH). abs(delta) of
+    // two exact decimal means is exact; ordering by it is total with
+    // the pos tie-break.
+    "q_embed_drift" -> ((s, dir) => {
+      val ex = embs(s, dir).select((col("label") % 2).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("grp"), col("pos"),
+          round(col("x").cast("double"), 6).as("xr"))
+      val m = ex.groupBy(col("grp"), col("pos"))
+        .agg((sum(col("xr").cast(
+            org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+          / count(lit(1))).as("mean"))
+      m.filter(col("grp") === 0).select(col("pos"), col("mean").as("m0"))
+        .join(m.filter(col("grp") === 1)
+          .select(col("pos"), col("mean").as("m1")), Seq("pos"))
+        .select(col("pos"), round(col("m0"), 6).as("mean_a"),
+          round(col("m1"), 6).as("mean_b"),
+          round(abs(col("m0") - col("m1")), 6).as("abs_drift"))
+        .orderBy(col("abs_drift").desc, col("pos"))
+    }),
+
     // Per-dimension z-score standardization: one posexplode scan, one
     // partial-combined per-dim moment aggregate (64 result rows), the
     // tiny stats frame broadcast back — the corpus never shuffles.
@@ -1913,6 +1937,21 @@ object LlmQueries {
          |UNION ALL SELECT 2, s3.id FROM s3
          |UNION ALL SELECT 3, s4.id FROM s4
          |ORDER BY sel_rank""".stripMargin),
+    "q_embed_drift" ->
+      """WITH ex AS (
+        |  SELECT (label % 2) AS grp, CAST(j AS INT) AS pos,
+        |    ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6) AS xr
+        |  FROM embeddings CROSS JOIN range(64) r(j)
+        |), m AS (
+        |  SELECT grp, pos,
+        |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean
+        |  FROM ex GROUP BY grp, pos
+        |)
+        |SELECT a.pos, ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+        |  ROUND(ABS(a.mean - b.mean), 6) AS abs_drift
+        |FROM (SELECT pos, mean FROM m WHERE grp = 0) a
+        |JOIN (SELECT pos, mean FROM m WHERE grp = 1) b USING (pos)
+        |ORDER BY abs_drift DESC, pos""".stripMargin,
     "q_embed_standard" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(j AS INT) AS pos,
