@@ -138,15 +138,27 @@ object Bench {
       val (t, err) = pick(runs)
       (name, t, err, spread(runs))
     }
-    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
     // Locale.ROOT: a comma-decimal default locale (fr_FR, de_DE) would
     // otherwise emit "1,23" and corrupt the JSON line.
+    def num(v: Double, fmt: String): String =
+      fmt.formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:${num(v, "%.3f")}" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, _, s) =>
-      s"${jstr(k)}:${"%.2f".formatLocal(java.util.Locale.ROOT, s)}" }
+      s"${jstr(k)}:${num(s, "%.2f")}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"sf":${jstr(sfDir)}}""")
+    // The compact headline line is printed on its OWN line both before
+    // and after the full per-query map: with 189 queries the map line
+    // outgrows the driver's tail-capture window (r3/r4 artifacts ended
+    // "parsed": null), and bracketing guarantees a parseable total
+    // survives whether the capture keeps the head or the tail.
+    val compact =
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}"""
+    println(compact)
+    println(s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"sf":${jstr(sfDir)}}""")
+    println(compact)
   }
 }

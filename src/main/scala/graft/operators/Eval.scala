@@ -73,7 +73,10 @@ object Eval {
     * over the per-score aggregates (|distinct scores| rows — the heavy
     * lifting is the per-score combine, which is map-side partial).
     * Output: (threshold, n_predicted, tp, precision, recall), both
-    * ratios rounded to 6 after the division.
+    * ratios rounded to 6 after the division. An all-negative input has
+    * no defined recall: try_divide yields NULL there in BOTH engines
+    * (plain division would diverge — Spark non-ANSI returns NULL where
+    * DuckDB's IEEE float division returns inf).
     */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
@@ -91,6 +94,7 @@ object Eval {
       .crossJoin(broadcast(totalPos))
       .select(col("threshold"), col("n_predicted"), col("tp"),
         round(col("tp").cast("double") / col("n_predicted"), 6).as("precision"),
-        round(col("tp").cast("double") / col("__total_pos"), 6).as("recall"))
+        round(try_divide(col("tp").cast("double"), col("__total_pos")), 6)
+          .as("recall"))
   }
 }

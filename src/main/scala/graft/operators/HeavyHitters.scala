@@ -120,6 +120,13 @@ object HeavyHitters {
     * are extra work for the verify pass, never wrong answers. The share
     * is rounded to 6 places AFTER the exact-count division (the
     * [[SkewJoin.keySkewStats]] recipe) so it replays cross-engine.
+    *
+    * Determinism contract (same as the two-phase Bloom/LSH operators):
+    * `df` is scanned TWICE — once for Misra-Gries candidates, once for
+    * the exact verify — so it must be re-evaluation-stable. An input
+    * built on `sample()`/`rand()`, or files mutated between the scans,
+    * silently voids the candidate-superset guarantee; persist such an
+    * input (or materialize it to parquet) before calling.
     */
   def heavyHitters(df: DataFrame, keyCol: String, minShare: Double,
       slack: Double = 2.0): DataFrame = {

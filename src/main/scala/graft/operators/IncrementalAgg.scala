@@ -72,9 +72,13 @@ object IncrementalAgg {
     *
     * Contract: `deletes` rows must actually exist in the aggregated
     * base (retracting a phantom row corrupts sums silently — guard
-    * upstream with an anti-join when the feed is untrusted); groups
-    * whose rows are ALL deleted surface with n_v = 0 and null
-    * min/max, matching [[buildState]] on an empty slice.
+    * upstream with an anti-join when the feed is untrusted). Groups
+    * whose rows are ALL deleted surface with n_v = 0, sum_v = 0 and
+    * NULL min/max (the extremes are known-gone, not stale) plus
+    * needs_rebuild = true — their empty rebuild slice then erases
+    * them, matching [[buildState]] over the survivors. Flagged groups
+    * with survivors carry their STALE min/max until rebuilt — the
+    * flag, not the carried value, is the contract.
     */
   def retractState(
       state: DataFrame, deletes: DataFrame,
@@ -86,12 +90,14 @@ object IncrementalAgg {
         count(col(valueCol)).as("__d_n"),
         min(col(valueCol)).as("__d_min"),
         max(col(valueCol)).as("__d_max"))
+    val newN = col("n_v") - coalesce(col("__d_n"), lit(0L))
     state.join(del, groupCols, "left")
       .select(
         groupCols.map(col) ++ Seq(
           (col("sum_v") - coalesce(col("__d_sum"), lit(0))).as("sum_v"),
-          (col("n_v") - coalesce(col("__d_n"), lit(0L))).as("n_v"),
-          col("min_v"), col("max_v"),
+          newN.as("n_v"),
+          when(newN === 0, lit(null)).otherwise(col("min_v")).as("min_v"),
+          when(newN === 0, lit(null)).otherwise(col("max_v")).as("max_v"),
           (col("__d_min") <=> col("min_v") || col("__d_max") <=> col("max_v"))
             .as("needs_rebuild")): _*)
   }

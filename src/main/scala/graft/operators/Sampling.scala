@@ -363,12 +363,23 @@ object Sampling {
     * selection of training data and for k-means++-style seeding when
     * determinism matters more than randomization.
     *
-    * Scale shape per round: the selected set rides the plan as
-    * literals (a bounded model, the [[KMeans]] codebook idiom), so
-    * coverage scoring is one map-side pass, and the argmin is a
-    * TakeOrderedAndProject (k rows total ever reach the driver). k
-    * full scans for k picks is inherent to the greedy; persist the
-    * (id, vec, norm) projection for corpus-scale runs.
+    * Scale shape: the (id, vec, norm) projection is persisted ONCE (a
+    * single source scan for the whole greedy), and the coverage column
+    * is maintained INCREMENTALLY — each round folds only the newest
+    * pick into the running max (`greatest(cover, cos(v, newest))`),
+    * so the total work is O(n*k) cosines over cached data instead of
+    * the naive O(n*k^2) re-score, and each round is one cheap
+    * TakeOrderedAndProject argmin (k single-row driver round-trips
+    * total — inherent to the greedy, each against cache, never the
+    * source). Each pick rides the plan as one literal vector (the
+    * [[KMeans]] codebook idiom); the plan grows one node per round,
+    * which is why k is capped at 64 — past that, batch the selection
+    * (pick several farthest points per round) or switch to k-means++
+    * sampling rather than inflating a 100-deep literal plan.
+    *
+    * max is associative, so the running max is bit-identical to the
+    * all-pairs re-score — `q_sample_coreset`'s unrolled oracle replays
+    * every round's argmin unchanged.
     *
     * Output: (sel_rank, vec id) for ranks 0..k-1 — rank 0 is the seed.
     * Arithmetic is the [[graft.functions.VectorOps]] cosine (guarded,
@@ -376,37 +387,61 @@ object Sampling {
     */
   def farthestPointSample(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64] (plan grows one literal-vector node per " +
+        s"round; batch the selection past that), got $k")
     import graft.functions.VectorOps
+    import org.apache.spark.storage.StorageLevel
     val base = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         VectorOps.norm(col(vecCol)).as("__n"))
-    val seedRow = base.orderBy(col("id")).limit(1)
-      .select(col("id"), col("__v")).collect()
-    require(seedRow.nonEmpty, "corpus is empty")
-    var selected = List[(Long, Array[Float])](
-      (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
-    while (selected.size < k) {
-      val chosenIds = selected.map(_._1)
-      val covers = selected.map { case (_, sv) =>
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = base.orderBy(col("id")).limit(1)
+        .select(col("id"), col("__v")).collect()
+      require(seedRow.nonEmpty, "corpus is empty")
+      var selected = List[(Long, Array[Float])](
+        (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
+      def coverOf(sv: Array[Float]) = {
         var n = 0.0; sv.foreach(x => n += x.toDouble * x.toDouble)
         VectorOps.guardCos(try_divide(
           VectorOps.dot(col("__v"), typedlit(sv)),
           col("__n") * lit(math.sqrt(n))))
       }
-      // greatest() requires >= 2 args; duplicating the single cover is a no-op.
-      val cover = greatest((if (covers.size == 1) covers ++ covers else covers): _*)
-      val next = base
-        .filter(!col("id").isInCollection(chosenIds))
-        .select(col("id"), col("__v"), cover.as("__cover"))
-        .orderBy(col("__cover").asc, col("id").asc)
-        .limit(1).collect()
-      require(next.nonEmpty, s"corpus exhausted before k=$k picks")
-      selected = selected :+ ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
-    }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    selected.zipWithIndex
-      .map { case ((id, _), r) => (r, id) }.toDF("sel_rank", "vec_id")
+      // Running max coverage vs the selected set, folded incrementally.
+      // Each round's frame is persisted and the argmin job materializes
+      // it from its (cached) parent, so a round computes ONE new cosine
+      // per row — without the per-round persist, the lazy greatest()
+      // chain would re-run every prior round's cosines and the greedy
+      // would quietly be O(n*k^2) again. The grandparent is unpersisted
+      // only after the argmin has materialized its child.
+      var covered = base.withColumn("__cover", coverOf(selected.head._2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var parent: Option[DataFrame] = None
+      try {
+        while (selected.size < k) {
+          val next = covered
+            .filter(!col("id").isInCollection(selected.map(_._1)))
+            .select(col("id"), col("__v"), col("__cover"))
+            .orderBy(col("__cover").asc, col("id").asc)
+            .limit(1).collect()
+          require(next.nonEmpty, s"corpus exhausted before k=$k picks")
+          parent.foreach(_.unpersist())
+          parent = Some(covered)
+          val vec = next(0).getSeq[Float](1).toArray
+          selected = selected :+ ((next(0).getLong(0), vec))
+          covered = covered.withColumn("__cover",
+            greatest(col("__cover"), coverOf(vec)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+      } finally {
+        parent.foreach(_.unpersist())
+        covered.unpersist()
+      }
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case ((id, _), r) => (r, id) }.toDF("sel_rank", "vec_id")
+    } finally base.unpersist()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, Packing, ProductQuant, Profile, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
+import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, LangModel, Packing, ProductQuant, Profile, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -624,6 +624,19 @@ object LlmQueries {
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         Text.qualityFlag(col("text")).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Perplexity-proxy quality scoring: a pruned bigram LM trained on
+    // the corpus itself (CCNet-style third quality channel). Train is
+    // two bounded top-V count aggregations; score is one map-side pass
+    // with the model riding as literal maps and the per-doc ln-prob a
+    // deterministic array fold. The oracle replays vocabulary cut,
+    // bigram cut, stupid backoff and fold bit-for-bit.
+    "q_text_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.train(d, "text")
+      LangModel.scoreDocs(d, "doc_id", "text", model)
         .orderBy(col("doc_id"))
     }),
 
@@ -2161,16 +2174,59 @@ object LlmQueries {
         |ORDER BY p.doc_id, p.neg_idx""".stripMargin,
     "q_corpus_report" ->
       """SELECT COUNT(*) AS n_docs,
-        | SUM(len(string_split(text, ' '))) AS total_tokens,
-        | SUM(length(text)) AS total_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs,
         | COUNT(DISTINCT source) AS n_sources,
-        | SUM(CASE WHEN len(string_split(text, ' ')) >= 10
+        | CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 10
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
         |   AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-        |     / length(text) < 0.2 THEN 1 ELSE 0 END) AS n_quality_ok
+        |     / length(text) < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
         |FROM documents""".stripMargin,
+    "q_text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), total AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+        |), vocab AS (
+        |  SELECT w, c FROM uni ORDER BY c DESC, w ASC LIMIT 1000
+        |), pairs AS (
+        |  SELECT doc_id, j, t[CAST(j AS INT) + 1] AS w1, t[CAST(j AS INT) + 2] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS j FROM toks)
+        |), bim AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM pairs p
+        |  WHERE EXISTS(SELECT 1 FROM vocab v WHERE v.w = p.w1)
+        |    AND EXISTS(SELECT 1 FROM vocab v WHERE v.w = p.w2)
+        |  GROUP BY w1, w2
+        |  ORDER BY c12 DESC, (w1 || ' ' || w2) ASC LIMIT 4000
+        |), lp AS (
+        |  SELECT p.doc_id, p.j,
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL AND v1.c IS NOT NULL
+        |        THEN ln(b.c12::DOUBLE / v1.c::DOUBLE)
+        |      WHEN v2.c IS NOT NULL
+        |        THEN ln(0.4 * v2.c::DOUBLE / (SELECT n FROM total)::DOUBLE)
+        |      ELSE ln(0.4 / (SELECT n FROM total)::DOUBLE)
+        |    END AS l
+        |  FROM pairs p
+        |  LEFT JOIN bim b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN vocab v1 ON v1.w = p.w1
+        |  LEFT JOIN vocab v2 ON v2.w = p.w2
+        |), sums AS (
+        |  SELECT doc_id, list_sum(list(l ORDER BY j)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS INT) AS n_tokens,
+        |  ROUND(sums.s / sums.np, 6) AS avg_logprob
+        |FROM toks tk LEFT JOIN sums ON sums.doc_id = tk.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

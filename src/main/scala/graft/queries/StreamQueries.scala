@@ -263,6 +263,48 @@ object StreamQueries {
         .orderBy(col("station_id"))
     }),
 
+    // ST9 snapshot time travel: the same streamingLatestMerge run as
+    // q_stream_upsert (one fixture file per micro-batch -> committed
+    // versions v0, v1), then BOTH retained versions are read back via
+    // readMergeTargetVersion and unioned under a version tag. A green
+    // row proves (a) the retain window kept the superseded snapshot,
+    // (b) v0 is immutable — it still shows batch-0 state (99950133 at
+    // 0 bikes, 213688169 at 4) after the pointer moved on, and (c) v1
+    // matches the live target. The file source breaks equal-mtime ties
+    // arbitrarily, so batch order is pinned the q_stream_dedup way:
+    // land each fixture into the drop dir and run an AvailableNow pass
+    // PER DROP (shared checkpoint skips processed files).
+    "q_stream_timetravel" -> ((s, _) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_tt_")
+      val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
+      val outDir = base.resolve("target").toString
+      withScopedStreamRun(s) { ckpt =>
+        val src = new java.io.File(StationsDir).listFiles()
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        src.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
+          val raw = s.readStream.schema(Schemas.velibRaw)
+            .json(dropDir.toString)
+          val q = Streams.streamingLatestMerge(
+            Streams.dedupedStationUpdates(raw),
+            "station_id", "last_reported", outDir, ckpt, retain = 2).start()
+          q.awaitTermination()
+        }
+      }
+      // snapshots tagged by AGE RANK, not raw v<batchId> dir name —
+      // batch ids are a checkpoint artifact (watermark-flush batches
+      // consume ids without committing snapshots), rank is the stable
+      // time-travel coordinate.
+      val versions = Streams.mergeTargetVersions(s, outDir)
+        .sortBy(_.drop(1).toLong)
+      versions.zipWithIndex.map { case (v, i) =>
+        Streams.readMergeTargetVersion(s, outDir, v)
+          .select(lit(i).as("snap_rank"), col("station_id"),
+            col("num_bikes_available"), col("last_reported"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("snap_rank"), col("station_id"))
+    }),
+
     // ST5 foreachBatch checkpointed load: the stream lands in an
     // arbitrary BATCH sink (parquet append here, standing in for the
     // reference's warehouse load), then the landed table is read back
@@ -324,6 +366,16 @@ object StreamQueries {
         | (CAST(19179944124 AS BIGINT), 11, 9, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
         |) AS t(station_id, num_bikes_available, num_docks_available, last_reported)
         |ORDER BY station_id""".stripMargin,
+    "q_stream_timetravel" ->
+      """SELECT * FROM (VALUES
+        | (0, CAST(99950133 AS BIGINT), 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP)),
+        | (0, CAST(213688169 AS BIGINT), 4, CAST('2024-02-01 00:50:00' AS TIMESTAMP)),
+        | (0, CAST(19179944124 AS BIGINT), 11, CAST('2024-02-01 00:55:00' AS TIMESTAMP)),
+        | (1, CAST(99950133 AS BIGINT), 3, CAST('2024-02-01 01:10:00' AS TIMESTAMP)),
+        | (1, CAST(213688169 AS BIGINT), 0, CAST('2024-02-01 01:15:00' AS TIMESTAMP)),
+        | (1, CAST(19179944124 AS BIGINT), 11, CAST('2024-02-01 00:55:00' AS TIMESTAMP))
+        |) AS t(snap_rank, station_id, num_bikes_available, last_reported)
+        |ORDER BY snap_rank, station_id""".stripMargin,
     "q_stream_stockouts" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 'restock', CAST('2024-02-01 01:10:00' AS TIMESTAMP), 3),

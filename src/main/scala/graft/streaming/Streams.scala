@@ -263,7 +263,12 @@ object Streams {
       val beta = 1.0 - alpha // exact for dyadic alpha
       val out = Seq.newBuilder[EwmaPoint]
       var cur = state.getOption
-      rows.toSeq.sortBy(_.last_reported.getTime).foreach { p =>
+      // (ts, value) sort matches GapFill.ewma's batch fold tie-break —
+      // with only the timestamp key, rows tied on last_reported would
+      // fold in arbitrary iterator order and the EWMA would be
+      // nondeterministic for non-deduped input.
+      rows.toSeq.sortBy(p => (p.last_reported.getTime, p.num_bikes_available))
+        .foreach { p =>
         val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
         if (!late) {
           val s = cur match {
@@ -380,6 +385,11 @@ object Streams {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Watermark-flush batches (AvailableNow appends one per run for
+        // stateful upstreams) carry no rows: committing them would
+        // rewrite the ENTIRE snapshot to change nothing and burn a slot
+        // of the retain window. The take(1) probe costs one task.
+        if (!batch.isEmpty) {
         val s = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(targetPath)
         val conf = s.sessionState.newHadoopConf()
@@ -421,6 +431,7 @@ object Streams {
           listVersions(fs, root).partition(_.drop(1).toLong > committedId)
         (stragglers ++ committed.drop(retain)).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
+        }
         }
       }
       .option("checkpointLocation", checkpoint)

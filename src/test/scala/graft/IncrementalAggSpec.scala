@@ -115,6 +115,21 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(out === Seq(("a", 0L, true), ("b", 1L, false)))
   }
 
+  test("retractState: a fully-deleted group nulls its extremes (not stale carry)") {
+    import spark.implicits._
+    val base = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("k", "v")
+    val st = IncrementalAgg.buildState(base, Seq("k"), "v")
+    val deletes = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    val out = rows(IncrementalAgg.retractState(st, deletes, Seq("k"), "v")
+      .orderBy(col("k")))
+    val a = out.head
+    assert(a.getString(0) === "a" && a.getLong(2) === 0L)
+    assert(a.isNullAt(3) && a.isNullAt(4), s"extremes must be null: $a")
+    assert(a.getBoolean(5)) // empty rebuild slice erases the group
+    val b = out(1)
+    assert(b.getString(0) === "b" && !b.isNullAt(3) && !b.getBoolean(5))
+  }
+
   test("joinDelta fails fast on overlapping non-key columns or schema drift") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("k", "v")

@@ -74,4 +74,33 @@ object PairMiningPropertiesSpec extends Properties("LshSimilarPairs") {
       val plantedFound = degenerate || banded.exists(_._1 == dupPair)
       soundness && noDupes && plantedFound
     }
+
+  // The q_embed_pairs recall argument, randomized: with 24 planes in
+  // 12 bands, a pair at cos >= 0.9 misses every band with probability
+  // (1 - (1 - acos(0.9)/pi)^2)^12 < 2e-7 — so on random corpora every
+  // EXACT pair at or above the 0.9 floor must appear in the banded
+  // output (the guarantee previously rested on eight fixed seeds).
+  // The property's own false-failure budget is ~1e-6 per run.
+  property("recall: every exact pair at cos >= 0.9 surfaces through the bands") =
+    forAll(corpusGen) { case (vs, dupOf) =>
+      import spark.implicits._
+      // plant a NEAR-duplicate: small relative perturbation keeps the
+      // pair's cosine >= 0.9 without sharing signatures by construction
+      val base = vs(dupOf)
+      val near = base.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 2 == 0) 0.02f else -0.02f) * (math.abs(x) max 0.05f)
+      }
+      val planted = vs :+ near
+      val df = planted.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("id", "vec")
+        .selectExpr("id", "cast(vec as array<float>) as vec")
+      val banded = Similarity
+        .lshSimilarPairs(df, Threshold, dim = Dim, nPlanes = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val highSim = Similarity.cosineSimilarPairs(df, Threshold)
+        .filter(col("cos_sim") >= 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      highSim.subsetOf(banded)
+    }
 }
