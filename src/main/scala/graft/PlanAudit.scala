@@ -19,7 +19,9 @@ object PlanAudit {
       "q_graph_reach", "q_ts_ewma", "q_ts_islands", "q_window_median",
       "q_attr_lasttouch", "q_embed_standard", "q_diff_snapshots",
       "q_geo_nearest", "q_ann_ivfpq", "q_agg_retract", "q_incremental_join",
-      "q_join_temporal", "q_sketch_heavy_group", "q_fn_csv")
+      "q_join_temporal", "q_sketch_heavy_group", "q_fn_csv",
+      "q_text_perplexity", "q_eval_ece", "q_eval_annrecall",
+      "q_sink_bucketed", "q_stream_timetravel")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size

@@ -97,4 +97,38 @@ object Eval {
         round(try_divide(col("tp").cast("double"), col("__total_pos")), 6)
           .as("recall"))
   }
+
+  /** Expected Calibration Error over `bins` equi-frequency score
+    * buckets: `ECE = Σ_b (n_b / N) * |pos_rate_b - mean_score_b|` —
+    * the scalar companion to the reliability-diagram deciles
+    * (`q_eval_calibration`), the single number a quality-filter
+    * pipeline alerts on when its classifier drifts.
+    *
+    * Portability: per-bin pos_rate and mean_score are 6-dp-rounded
+    * doubles (the calibration-bin kernel), then RE-CAST to
+    * DECIMAL(18,6) so the weighted |gap| sum is EXACT decimal
+    * arithmetic — shuffle-order independent with no fold needed —
+    * and the single final division is the only floating-point step.
+    * Output: (ece, n_rows, n_bins). NULL scores/labels are dropped.
+    */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("int").as("__y"))
+    val perBin = Profile.quantileBucket(scored, "score", bins)
+      .groupBy(col("score_qbucket").cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        round(sum(round(col("score"), 6).cast(DecimalType(38, 6)))
+          .cast("double") / count(lit(1)), 6).as("__mean"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("__pos"))
+    perBin.agg(
+      round(
+        sum(abs(col("__pos").cast(DecimalType(18, 6))
+            - col("__mean").cast(DecimalType(18, 6))) * col("__n"))
+          .cast("double") / sum(col("__n")).cast("double"), 6).as("ece"),
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_bins"))
+  }
 }

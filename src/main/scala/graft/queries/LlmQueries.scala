@@ -394,6 +394,36 @@ object LlmQueries {
         element_at(col("embedding"), 2).cast("double").as("score"),
         (col("label") % 2).as("y")), "score", "y")
     }),
+
+    // Scalar Expected Calibration Error — the one-number drift alarm
+    // over the same equi-frequency deciles as q_eval_calibration; the
+    // weighted |pos_rate - mean_score| sum is exact decimal
+    // arithmetic, so the single final division is the only float step.
+    "q_eval_ece" -> ((s, dir) => {
+      Eval.ece(embs(s, dir).select(
+        element_at(col("embedding"), 2).cast("double").as("score"),
+        (col("label") % 2).as("y")), "score", "y", bins = 10)
+    }),
+
+    // ANN quality eval: recall@10 of the sign-LSH index against the
+    // exact brute-force top-10, per probe — the measurement that
+    // decides whether an index's bands/probes are sized right BEFORE
+    // a 100 TB corpus is indexed with them. Both sides deterministic,
+    // so the oracle replays index, exact ranking, and the recall join.
+    "q_eval_annrecall" -> ((s, dir) => {
+      val exact = Similarity.bruteForceTopK(corpus(s, dir), probes(s, dir), 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(
+          count(col("__hit")).as("n_hit"),
+          count(lit(1)).as("n_exact"),
+          round(count(col("__hit")).cast("double") / count(lit(1)), 6)
+            .as("recall_at_10"))
+        .orderBy(col("probe_id"))
+    }),
     "q_eval_pr" -> ((s, dir) => {
       Eval.prCurve(embs(s, dir).select(
         element_at(col("embedding"), 2).cast("double").as("score"),
@@ -1884,6 +1914,87 @@ object LlmQueries {
         |    CAST(0 AS DECIMAL(38,12)))) AS DOUBLE) / COUNT(*), 6) AS mrr,
         |  COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
         |FROM pp LEFT JOIN rel USING (probe_id)""".stripMargin,
+    "q_eval_ece" ->
+      """WITH s AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), q AS (
+        |  SELECT quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM s
+        |), b AS (
+        |  SELECT CAST(len(list_filter(q.cuts, c -> s.score > c)) AS BIGINT)
+        |    AS bin, s.score, s.y
+        |  FROM s CROSS JOIN q
+        |), pb AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    CAST(ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS mean6,
+        |    CAST(ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS DECIMAL(18,6)) AS pos6
+        |  FROM b GROUP BY bin
+        |)
+        |SELECT
+        |  ROUND(CAST(SUM(ABS(pos6 - mean6) * n) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins
+        |FROM pb""".stripMargin,
+    "q_eval_annrecall" ->
+      s"""WITH pw AS (
+         |  SELECT j, d, ${duckPlaneW(42L)} AS w
+         |  FROM range(16) a(j) CROSS JOIN range(64) b(d)
+         |), pl AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
+         |), bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN pl
+         |), bkt AS (
+         |  SELECT vec_id, CAST(j // 4 AS INT) AS band,
+         |    CAST(SUM(bit * (1 << CAST(j % 4 AS INT))) AS INT) AS bucket
+         |  FROM bits GROUP BY vec_id, band
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bkt c JOIN bkt p ON c.band = p.band AND c.bucket = p.bucket
+         |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |), sc AS (
+         |  SELECT cand.probe_id, cand.neighbor_id,
+         |    ${duckCos("e.embedding", "q.embedding")} AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), lr AS (
+         |  SELECT probe_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM sc
+         |), lshk AS (
+         |  SELECT probe_id, neighbor_id FROM lr WHERE rn <= 10
+         |), allp AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("e.embedding", "p.embedding")} AS cos_raw
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id < 5) p
+         |  WHERE e.vec_id != p.vec_id
+         |), er AS (
+         |  SELECT probe_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM allp
+         |), ex AS (
+         |  SELECT probe_id, neighbor_id FROM er WHERE rn <= 10
+         |)
+         |SELECT ex.probe_id,
+         |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  ROUND(COUNT(l.neighbor_id)::DOUBLE / COUNT(*), 6) AS recall_at_10
+         |FROM ex LEFT JOIN lshk l
+         |  ON l.probe_id = ex.probe_id AND l.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
     "q_eval_auc" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y

@@ -798,6 +798,26 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // J3b NOT IN — null-aware anti join, a DIFFERENT operator from
+    // NOT EXISTS: a NULL probe key is unknown-membership (filtered,
+    // not kept), and one NULL in the subquery list would empty the
+    // result. Every 13th probe key is nulled so the null channel is
+    // exercised datawise; Spark plans the single-column NOT IN as a
+    // broadcast null-aware anti join (no per-row subquery).
+    "q_join_notin" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("__notin_orders")
+      table(s, dir, "customer").createOrReplaceTempView("__notin_customer")
+      s.sql(
+        """SELECT o_orderkey, ck
+          |FROM (SELECT o_orderkey,
+          |        CASE WHEN o_orderkey % 13 = 0 THEN CAST(NULL AS BIGINT)
+          |             ELSE o_custkey END AS ck
+          |      FROM __notin_orders)
+          |WHERE ck NOT IN (SELECT c_custkey FROM __notin_customer
+          |                 WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // J4 theta (suppliers richer than same-nation customers). A direct
     // equi+inequality join materializes |suppliers/nation| x
     // |customers/nation| rows per nation key before aggregating — a
@@ -2188,6 +2208,15 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_notin" ->
+      """SELECT o_orderkey, ck
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 13 = 0 THEN CAST(NULL AS BIGINT)
+        |             ELSE o_custkey END AS ck
+        |      FROM orders)
+        |WHERE ck NOT IN (SELECT c_custkey FROM customer
+        |                 WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_theta" ->
       """SELECT s_suppkey, s_name, COUNT(*) AS n_poorer
         |FROM supplier JOIN customer

@@ -389,6 +389,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected <= 2 exchanges (window + output sort):\n$p")
   }
 
+  test("q_join_notin plans a broadcast NULL-AWARE anti join, not a per-row subquery") {
+    val p = plan("q_join_notin")
+    // the trailing `true` on the BHJ line is isNullAwareAntiJoin —
+    // single-column NOT IN compiled to one hashed broadcast pass
+    assert("""BroadcastHashJoin .*LeftAnti, BuildRight, true""".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("assignToCentroidsBcast at k=256: codegen'd broadcast join, bit-identical to the literal path") {
     import graft.operators.Similarity
     val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
