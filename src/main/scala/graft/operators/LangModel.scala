@@ -77,11 +77,15 @@ object LangModel {
     val toks = docs
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
+    // persisted: the total and the top-V cut both read this aggregate —
+    // without the persist each job re-scans and re-counts the corpus
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c")).as("n")).collect()(0).getLong(0)
-    val vocab = counts
-      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      (counts.agg(sum(col("c")).as("n")).collect()(0).getLong(0),
+        counts.orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally counts.unpersist()
     // membership against the retained vocabulary is checked map-side
     // against the literal vocab BEFORE the bigram count shuffle, so
     // untracked bigrams never enter the exchange

@@ -285,4 +285,59 @@ object Profile {
       round(col("cnt") / col("n_nonnull"), 6).as("share"),
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
+
+  /** EXACT-integer Pearson correlation matrix over up to 6 numeric
+    * columns with at most 2 fractional decimals — the cross-column
+    * drift detector (price vs quantity suddenly decorrelating is a
+    * feed bug). One scan, one 1-row exchange: every Σx, Σx², Σxy is a
+    * partial-aggregating decimal sum.
+    *
+    * Portability is the whole design: Spark's built-in `corr` (and
+    * DuckDB's) stream central moments whose double accumulation
+    * depends on partition merge order — not reproducible, not
+    * oracle-checkable. Here each value is scaled to INTEGER
+    * hundredths (exact for <= 2 dp inputs), every sum of
+    * products is exact integer arithmetic in DECIMAL(38,0) (bounded:
+    * |x| < 1e9 scaled and n < 1e9 keep n·Σxy < 1e38 — a `require`
+    * cannot check data, so the bound is the documented contract), and
+    * `corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))`
+    * converts to double only for the final sqrt/divide — the same two
+    * IEEE steps the oracle replays on HUGEINT sums. Zero-variance
+    * columns yield NULL (`try_divide`). Rows with a NULL in ANY
+    * profiled column are excluded (listwise deletion, the textbook
+    * matrix convention — every pair sees the same support).
+    *
+    * Output: one row — n plus `corr_<a>_<b>` (6-dp) for each a < b
+    * in the given column order.
+    */
+  def pearsonExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 6,
+      s"pearsonExact takes 2-6 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val scaled = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        round(col(c).cast("double") * 100, 0).cast(DecimalType(38, 0))
+          .as(s"__$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggCols =
+      cols.flatMap(c => Seq(
+        sum(col(s"__$c")).as(s"__s_$c"),
+        sum(col(s"__$c") * col(s"__$c")).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"__$a") * col(s"__$b")).as(s"__sp_${a}_$b") }
+    val sums = scaled.agg(count(lit(1)).as("n"), aggCols: _*)
+    val nD = col("n").cast(DecimalType(38, 0))
+    def varTerm(c: String) =
+      (nD * col(s"__ss_$c") - col(s"__s_$c") * col(s"__s_$c")).cast("double")
+    sums.select(
+      col("n") +: pairs.map { case (a, b) =>
+        round(try_divide(
+          (nD * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+            .cast("double"),
+          sqrt(varTerm(a)) * sqrt(varTerm(b))), 6).as(s"corr_${a}_$b")
+      }: _*)
+  }
 }

@@ -247,25 +247,29 @@ object RelationalQueries {
     // ±0.01-quantile bracket around its target (rank error at accuracy
     // 10000 is orders of magnitude tighter) — pinned TRUE in the
     // oracle, so a drifting sketch hash-mismatches.
+    // All six exact quantiles share ONE percentile buffer (array-typed
+    // percentages) and both sketch quantiles share one t-digest —
+    // separate percentile() calls each build their own per-group
+    // value-count map and the query pays 6x the memory and time.
     "q_agg_approxpct" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_exact"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_exact"),
-          percentile(col("l_extendedprice"), lit(0.49)).as("__lo50"),
-          percentile(col("l_extendedprice"), lit(0.51)).as("__hi50"),
-          percentile(col("l_extendedprice"), lit(0.94)).as("__lo95"),
-          percentile(col("l_extendedprice"), lit(0.96)).as("__hi95"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("__p50a"),
-          approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
-            .as("__p95a"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.49), lit(0.5), lit(0.51), lit(0.94), lit(0.95), lit(0.96)))
+            .as("__px"),
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("__pa"))
         .select(
           col("l_returnflag"),
-          col("p50_exact"), col("p95_exact"),
-          col("__p50a").between(col("__lo50"), col("__hi50")).as("p50_ok"),
-          col("__p95a").between(col("__lo95"), col("__hi95")).as("p95_ok"))
+          round(element_at(col("__px"), 2), 4).as("p50_exact"),
+          round(element_at(col("__px"), 5), 4).as("p95_exact"),
+          element_at(col("__pa"), 1)
+            .between(element_at(col("__px"), 1), element_at(col("__px"), 3))
+            .as("p50_ok"),
+          element_at(col("__pa"), 2)
+            .between(element_at(col("__px"), 4), element_at(col("__px"), 6))
+            .as("p95_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -693,6 +697,16 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Exact-integer Pearson correlation matrix: built-in corr() streams
+    // order-dependent double moments (not reproducible), so every sum
+    // of products is exact DECIMAL(38,0) over integer hundredths and
+    // only the final sqrt/divide touches floating point — the oracle
+    // replays the identical integer sums on HUGEINT.
+    "q_profile_corr" -> ((s, dir) => {
+      Profile.pearsonExact(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // Fixed-bound equi-width histogram: map-side bucket projection +
     // one bounded agg; the spark.range bucket spine emits empty buckets
     // too, so totals reconcile with the row count.
@@ -1008,6 +1022,30 @@ object RelationalQueries {
           ((col("s_suppkey") * 13 + 1) % 100).as("dst")))
       Reachability.kHop(edges, maxHops = 3)
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // OHLC resampling: open/high/low/close bars per (event_type, day)
+    // — the time-series downsampling shape (metrics rollups, market
+    // bars). open/close are min_by/max_by on a zero-padded
+    // (epoch-micros, event_id) string composite — same-timestamp ties
+    // pick one deterministic row, and a lexicographic string is the
+    // one composite ordering BOTH engines' argmin accepts (DuckDB's
+    // arg_min rejects struct keys). ONE aggregation, map-side
+    // partials, no window; raw stored doubles pass through selection
+    // untouched — bit-identical cross-engine.
+    "q_ts_ohlc" -> ((s, dir) => {
+      val tieKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("bar_start"))
+        .agg(
+          min_by(col("value"), tieKey).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), tieKey).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("bar_start"))
     }),
 
     // Inter-arrival (burstiness) profile: per-user gap statistics over
@@ -1795,6 +1833,38 @@ object RelationalQueries {
         .orderBy(col("channel"))
     }),
 
+    // Linear multi-touch attribution: each purchase splits its revenue
+    // EQUALLY across every click in its trailing 7-day window (the
+    // fairness-variant companion to q_attr_lasttouch). The touch join
+    // is equi-keyed on user_id with the range as a residual predicate
+    // — per-user fan-out is bounded by a user's own click cadence, so
+    // the shape survives scale where an unkeyed interval join would
+    // not. Each credit is value/n_touch cast to DECIMAL(28,12) before
+    // summing, so the per-channel rollup is shuffle-order independent
+    // and oracle-replayable.
+    "q_attr_linear" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("conv_id"), col("value"))
+      val touch = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("tts"),
+          concat(lit("ch_"), col("event_id") % 3).as("channel"))
+      val joined = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") <= col("ts") &&
+          col("tts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+      joined
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+        .groupBy(col("channel"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          round(sum((col("value") / col("n_touch"))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double"), 6).as("revenue_credit"))
+        .orderBy(col("channel"))
+    }),
+
     // Weekly cohort retention: first-touch min + (user, week) distinct
     // both shuffle on user_id; the per-week cohort sizes are a bounded
     // frame broadcast back onto the cells (plan: one broadcast join, no
@@ -2160,6 +2230,36 @@ object RelationalQueries {
         |      / COUNT(l_quantity), 6)
         |  FROM lineitem
         |) ORDER BY col_name""".stripMargin,
+    "q_profile_corr" ->
+      """WITH c AS (
+        |  SELECT CAST(ROUND(l_quantity * 100) AS HUGEINT) AS q,
+        |    CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS p,
+        |    CAST(ROUND(l_discount * 100) AS HUGEINT) AS d
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(q) AS sq, SUM(q*q) AS ssq,
+        |    SUM(p) AS sp, SUM(p*p) AS ssp,
+        |    SUM(d) AS sd, SUM(d*d) AS ssd,
+        |    SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+        |  FROM c
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n*sqp - sq*sp AS DOUBLE)
+        |    / (sqrt(CAST(n*ssq - sq*sq AS DOUBLE))
+        |       * sqrt(CAST(n*ssp - sp*sp AS DOUBLE))), 6)
+        |    AS corr_l_quantity_l_extendedprice,
+        |  ROUND(CAST(n*sqd - sq*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*ssq - sq*sq AS DOUBLE))
+        |       * sqrt(CAST(n*ssd - sd*sd AS DOUBLE))), 6)
+        |    AS corr_l_quantity_l_discount,
+        |  ROUND(CAST(n*spd - sp*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*ssp - sp*sp AS DOUBLE))
+        |       * sqrt(CAST(n*ssd - sd*sd AS DOUBLE))), 6)
+        |    AS corr_l_extendedprice_l_discount
+        |FROM s""".stripMargin,
     "q_profile_hist" ->
       """WITH b AS (
         |  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0)
@@ -2354,6 +2454,18 @@ object RelationalQueries {
         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
+    "q_ts_ohlc" ->
+      """SELECT event_type, date_trunc('day', ts) AS bar_start,
+        | arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        | MAX(value) AS high,
+        | MIN(value) AS low,
+        | arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+        | COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type, date_trunc('day', ts)
+        |ORDER BY event_type, bar_start""".stripMargin,
     "q_ts_interarrival" ->
       """WITH e AS (
         |  SELECT user_id,
@@ -2890,6 +3002,26 @@ object RelationalQueries {
         |    AS med_4
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, ts, value""".stripMargin,
+    "q_attr_linear" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id AS conv_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, ts AS tts, 'ch_' || (event_id % 3) AS channel
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT c.conv_id, c.value, t.channel
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |   AND t.tts <= c.ts AND t.tts >= c.ts - INTERVAL 7 DAY
+        |), n AS (
+        |  SELECT conv_id, COUNT(*) AS nt FROM j GROUP BY conv_id
+        |)
+        |SELECT channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  ROUND(CAST(SUM(CAST(j.value / n.nt AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS revenue_credit
+        |FROM j JOIN n USING (conv_id)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_attr_lasttouch" ->
       """WITH conv AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'

@@ -237,4 +237,40 @@ class ProfileSpec extends SparkTestBase {
       .orderBy(col("val_rank"))).map(r => (r.getString(1), r.getInt(4)))
     assert(tr === Seq(("m", 1), ("z", 2)))
   }
+
+  test("pearsonExact: hand-computed correlations, zero-variance NULL, listwise deletion") {
+    import spark.implicits._
+    // y = 2x (corr +1); z anti-ordered with x (corr -1 for this data);
+    // w constant (zero variance -> NULL)
+    val df = Seq(
+      (1.0, 2.0, 3.0, 5.0),
+      (2.0, 4.0, 2.0, 5.0),
+      (3.0, 6.0, 1.0, 5.0)).toDF("x", "y", "z", "w")
+    val out = rows(Profile.pearsonExact(df, Seq("x", "y", "z", "w"))).head
+    assert(out.getLong(0) === 3L)
+    assert(out.getDouble(1) === 1.0)   // corr_x_y
+    assert(out.getDouble(2) === -1.0)  // corr_x_z
+    assert(out.isNullAt(3), "zero-variance column must yield NULL")  // corr_x_w
+
+    // a null in ANY profiled column drops the whole row (listwise)
+    val withNull = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), None), (Some(3.0), Some(6.0))
+    ).toDF("x", "y")
+    val o2 = rows(Profile.pearsonExact(withNull, Seq("x", "y"))).head
+    assert(o2.getLong(0) === 2L && o2.getDouble(1) === 1.0)
+
+    // non-perfect correlation, cross-checked against the closed form:
+    // x=(1,2,3), v=(1,1,2) -> r = (3*9-6*4)/(sqrt(3*14-36)*sqrt(3*6-16))
+    val mix = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0)).toDF("x", "v")
+    val o3 = rows(Profile.pearsonExact(mix, Seq("x", "v"))).head
+    val expected = math.rint(3.0 / (math.sqrt(6.0) * math.sqrt(2.0)) * 1e6) / 1e6
+    assert(math.abs(o3.getDouble(1) - expected) < 1e-9)
+  }
+
+  test("pearsonExact: single scan, one exchange, partial aggregation") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 1.0)).toDF("x", "y")
+    val p = planString(Profile.pearsonExact(df, Seq("x", "y")))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
 }
