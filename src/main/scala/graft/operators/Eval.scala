@@ -98,6 +98,48 @@ object Eval {
           .as("recall"))
   }
 
+  /** Per-group (sliced) rank-sum AUC — [[aucByRank]] partitioned by a
+    * slice column: the fairness/segment report ("is the quality
+    * classifier equally good on every language?"). Same exact
+    * average-rank tie handling and decimal rank sums; the ordered
+    * window runs per group over that group's distinct scores, so state
+    * stays bounded by per-group score cardinality. Groups with no
+    * positives or no negatives have no defined AUC and surface NULL
+    * (`try_divide`). Output: (group, auc, n_pos, n_neg) one row per
+    * group.
+    */
+  def aucByRankGrouped(
+      df: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df
+      .filter(col(groupCol).isNotNull &&
+        col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+    val perScore = scored.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val before = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRank = perScore.withColumn("__avg_rank",
+      (coalesce(sum(col("__n")).over(before), lit(0L)).cast("double")
+        + (col("__n") + 1).cast("double") / lit(2.0)))
+    withRank.groupBy(col("__g").as(groupCol))
+      .agg(
+        sum((col("__np").cast("double") * col("__avg_rank"))
+          .cast(DecimalType(38, 1))).as("__pos_rank_sum"),
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"))
+      .select(col(groupCol),
+        round(try_divide(
+          col("__pos_rank_sum").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
+              / lit(2.0),
+          col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Expected Calibration Error over `bins` equi-frequency score
     * buckets: `ECE = Σ_b (n_b / N) * |pos_rate_b - mean_score_b|` —
     * the scalar companion to the reliability-diagram deciles

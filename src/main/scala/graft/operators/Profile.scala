@@ -286,6 +286,55 @@ object Profile {
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
 
+  /** Mutual information between two categorical columns, in nats —
+    * the dependency/leakage detector ("does the shard key secretly
+    * encode the label?"). `MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y)))`
+    * over the exact contingency table.
+    *
+    * One count shuffle builds the (x, y) cells; marginals come from
+    * window sums over the aggregated cells (|X|·|Y| rows, not data
+    * rows). Each cell term is one IEEE expression over exact integer
+    * counts; the final sum folds the cells in (x, y)-sorted order
+    * through a collected array — the collect_list is a contingency
+    * table, not data, and the fold makes the irrational-term sum
+    * deterministic and oracle-replayable
+    * (`list_sum(list(term ORDER BY ...))`). Contract: both columns are
+    * CATEGORICAL — the cell count is |X|·|Y|, and a numeric column
+    * smuggled in here turns the "table" back into data (the caller's
+    * bound to enforce; n_cells in the output is the audit). NULL
+    * categories are excluded (no probability mass).
+    * Output: (mi, n_rows, n_cells).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("__x"))
+    val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("__y"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val terms = cells
+      .withColumn("__cx", sum(col("__c")).over(wx))
+      .withColumn("__cy", sum(col("__c")).over(wy))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col("__x"), col("__y"), col("__c"), col("__n"),
+        ((col("__c").cast("double") / col("__n"))
+          * log((col("__c").cast("double") * col("__n"))
+            / (col("__cx").cast("double") * col("__cy")))).as("__t"))
+    terms
+      .agg(
+        sort_array(collect_list(struct(col("__x"), col("__y"), col("__t"))))
+          .as("__cells"),
+        max(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_cells"))
+      .select(
+        round(aggregate(col("__cells"), lit(0.0),
+          (acc, c) => acc + c.getField("__t")), 6).as("mi"),
+        col("n_rows"), col("n_cells"))
+  }
+
   /** EXACT-integer Pearson correlation matrix over up to 6 numeric
     * columns with at most 2 fractional decimals — the cross-column
     * drift detector (price vs quantity suddenly decorrelating is a

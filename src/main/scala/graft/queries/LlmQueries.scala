@@ -395,6 +395,17 @@ object LlmQueries {
         (col("label") % 2).as("y")), "score", "y")
     }),
 
+    // Sliced (per-segment) AUC — the fairness/segment report: same
+    // exact rank-sum arithmetic as q_eval_auc, partitioned by slice;
+    // a segment lacking positives or negatives reports NULL.
+    "q_eval_sliced" -> ((s, dir) => {
+      Eval.aucByRankGrouped(embs(s, dir).select(
+        (col("vec_id") % 3).as("segment"),
+        element_at(col("embedding"), 2).cast("double").as("score"),
+        (col("label") % 2).as("y")), "segment", "score", "y")
+        .orderBy(col("segment"))
+    }),
+
     // Scalar Expected Calibration Error — the one-number drift alarm
     // over the same equi-frequency deciles as q_eval_calibration; the
     // weighted |pos_rate - mean_score| sum is exact decimal
@@ -1914,6 +1925,28 @@ object LlmQueries {
         |    CAST(0 AS DECIMAL(38,12)))) AS DOUBLE) / COUNT(*), 6) AS mrr,
         |  COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
         |FROM pp LEFT JOIN rel USING (probe_id)""".stripMargin,
+    "q_eval_sliced" ->
+      """WITH s AS (
+        |  SELECT (vec_id % 3) AS seg, CAST(embedding[2] AS DOUBLE) AS sc,
+        |    (label % 2) AS y
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
+        |), g AS (
+        |  SELECT seg, sc, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY seg, sc
+        |), r AS (
+        |  SELECT seg, n, np,
+        |    COALESCE(SUM(n) OVER (PARTITION BY seg ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
+        |  FROM g
+        |)
+        |SELECT seg AS segment,
+        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
+        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
+        |    / NULLIF(SUM(np)::DOUBLE * SUM(n - np)::DOUBLE, 0), 6) AS auc,
+        |  CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
+        |FROM r GROUP BY seg ORDER BY segment""".stripMargin,
     "q_eval_ece" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y

@@ -707,6 +707,15 @@ object RelationalQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // Mutual information between two categorical columns — the
+    // dependency/leakage detector over the exact contingency table;
+    // the irrational cell terms fold in (x, y)-sorted order so the
+    // sum is deterministic and oracle-replayable.
+    "q_profile_mi" -> ((s, dir) => {
+      Profile.mutualInformation(
+        table(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+    }),
+
     // Fixed-bound equi-width histogram: map-side bucket projection +
     // one bounded agg; the spark.range bucket spine emits empty buckets
     // too, so totals reconcile with the row count.
@@ -2230,6 +2239,29 @@ object RelationalQueries {
         |      / COUNT(l_quantity), 6)
         |  FROM lineitem
         |) ORDER BY col_name""".stripMargin,
+    "q_profile_mi" ->
+      """WITH c AS (
+        |  SELECT CAST(c_mktsegment AS VARCHAR) AS x,
+        |    CAST(c_nationkey AS VARCHAR) AS y, COUNT(*) AS cnt
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT x, y, cnt,
+        |    SUM(cnt) OVER (PARTITION BY x) AS cx,
+        |    SUM(cnt) OVER (PARTITION BY y) AS cy,
+        |    SUM(cnt) OVER () AS n
+        |  FROM c
+        |), t AS (
+        |  SELECT x, y, n,
+        |    (cnt::DOUBLE / n) * ln((cnt::DOUBLE * n) / (cx::DOUBLE * cy::DOUBLE))
+        |      AS term
+        |  FROM m
+        |)
+        |SELECT ROUND(list_sum(list(term ORDER BY x, y)), 6) AS mi,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells
+        |FROM t""".stripMargin,
     "q_profile_corr" ->
       """WITH c AS (
         |  SELECT CAST(ROUND(l_quantity * 100) AS HUGEINT) AS q,
@@ -2455,7 +2487,8 @@ object RelationalQueries {
         |FROM r GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
     "q_ts_ohlc" ->
-      """SELECT event_type, date_trunc('day', ts) AS bar_start,
+      """SELECT event_type,
+        | CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start,
         | arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
         |   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
         | MAX(value) AS high,

@@ -61,4 +61,37 @@ class EvalSpec extends SparkTestBase {
     assert(pr.last._5 === 1.0) // lowest threshold predicts everything
     assert(pr.map(_._5) === pr.map(_._5).sorted) // recall non-decreasing
   }
+
+  test("aucByRankGrouped: per-slice AUC matches the global operator per group") {
+    import spark.implicits._
+    // group a: perfect ranking (auc 1); group b: inverted (auc 0);
+    // group c: all-positive -> NULL
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0),
+      ("b", 0.9, 0), ("b", 0.1, 1),
+      ("c", 0.5, 1), ("c", 0.6, 1)).toDF("g", "s", "y")
+    val out = rows(Eval.aucByRankGrouped(df, "g", "s", "y").orderBy(col("g")))
+    assert(out(0).getString(0) === "a" && out(0).getDouble(1) === 1.0)
+    assert(out(1).getString(0) === "b" && out(1).getDouble(1) === 0.0)
+    assert(out(2).getString(0) === "c" && out(2).isNullAt(1))
+    // each slice agrees with the ungrouped operator on that slice
+    for (g <- Seq("a", "b")) {
+      val solo = rows(Eval.aucByRank(df.filter(col("g") === g), "s", "y"))
+        .head.getDouble(0)
+      val sliced = out.find(_.getString(0) == g).get.getDouble(1)
+      assert(solo === sliced, s"slice $g diverged")
+    }
+  }
+
+  test("ece: perfectly calibrated bins score 0; a known gap scores exactly") {
+    import spark.implicits._
+    // 2 bins of 2: bin means 0.25/0.75, pos rates 0.5/0.5
+    // ece = 0.5*|0.5-0.25| + 0.5*|0.5-0.75| = 0.25
+    val df = Seq((0.2, 0), (0.3, 1), (0.7, 0), (0.8, 1)).toDF("s", "y")
+    val out = rows(Eval.ece(df, "s", "y", bins = 2)).head
+    assert(out.getDouble(0) === 0.25 && out.getLong(1) === 4L)
+    // identical score/label distribution per bin -> zero gap
+    val cal = Seq((0.0, 0), (0.0, 0), (1.0, 1), (1.0, 1)).toDF("s", "y")
+    assert(rows(Eval.ece(cal, "s", "y", bins = 2)).head.getDouble(0) === 0.0)
+  }
 }

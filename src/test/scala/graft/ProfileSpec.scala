@@ -273,4 +273,22 @@ class ProfileSpec extends SparkTestBase {
     val p = planString(Profile.pearsonExact(df, Seq("x", "y")))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
+
+  test("mutualInformation: independent columns 0, deterministic function ln|X|, counts audited") {
+    import spark.implicits._
+    // independent: every (x, y) cell equally likely -> MI = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v") } yield (x, y))
+      .toDF("x", "y")
+    val oi = rows(Profile.mutualInformation(indep, "x", "y")).head
+    assert(oi.getDouble(0) === 0.0 && oi.getLong(1) === 4L && oi.getLong(2) === 4L)
+    // y = f(x) bijective over 2 uniform values -> MI = ln 2
+    val dep = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")).toDF("x", "y")
+    val od = rows(Profile.mutualInformation(dep, "x", "y")).head
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(math.abs(od.getDouble(0) - ln2) < 1e-9)
+    assert(od.getLong(2) === 2L)
+    // nulls carry no probability mass
+    val withNull = Seq(("a", Some("u")), ("b", None)).toDF("x", "y")
+    assert(rows(Profile.mutualInformation(withNull, "x", "y")).head.getLong(1) === 1L)
+  }
 }
