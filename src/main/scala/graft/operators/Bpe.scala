@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Text
+
+/** Byte-pair-encoding merge training (Sennrich et al. '16) — the
+  * tokenizer-construction primitive of a training-data pipeline: learn
+  * the top-k symbol merges over a corpus, most-frequent adjacent pair
+  * first.
+  *
+  * Scale shape — the working set is the DISTINCT-WORD table, not the
+  * corpus: one corpus-wide word count (shuffle with map-side combine),
+  * then every merge round runs over (word, count) rows — bounded by
+  * vocabulary size however large the corpus. Per round: adjacent-pair
+  * counts weighted by word count (explode + one partial-combining
+  * aggregation), a TakeOrdered top-1 (one row to the driver — the
+  * coreset/argmin idiom), and a map-side merge application. Each
+  * round's word table is persisted and the previous round's cache
+  * released after its successor materializes (the incremental-column
+  * lesson: without the per-round persist, round r would lazily re-run
+  * every earlier round's application).
+  *
+  * Merge application is GREEDY LEFT-TO-RIGHT, the classic BPE rule:
+  * scan the symbol list, merge at the first (x, y) occurrence, resume
+  * AFTER the merged token — so in a run of overlapping occurrences
+  * the 1st, 3rd, 5th… merge ("a a a" under (a,a) → ["aa", "a"]). The
+  * compiled closure keeps the application one map-side pass (the
+  * LangModel interpreted-HOF lesson); the oracle replays the same
+  * rule as odd-rank positions within runs of consecutive matches.
+  *
+  * Ties in pair counts break on the ascending "x y" pair string, so
+  * the learned merge list is unique and cross-engine replayable.
+  * Determinism contract: `docs` is scanned once for word counts, but
+  * the greedy is sequential — same input, same merges.
+  *
+  * Output: (rank, left_sym, right_sym, merged, pair_count) for ranks
+  * 1..k (fewer if the corpus runs out of repeated pairs).
+  */
+object Bpe {
+
+  private[graft] def applyMerge(
+      syms: Seq[String], x: String, y: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+        out += (x + y); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // chars via split on the empty pattern; filter guards against any
+    // engine-version quirk producing empty edge elements
+    var cur = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), filter(split(col("w"), ""), s => s =!= "").as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val top = cur
+          .select(col("cnt"),
+            explode(zip_with(col("syms"),
+              slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b))).as("p"))
+          .filter(col("p").isNotNull)
+          .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("p").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val pc = top(0).getLong(1)
+          val Array(x, y) = pair.split(" ", 2)
+          merges += ((r, x, y, x + y, pc))
+          val applyUdf = udf((s: Seq[String]) => applyMerge(s, x, y))
+          val next = cur.select(col("cnt"), applyUdf(col("syms")).as("syms"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          cur.unpersist()
+          cur = next
+          r += 1
+        }
+      }
+    } finally cur.unpersist()
+    merges.result()
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+}

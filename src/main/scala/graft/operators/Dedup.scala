@@ -247,6 +247,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: `C(A in B) = |A∩B| / |A|`. Jaccard misses
+    * sub-document duplication by construction (a page quoted whole
+    * inside a 100x larger page has tiny |A∩B|/|A∪B| but containment
+    * ~1) — this is the quote/boilerplate/wrapper detector a corpus
+    * pipeline runs beside the symmetric near-dup pass.
+    *
+    * Same inverted-index shape and shuffles as the Jaccard miner (the
+    * intersection counts ARE the same aggregation); a pair surfaces
+    * when EITHER direction's containment clears `threshold`, with both
+    * directions reported. The same opt-in `maxDocFreq` stop-shingle
+    * cap applies, with the same documented lower-bound trade-off.
+    */
+  def containmentPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside (0, 1]")
+    val withShingles = docs.select(
+      col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sizes = withShingles.select(
+      col("doc_id"), size(col("sh")).as("n_sh"))
+    val index = withShingles.select(
+      col("doc_id"), explode(col("sh")).as("shingle"))
+    val filteredIndex = if (maxDocFreq == Long.MaxValue) index else {
+      val dfW = Window.partitionBy(col("shingle"))
+      index
+        .withColumn("__df", count(lit(1)).over(dfW))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    }
+    val common = filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("contain_a", col("n_common").cast("double") / col("sa.n_sh"))
+      .withColumn("contain_b", col("n_common").cast("double") / col("sb.n_sh"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("contain_a"), 6).as("contain_a"),
+        round(col("contain_b"), 6).as("contain_b"))
+  }
+
   /** Exact Jaccard pair mining with PREFIX FILTERING (the PPJoin family
     * — Xiao et al., "Efficient Similarity Joins for Near Duplicate
     * Detection", WWW'08): docs are joined only through the RAREST few

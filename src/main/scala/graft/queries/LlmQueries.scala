@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunking, Dedup, Dsir, Eval, KMeans, LangModel, Packing, ProductQuant, Profile, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
+import graft.operators.{Bpe, Chunking, Dedup, Dsir, Eval, KMeans, LangModel, Packing, ProductQuant, Profile, Repetition, Sampling, Similarity, TfIdf, VectorAgg}
 import QueryUtil.table
 
 /** Training-data-pipeline operators as oracle-checked queries over the
@@ -55,6 +55,14 @@ object LlmQueries {
     // exercised in DedupSpec).
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Asymmetric CONTAINMENT pairs over the same inverted index — the
+    // sub-document duplicate detector Jaccard structurally misses (a
+    // page quoted whole inside a much larger page).
+    "q_dedup_contain" -> ((s, dir) => {
+      Dedup.containmentPairs(docs(s, dir), 3, 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -593,6 +601,18 @@ object LlmQueries {
       TfIdf.corpusTopNgrams(docs(s, dir), 2, 20)
     }),
 
+    // BPE merge training: the first 3 learned merges over the corpus
+    // (most-frequent adjacent symbol pair, greedy left-to-right
+    // application, ties on the pair string) — the tokenizer-
+    // construction primitive. The working set is the distinct-word
+    // table; the oracle replays every round: pair counts, the top-1
+    // cut, and greedy application as odd-rank positions within runs
+    // of consecutive matches.
+    "q_vocab_bpe" -> ((s, dir) => {
+      Bpe.trainMerges(docs(s, dir), "text", k = 3)
+        .orderBy(col("rank"))
+    }),
+
     // Tokenizer-coverage diagnostic: per-doc OOV rate against the
     // corpus's top-500 unigram vocab (deterministic count-desc/token-asc
     // selection, replayed exactly by the oracle).
@@ -901,6 +921,74 @@ object LlmQueries {
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
       |)""".stripMargin
+
+  /** One BPE round for the `q_vocab_bpe` oracle: pair counts over
+    * w{r-1}, the (count desc, pair asc) top-1 merge, greedy
+    * left-to-right application as odd-rank positions within runs of
+    * consecutive match positions, producing w{r}.
+    */
+  private def duckBpeRound(r: Int): String = {
+    val prev = r - 1
+    s"""
+       |, p$r AS (
+       |  SELECT syms[i+1] || ' ' || syms[i+2] AS pair, SUM(cnt) AS pc
+       |  FROM (SELECT cnt, syms,
+       |    CAST(unnest(range(len(syms)-1)) AS INT) AS i FROM w$prev)
+       |  GROUP BY 1
+       |), m$r AS (
+       |  SELECT string_split(pair, ' ')[1] AS x,
+       |    string_split(pair, ' ')[2] AS y, pc
+       |  FROM p$r ORDER BY pc DESC, pair ASC LIMIT 1
+       |), pos$r AS (
+       |  SELECT wid, i,
+       |    i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS grp
+       |  FROM (
+       |    SELECT wid, CAST(unnest(range(len(syms)-1)) AS INT) AS i, syms
+       |    FROM w$prev)
+       |  WHERE syms[i+1] = (SELECT x FROM m$r)
+       |    AND syms[i+2] = (SELECT y FROM m$r)
+       |), keep$r AS (
+       |  SELECT wid, i FROM (
+       |    SELECT wid, i,
+       |      ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
+       |    FROM pos$r)
+       |  WHERE rn % 2 = 1
+       |), w$r AS (
+       |  SELECT wid, cnt, list(sym ORDER BY i) AS syms FROM (
+       |    SELECT w.wid, w.cnt, t.i,
+       |      CASE WHEN k.i IS NOT NULL THEN w.syms[t.i+1] || w.syms[t.i+2]
+       |           ELSE w.syms[t.i+1] END AS sym,
+       |      kprev.i AS skip
+       |    FROM (SELECT wid, cnt, syms FROM w$prev) w
+       |    CROSS JOIN LATERAL (
+       |      SELECT CAST(unnest(range(len(w.syms))) AS INT) AS i) t
+       |    LEFT JOIN keep$r k ON k.wid = w.wid AND k.i = t.i
+       |    LEFT JOIN keep$r kprev ON kprev.wid = w.wid AND kprev.i = t.i - 1
+       |  ) WHERE skip IS NULL
+       |  GROUP BY wid, cnt
+       |)""".stripMargin
+  }
+
+  private val DuckBpeOracle: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |    FROM documents) GROUP BY w
+      |), w0 AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid, cnt,
+      |    string_split(w, '') AS syms
+      |  FROM words
+      |)""".stripMargin +
+      (1 to 3).map(duckBpeRound).mkString +
+      """
+        |SELECT 1 AS rank, (SELECT x FROM m1) AS left_sym,
+        |  (SELECT y FROM m1) AS right_sym, (SELECT x || y FROM m1) AS merged,
+        |  (SELECT CAST(pc AS BIGINT) FROM m1) AS pair_count
+        |UNION ALL SELECT 2, (SELECT x FROM m2), (SELECT y FROM m2),
+        |  (SELECT x || y FROM m2), (SELECT CAST(pc AS BIGINT) FROM m2)
+        |UNION ALL SELECT 3, (SELECT x FROM m3), (SELECT y FROM m3),
+        |  (SELECT x || y FROM m3), (SELECT CAST(pc AS BIGINT) FROM m3)
+        |ORDER BY rank""".stripMargin
 
   /** DuckDB replica of `Text.md5Long64` (full 64 bits, as UBIGINT). */
   private def duckMd5Long64(e: String): String =
@@ -1408,6 +1496,24 @@ object LlmQueries {
         """
           |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
           |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_contain" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM tok
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS ca,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) AS cb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, ROUND(ca, 6) AS contain_a,
+        |  ROUND(cb, 6) AS contain_b
+        |FROM pairs WHERE greatest(ca, cb) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_vocab_bpe" -> DuckBpeOracle,
     "q_dedup_semantic" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkTestBase {
+
+  test("applyMerge: greedy left-to-right, overlap runs merge 1st/3rd/...") {
+    assert(Bpe.applyMerge(Seq("a", "b", "c"), "a", "b") === Seq("ab", "c"))
+    // adjacent repeats: [a,b,a,b] merges BOTH non-overlapping pairs
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    // overlapping run: "a a a" under (a,a) merges only the first pair
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a")
+      === Seq("aa", "aa"))
+    // no occurrence: unchanged
+    assert(Bpe.applyMerge(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+  }
+
+  test("trainMerges: hand-computed merges with deterministic tie-break") {
+    import spark.implicits._
+    // words: {abab: 3, ab: 2}. pairs over chars — (a,b): 2 per "abab"
+    // x3 + 1 per "ab" x2 = 8; (b,a): 1x3 = 3. merge 1 = ab. After
+    // applying: abab -> [ab, ab], ab -> [ab]; round 2 pairs:
+    // (ab, ab): 3 -> merge 2 = abab.
+    val docs = Seq(
+      (1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val out = rows(Bpe.trainMerges(docs, "text", k = 2).orderBy(col("rank")))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out === Seq(
+      (1, "a", "b", "ab", 8L),
+      (2, "ab", "ab", "abab", 3L)))
+  }
+
+  test("trainMerges: stops early when no adjacent pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // all 1-char words
+    assert(rows(Bpe.trainMerges(docs, "text", k = 3)).isEmpty)
+  }
+
+  test("trainMerges: count-tie breaks on ascending pair string") {
+    import spark.implicits._
+    // "xy" x2 and "ab" x2: both pairs count 2 -> "a b" < "x y" wins
+    val docs = Seq((1L, "xy xy ab ab")).toDF("doc_id", "text")
+    val first = rows(Bpe.trainMerges(docs, "text", k = 1)).head
+    assert(first.getString(1) === "a" && first.getString(2) === "b")
+  }
+}

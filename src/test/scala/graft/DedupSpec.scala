@@ -303,4 +303,24 @@ class DedupSpec extends SparkTestBase {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
     d(a.length)(b.length)
   }
+
+  test("containmentPairs: full sub-document containment that jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    // small is quoted verbatim inside a much larger doc
+    val big = ("zz" + (1 to 40).map(i => s" w$i").mkString) + " " + small +
+      (41 to 80).map(i => s" w$i").mkString
+    val docs = Seq((1L, small), (2L, big), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.containmentPairs(docs, 3, 0.9)
+      .orderBy(col("doc_a"), col("doc_b")))
+    assert(out.size === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0) // every trigram of small is in big
+    assert(r.getDouble(3) < 0.1)   // big is NOT contained in small
+    // jaccard at the same threshold finds nothing — the asymmetric
+    // containment is what surfaces the quote
+    assert(rows(Dedup.ngramJaccardPairs(docs, 3, 0.9)).isEmpty)
+  }
 }
