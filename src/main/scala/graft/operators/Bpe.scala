@@ -53,6 +53,40 @@ object Bpe {
     out.result()
   }
 
+  /** Piece vocabulary after applying `k` learned merges: the ENCODE
+    * side of BPE, reporting each resulting piece's total corpus count
+    * and the number of distinct words it appears in — the
+    * tokenizer-coverage report trained merges are judged by. Same
+    * bounded working set (distinct words); merges are re-learned with
+    * [[trainMerges]]' exact loop, then counts aggregate over the
+    * final symbol table. Output: (piece, total_count, n_words),
+    * descending by total_count (ties on piece asc), top `topN`.
+    */
+  def piecesAfterMerges(
+      docs: DataFrame, textCol: String, k: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = trainMerges(docs, textCol, k)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val applyAll = udf { (s: Seq[String]) =>
+      ms.foldLeft(s) { case (acc, (x, y)) => applyMerge(acc, x, y) }
+    }
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        applyAll(filter(split(col("w"), ""), s => s =!= "")).as("syms"))
+      .select(col("w"), col("cnt"), explode(col("syms")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("total_count"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("total_count").desc, col("piece").asc)
+      .limit(topN)
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
     val spark = docs.sparkSession

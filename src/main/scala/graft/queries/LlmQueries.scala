@@ -613,6 +613,13 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // The ENCODE side: top-20 pieces (by total corpus count, ties on
+    // piece asc) after applying the 3 learned merges — the coverage
+    // report trained merges are judged by.
+    "q_vocab_pieces" -> ((s, dir) => {
+      Bpe.piecesAfterMerges(docs(s, dir), "text", k = 3, topN = 20)
+    }),
+
     // Tokenizer-coverage diagnostic: per-doc OOV rate against the
     // corpus's top-500 unigram vocab (deterministic count-desc/token-asc
     // selection, replayed exactly by the oracle).
@@ -969,7 +976,7 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  private val DuckBpeOracle: String =
+  private val DuckBpeCtes: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS cnt FROM (
       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
@@ -979,7 +986,10 @@ object LlmQueries {
       |    string_split(w, '') AS syms
       |  FROM words
       |)""".stripMargin +
-      (1 to 3).map(duckBpeRound).mkString +
+      (1 to 3).map(duckBpeRound).mkString
+
+  private val DuckBpeOracle: String =
+    DuckBpeCtes +
       """
         |SELECT 1 AS rank, (SELECT x FROM m1) AS left_sym,
         |  (SELECT y FROM m1) AS right_sym, (SELECT x || y FROM m1) AS merged,
@@ -989,6 +999,14 @@ object LlmQueries {
         |UNION ALL SELECT 3, (SELECT x FROM m3), (SELECT y FROM m3),
         |  (SELECT x || y FROM m3), (SELECT CAST(pc AS BIGINT) FROM m3)
         |ORDER BY rank""".stripMargin
+
+  private val DuckBpePiecesOracle: String =
+    DuckBpeCtes +
+      """
+        |SELECT piece, CAST(SUM(cnt) AS BIGINT) AS total_count,
+        |  CAST(COUNT(DISTINCT wid) AS BIGINT) AS n_words
+        |FROM (SELECT wid, cnt, unnest(syms) AS piece FROM w3)
+        |GROUP BY piece ORDER BY total_count DESC, piece ASC LIMIT 20""".stripMargin
 
   /** DuckDB replica of `Text.md5Long64` (full 64 bits, as UBIGINT). */
   private def duckMd5Long64(e: String): String =
@@ -1514,6 +1532,7 @@ object LlmQueries {
         |FROM pairs WHERE greatest(ca, cb) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab_bpe" -> DuckBpeOracle,
+    "q_vocab_pieces" -> DuckBpePiecesOracle,
     "q_dedup_semantic" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
