@@ -68,6 +68,39 @@ object Sampling {
   def sampleByWeight(df: DataFrame, keyCol: String, weight: Column): DataFrame =
     df.filter(hashUnit(col(keyCol)) < weight)
 
+  /** Deterministic weighted sampling WITHOUT replacement, exactly k
+    * rows (Efraimidis–Spirakis A-ES, IPL 2006): each row draws the key
+    * `ln(u) / w` with `u = hashUnit(key)` and the k LARGEST keys win —
+    * provably equivalent to sequential weighted draws without
+    * replacement. [[sampleByWeight]] keeps a BERNOULLI fraction
+    * (output size varies); this keeps an exact count with inclusion
+    * probability proportional to weight — the fixed-budget selection
+    * shape ("exactly 1M docs, quality-weighted").
+    *
+    * `ln(u)/w` is the monotone log form of the textbook `u^(1/w)` —
+    * same ordering, but ln is the one transcendental this project has
+    * verified bit-identical across engines (pow is not). The selection
+    * is a TakeOrderedAndProject (size-k heap per partition, k rows to
+    * the driver-side merge, no global sort). Non-positive or NULL
+    * weights never win (key -> -inf). Ties (identical hash draws)
+    * break on the key column, making the sample unique.
+    *
+    * Output: the selected rows plus `es_key` (rounded to 6). One scan.
+    */
+  def weightedReservoir(
+      df: DataFrame, keyCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("es_key"),
+      "input column 'es_key' collides with weightedReservoir's output")
+    val key = when(weight > 0.0,
+      log(hashUnit(col(keyCol))) / weight.cast("double"))
+      .otherwise(lit(Double.NegativeInfinity))
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(keyCol).asc)
+      .limit(k)
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
+
   /** Deterministic per-group quota: keep at most `quota` rows per group,
     * chosen by the md5 hash of the key — a stable uniform shuffle WITHIN
     * each group, so the retained subset is unbiased, permanent across

@@ -560,6 +560,19 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("neg_idx"))
     }),
 
+    // Efraimidis-Spirakis weighted reservoir: EXACTLY 20 docs without
+    // replacement, inclusion odds proportional to token count — the
+    // fixed-budget selection shape next to Bernoulli sampleByWeight's
+    // variable-size keep. ln(u)/w keys replayed by the oracle from the
+    // same md5 uniform; selection is a TakeOrderedAndProject.
+    "q_sample_reservoir" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("double").as("w"))
+      Sampling.weightedReservoir(d, "doc_id", col("w"), 20)
+        .select(col("doc_id"), col("w").cast("int").as("n_tok"), col("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
     // DSIR-style target-affinity scores: hashed-token target/source
     // distribution ratios (target = the French slice), engine-portable
     // arithmetic throughout — DuckDB re-derives every bucket id, count,
@@ -2301,6 +2314,19 @@ object LlmQueries {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_reservoir" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
+        |      / len(string_split(text, ' '))::DOUBLE AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tok, es_key FROM (
+        |  SELECT doc_id, CAST(n_tok AS INT) AS n_tok, ROUND(k, 6) AS es_key
+        |  FROM s ORDER BY k DESC, doc_id LIMIT 20
+        |) ORDER BY es_key DESC, doc_id""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id FROM documents
         |WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -302,4 +302,28 @@ class SamplingSpec extends SparkTestBase {
       graft.operators.Sampling.farthestPointSample(vecs, "id", "vec", 5)
     }
   }
+
+  test("weightedReservoir: exact k, dominant weights win, non-positive never selected") {
+    import spark.implicits._
+    // one row with overwhelming weight + tiny-weight rows + junk weights
+    val df = (Seq((1L, 1e9)) ++ (2L to 40L).map(i => (i, 1e-6)) ++
+      Seq((100L, 0.0), (101L, -5.0))).toDF("id", "w")
+    val out = rows(Sampling.weightedReservoir(df, "id", col("w"), 5))
+    assert(out.size === 5)
+    val ids = out.map(_.getLong(0)).toSet
+    // ln(u)/w -> 0- as w -> inf: the dominant row always wins
+    assert(ids.contains(1L))
+    assert(!ids.contains(100L) && !ids.contains(101L),
+      "non-positive weights must never be selected over positive ones")
+    // deterministic: identical call returns the identical sample
+    assert(rows(Sampling.weightedReservoir(df, "id", col("w"), 5))
+      .map(_.getLong(0)) === out.map(_.getLong(0)))
+  }
+
+  test("weightedReservoir plans as TakeOrderedAndProject, no global sort") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "w")
+    val p = planString(Sampling.weightedReservoir(df, "id", col("w"), 3))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
