@@ -730,6 +730,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Top principal direction by 2-step power iteration — the
+    // data-dependent counterpart to the JL random projection
+    // (anisotropy diagnosis / whitening direction). Matvec form, two
+    // keyed aggregations per iteration, every sum an exact decimal of
+    // per-term products; the oracle replays both iterations,
+    // normalizations, and the sign fix.
+    "q_embed_pca" -> ((s, dir) => {
+      graft.operators.Pca.topComponent(corpus(s, dir), dim = 64, iters = 2)
+        .orderBy(col("d"))
+    }),
+
     // Corpus-weighted keywords: top-3 terms per document by the
     // rational tf-idf (tf * N / df — integer-valued operands, so the
     // score is bit-identical across engines; see TfIdf's Scaladoc).
@@ -1546,6 +1557,38 @@ object LlmQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab_bpe" -> DuckBpeOracle,
     "q_vocab_pieces" -> DuckBpePiecesOracle,
+    "q_embed_pca" ->
+      """WITH t AS (
+        |  SELECT vec_id AS id, CAST(j AS INT) AS d,
+        |    CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(64) r(j)
+        |), u1 AS (
+        |  SELECT id, CAST(SUM(CAST(x * (CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS u
+        |  FROM t GROUP BY id
+        |), w1 AS (
+        |  SELECT t.d, CAST(SUM(CAST(u1.u * t.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        |  FROM t JOIN u1 USING (id) GROUP BY t.d
+        |), n1 AS (
+        |  SELECT sqrt(list_sum(list(w * w ORDER BY d))) AS nrm FROM w1
+        |), v1 AS (
+        |  SELECT d, w / (SELECT nrm FROM n1) AS v FROM w1
+        |), u2 AS (
+        |  SELECT t.id, CAST(SUM(CAST(t.x * v1.v AS DECIMAL(38,12))) AS DOUBLE) AS u
+        |  FROM t JOIN v1 USING (d) GROUP BY t.id
+        |), w2 AS (
+        |  SELECT t.d, CAST(SUM(CAST(u2.u * t.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        |  FROM t JOIN u2 USING (id) GROUP BY t.d
+        |), n2 AS (
+        |  SELECT sqrt(list_sum(list(w * w ORDER BY d))) AS nrm FROM w2
+        |), v2 AS (
+        |  SELECT d, w / (SELECT nrm FROM n2) AS v FROM w2
+        |), sgn AS (
+        |  SELECT CASE WHEN (SELECT v FROM v2 WHERE v <> 0 ORDER BY d LIMIT 1) < 0
+        |    THEN -1.0 ELSE 1.0 END AS s
+        |)
+        |SELECT d, ROUND((SELECT s FROM sgn) * v, 6) AS component
+        |FROM v2 ORDER BY d""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
