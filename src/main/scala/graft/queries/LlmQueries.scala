@@ -414,6 +414,39 @@ object LlmQueries {
         .orderBy(col("segment"))
     }),
 
+    // Truncated rank-biased overlap (RBO@10, p=0.9, Webber et al.
+    // TOIS'10) between the sign-LSH ranking and the exact top-10 —
+    // the ORDER-sensitive companion to recall@k (recall can be perfect
+    // while the index scrambles rank 1 vs rank 10). Identity used:
+    // RBO = Σ_matched S(max(ra, rb)) with S(m) = Σ_{d>=m} w_d / d —
+    // the ten S constants are computed ONCE and embedded as identical
+    // literals in both engines, so no runtime pow; per-probe terms sum
+    // as exact decimals.
+    "q_eval_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(corpus(s, dir), probes(s, dir), 10)
+        .withColumn("ra", row_number().over(w))
+        .select(col("probe_id"), col("neighbor_id"), col("ra"))
+      val approx = Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
+        .withColumn("rb", row_number().over(w))
+        .select(col("probe_id"), col("neighbor_id"), col("rb"))
+      val sLit = typedlit(RboSuffix)
+      val terms = exact.join(approx, Seq("probe_id", "neighbor_id"))
+        .select(col("probe_id"),
+          element_at(sLit, greatest(col("ra"), col("rb")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("t"))
+      probes(s, dir).select(col("probe_id"))
+        .join(terms.groupBy(col("probe_id"))
+            .agg(sum(col("t")).as("__s"), count(lit(1)).as("n_common")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          round(coalesce(col("__s").cast("double"), lit(0.0)), 6).as("rbo10"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Scalar Expected Calibration Error — the one-number drift alarm
     // over the same equi-frequency deciles as q_eval_calibration; the
     // weighted |pos_rate - mean_score| sum is exact decimal
@@ -952,6 +985,18 @@ object LlmQueries {
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
       |)""".stripMargin
+
+  /** RBO@10 suffix constants: S(m) = Σ_{d=m..10} (1-p)·p^(d-1) / d at
+    * p = 0.9 — computed once here and embedded as the SAME double
+    * literals in the Spark plan and the generated oracle SQL, so
+    * neither engine evaluates pow at query time (pow is the one
+    * transcendental not verified bit-identical cross-engine).
+    */
+  private val RboSuffix: Seq[Double] = {
+    val p = 0.9
+    val w = (1 to 10).map(d => (1 - p) * math.pow(p, d - 1))
+    (1 to 10).map(m => (m to 10).map(d => w(d - 1) / d).sum)
+  }
 
   /** One BPE round for the `q_vocab_bpe` oracle: pair counts over
     * w{r-1}, the (count desc, pair asc) top-1 merge, greedy
@@ -2209,6 +2254,64 @@ object LlmQueries {
          |FROM ex LEFT JOIN lshk l
          |  ON l.probe_id = ex.probe_id AND l.neighbor_id = ex.neighbor_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
+    "q_eval_rbo" ->
+      s"""WITH pw AS (
+         |  SELECT j, d, ${duckPlaneW(42L)} AS w
+         |  FROM range(16) a(j) CROSS JOIN range(64) b(d)
+         |), pl AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
+         |), bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN pl
+         |), bkt AS (
+         |  SELECT vec_id, CAST(j // 4 AS INT) AS band,
+         |    CAST(SUM(bit * (1 << CAST(j % 4 AS INT))) AS INT) AS bucket
+         |  FROM bits GROUP BY vec_id, band
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bkt c JOIN bkt p ON c.band = p.band AND c.bucket = p.bucket
+         |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |), sc AS (
+         |  SELECT cand.probe_id, cand.neighbor_id,
+         |    ${duckCos("e.embedding", "q.embedding")} AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), lshk AS (
+         |  SELECT probe_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rb
+         |  FROM sc QUALIFY rb <= 10
+         |), allp AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("e.embedding", "p.embedding")} AS cos_raw
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id < 5) p
+         |  WHERE e.vec_id != p.vec_id
+         |), ex AS (
+         |  SELECT probe_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS ra
+         |  FROM allp QUALIFY ra <= 10
+         |), terms AS (
+         |  SELECT ex.probe_id,
+         |    CAST(([${RboSuffix.mkString(", ")}])
+         |      [greatest(ex.ra, l.rb)] AS DECIMAL(38,18)) AS t
+         |  FROM ex JOIN lshk l
+         |    ON l.probe_id = ex.probe_id AND l.neighbor_id = ex.neighbor_id
+         |)
+         |SELECT p.vec_id AS probe_id,
+         |  ROUND(COALESCE(CAST(s.s AS DOUBLE), 0.0), 6) AS rbo10,
+         |  COALESCE(s.n_common, 0) AS n_common
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
+         |LEFT JOIN (
+         |  SELECT probe_id, SUM(t) AS s, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM terms GROUP BY probe_id) s ON s.probe_id = p.vec_id
+         |ORDER BY probe_id""".stripMargin,
     "q_eval_auc" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
