@@ -21,7 +21,10 @@ object PlanAudit {
       "q_geo_nearest", "q_ann_ivfpq", "q_agg_retract", "q_incremental_join",
       "q_join_temporal", "q_sketch_heavy_group", "q_fn_csv",
       "q_text_perplexity", "q_eval_ece", "q_eval_annrecall",
-      "q_sink_bucketed", "q_stream_timetravel")
+      "q_sink_bucketed", "q_stream_timetravel", "q_join_notin",
+      "q_profile_corr", "q_profile_mi", "q_eval_sliced", "q_eval_rbo",
+      "q_ts_ohlc", "q_attr_linear", "q_dedup_contain", "q_vocab_bpe",
+      "q_vocab_pieces", "q_sample_reservoir", "q_embed_pca")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size
