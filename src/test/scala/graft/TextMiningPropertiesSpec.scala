@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Dedup
+
+/** The exact inverted-index miners vs brute-force set arithmetic on
+  * random corpora: `ngramJaccardPairs` and `containmentPairs` claim
+  * EXACT semantics (no approximation, no cap by default) — so on any
+  * corpus their output must equal the all-pairs reference computed
+  * directly from trigram sets, values included (same IEEE division +
+  * ROUND(x, 6)).
+  */
+object TextMiningPropertiesSpec extends Properties("TextMiners") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // small shared vocabulary => genuine overlaps occur
+  private val word: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private val doc: Gen[String] =
+    Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, doc))
+
+  private def trigrams(text: String): Set[String] =
+    text.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  property("ngramJaccardPairs equals brute-force jaccard on random corpora") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, 3, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sh = texts.map(trigrams)
+      val want = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        inter = (sh(a) intersect sh(b)).size
+        if inter > 0
+        j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+        if j >= 0.3
+      } yield (a.toLong, b.toLong) -> r6(j)).toMap
+      got == want
+    }
+
+  property("containmentPairs equals brute-force containment on random corpora") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, 3, 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val sh = texts.map(trigrams)
+      val want = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        inter = (sh(a) intersect sh(b)).size
+        if inter > 0
+        ca = inter.toDouble / sh(a).size
+        cb = inter.toDouble / sh(b).size
+        if math.max(ca, cb) >= 0.5
+      } yield (a.toLong, b.toLong) -> ((r6(ca), r6(cb)))).toMap
+      got == want
+    }
+}
