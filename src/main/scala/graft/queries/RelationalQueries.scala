@@ -707,6 +707,38 @@ object RelationalQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // Bloom-filter quality measurement: EXACT false-positive count and
+    // rate of the md5-portable filter (2048 bits, k=4, deliberately
+    // tight so false positives actually occur) over the distinct
+    // order-customer keys, against semi-join ground truth. The
+    // read-it-before-you-trust-it diagnostic for a persisted filter
+    // artifact: the oracle rebuilds the identical bit set and replays
+    // every probe, so the reported FPR is cross-engine exact.
+    "q_diag_bloomfpr" -> ((s, dir) => {
+      val dim = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val bits = Bloom.buildBits(dim, "key", mBits = 2048, k = 4)
+      val probes = table(s, dir, "orders")
+        .select(col("o_custkey").as("key")).distinct()
+      probes
+        .join(dim.distinct().withColumn("__in", lit(1)), Seq("key"), "left")
+        .select(
+          Bloom.mightContain(col("key"), bits, 4).cast("int").as("pass"),
+          coalesce(col("__in"), lit(0)).as("truth"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(col("truth")).as("n_true"),
+          sum(col("pass")).as("n_pass"),
+          sum(when(col("pass") === 1 && col("truth") === 0, 1)
+            .otherwise(0)).as("n_fp"),
+          round(
+            sum(when(col("pass") === 1 && col("truth") === 0, 1).otherwise(0))
+              .cast("double")
+              / sum(when(col("truth") === 0, 1).otherwise(0)).cast("double"),
+            6).as("fpr"))
+    }),
+
     // Mutual information between two categorical columns — the
     // dependency/leakage detector over the exact contingency table;
     // the irrational cell terms fold in (x, y)-sorted order so the
@@ -2239,6 +2271,40 @@ object RelationalQueries {
         |      / COUNT(l_quantity), 6)
         |  FROM lineitem
         |) ORDER BY col_name""".stripMargin,
+    "q_diag_bloomfpr" ->
+      """WITH dimk AS (
+        |  SELECT DISTINCT c_custkey AS key FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |), setbits AS (
+        |  SELECT DISTINCT
+        |    CAST(((('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i), 1, 16))
+        |      ::UBIGINT & 9223372036854775807::UBIGINT) % 2048) AS BIGINT) AS pos
+        |  FROM dimk CROSS JOIN range(4) r(i)
+        |), probes AS (
+        |  SELECT DISTINCT o_custkey AS key FROM orders
+        |), ppos AS (
+        |  SELECT key,
+        |    CAST(((('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i), 1, 16))
+        |      ::UBIGINT & 9223372036854775807::UBIGINT) % 2048) AS BIGINT) AS pos
+        |  FROM probes CROSS JOIN range(4) r(i)
+        |), passes AS (
+        |  SELECT p.key,
+        |    MIN(CASE WHEN sb.pos IS NULL THEN 0 ELSE 1 END) AS pass
+        |  FROM ppos p LEFT JOIN setbits sb USING (pos)
+        |  GROUP BY p.key
+        |), scored AS (
+        |  SELECT ps.pass,
+        |    CASE WHEN d.key IS NULL THEN 0 ELSE 1 END AS truth
+        |  FROM passes ps LEFT JOIN dimk d USING (key)
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(truth) AS BIGINT) AS n_true,
+        |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN pass = 1 AND truth = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fp,
+        |  ROUND(SUM(CASE WHEN pass = 1 AND truth = 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / SUM(CASE WHEN truth = 0 THEN 1 ELSE 0 END), 6) AS fpr
+        |FROM scored""".stripMargin,
     "q_profile_mi" ->
       """WITH c AS (
         |  SELECT CAST(c_mktsegment AS VARCHAR) AS x,
