@@ -55,7 +55,42 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Map[String, String],
       inner: Boolean = true,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightCols, inner,
+      tolerance, forward = false)
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * with the same key and right.ts >= left.ts — the "next event"
+    * lookup (next price revision, next maintenance window, next
+    * snapshot after a query point). Same single-shuffle union+window
+    * plan as the backward [[asof]], scanning the in-partition sort in
+    * DESCENDING time so the carried struct always holds the nearest
+    * FUTURE right row; an exactly-simultaneous right row matches
+    * (`r.ts >= l.ts`, mirroring the backward tie rule). `tolerance`
+    * bounds `matchedRightTs - leftTs`.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Map[String, String],
+      inner: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightCols, inner,
+      tolerance, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Map[String, String],
+      inner: Boolean,
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
 
     val leftValueCols =
       left.columns.filterNot(c => c == key || c == leftTs).toSeq
@@ -100,8 +135,13 @@ object AsOfJoin {
             col(rightTs).as("__mts"): _*)
             .as("__r"): _*)
 
+    // Backward scans time ascending (carry the latest past right row);
+    // forward scans DESCENDING (carry the nearest future one). In both,
+    // tag 0 < 1 puts the right row first within an equal-ts group, so
+    // simultaneous right rows match.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged, allowMissingColumns = false)
@@ -113,8 +153,10 @@ object AsOfJoin {
     // A stale match (older than tolerance) becomes NO match before the
     // inner/outer decision, so both modes see one consistent contract.
     val bounded = tolerance match {
-      case Some(tol) => filled.withColumn("__r",
-        when(col("__ts") - col("__r.__mts") <= tol, col("__r")))
+      case Some(tol) =>
+        val gap = if (forward) col("__r.__mts") - col("__ts")
+                  else col("__ts") - col("__r.__mts")
+        filled.withColumn("__r", when(gap <= tol, col("__r")))
       case None => filled
     }
 

@@ -970,6 +970,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // J6 FORWARD direction: each purchase attaches the NEXT click
+    // at-or-after it — the next-event lookup (post-purchase behavior,
+    // next snapshot after a query point). Same single-shuffle
+    // union+window plan, scanned in descending time; DuckDB's native
+    // ASOF JOIN with the <= comparator is the oracle.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asofForward(purchases, clicks, "user_id", "ts", "ts",
+        Map("ts" -> "click_ts", "value" -> "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // J6 with a staleness bound (the pandas merge_asof tolerance
     // contract): a prior click older than 2 hours is NO match — the
     // guard against correlating against arbitrarily old reference
@@ -2434,6 +2452,13 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_asof_tol" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

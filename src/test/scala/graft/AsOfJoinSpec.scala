@@ -135,4 +135,36 @@ class AsOfJoinSpec extends SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(planString(out)).size
     assert(exchanges === 1, s"expected 1 exchange, plan:\n${planString(out)}")
   }
+
+  test("forward as-of picks the earliest right row at or after left.ts") {
+    val right = Seq(
+      ("u1", 90L, 1.0),  // before every left row — never matched forward
+      ("u1", 150L, 2.0), // next after u1@100
+      ("u1", 250L, 3.0), // next after u1@200
+      ("u2", 150L, 4.0)  // exactly simultaneous — IS matched (<=)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asofForward(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "r_ts", "v" -> "r_v"))
+    val m = rows(out).map(r =>
+      (r.getAs[String]("user_id"), r.getAs[Long]("ts")) ->
+        (r.getAs[Long]("r_ts"), r.getAs[Double]("r_v"))).toMap
+    assert(m === Map(
+      ("u1", 100L) -> ((150L, 2.0)),
+      ("u1", 200L) -> ((250L, 3.0)),
+      ("u2", 150L) -> ((150L, 4.0))))
+    // u3 dropped (inner), included null-extended when inner = false
+    val outer = rows(AsOfJoin.asofForward(left, right, "user_id", "ts", "ts",
+      Map("v" -> "r_v"), inner = false))
+    assert(outer.size === 4)
+    assert(outer.exists(r => r.getAs[String]("user_id") == "u3" && r.isNullAt(3)))
+  }
+
+  test("forward tolerance bounds matchedRightTs - leftTs") {
+    val right = Seq(("u1", 150L, 2.0), ("u1", 500L, 9.0)).toDF("user_id", "ts", "v")
+    val out = rows(AsOfJoin.asofForward(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "r_ts"), tolerance = Some(lit(60L))))
+    // u1@100 -> 150 (gap 50, kept); u1@200 -> 500 (gap 300, dropped)
+    assert(out.map(r => (r.getAs[String]("user_id"), r.getAs[Long]("ts"),
+      r.getAs[Long]("r_ts"))) === Seq(("u1", 100L, 150L)))
+  }
 }
