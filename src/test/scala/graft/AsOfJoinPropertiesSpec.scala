@@ -57,4 +57,23 @@ object AsOfJoinPropertiesSpec extends Properties("AsOfJoin") {
       }.sorted
       got == expected
     }
+
+  property("forward direction agrees with brute force (earliest at-or-after)") =
+    forAll(Gen.listOf(row), Gen.listOf(row)) { (l, r) =>
+      import spark.implicits._
+      val rightRows = r.groupBy(x => (x._1, x._2)).values.map(_.head).toList
+      val got = AsOfJoin.asofForward(
+        l.toDF("k", "lts", "lval"), rightRows.toDF("k", "rts", "rv"),
+        "k", "lts", "rts", Map("rv" -> "rv"))
+        .collect()
+        .map(x => (x.getAs[Long]("k"), x.getAs[Int]("lts"),
+          x.getAs[Int]("lval"), x.getAs[Int]("rv")))
+        .sorted.toList
+      val expected = l.flatMap { case (k, lts, lv) =>
+        val cands = rightRows.filter(x => x._1 == k && x._2 >= lts)
+        if (cands.isEmpty) None
+        else Some((k, lts, lv, cands.minBy(_._2)._3))
+      }.sorted
+      got == expected
+    }
 }
