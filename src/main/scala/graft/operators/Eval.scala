@@ -140,6 +140,27 @@ object Eval {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Brier score — mean squared error of a probability-like score
+    * against the binary label: the strictly proper scoring rule
+    * companion to [[ece]] (ECE can be gamed by coarse scores; the
+    * Brier score cannot). Each squared residual is cast to
+    * DECIMAL(38,12) before summing so the mean is shuffle-order
+    * independent; the single final division is the only float step
+    * after the per-row square. Output: (brier, n_rows).
+    */
+  def brier(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__p"),
+        col(labelCol).cast("int").as("__y"))
+    scored
+      .select(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast(DecimalType(38, 12)).as("__sq"))
+      .agg(
+        round(sum(col("__sq")).cast("double") / count(lit(1)), 6).as("brier"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Expected Calibration Error over `bins` equi-frequency score
     * buckets: `ECE = Σ_b (n_b / N) * |pos_rate_b - mean_score_b|` —
     * the scalar companion to the reliability-diagram deciles

@@ -101,6 +101,33 @@ object Sampling {
       .withColumn("es_key", round(col("es_key"), 6))
   }
 
+  /** [[weightedReservoir]] PER GROUP: the k best Efraimidis–Spirakis
+    * draws within each group — the per-language / per-source
+    * quality-weighted budget ("5 docs per language, odds proportional
+    * to quality") that a global reservoir cannot express. One shuffle
+    * on the group key; the rank window runs per group. Adds
+    * `es_rank` (1-based within the group) beside `es_key`.
+    */
+  def weightedReservoirPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Seq("es_key", "es_rank").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with weightedReservoirPerGroup's output")
+    }
+    val key = when(weight > 0.0,
+      log(hashUnit(col(keyCol))) / weight.cast("double"))
+      .otherwise(lit(Double.NegativeInfinity))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(keyCol).asc)
+    df.withColumn("es_key", key)
+      .withColumn("es_rank", row_number().over(w))
+      .filter(col("es_rank") <= k)
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
+
   /** Deterministic per-group quota: keep at most `quota` rows per group,
     * chosen by the md5 hash of the key — a stable uniform shuffle WITHIN
     * each group, so the retained subset is unbiased, permanent across

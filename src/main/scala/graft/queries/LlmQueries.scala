@@ -447,6 +447,17 @@ object LlmQueries {
         .orderBy(col("probe_id"))
     }),
 
+    // Brier score — the strictly proper scoring rule beside ECE (a
+    // coarse score can game ECE, not the Brier score). Scores are
+    // mapped to [0,1] via (s+1)/2 so the metric reads as a
+    // probability MSE; residual squares sum as exact decimals.
+    "q_eval_brier" -> ((s, dir) => {
+      Eval.brier(embs(s, dir).select(
+        ((element_at(col("embedding"), 2).cast("double") + 1.0) / 2.0)
+          .as("score"),
+        (col("label") % 2).as("y")), "score", "y")
+    }),
+
     // Scalar Expected Calibration Error — the one-number drift alarm
     // over the same equi-frequency deciles as q_eval_calibration; the
     // weighted |pos_rate - mean_score| sum is exact decimal
@@ -604,6 +615,18 @@ object LlmQueries {
       Sampling.weightedReservoir(d, "doc_id", col("w"), 20)
         .select(col("doc_id"), col("w").cast("int").as("n_tok"), col("es_key"))
         .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
+    // Per-group weighted reservoir: the 3 best token-weighted E-S
+    // draws within each language — the per-facet quality-weighted
+    // budget a global reservoir cannot express.
+    "q_sample_grpreservoir" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("double").as("w"))
+      Sampling.weightedReservoirPerGroup(d, "lang", "doc_id", col("w"), 3)
+        .select(col("lang"), col("es_rank"), col("doc_id"),
+          col("w").cast("int").as("n_tok"), col("es_key"))
+        .orderBy(col("lang"), col("es_rank"))
     }),
 
     // DSIR-style target-affinity scores: hashed-token target/source
@@ -2460,6 +2483,33 @@ object LlmQueries {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_grpreservoir" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
+        |      / len(string_split(text, ' '))::DOUBLE AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, n_tok, k,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY k DESC, doc_id ASC) AS INT) AS es_rank
+        |  FROM s
+        |)
+        |SELECT lang, es_rank, doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  ROUND(k, 6) AS es_key
+        |FROM r WHERE es_rank <= 3
+        |ORDER BY lang, es_rank""".stripMargin,
+    "q_eval_brier" ->
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(
+        |    ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
+        |    * ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
+        |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS brier,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM embeddings
+        |WHERE embedding[2] IS NOT NULL AND label IS NOT NULL""".stripMargin,
     "q_sample_reservoir" ->
       """WITH s AS (
         |  SELECT doc_id,

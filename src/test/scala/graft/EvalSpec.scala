@@ -94,4 +94,14 @@ class EvalSpec extends SparkTestBase {
     val cal = Seq((0.0, 0), (0.0, 0), (1.0, 1), (1.0, 1)).toDF("s", "y")
     assert(rows(Eval.ece(cal, "s", "y", bins = 2)).head.getDouble(0) === 0.0)
   }
+
+  test("brier: hand-computed MSE, perfect prediction scores 0") {
+    import spark.implicits._
+    // residuals: (0.8-1)^2 + (0.3-0)^2 = 0.04 + 0.09 -> mean 0.065
+    val df = Seq((0.8, 1), (0.3, 0)).toDF("s", "y")
+    val out = rows(Eval.brier(df, "s", "y")).head
+    assert(out.getDouble(0) === 0.065 && out.getLong(1) === 2L)
+    val perfect = Seq((1.0, 1), (0.0, 0)).toDF("s", "y")
+    assert(rows(Eval.brier(perfect, "s", "y")).head.getDouble(0) === 0.0)
+  }
 }

@@ -326,4 +326,17 @@ class SamplingSpec extends SparkTestBase {
     val p = planString(Sampling.weightedReservoir(df, "id", col("w"), 3))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("weightedReservoirPerGroup: exactly k per group, dominant weight wins its group") {
+    import spark.implicits._
+    val df = (Seq(("a", 1L, 1e9), ("b", 100L, 1e9)) ++
+      (2L to 20L).map(i => ("a", i, 1e-6)) ++
+      (102L to 120L).map(i => ("b", i, 1e-6))).toDF("g", "id", "w")
+    val out = rows(Sampling.weightedReservoirPerGroup(df, "g", "id", col("w"), 2)
+      .orderBy(col("g"), col("es_rank")))
+    assert(out.size === 4)
+    assert(out.count(_.getString(0) == "a") === 2)
+    // the dominant row ranks first within its own group
+    assert(out.filter(_.getInt(4) == 1).map(_.getLong(1)).toSet === Set(1L, 100L))
+  }
 }
