@@ -286,6 +286,54 @@ object Profile {
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — distribution drift
+    * between two slices of a numeric column (new corpus drop vs the
+    * last one, segment A vs B): `D = max_x |F_a(x) - F_b(x)|` over the
+    * exact empirical CDFs, plus the location where the gap peaks.
+    *
+    * Exact, not sampled: both sides aggregate to per-distinct-value
+    * counts first (map-side partial combine — the only pass over the
+    * data), then ONE ordered window over the |distinct values| rows
+    * computes both cumulative counts; the max and its location come
+    * from a 1-row `max(struct(d, -x))` aggregate (ties on the gap pick
+    * the SMALLEST value — negation under max). Every CDF step is one
+    * division of exact integers, identical in both engines; the gap is
+    * evaluated at every step of EITHER side, which is exactly where a
+    * maximum of the step-function difference can occur.
+    * Output: (ks_stat 6-dp, at_value, n_a, n_b). NULLs are excluded.
+    */
+  def ksTwoSample(
+      a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val tagged = a.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__x"), lit(1L).as("__a"),
+        lit(0L).as("__b"))
+      .unionByName(b.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("__x"), lit(0L).as("__a"),
+          lit(1L).as("__b")))
+    val perValue = tagged.groupBy(col("__x"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val steps = perValue
+      .withColumn("__fa", sum(col("__ca")).over(w))
+      .withColumn("__fb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+      .withColumn("__d",
+        abs(col("__fa").cast("double") / col("__na").cast("double")
+          - col("__fb").cast("double") / col("__nb").cast("double")))
+    steps
+      .agg(
+        max(struct(col("__d").as("d"), (-col("__x")).as("negx"))).as("__best"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"))
+      .select(
+        round(col("__best.d"), 6).as("ks_stat"),
+        (-col("__best.negx")).as("at_value"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the dependency/leakage detector ("does the shard key secretly
     * encode the label?"). `MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y)))`

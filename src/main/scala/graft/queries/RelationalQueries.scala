@@ -739,6 +739,17 @@ object RelationalQueries {
             6).as("fpr"))
     }),
 
+    // Two-sample KS distance: exact empirical-CDF drift between the
+    // A-returnflag and R-returnflag price distributions — the
+    // new-drop-vs-last-drop distribution guard beyond mean checks.
+    "q_profile_ks" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Profile.ksTwoSample(
+        li.filter(col("l_returnflag") === "A").select(col("l_extendedprice")),
+        li.filter(col("l_returnflag") === "R").select(col("l_extendedprice")),
+        "l_extendedprice")
+    }),
+
     // Mutual information between two categorical columns — the
     // dependency/leakage detector over the exact contingency table;
     // the irrational cell terms fold in (x, y)-sorted order so the
@@ -2323,6 +2334,33 @@ object RelationalQueries {
         |  ROUND(SUM(CASE WHEN pass = 1 AND truth = 0 THEN 1 ELSE 0 END)::DOUBLE
         |    / SUM(CASE WHEN truth = 0 THEN 1 ELSE 0 END), 6) AS fpr
         |FROM scored""".stripMargin,
+    "q_profile_ks" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('A', 'R') AND l_extendedprice IS NOT NULL
+        |), pv AS (
+        |  SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM t GROUP BY x
+        |), st AS (
+        |  SELECT x,
+        |    SUM(ca) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |    SUM(cb) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+        |    SUM(ca) OVER () AS na,
+        |    SUM(cb) OVER () AS nb
+        |  FROM pv
+        |), g AS (
+        |  SELECT x, abs(fa::DOUBLE / na - fb::DOUBLE / nb) AS gap, na, nb
+        |  FROM st
+        |)
+        |SELECT ROUND((SELECT MAX(gap) FROM g), 6) AS ks_stat,
+        |  (SELECT x FROM g WHERE gap = (SELECT MAX(gap) FROM g)
+        |   ORDER BY x LIMIT 1) AS at_value,
+        |  CAST((SELECT MAX(na) FROM g) AS BIGINT) AS n_a,
+        |  CAST((SELECT MAX(nb) FROM g) AS BIGINT) AS n_b""".stripMargin,
     "q_profile_mi" ->
       """WITH c AS (
         |  SELECT CAST(c_mktsegment AS VARCHAR) AS x,

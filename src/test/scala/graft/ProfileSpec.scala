@@ -291,4 +291,20 @@ class ProfileSpec extends SparkTestBase {
     val withNull = Seq(("a", Some("u")), ("b", None)).toDF("x", "y")
     assert(rows(Profile.mutualInformation(withNull, "x", "y")).head.getLong(1) === 1L)
   }
+
+  test("ksTwoSample: disjoint slices score 1, identical slices score 0, hand-computed middle") {
+    import spark.implicits._
+    val lo = Seq(1.0, 2.0, 3.0).toDF("v")
+    val hi = Seq(10.0, 11.0).toDF("v")
+    val d1 = rows(Profile.ksTwoSample(lo, hi, "v")).head
+    assert(d1.getDouble(0) === 1.0 && d1.getLong(2) === 3L && d1.getLong(3) === 2L)
+    assert(d1.getDouble(1) === 3.0) // gap peaks at the last low value
+    val same = rows(Profile.ksTwoSample(lo, lo, "v")).head
+    assert(same.getDouble(0) === 0.0)
+    // a={1,2}, b={2,4}: steps at 1: |1/2-0|=.5, 2: |1-1/2|=.5, 4: 0
+    // tie on the gap -> smallest value reported
+    val a = Seq(1.0, 2.0).toDF("v"); val b = Seq(2.0, 4.0).toDF("v")
+    val m = rows(Profile.ksTwoSample(a, b, "v")).head
+    assert(m.getDouble(0) === 0.5 && m.getDouble(1) === 1.0)
+  }
 }
