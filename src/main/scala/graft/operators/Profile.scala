@@ -286,6 +286,74 @@ object Profile {
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
 
+  /** Population Stability Index — the BINNED drift metric next to
+    * [[ksTwoSample]]'s sup-norm: deciles (or `bins`-iles) of the
+    * REFERENCE slice partition the line, both slices count into those
+    * bins, and `PSI = Σ_b (p_cur - p_ref) · ln(p_cur / p_ref)` (the
+    * industry alarm thresholds: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted). KS finds the worst single point; PSI weights
+    * drift across the whole distribution.
+    *
+    * Shape: ONE exact shared-buffer percentile aggregate over the
+    * reference yields the cut array (broadcast back, the
+    * [[quantileBucket]] pattern), both sides bin map-side, one
+    * count aggregation per side over `bins` rows. Empty-bin
+    * continuity: a proportion of 0 would make the log term infinite,
+    * so each proportion floors at `0.5 / n` of its own slice (the
+    * half-count correction — an exact rational both engines compute
+    * identically). The ≤ `bins` irrational terms fold in bin order
+    * through a collected array (the [[mutualInformation]] recipe), so
+    * the sum is deterministic and oracle-replayable. NULL/NaN values
+    * are excluded on both sides; an EMPTY slice yields NULL psi
+    * (try_divide). Output: (psi, n_ref, n_cur, n_bins).
+    */
+  def psi(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val ps = (1 until bins).map(i => lit(i.toDouble / bins))
+    val clean: DataFrame => DataFrame = df => df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(valueCol).cast("double").as("__x"))
+    val refC = clean(ref)
+    val cuts = refC.agg(percentile(col("__x"), array(ps: _*)).as("__q"))
+    def binned(df: DataFrame, cntCol: String) = df
+      .crossJoin(broadcast(cuts))
+      .select(size(filter(col("__q"), q => col("__x") > q)).as("__bin"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as(cntCol))
+    val spark = ref.sparkSession
+    val spine = spark.range(bins).select(col("id").cast("int").as("__bin"))
+    val cells = spine
+      .join(binned(refC, "__ca"), Seq("__bin"), "left")
+      .join(binned(clean(cur), "__cb"), Seq("__bin"), "left")
+      .select(col("__bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val terms = cells
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+      // try_divide: an EMPTY slice has no distribution — psi reads NULL
+      // instead of killing the job under ANSI division
+      .withColumn("__pa",
+        greatest(try_divide(col("__ca").cast("double"), col("__na")),
+          try_divide(lit(0.5), col("__na"))))
+      .withColumn("__pb",
+        greatest(try_divide(col("__cb").cast("double"), col("__nb")),
+          try_divide(lit(0.5), col("__nb"))))
+      .withColumn("__t",
+        (col("__pb") - col("__pa")) * log(col("__pb") / col("__pa")))
+    terms.agg(
+        sort_array(collect_list(struct(col("__bin"), col("__t")))).as("__cells"),
+        max(col("__na")).as("n_ref"),
+        max(col("__nb")).as("n_cur"),
+        count(lit(1)).as("n_bins"))
+      .select(
+        round(aggregate(col("__cells"), lit(0.0),
+          (acc, c) => acc + c.getField("__t")), 6).as("psi"),
+        col("n_ref"), col("n_cur"), col("n_bins"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance — distribution drift
     * between two slices of a numeric column (new corpus drop vs the
     * last one, segment A vs B): `D = max_x |F_a(x) - F_b(x)|` over the

@@ -739,6 +739,20 @@ object RelationalQueries {
             6).as("fpr"))
     }),
 
+    // Population Stability Index between the early and late halves of
+    // the order-date range — the binned drift alarm (thresholds 0.1 /
+    // 0.25) beside KS's worst-point statistic. Reference deciles from
+    // one shared-buffer percentile aggregate; half-count continuity
+    // floor; bin-ordered fold.
+    "q_profile_psi" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("date")
+      Profile.psi(
+        o.filter(col("o_orderdate") < cut).select(col("o_totalprice")),
+        o.filter(col("o_orderdate") >= cut).select(col("o_totalprice")),
+        "o_totalprice", bins = 10)
+    }),
+
     // Two-sample KS distance: exact empirical-CDF drift between the
     // A-returnflag and R-returnflag price distributions — the
     // new-drop-vs-last-drop distribution guard beyond mean checks.
@@ -2334,6 +2348,45 @@ object RelationalQueries {
         |  ROUND(SUM(CASE WHEN pass = 1 AND truth = 0 THEN 1 ELSE 0 END)::DOUBLE
         |    / SUM(CASE WHEN truth = 0 THEN 1 ELSE 0 END), 6) AS fpr
         |FROM scored""".stripMargin,
+    "q_profile_psi" ->
+      """WITH refv AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE o_orderdate < DATE '1998-01-01' AND o_totalprice IS NOT NULL
+        |), curv AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice IS NOT NULL
+        |), q AS (
+        |  SELECT quantile_cont(x,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM refv
+        |), ca AS (
+        |  SELECT bin, COUNT(*) AS c FROM (
+        |    SELECT CAST(len(list_filter(q.cuts, c -> r.x > c)) AS INT) AS bin
+        |    FROM refv r CROSS JOIN q) GROUP BY bin
+        |), cb AS (
+        |  SELECT bin, COUNT(*) AS c FROM (
+        |    SELECT CAST(len(list_filter(q.cuts, c -> r.x > c)) AS INT) AS bin
+        |    FROM curv r CROSS JOIN q) GROUP BY bin
+        |), spine AS (
+        |  SELECT CAST(unnest(range(10)) AS INT) AS bin
+        |), cells AS (
+        |  SELECT s.bin, COALESCE(ca.c, 0) AS cnt_a, COALESCE(cb.c, 0) AS cnt_b
+        |  FROM spine s LEFT JOIN ca ON ca.bin = s.bin
+        |  LEFT JOIN cb ON cb.bin = s.bin
+        |), t AS (
+        |  SELECT bin, na, nb,
+        |    greatest(cnt_a::DOUBLE / na, 0.5 / na) AS pa,
+        |    greatest(cnt_b::DOUBLE / nb, 0.5 / nb) AS pb
+        |  FROM (SELECT bin, cnt_a, cnt_b,
+        |    SUM(cnt_a) OVER () AS na, SUM(cnt_b) OVER () AS nb FROM cells)
+        |), tt AS (
+        |  SELECT bin, na, nb, (pb - pa) * ln(pb / pa) AS term FROM t
+        |)
+        |SELECT ROUND(list_sum(list(term ORDER BY bin)), 6) AS psi,
+        |  CAST(MAX(na) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins
+        |FROM tt""".stripMargin,
     "q_profile_ks" ->
       """WITH t AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,

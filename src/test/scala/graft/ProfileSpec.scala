@@ -307,4 +307,19 @@ class ProfileSpec extends SparkTestBase {
     val m = rows(Profile.ksTwoSample(a, b, "v")).head
     assert(m.getDouble(0) === 0.5 && m.getDouble(1) === 1.0)
   }
+
+  test("psi: identical slices ~0, planted shift alarms, empty slice reads NULL") {
+    import spark.implicits._
+    val base = (1 to 200).map(_.toDouble).toDF("v")
+    val same = rows(Profile.psi(base, base, "v", bins = 10)).head
+    assert(same.getDouble(0) === 0.0)
+    assert(same.getLong(1) === 200L && same.getLong(3) === 10L)
+    // current slice shifted entirely into the top reference decile
+    val shifted = (300 to 400).map(_.toDouble).toDF("v")
+    val drift = rows(Profile.psi(base, shifted, "v", bins = 10)).head
+    assert(drift.getDouble(0) > 0.25, s"expected alarm-level psi, got $drift")
+    // empty side: NULL psi instead of an ANSI division failure
+    val empty = Seq.empty[Double].toDF("v")
+    assert(rows(Profile.psi(base, empty, "v", bins = 10)).head.isNullAt(0))
+  }
 }
