@@ -777,6 +777,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style composite quality GATE with per-rule verdicts and
+    // failure reasons — the audit-friendly form of the boolean
+    // qualityFlag: a rejected document says WHICH rule rejected it
+    // (length / word-length / symbol density / stopword signal /
+    // within-doc repetition). The repetition channel joins the
+    // per-doc 2-gram aggregation; everything else is one map-side
+    // pass; concat_ws skips the null (passing) slots so the reasons
+    // string lists exactly the failed rules.
+    "q_text_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rep = graft.operators.Repetition.repetitionStats(d, 2)
+        .select(col("doc_id"), col("dup_gram_frac"))
+      val nTok = Text.tokenCount(col("text"))
+      val meanLen = length(col("text")).cast("double") / nTok
+      d.join(rep, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          nTok.between(10, 5000).as("r_len"),
+          (meanLen >= 2.0 && meanLen <= 12.0).as("r_wordlen"),
+          (Text.punctRatio(col("text")) < 0.2).as("r_symbol"),
+          (Text.stopwordRatio(col("text")) >= 0.02).as("r_stopword"),
+          (coalesce(col("dup_gram_frac"), lit(0.0)) < 0.4).as("r_repetition"))
+        .withColumn("pass",
+          col("r_len") && col("r_wordlen") && col("r_symbol") &&
+            col("r_stopword") && col("r_repetition"))
+        .withColumn("fail_reasons", concat_ws(",",
+          when(!col("r_len"), lit("len")),
+          when(!col("r_wordlen"), lit("wordlen")),
+          when(!col("r_symbol"), lit("symbol")),
+          when(!col("r_stopword"), lit("stopword")),
+          when(!col("r_repetition"), lit("repetition"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic + canonical normalized fingerprint.
     "q_text_lang" -> ((s, dir) => {
       docs(s, dir).select(
@@ -2718,6 +2752,46 @@ object LlmQueries {
         |  ROUND(sums.s / sums.np, 6) AS avg_logprob
         |FROM toks tk LEFT JOIN sums ON sums.doc_id = tk.doc_id
         |ORDER BY tk.doc_id""".stripMargin,
+    "q_text_gate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM w WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+        |), a AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt)
+        |      AS dup_frac
+        |  FROM c GROUP BY doc_id
+        |), r AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(d.text, ' ')) BETWEEN 10 AND 5000 AS r_len,
+        |    (length(d.text)::DOUBLE / len(string_split(d.text, ' ')) >= 2.0
+        |     AND length(d.text)::DOUBLE / len(string_split(d.text, ' ')) <= 12.0)
+        |      AS r_wordlen,
+        |    (CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+        |      (length(d.text) - length(regexp_replace(d.text,
+        |        '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(d.text) END) < 0.2
+        |      AS r_symbol,
+        |    len(list_filter(string_split(d.text, ' '),
+        |      t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
+        |      / len(string_split(d.text, ' ')) >= 0.02 AS r_stopword,
+        |    COALESCE(a.dup_frac, 0.0) < 0.4 AS r_repetition
+        |  FROM documents d LEFT JOIN a USING (doc_id)
+        |)
+        |SELECT doc_id, r_len, r_wordlen, r_symbol, r_stopword, r_repetition,
+        |  (r_len AND r_wordlen AND r_symbol AND r_stopword AND r_repetition)
+        |    AS pass,
+        |  concat_ws(',',
+        |    CASE WHEN NOT r_len THEN 'len' END,
+        |    CASE WHEN NOT r_wordlen THEN 'wordlen' END,
+        |    CASE WHEN NOT r_symbol THEN 'symbol' END,
+        |    CASE WHEN NOT r_stopword THEN 'stopword' END,
+        |    CASE WHEN NOT r_repetition THEN 'repetition' END) AS fail_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
