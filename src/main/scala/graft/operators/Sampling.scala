@@ -128,6 +128,39 @@ object Sampling {
       .withColumn("es_key", round(col("es_key"), 6))
   }
 
+  /** Token-BUDGET selection: walk rows in descending `scoreCol` order
+    * (ties on the key — a total order) and keep each row whose
+    * PRECEDING selection still fits `budget` tokens — "the best
+    * ~1B-token subset", the fixed-compute training-set cut where
+    * [[weightedReservoir]] fixes a row count instead. A row is kept
+    * iff the running sum BEFORE it is under budget, so the selection
+    * overshoots by at most one document (the standard knapsack-free
+    * greedy; an exact fit would drop the boundary doc instead —
+    * callers pick by passing a budget one doc smaller).
+    *
+    * Shape: one ordered window (range-partition shuffle + cumulative
+    * sum) over (score, key) — the same cost as any global sort. At
+    * 100 TB, pre-filter to the plausible score range first (a score
+    * histogram bounds where the budget lands), so the ordered window
+    * runs over a thin candidate slice, not the corpus.
+    * Adds `cum_before` (tokens selected before this row). NULL scores
+    * or sizes are excluded.
+    */
+  def selectByBudget(
+      df: DataFrame, keyCol: String, scoreCol: String,
+      sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("cum_before"),
+      "input column 'cum_before' collides with selectByBudget's output")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.filter(col(scoreCol).isNotNull && col(sizeCol).isNotNull)
+      .withColumn("cum_before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+
   /** Deterministic per-group quota: keep at most `quota` rows per group,
     * chosen by the md5 hash of the key — a stable uniform shuffle WITHIN
     * each group, so the retained subset is unbiased, permanent across

@@ -617,6 +617,17 @@ object LlmQueries {
         .orderBy(col("es_key").desc, col("doc_id"))
     }),
 
+    // Token-budget selection: the best ~5000-token subset by stopword
+    // signal (quality proxy) — the fixed-compute cut beside the
+    // fixed-count reservoir. One ordered cumulative window.
+    "q_sample_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        round(Text.stopwordRatio(col("text")), 6).as("score"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.selectByBudget(d, "doc_id", "score", "n_tok", budget = 5000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-group weighted reservoir: the 3 best token-weighted E-S
     // draws within each language — the per-facet quality-weighted
     // budget a global reservoir cannot express.
@@ -2517,6 +2528,22 @@ object LlmQueries {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ROUND(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
+        |      / len(string_split(text, ' ')), 6) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, score, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM s
+        |)
+        |SELECT doc_id, score, n_tok, CAST(cum_before AS BIGINT) AS cum_before
+        |FROM c WHERE cum_before < 5000 ORDER BY doc_id""".stripMargin,
     "q_sample_grpreservoir" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

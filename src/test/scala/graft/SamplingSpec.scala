@@ -339,4 +339,16 @@ class SamplingSpec extends SparkTestBase {
     // the dominant row ranks first within its own group
     assert(out.filter(_.getInt(4) == 1).map(_.getLong(1)).toSet === Set(1L, 100L))
   }
+
+  test("selectByBudget: greedy by score, boundary doc kept, overshoot bounded by one doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.9, 40L), (2L, 0.8, 40L), (3L, 0.7, 40L), (4L, 0.6, 40L)
+    ).toDF("id", "score", "n")
+    // budget 100: doc1 (cum 0), doc2 (cum 40), doc3 (cum 80 < 100 — kept,
+    // overshoots to 120), doc4 (cum 120 — dropped)
+    val out = rows(Sampling.selectByBudget(df, "id", "score", "n", 100L)
+      .orderBy(col("id"))).map(r => (r.getLong(0), r.getLong(3)))
+    assert(out === Seq((1L, 0L), (2L, 40L), (3L, 80L)))
+  }
 }
