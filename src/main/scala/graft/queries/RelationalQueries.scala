@@ -3073,7 +3073,8 @@ object RelationalQueries {
         |WHERE vec_id < 3 ORDER BY vec_id, pos""".stripMargin,
     "q_fn_regex_all" ->
       """SELECT o_orderkey,
-        | array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), ',')
+        | COALESCE(array_to_string(
+        |   regexp_extract_all(o_orderpriority, '[A-Z]+'), ','), '')
         |   AS words,
         | CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INT)
         |   AS n_words
@@ -3155,9 +3156,11 @@ object RelationalQueries {
     "q_agg_collect" ->
       """SELECT c_mktsegment,
         | array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
-        | array_to_string(COALESCE(
+        | -- DuckDB's array_to_string returns NULL on an EMPTY list where
+        | -- Spark's array_join returns '' — the outer COALESCE aligns them
+        | COALESCE(array_to_string(COALESCE(
         |   list_sort(list(c_custkey) FILTER (c_custkey % 50 = 0)),
-        |   CAST([] AS BIGINT[])), ',') AS sample_keys
+        |   CAST([] AS BIGINT[])), ','), '') AS sample_keys
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "q_intersect_all" ->
