@@ -451,6 +451,147 @@ object Profile {
         col("n_rows"), col("n_cells"))
   }
 
+  /** Concentration profile of a nonnegative integer measure over
+    * groups — the "is 90% of the corpus one domain?" audit a mixture
+    * designer runs before trusting per-source weights. Reports the
+    * Gini coefficient (0 = perfectly even, →1 = one group holds
+    * everything), the Herfindahl–Hirschman index `Σ share²` (the
+    * antitrust concentration score; 1/n for even, 1.0 for monopoly),
+    * and the largest single share.
+    *
+    * Portability is exact-integer end to end: group totals are
+    * DECIMAL(38,0) sums, the Gini uses the sorted-rank identity
+    * `G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)` (x ascending, i = 1..n) —
+    * rank-assignment among tied x values cannot change `Σ i·x_i`
+    * (equal x make any rank permutation sum identically), so the
+    * statistic is deterministic without a canonical tie order — and
+    * HHI is `Σx² / (Σx)²`; every numerator/denominator is an exact
+    * decimal, only the two final divisions touch floating point
+    * (round 6). The rank window runs over n_groups rows (the
+    * aggregate, not the data). NULL groups are excluded; values must
+    * be nonnegative integers (token/char/row counts — the Gini
+    * identity is undefined below zero, documented contract).
+    * Output: one row (n_groups, total, gini, hhi, top_share).
+    */
+  def concentration(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val totals = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(valueCol).cast(DecimalType(38, 0))).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x"), col("__g"))
+    val ranked = totals.withColumn("__i",
+      row_number().over(w).cast(DecimalType(38, 0)))
+    val sums = ranked.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__i") * col("__x")).as("__six"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      max(col("__x")).as("__mx"))
+    val nD = col("n_groups").cast(DecimalType(38, 0))
+    sums.select(
+      col("n_groups"),
+      col("__sx").cast("long").as("total"),
+      round(try_divide(
+        (lit(2).cast(DecimalType(38, 0)) * col("__six")
+          - (nD + lit(1)) * col("__sx")).cast("double"),
+        (nD * col("__sx")).cast("double")), 6).as("gini"),
+      round(try_divide(col("__sxx").cast("double"),
+        (col("__sx") * col("__sx")).cast("double")), 6).as("hhi"),
+      round(try_divide(col("__mx").cast("double"),
+        col("__sx").cast("double")), 6).as("top_share"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * re-identification screen a governed corpus runs before release:
+    * a row whose quasi-identifier combination is shared by fewer than
+    * k rows is linkable. One count shuffle on the quasi columns, then
+    * one bounded aggregate over the group sizes. Reports the achieved
+    * anonymity level (the smallest group — the dataset "is
+    * min_group-anonymous"), how many groups and rows sit below the
+    * requested k, and the at-risk row share. NULL quasi values form
+    * their own group (GROUP BY keeps a NULL group in Spark and every
+    * SQL engine alike — NULL is itself linkable, and excluding such
+    * rows would hide exactly the outliers the audit exists to find).
+    * Output: (n_rows, n_groups, min_group, n_small_groups,
+    * rows_at_risk, risk_share).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val groups = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    groups.agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__sz")).as("min_group"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
+          .as("rows_at_risk"))
+      .select(col("n_rows"), col("n_groups"), col("min_group"),
+        col("n_small_groups"), col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double")
+          / col("n_rows").cast("double"), 6).as("risk_share"))
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, with Cramér's V — the effect-size companion to
+    * `mutualInformation` (MI is in nats and scale-dependent; V is the
+    * [0,1] normalized association strength). Same exact contingency
+    * table: one count shuffle builds the cells, marginals are window
+    * sums over the aggregated cells.
+    *
+    * Each cell term uses the cleared-denominator identity
+    * `(o−e)²/e = (n·o − cx·cy)² / (n·cx·cy)` so both operands are
+    * exact DECIMAL(38,0) integers converted to double for ONE IEEE
+    * division; terms fold in (x, y)-sorted order through the collected
+    * contingency array (the MI pattern), so the sum is deterministic
+    * and oracle-replayable. The expected-count denominator `n·cx·cy`
+    * is never zero (every cell's marginals count at least that cell).
+    * dof = (|X|−1)(|Y|−1); `V = sqrt(χ² / (n·min(|X|−1, |Y|−1)))`,
+    * NULL when either column is constant. NULL categories are
+    * excluded. Output: (chi2, dof, cramers_v, n_rows, n_cells).
+    */
+  def chiSquared(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__c"))
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("__x"))
+    val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("__y"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val terms = cells
+      .withColumn("__cx", sum(col("__c")).over(wx))
+      .withColumn("__cy", sum(col("__c")).over(wy))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__num",
+        (col("__n") * col("__c") - col("__cx") * col("__cy")))
+      .select(col("__x"), col("__y"), col("__n"),
+        (col("__num").cast("double") * col("__num").cast("double")
+          / (col("__n") * col("__cx") * col("__cy")).cast("double")).as("__t"))
+    terms
+      .agg(
+        sort_array(collect_list(struct(col("__x"), col("__y"), col("__t"))))
+          .as("__cells"),
+        max(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("__x")).as("__nx"),
+        countDistinct(col("__y")).as("__ny"))
+      .select(
+        round(aggregate(col("__cells"), lit(0.0),
+          (acc, c) => acc + c.getField("__t")), 6).as("chi2"),
+        ((col("__nx") - 1) * (col("__ny") - 1)).as("dof"),
+        round(sqrt(try_divide(
+          aggregate(col("__cells"), lit(0.0),
+            (acc, c) => acc + c.getField("__t")),
+          col("n_rows").cast("double")
+            * least(col("__nx") - 1, col("__ny") - 1).cast("double"))), 6)
+          .as("cramers_v"),
+        col("n_rows"), col("n_cells"))
+  }
+
   /** EXACT-integer Pearson correlation matrix over up to 6 numeric
     * columns with at most 2 fractional decimals — the cross-column
     * drift detector (price vs quantity suddenly decorrelating is a

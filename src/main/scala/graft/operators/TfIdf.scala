@@ -110,4 +110,72 @@ object TfIdf {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+  /** Heaps'-law vocabulary growth curve: cumulative token count vs
+    * cumulative DISTINCT vocabulary size at every `every`-th document
+    * in id order — the "is the corpus still teaching new words?"
+    * saturation diagnostic behind crawl-more vs dedup-harder calls.
+    *
+    * Each token's first-introducing document is one min-aggregate over
+    * the (token, doc) pairs (vocabulary-bounded — the corpus text
+    * never re-shuffles); new-word counts then fold over the per-doc
+    * spine with an ordered cumulative window. That window is global
+    * but runs over ONE aggregated row per document, not data rows; for
+    * corpora where even the doc spine outgrows a partition, the
+    * standard two-pass distributed prefix sum (per-partition totals +
+    * broadcast offsets) drops in without changing the contract.
+    * Output per checkpoint: (n_docs, doc_id, cum_tokens, cum_vocab,
+    * vocab_rate) where vocab_rate = cum_vocab / cum_tokens.
+    */
+  def vocabGrowth(docs: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val tok = docs.select(col("doc_id").as("__id"),
+      explode(Text.tokens(col("text"))).as("__tok"))
+    val perDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("__ntok"))
+    val firstDoc = tok.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
+    val newPerDoc = firstDoc.groupBy(col("__fd").as("__id"))
+      .agg(count(lit(1)).as("__nnew"))
+    val wCum = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRank = Window.orderBy(col("__id"))
+    perDoc.join(newPerDoc, Seq("__id"), "left")
+      .withColumn("__nnew2", coalesce(col("__nnew"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("__ntok")).over(wCum))
+      .withColumn("cum_vocab", sum(col("__nnew2")).over(wCum))
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") % every === 0)
+      .select(col("__rk").as("n_docs"), col("__id").as("doc_id"),
+        col("cum_tokens"), col("cum_vocab"),
+        round(col("cum_vocab").cast("double")
+          / col("cum_tokens").cast("double"), 6).as("vocab_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document lexical novelty against everything EARLIER in id
+    * order: the share of a document's distinct tokens whose first
+    * corpus occurrence is this document. Low novelty late in a crawl
+    * = the new drop is re-treading old ground — the document-granular
+    * companion to `vocabGrowth`'s corpus curve (and a cheap
+    * near-duplicate tripwire that needs no pair mining).
+    *
+    * Same vocabulary-bounded shape: distinct (token, doc) pairs, one
+    * min-aggregate for each token's introducing doc, one equi-join
+    * back (token-keyed — vocabulary-sized build side), one per-doc
+    * count. Nothing all-pairs, nothing ordered over data rows.
+    * Output: (doc_id, n_distinct_tokens, n_novel, novelty).
+    */
+  def noveltyRates(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id").as("__id"),
+      explode(Text.tokens(col("text"))).as("__tok")).distinct()
+    val firstDoc = grams.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
+    grams.join(firstDoc, Seq("__tok"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("__fd") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as("doc_id"), col("n_distinct_tokens"),
+        col("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_distinct_tokens").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }

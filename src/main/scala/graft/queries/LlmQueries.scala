@@ -447,6 +447,41 @@ object LlmQueries {
         .orderBy(col("probe_id"))
     }),
 
+    // NDCG@10 of the sign-LSH ranking against the exact ranking — the
+    // graded-relevance companion to recall@k (did we find them?) and
+    // RBO (same weights down the whole list?): gain 11−ra rewards
+    // putting the exact-best items at the top, the log2 discount
+    // (constants embedded identically in both engines, like RBO's
+    // suffix weights) forgives depth mistakes more than top mistakes.
+    // Per-probe terms sum as exact decimals; ideal DCG is the shared
+    // literal both engines divide by.
+    "q_eval_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(corpus(s, dir), probes(s, dir), 10)
+        .withColumn("ra", row_number().over(w))
+        .select(col("probe_id"), col("neighbor_id"), col("ra"))
+      val approx = Similarity.lshTopK(corpus(s, dir), probes(s, dir), 10, dim = 64)
+        .withColumn("rb", row_number().over(w))
+        .select(col("probe_id"), col("neighbor_id"), col("rb"))
+      val dLit = typedlit(NdcgDiscount)
+      val terms = exact.join(approx, Seq("probe_id", "neighbor_id"))
+        .select(col("probe_id"),
+          ((lit(11) - col("ra")).cast("double")
+            * element_at(dLit, col("rb")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("t"))
+      probes(s, dir).select(col("probe_id"))
+        .join(terms.groupBy(col("probe_id"))
+            .agg(sum(col("t")).as("__s"), count(lit(1)).as("n_common")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          round(coalesce(col("__s").cast("double"), lit(0.0))
+            / lit(NdcgIdeal), 6).as("ndcg10"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Brier score — the strictly proper scoring rule beside ECE (a
     // coarse score can game ECE, not the Brier score). Scores are
     // mapped to [0,1] via (s+1)/2 so the metric reads as a
@@ -706,6 +741,22 @@ object LlmQueries {
     "q_vocab_oov" -> ((s, dir) => {
       TfIdf.oovRate(docs(s, dir), vocabSize = 500)
         .orderBy(col("doc_id"))
+    }),
+
+    // Heaps'-law vocabulary growth: cumulative distinct vocab vs
+    // cumulative tokens at every 50th document — the corpus-saturation
+    // curve ("still learning new words, or time to dedup harder?").
+    // The cumulative window runs over the per-doc aggregate spine, not
+    // data rows.
+    "q_vocab_growth" -> ((s, dir) => {
+      TfIdf.vocabGrowth(docs(s, dir), every = 50)
+    }),
+
+    // Per-doc lexical novelty vs everything earlier in id order: the
+    // share of a doc's distinct tokens first introduced BY that doc —
+    // the pair-mining-free near-duplicate tripwire.
+    "q_text_novelty" -> ((s, dir) => {
+      TfIdf.noveltyRates(docs(s, dir))
     }),
 
     // Length-grouped batching primitive: token-length quartiles WITHIN
@@ -1065,6 +1116,17 @@ object LlmQueries {
     val w = (1 to 10).map(d => (1 - p) * math.pow(p, d - 1))
     (1 to 10).map(m => (m to 10).map(d => w(d - 1) / d).sum)
   }
+
+  /** NDCG@10 discount constants 1/log2(i+1), i = 1..10, and the ideal
+    * DCG `Σ (11−i)·discount(i)` — computed once here and embedded as
+    * the SAME double literals in the Spark plan and the generated
+    * oracle (the RboSuffix recipe: no runtime log in either engine;
+    * Double.toString round-trips exactly).
+    */
+  private val NdcgDiscount: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val NdcgIdeal: Double =
+    (1 to 10).map(i => (11 - i) * NdcgDiscount(i - 1)).sum
 
   /** One BPE round for the `q_vocab_bpe` oracle: pair counts over
     * w{r-1}, the (count desc, pair asc) top-1 merge, greedy
@@ -2380,6 +2442,66 @@ object LlmQueries {
          |  SELECT probe_id, SUM(t) AS s, CAST(COUNT(*) AS BIGINT) AS n_common
          |  FROM terms GROUP BY probe_id) s ON s.probe_id = p.vec_id
          |ORDER BY probe_id""".stripMargin,
+    "q_eval_ndcg" ->
+      s"""WITH pw AS (
+         |  SELECT j, d, ${duckPlaneW(42L)} AS w
+         |  FROM range(16) a(j) CROSS JOIN range(64) b(d)
+         |), pl AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
+         |), bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN pl
+         |), bkt AS (
+         |  SELECT vec_id, CAST(j // 4 AS INT) AS band,
+         |    CAST(SUM(bit * (1 << CAST(j % 4 AS INT))) AS INT) AS bucket
+         |  FROM bits GROUP BY vec_id, band
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bkt c JOIN bkt p ON c.band = p.band AND c.bucket = p.bucket
+         |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |), sc AS (
+         |  SELECT cand.probe_id, cand.neighbor_id,
+         |    ${duckCos("e.embedding", "q.embedding")} AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), lshk AS (
+         |  SELECT probe_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rb
+         |  FROM sc QUALIFY rb <= 10
+         |), allp AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("e.embedding", "p.embedding")} AS cos_raw
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id < 5) p
+         |  WHERE e.vec_id != p.vec_id
+         |), ex AS (
+         |  SELECT probe_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS ra
+         |  FROM allp QUALIFY ra <= 10
+         |), terms AS (
+         |  SELECT ex.probe_id,
+         |    CAST(CAST(11 - ex.ra AS DOUBLE)
+         |      * CAST(([${NdcgDiscount.mkString(", ")}])[l.rb] AS DOUBLE)
+         |      AS DECIMAL(38,18)) AS t
+         |  FROM ex JOIN lshk l
+         |    ON l.probe_id = ex.probe_id AND l.neighbor_id = ex.neighbor_id
+         |)
+         |SELECT p.vec_id AS probe_id,
+         |  ROUND(COALESCE(CAST(s.s AS DOUBLE), 0.0) / ${NdcgIdeal}, 6)
+         |    AS ndcg10,
+         |  COALESCE(s.n_common, 0) AS n_common
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
+         |LEFT JOIN (
+         |  SELECT probe_id, SUM(t) AS s, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM terms GROUP BY probe_id) s ON s.probe_id = p.vec_id
+         |ORDER BY probe_id""".stripMargin,
     "q_eval_auc" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
@@ -2692,6 +2814,48 @@ object LlmQueries {
         | ROUND(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM v))::DOUBLE
         |   / COUNT(*), 6) AS oov_rate
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), pd AS (
+        |  SELECT doc_id, COUNT(*) AS ntok FROM tok GROUP BY doc_id
+        |), fd AS (
+        |  SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok
+        |), np AS (
+        |  SELECT fdoc AS doc_id, COUNT(*) AS nnew FROM fd GROUP BY fdoc
+        |), c AS (
+        |  SELECT pd.doc_id, pd.ntok, COALESCE(np.nnew, 0) AS nnew
+        |  FROM pd LEFT JOIN np USING (doc_id)
+        |), r AS (
+        |  SELECT doc_id,
+        |    SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |    SUM(nnew) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+        |  FROM c
+        |)
+        |SELECT CAST(rk AS INT) AS n_docs, doc_id,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        |  ROUND(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS vocab_rate
+        |FROM r WHERE rk % 50 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_novelty" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM tok0
+        |), fd AS (
+        |  SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_distinct_tokens,
+        |  CAST(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  ROUND(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*), 6) AS novelty
+        |FROM tok t JOIN fd f ON f.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source,

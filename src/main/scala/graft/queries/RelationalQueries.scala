@@ -773,6 +773,31 @@ object RelationalQueries {
         table(s, dir, "customer"), "c_mktsegment", "c_nationkey")
     }),
 
+    // Corpus concentration: Gini + Herfindahl of characters per source
+    // — the "is 90% of the corpus one domain?" audit behind mixture
+    // weights. Exact-integer end to end (sorted-rank Gini identity,
+    // decimal sums); the rank window runs over n_sources rows, not
+    // data rows.
+    "q_profile_gini" -> ((s, dir) => {
+      Profile.concentration(table(s, dir, "documents"), "source", "n_chars")
+    }),
+
+    // k-anonymity audit on the (nation, segment) quasi-identifier
+    // pair: the achieved anonymity level and the at-risk slice below
+    // k=5. One count shuffle + one bounded aggregate.
+    "q_profile_kanon" -> ((s, dir) => {
+      Profile.kAnonymity(table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+    }),
+
+    // Chi-squared independence + Cramér's V between order priority and
+    // status — the effect-size companion to q_profile_mi. Cleared-
+    // denominator cell terms over exact integer marginals; sorted fold.
+    "q_profile_chi2" -> ((s, dir) => {
+      Profile.chiSquared(table(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+    }),
+
     // Fixed-bound equi-width histogram: map-side bucket projection +
     // one bounded agg; the spark.range bucket spine emits empty buckets
     // too, so totals reconcile with the row count.
@@ -2437,6 +2462,73 @@ object RelationalQueries {
         |  CAST(MAX(n) AS BIGINT) AS n_rows,
         |  CAST(COUNT(*) AS BIGINT) AS n_cells
         |FROM t""".stripMargin,
+    "q_profile_gini" ->
+      """WITH t AS (
+        |  SELECT CAST(source AS VARCHAR) AS g,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS x
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM t
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(i * x) AS six, SUM(x * x) AS sxx, MAX(x) AS mx
+        |  FROM r
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_groups, CAST(sx AS BIGINT) AS total,
+        |  ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE), 6) AS gini,
+        |  ROUND(CAST(sxx AS DOUBLE) / CAST(sx * sx AS DOUBLE), 6) AS hhi,
+        |  ROUND(CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top_share
+        |FROM s""".stripMargin,
+    "q_profile_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(sz) AS BIGINT) AS min_group,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(sz) AS DOUBLE), 6) AS risk_share
+        |FROM g""".stripMargin,
+    "q_profile_chi2" ->
+      """WITH c AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+        |    CAST(o_orderstatus AS VARCHAR) AS y,
+        |    CAST(COUNT(*) AS HUGEINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT x, y, cnt,
+        |    SUM(cnt) OVER (PARTITION BY x) AS cx,
+        |    SUM(cnt) OVER (PARTITION BY y) AS cy,
+        |    SUM(cnt) OVER () AS n
+        |  FROM c
+        |), t AS (
+        |  SELECT x, y, n,
+        |    CAST(n * cnt - cx * cy AS DOUBLE)
+        |      * CAST(n * cnt - cx * cy AS DOUBLE)
+        |      / CAST(n * cx * cy AS DOUBLE) AS term
+        |  FROM m
+        |), agg AS (
+        |  SELECT list_sum(list(term ORDER BY x, y)) AS chi2r,
+        |    CAST(MAX(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    COUNT(DISTINCT x) AS nx, COUNT(DISTINCT y) AS ny
+        |  FROM t
+        |)
+        |SELECT ROUND(chi2r, 6) AS chi2,
+        |  CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof,
+        |  ROUND(sqrt(chi2r
+        |    / (CAST(n_rows AS DOUBLE) * CAST(least(nx - 1, ny - 1) AS DOUBLE))),
+        |    6) AS cramers_v,
+        |  n_rows, n_cells
+        |FROM agg""".stripMargin,
     "q_profile_corr" ->
       """WITH c AS (
         |  SELECT CAST(ROUND(l_quantity * 100) AS HUGEINT) AS q,

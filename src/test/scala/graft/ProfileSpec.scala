@@ -322,4 +322,77 @@ class ProfileSpec extends SparkTestBase {
     val empty = Seq.empty[Double].toDF("v")
     assert(rows(Profile.psi(base, empty, "v", bins = 10)).head.isNullAt(0))
   }
+  test("concentration: even split reads gini 0, monopoly reads (n-1)/n") {
+    import spark.implicits._
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("g", "v")
+    val e = rows(Profile.concentration(even, "g", "v")).head
+    assert(e.getLong(0) === 4L && e.getLong(1) === 40L)
+    assert(e.getDouble(2) === 0.0)
+    assert(e.getDouble(3) === 0.25 && e.getDouble(4) === 0.25)
+    val mono = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 40L)).toDF("g", "v")
+    val m = rows(Profile.concentration(mono, "g", "v")).head
+    assert(m.getDouble(2) === 0.75) // (n-1)/n with n=4
+    assert(m.getDouble(3) === 1.0 && m.getDouble(4) === 1.0)
+  }
+
+  test("concentration matches a hand-computed case; NULL groups excluded") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L),
+      (null.asInstanceOf[String], 99L)).toDF("g", "v")
+    val r = rows(Profile.concentration(df, "g", "v")).head
+    // sorted x = 1,2,3,4: sum(i*x)=30, sum(x)=10, n=4
+    // gini = (2*30 - 5*10) / (4*10) = 0.25
+    assert(r.getLong(0) === 4L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 0.25)
+    assert(r.getDouble(3) === 0.3)  // (1+4+9+16)/100
+    assert(r.getDouble(4) === 0.4)  // 4/10
+  }
+
+  test("kAnonymity: min group, small-group counts, NULL quasi values audited") {
+    import spark.implicits._
+    val df = Seq(("x", "1"), ("x", "1"), ("x", "1"), ("y", "1"), ("y", "1"),
+      (null.asInstanceOf[String], "2")).toDF("q1", "q2")
+    val r = rows(Profile.kAnonymity(df, Seq("q1", "q2"), k = 3)).head
+    assert(r.getLong(0) === 6L)  // n_rows
+    assert(r.getLong(1) === 3L)  // n_groups (NULL group counted)
+    assert(r.getLong(2) === 1L)  // min_group -> "1-anonymous"
+    assert(r.getLong(3) === 2L)  // groups below k
+    assert(r.getLong(4) === 3L)  // rows at risk
+    assert(r.getDouble(5) === 0.5)
+  }
+
+  test("chiSquared: proportional table reads 0; hand-computed 2x2 with V") {
+    import spark.implicits._
+    val indep = Seq(("a", "c"), ("a", "c"), ("a", "d"), ("a", "d"),
+      ("b", "c"), ("b", "d")).toDF("x", "y")
+    val z = rows(Profile.chiSquared(indep, "x", "y")).head
+    assert(z.getDouble(0) === 0.0 && z.getLong(1) === 1L)
+    // 2x2 cells (a,c)=3 (a,d)=1 (b,c)=1 (b,d)=3: every marginal 4, n=8
+    // term = (8*3-16)^2/(8*16) = 0.5 or (8*1-16)^2/(8*16) = 0.5 -> chi2 = 2
+    val dep = Seq(("a", "c"), ("a", "c"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("b", "d"), ("b", "d")).toDF("x", "y")
+    val r = rows(Profile.chiSquared(dep, "x", "y")).head
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 0.5) // sqrt(2 / (8 * 1))
+    assert(r.getLong(3) === 8L && r.getLong(4) === 4L)
+  }
+
+  test("vocabGrowth accumulates tokens and first-seen vocab per checkpoint") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d d"))
+      .toDF("doc_id", "text")
+    val g = rows(graft.operators.TfIdf.vocabGrowth(docs, every = 1))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g === Seq((1, 1L, 3L, 2L), (2, 2L, 5L, 3L), (3, 3L, 8L, 4L)))
+  }
+
+  test("noveltyRates: first doc fully novel, repeats score their new share") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val n = rows(graft.operators.TfIdf.noveltyRates(docs))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(n === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
 }
