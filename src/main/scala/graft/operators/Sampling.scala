@@ -190,6 +190,41 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Proportional stratified sample: keep ceil(n_g · num/den) rows of
+    * every stratum g — the "same mixture, smaller corpus" sampler
+    * (where [[capPerGroup]] flattens strata to a fixed quota, this
+    * PRESERVES the stratum distribution at a num/den fraction). The
+    * ceiling guarantees every nonempty stratum survives, so rare
+    * strata are never silently dropped.
+    *
+    * Selection is the md5-ranked prefix per stratum (the capPerGroup
+    * recipe: permanent under reruns and engine changes); the target
+    * test is pure integer arithmetic — `rank·den <= n_g·num + den−1`
+    * is exactly `rank <= ceil(n_g·num/den)` for integer rank — so
+    * the keep decision is bit-portable with no division anywhere.
+    * The fraction arrives as an explicit rational (num, den) for the
+    * same reason. One shuffle on the stratum key serves both the rank
+    * and the stratum-size window; the filter is pipelined. Adds
+    * `sample_rank` and `stratum_n` (the audit column for the achieved
+    * per-stratum rate).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"fraction must be a rational in (0,1]: got $num/$den")
+    Seq("sample_rank", "stratum_n").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with stratifiedSample's output"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(Text.md5Long63(col(keyCol).cast("string")), col(keyCol))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .withColumn("stratum_n", count(lit(1)).over(wc))
+      .filter(col("sample_rank") * den <= col("stratum_n") * num + (den - 1))
+  }
+
   /** Temperature resampling: rebalance a grouped corpus (languages,
     * domains, sources) toward the flattened distribution p_g ∝ n_g^alpha
     * by keeping each row of group g with probability

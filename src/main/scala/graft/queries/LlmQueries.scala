@@ -620,6 +620,18 @@ object LlmQueries {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    // Proportional stratified 1/5 sample by source: the same-mixture
+    // downsampler (capPerGroup flattens; this preserves shares). The
+    // ceil target test is pure integer arithmetic — no division, so
+    // the keep decision is bit-portable by construction.
+    "q_sample_strat" -> ((s, dir) => {
+      Sampling.stratifiedSample(docs(s, dir), "source", "doc_id",
+          num = 1, den = 5)
+        .select(col("doc_id"), col("source"), col("stratum_n"),
+          col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     // Temperature resampling toward the alpha=0.5 language mix: each
     // doc kept iff its md5 draw falls under its language's
     // sqrt(n_min/n_lang) rate — sqrt is correctly rounded IEEE, so rate
@@ -2866,6 +2878,19 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
+    "q_sample_strat" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    COUNT(*) OVER (PARTITION BY source) AS sn,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 9223372036854775807::UBIGINT), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(sn AS BIGINT) AS stratum_n,
+        |  CAST(rk AS INT) AS sample_rank
+        |FROM r WHERE rk * 5 <= sn * 1 + 4
+        |ORDER BY source, sample_rank""".stripMargin,
     "q_sample_neg" ->
       """WITH h AS (
         |  SELECT doc_id,

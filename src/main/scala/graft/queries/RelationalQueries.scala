@@ -1133,6 +1133,24 @@ object RelationalQueries {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // Exact triangle count + global clustering coefficient over the
+    // co-supplier graph (suppliers linked when they serve the same
+    // order). Edge generation is bounded by lineitems-per-order; the
+    // count itself is the degree-ordered orientation join — oriented
+    // out-degree is O(√m), so the wedge join fans out O(m^1.5), never
+    // Σ deg² (the hub becomes everyone else's target, not a wedge
+    // source). The oracle counts the same triangles via the canonical
+    // a<b<c three-way join.
+    "q_graph_triangles" -> ((s, dir) => {
+      val su = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = su.as("x").join(su.as("y"),
+          col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("src"), col("y.s").as("dst"))
+      graft.operators.Triangles.triangleStats(edges, "src", "dst")
+    }),
+
     // OHLC resampling: open/high/low/close bars per (event_type, day)
     // — the time-series downsampling shape (metrics rollups, market
     // bars). open/close are min_by/max_by on a zero-padded
@@ -2760,6 +2778,34 @@ object RelationalQueries {
         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH su AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM su x JOIN su y ON x.o = y.o AND x.s < y.s
+        |), deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v
+        |), tri AS (
+        |  SELECT COUNT(*) AS t
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d * (d - 1)) AS BIGINT) AS w2
+        |  FROM deg
+        |), ec AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+        |)
+        |SELECT st.n_nodes, ec.n_edges,
+        |  CAST(st.w2 // 2 AS BIGINT) AS n_wedges,
+        |  CAST(tri.t AS BIGINT) AS n_triangles,
+        |  ROUND(CAST(6 * tri.t AS DOUBLE) / CAST(st.w2 AS DOUBLE), 6)
+        |    AS global_cc
+        |FROM st, ec, tri""".stripMargin,
     "q_ts_ohlc" ->
       """SELECT event_type,
         | CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start,

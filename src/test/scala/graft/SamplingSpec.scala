@@ -351,4 +351,27 @@ class SamplingSpec extends SparkTestBase {
       .orderBy(col("id"))).map(r => (r.getLong(0), r.getLong(3)))
     assert(out === Seq((1L, 0L), (2L, 40L), (3L, 80L)))
   }
+  test("stratifiedSample keeps ceil(n/den) per stratum, repartition-stable") {
+    import spark.implicits._
+    val df = ((1 to 13).map(i => (i.toLong, "a"))
+      ++ (14 to 16).map(i => (i.toLong, "b"))
+      ++ Seq((17L, "c"))).toDF("id", "g")
+    val out = rows(Sampling.stratifiedSample(df, "g", "id", num = 1, den = 5)
+      .orderBy(col("g"), col("sample_rank")))
+      .map(r => (r.getString(1), r.getLong(0)))
+    val perStratum = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perStratum === Map("a" -> 3, "b" -> 1, "c" -> 1)) // ceil(13/5), ceil(3/5), ceil(1/5)
+    val again = rows(
+      Sampling.stratifiedSample(df.repartition(7), "g", "id", num = 1, den = 5)
+        .orderBy(col("g"), col("sample_rank")))
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(again === out) // identical survivors under any layout
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "g", "id", num = 6, den = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df.withColumn("stratum_n", lit(1)),
+        "g", "id", num = 1, den = 5)
+    }
+  }
 }
