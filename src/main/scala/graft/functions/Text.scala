@@ -119,6 +119,35 @@ object Text {
     * tokens; ties and zero-hit rows fall back to "und". Pure column
     * expressions — at scale this is a map-side-only pass.
     */
+  /** Flesch reading-ease ingredients, engine-portably: words are the
+    * whitespace token count, sentences are runs of terminal
+    * punctuation (floored at 1 so fragment docs still score), and
+    * syllables are approximated as vowel GROUPS per lowercased text
+    * ([aeiouy]+ runs — the classic cheap estimator). All three are
+    * exact integers from the Java-regex ∩ RE2 pattern subset, so a
+    * DuckDB oracle recounts them identically.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  def syllableCountApprox(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading ease `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` over the approximations above — the
+    * standard readability quality channel (low = academic sludge or
+    * OCR junk, ~60–70 = plain prose). Two IEEE divisions and one
+    * left-associated linear combination — deterministic cross-engine;
+    * NULL for wordless input via try_divide.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sents = sentenceCount(text).cast("double")
+    val sylls = syllableCountApprox(text).cast("double")
+    lit(206.835) - lit(1.015) * try_divide(words, sents) -
+      lit(84.6) * try_divide(sylls, words)
+  }
+
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = LangMarkers.map { case (lang, markers) =>

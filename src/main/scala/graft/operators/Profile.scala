@@ -535,6 +535,62 @@ object Profile {
           / col("n_rows").cast("double"), 6).as("risk_share"))
   }
 
+  /** Jensen–Shannon divergence between two slices' CATEGORICAL
+    * distributions — the bounded, symmetric drift distance that
+    * completes the drift kit: KS sees numeric CDFs, PSI sees binned
+    * magnitudes, JSD compares category mixes directly and never blows
+    * up on a category one side lacks (unlike raw KL).
+    * `JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)` with `m = (p+q)/2`;
+    * a zero-probability term contributes exactly 0 and is skipped, so
+    * one-sided categories are safe by construction. Bounded by ln 2
+    * in nats — `jsd_bits` (÷ln 2) reads on the familiar [0,1] scale.
+    *
+    * One count aggregate per category over the tagged union (the
+    * ksTwoSample shape), totals from window sums over the aggregated
+    * category table; each term is one IEEE expression over exact
+    * integer counts, folded in category-sorted order through the
+    * collected array (the mutualInformation pattern) so the
+    * irrational-term sum is deterministic and oracle-replayable.
+    * NULL categories are excluded. Output: (jsd_nats, jsd_bits,
+    * n_a, n_b, n_cats).
+    */
+  def jensenShannon(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val tagged = a.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("__c"), lit(1L).as("__a"),
+        lit(0L).as("__b"))
+      .unionByName(b.filter(col(catCol).isNotNull)
+        .select(col(catCol).cast("string").as("__c"), lit(0L).as("__a"),
+          lit(1L).as("__b")))
+    val perCat = tagged.groupBy(col("__c"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val terms = perCat
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .select(col("__c"), col("__na"), col("__nb"), {
+        val p = col("__ca").cast("double") / col("__na").cast("double")
+        val q = col("__cb").cast("double") / col("__nb").cast("double")
+        val m = (p + q) / 2.0
+        (when(col("__ca") > 0, p * log(p / m)).otherwise(lit(0.0)) / 2.0
+          + when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0)) / 2.0)
+          .as("__t")
+      })
+    terms
+      .agg(
+        sort_array(collect_list(struct(col("__c"), col("__t"))))
+          .as("__cats"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_cats"))
+      .select(
+        round(aggregate(col("__cats"), lit(0.0),
+          (acc, c) => acc + c.getField("__t")), 6).as("jsd_nats"),
+        round(aggregate(col("__cats"), lit(0.0),
+          (acc, c) => acc + c.getField("__t")) / lit(math.log(2.0)), 6)
+          .as("jsd_bits"),
+        col("n_a"), col("n_b"), col("n_cats"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, with Cramér's V — the effect-size companion to
     * `mutualInformation` (MI is in nats and scale-dependent; V is the

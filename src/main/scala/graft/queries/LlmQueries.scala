@@ -771,6 +771,19 @@ object LlmQueries {
       TfIdf.noveltyRates(docs(s, dir))
     }),
 
+    // Flesch reading ease per document from engine-portable integer
+    // counts (whitespace words, terminal-punctuation sentence runs
+    // floored at 1, vowel-group syllables) — the classic readability
+    // quality channel beside the Gopher gate and the bigram LM.
+    "q_text_readability" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_words"),
+        Text.sentenceCount(col("text")).as("n_sentences"),
+        Text.syllableCountApprox(col("text")).as("n_syllables"),
+        round(Text.fleschReadingEase(col("text")), 6).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length-grouped batching primitive: token-length quartiles WITHIN
     // each language (per-group cut points — a global cut would let the
     // verbose languages claim every top bucket). Buckets feed packing
@@ -2852,6 +2865,21 @@ object LlmQueries {
         |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
         |  ROUND(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS vocab_rate
         |FROM r WHERE rk % 50 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+        |      AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH tok0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -764,6 +764,20 @@ object RelationalQueries {
         "l_extendedprice")
     }),
 
+    // Jensen–Shannon divergence of the event-type mix between the
+    // first and second half of the month — the bounded symmetric
+    // category-drift distance beside KS (numeric CDFs) and PSI
+    // (binned magnitudes); safe on one-sided categories where raw KL
+    // diverges.
+    "q_profile_jsd" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Profile.jensenShannon(
+        e.filter(col("ts") < cut).select(col("event_type")),
+        e.filter(col("ts") >= cut).select(col("event_type")),
+        "event_type")
+    }),
+
     // Mutual information between two categorical columns — the
     // dependency/leakage detector over the exact contingency table;
     // the irrational cell terms fold in (x, y)-sorted order so the
@@ -2480,6 +2494,41 @@ object RelationalQueries {
         |  CAST(MAX(n) AS BIGINT) AS n_rows,
         |  CAST(COUNT(*) AS BIGINT) AS n_cells
         |FROM t""".stripMargin,
+    "q_profile_jsd" ->
+      """WITH t AS (
+        |  SELECT event_type AS c,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IS NOT NULL
+        |), pc AS (
+        |  SELECT c, SUM(a) AS ca, SUM(b) AS cb FROM t GROUP BY c
+        |), m AS (
+        |  SELECT c, ca, cb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM pc
+        |), tm AS (
+        |  SELECT c, na, nb,
+        |    (CASE WHEN ca > 0 THEN (ca::DOUBLE / na::DOUBLE)
+        |        * ln((ca::DOUBLE / na::DOUBLE)
+        |          / (((ca::DOUBLE / na::DOUBLE)
+        |            + (cb::DOUBLE / nb::DOUBLE)) / 2.0))
+        |      ELSE 0.0 END) / 2.0
+        |    + (CASE WHEN cb > 0 THEN (cb::DOUBLE / nb::DOUBLE)
+        |        * ln((cb::DOUBLE / nb::DOUBLE)
+        |          / (((ca::DOUBLE / na::DOUBLE)
+        |            + (cb::DOUBLE / nb::DOUBLE)) / 2.0))
+        |      ELSE 0.0 END) / 2.0 AS term
+        |  FROM m
+        |)
+        |SELECT ROUND(list_sum(list(term ORDER BY c)), 6) AS jsd_nats,
+        |  ROUND(list_sum(list(term ORDER BY c)) / 0.6931471805599453, 6)
+        |    AS jsd_bits,
+        |  CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats
+        |FROM tm""".stripMargin,
     "q_profile_gini" ->
       """WITH t AS (
         |  SELECT CAST(source AS VARCHAR) AS g,

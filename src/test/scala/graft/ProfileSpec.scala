@@ -395,4 +395,44 @@ class ProfileSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(n === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
+  test("jensenShannon: identical mixes read 0, disjoint mixes read ln 2") {
+    import spark.implicits._
+    val x = Seq("a", "a", "b").toDF("c")
+    val same = rows(Profile.jensenShannon(x, x, "c")).head
+    assert(same.getDouble(0) === 0.0 && same.getDouble(1) === 0.0)
+    val y = Seq("c", "d").toDF("c")
+    val far = rows(Profile.jensenShannon(x, y, "c")).head
+    assert(far.getDouble(1) === 1.0) // disjoint supports saturate at 1 bit
+    assert(far.getLong(2) === 3L && far.getLong(3) === 2L
+      && far.getLong(4) === 4L)
+  }
+
+  test("jensenShannon handles one-sided categories without ln(0)") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x").toDF("c")
+    val r = rows(Profile.jensenShannon(a, b, "c")).head
+    // p(x)=2/3 q(x)=1 m=5/6; p(y)=1/3 q(y)=0 m=1/6
+    val expected = ((2.0/3) * math.log((2.0/3) / (5.0/6))
+      + (1.0/3) * math.log((1.0/3) / (1.0/6))) / 2 +
+      (1.0 * math.log(1.0 / (5.0/6))) / 2
+    assert(math.abs(r.getDouble(0) - expected) < 1e-6)
+  }
+
+  test("flesch readability counts words, sentence runs, vowel groups") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat. The dog ran!"), (2L, "no terminal punct"))
+      .toDF("doc_id", "text")
+    val r = rows(df.select(col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).as("w"),
+      graft.functions.Text.sentenceCount(col("text")).as("s"),
+      graft.functions.Text.syllableCountApprox(col("text")).as("sy"),
+      round(graft.functions.Text.fleschReadingEase(col("text")), 6)
+        .as("f")).orderBy(col("doc_id")))
+    assert(r(0).getInt(1) === 6 && r(0).getInt(2) === 2
+      && r(0).getInt(3) === 6)
+    assert(r(0).getDouble(4) === BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getInt(2) === 1) // sentence floor
+  }
 }
