@@ -75,4 +75,58 @@ object VectorAgg {
       .select(col("vec_id"), col("pos"),
         round(try_divide(col("xr") - col("mean"), col("std")), 6).as("z"))
   }
+  /** Cluster-separation report (silhouette-lite): per label, the mean
+    * cosine of members to their OWN centroid vs the mean cosine to the
+    * nearest FOREIGN centroid — the "are my labels actually clusters?"
+    * audit run before trusting labels for leakage-free splits,
+    * prototype classification, or stratified mixes. separation > 0
+    * means members sit closer to home than to any rival prototype.
+    *
+    * Scale shape: centroids come from [[meanVectors]] (corpus never
+    * shuffles; k·dim rows cross the wire), assemble into k vectors,
+    * and broadcast — the scoring pass is one map-side cross join
+    * against the bounded centroid table (k rows; the IVF assignment
+    * idiom) followed by one per-label aggregate. Nothing all-pairs.
+    *
+    * Portability: centroid components are the meanVectors contract
+    * (decimal-exact, 6-rounded floats); each cosine is the codegen'd
+    * dot/norm chain both engines replay, rounded to 6; per-label
+    * means accumulate the rounded cosines as exact decimals; the
+    * separation is a single subtraction of the two rounded means.
+    * Labels with no rival (k = 1) read NULL mean_other/separation.
+    * Output: (label, n_vecs, mean_own_cos, mean_other_cos,
+    * separation).
+    */
+  def clusterSeparation(
+      df: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps
+    val cent = meanVectors(df, labelCol, vecCol)
+      .groupBy(col(labelCol).as("__clab"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("comp")))),
+        c => c.getField("comp")).as("__cvec"))
+    val scored = df
+      .select(col(idCol).as("__vid"), col(labelCol).as("__lab"),
+        col(vecCol).as("__v"))
+      .crossJoin(broadcast(cent))
+      .select(col("__vid"), col("__lab"), col("__clab"),
+        round(VectorOps.cosineSimilarity(col("__v"), col("__cvec")), 6)
+          .as("__cos"))
+    val perVec = scored.groupBy(col("__vid"), col("__lab"))
+      .agg(
+        max(when(col("__clab") === col("__lab"), col("__cos"))).as("__own"),
+        max(when(col("__clab") =!= col("__lab"), col("__cos"))).as("__oth"))
+    perVec.groupBy(col("__lab"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("__own").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_own_cos"),
+        round(try_divide(
+          sum(col("__oth").cast(DecimalType(38, 6))).cast("double"),
+          count(col("__oth")).cast("double")), 6).as("mean_other_cos"))
+      .select(col("__lab").as(labelCol), col("n_vecs"),
+        col("mean_own_cos"), col("mean_other_cos"),
+        round(col("mean_own_cos") - col("mean_other_cos"), 6)
+          .as("separation"))
+  }
 }

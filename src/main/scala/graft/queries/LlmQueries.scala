@@ -343,6 +343,17 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Cluster-separation (silhouette-lite) audit: per label, mean
+    // cosine to the own centroid vs to the nearest FOREIGN centroid —
+    // "are my labels actually clusters?" before trusting them for
+    // splits or prototypes. One broadcast cross join against k
+    // centroids; the corpus never shuffles.
+    "q_embed_separation" -> ((s, dir) => {
+      VectorAgg.clusterSeparation(embs(s, dir), "vec_id", "label",
+          "embedding")
+        .orderBy(col("label"))
+    }),
+
     // Exact rank-based AUC (Mann-Whitney with average ranks for ties)
     // and the full precision/recall curve for a derived classifier
     // (dimension-2 component predicting label parity) — the eval
@@ -2228,6 +2239,35 @@ object LlmQueries {
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+    "q_embed_separation" ->
+      s"""WITH cm AS (
+         |  SELECT label AS clab, CAST(j AS INT) AS pos,
+         |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
+         |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+         |  FROM embeddings CROSS JOIN range(64) r(j)
+         |  GROUP BY label, j
+         |), cent AS (
+         |  SELECT clab, list(comp ORDER BY pos) AS cvec FROM cm GROUP BY clab
+         |), sc AS (
+         |  SELECT e.vec_id, e.label, c.clab,
+         |    ROUND(${duckCos("e.embedding", "c.cvec")}, 6) AS cs
+         |  FROM embeddings e CROSS JOIN cent c
+         |), pv AS (
+         |  SELECT vec_id, label,
+         |    MAX(CASE WHEN clab = label THEN cs END) AS own_cos,
+         |    MAX(CASE WHEN clab != label THEN cs END) AS oth_cos
+         |  FROM sc GROUP BY vec_id, label
+         |), agg AS (
+         |  SELECT label, COUNT(*) AS n_vecs,
+         |    ROUND(CAST(SUM(CAST(own_cos AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mean_own_cos,
+         |    ROUND(CAST(SUM(CAST(oth_cos AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(oth_cos), 6) AS mean_other_cos
+         |  FROM pv GROUP BY label
+         |)
+         |SELECT label, n_vecs, mean_own_cos, mean_other_cos,
+         |  ROUND(mean_own_cos - mean_other_cos, 6) AS separation
+         |FROM agg ORDER BY label""".stripMargin,
     "q_diag_lshload" ->
       (s"""WITH pw AS (
          |  SELECT j, d, ${duckPlaneW(42L)} AS w

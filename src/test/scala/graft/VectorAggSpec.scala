@@ -45,4 +45,22 @@ class VectorAggSpec extends SparkTestBase {
       .orderBy(col("vec_id"), col("pos"))).map(_.getDouble(2))
     assert(a === b)
   }
+  test("clusterSeparation: separated clusters score positive, lone label NULL") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "vec")
+    val r = rows(VectorAgg.clusterSeparation(df, "vec_id", "label", "vec")
+      .orderBy(col("label")))
+    assert(r.map(_.getInt(0)) === Seq(0, 1))
+    r.foreach { row =>
+      assert(row.getLong(1) === 2L)
+      assert(row.getDouble(2) > 0.99, s"own-cluster cohesion: $row")
+      assert(row.getDouble(4) > 0.8, s"separation: $row")
+    }
+    // one label: no rival centroid -> NULL mean_other and separation
+    val lone = rows(VectorAgg.clusterSeparation(
+      df.filter(col("label") === 0), "vec_id", "label", "vec")).head
+    assert(!lone.isNullAt(2) && lone.isNullAt(3) && lone.isNullAt(4))
+  }
 }
