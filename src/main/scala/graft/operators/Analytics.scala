@@ -119,4 +119,59 @@ object Analytics {
     pairs.withColumn("p_trans",
       round(col("n_trans").cast("double") / sum(col("n_trans")).over(wp), 6))
   }
+  /** Stationary distribution of the per-user behavior Markov chain —
+    * the long-run companion to [[eventTransitions]]: the matrix says
+    * where users go NEXT, its stationary vector says where attention
+    * concentrates IN THE LIMIT (the PageRank question asked of
+    * behavior states instead of documents). `iters` power-iteration
+    * steps from the uniform vector over the observed states.
+    *
+    * Scale shape: the chain lives on the bounded state vocabulary —
+    * after the one lag-window pass that mines transitions, every
+    * subsequent join/aggregate touches only |states|² matrix rows per
+    * iteration, never the event log again.
+    *
+    * Portability (the PageRank recipe): each step's contribution is
+    * `round(x_i · (n_ij / rowsum_i), 6)` — one IEEE multiply over the
+    * 6-rounded previous vector and the exact-count ratio — summed per
+    * target state as exact DECIMAL(38,6), re-rounded to 6 places
+    * before the next step, so an external engine replays every
+    * iteration bit-for-bit. States with no outgoing transitions leak
+    * their mass (the vector is not re-normalized between steps); the
+    * `share` column renormalizes ONCE at the end and `mass` is the
+    * leak audit. Output: (state, stationary, share).
+    */
+  def markovStationary(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      tiebreakCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8] (plans grow per step), got $iters")
+    import org.apache.spark.sql.types.DecimalType
+    val trans = eventTransitions(events, userCol, tsCol, typeCol, tiebreakCol)
+    val withP = trans.withColumn("__rowsum",
+      sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+    val states = trans.select(col("prev_type").as("state"))
+      .unionByName(trans.select(col("next_type").as("state")))
+      .distinct()
+    val wAll = Window.partitionBy(lit(1))
+    var x = states.withColumn("x",
+      round(lit(1.0) / count(lit(1)).over(wAll), 6))
+    for (_ <- 1 to iters) {
+      val contrib = withP
+        .join(x.withColumnRenamed("state", "prev_type"), Seq("prev_type"))
+        .select(col("next_type").as("state"),
+          round(col("x") * (col("n_trans").cast("double")
+            / col("__rowsum").cast("double")), 6)
+            .cast(DecimalType(38, 6)).as("__c"))
+      x = states
+        .join(contrib.groupBy(col("state")).agg(sum(col("__c")).as("__s")),
+          Seq("state"), "left")
+        .select(col("state"),
+          round(coalesce(col("__s").cast("double"), lit(0.0)), 6).as("x"))
+    }
+    x.withColumn("__mass",
+        sum(col("x").cast(DecimalType(38, 6))).over(wAll).cast("double"))
+      .select(col("state"), col("x").as("stationary"),
+        round(try_divide(col("x"), col("__mass")), 6).as("share"))
+  }
 }

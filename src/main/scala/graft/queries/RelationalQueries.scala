@@ -2023,6 +2023,16 @@ object RelationalQueries {
       Analytics.eventTransitions(table(s, dir, "events"), "user_id", "ts",
           "event_type", "event_id")
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Stationary distribution of the behavior Markov chain (2 power
+    // iterations from uniform, PageRank-recipe rounding) — where
+    // attention concentrates in the limit; everything after the one
+    // lag pass touches only the bounded |states|² matrix.
+    "q_graph_markov" -> ((s, dir) => {
+      Analytics.markovStationary(table(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id", iters = 2)
+        .orderBy(col("state"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -3472,5 +3482,49 @@ object RelationalQueries {
         |SELECT prev_type, next_type, n_trans,
         |  ROUND(CAST(n_trans AS DOUBLE)
         |    / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
-        |FROM c ORDER BY prev_type, next_type""".stripMargin)
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_graph_markov" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT prev_type, next_type, n_trans,
+        |    SUM(n_trans) OVER (PARTITION BY prev_type) AS rowsum
+        |  FROM c
+        |), st AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT prev_type AS s FROM c UNION ALL SELECT next_type FROM c)
+        |), x0 AS (
+        |  SELECT s, ROUND(CAST(1 AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM st), 6) AS x FROM st
+        |), c1 AS (
+        |  SELECT rs.next_type AS s,
+        |    CAST(ROUND(x0.x * (CAST(rs.n_trans AS DOUBLE)
+        |      / CAST(rs.rowsum AS DOUBLE)), 6) AS DECIMAL(38,6)) AS t
+        |  FROM rs JOIN x0 ON x0.s = rs.prev_type
+        |), x1 AS (
+        |  SELECT st.s,
+        |    ROUND(COALESCE(CAST(SUM(c1.t) AS DOUBLE), 0.0), 6) AS x
+        |  FROM st LEFT JOIN c1 ON c1.s = st.s GROUP BY st.s
+        |), c2 AS (
+        |  SELECT rs.next_type AS s,
+        |    CAST(ROUND(x1.x * (CAST(rs.n_trans AS DOUBLE)
+        |      / CAST(rs.rowsum AS DOUBLE)), 6) AS DECIMAL(38,6)) AS t
+        |  FROM rs JOIN x1 ON x1.s = rs.prev_type
+        |), x2 AS (
+        |  SELECT st.s,
+        |    ROUND(COALESCE(CAST(SUM(c2.t) AS DOUBLE), 0.0), 6) AS x
+        |  FROM st LEFT JOIN c2 ON c2.s = st.s GROUP BY st.s
+        |), f AS (
+        |  SELECT s, x,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER () AS DOUBLE) AS mass
+        |  FROM x2
+        |)
+        |SELECT s AS state, x AS stationary, ROUND(x / mass, 6) AS share
+        |FROM f ORDER BY state""".stripMargin)
 }

@@ -111,4 +111,41 @@ class AnalyticsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(t === Set(("a", "b"), ("b", "c")))
   }
+  test("markovStationary: alternating chain stays uniform, sink absorbs") {
+    // A<->B alternator: uniform is stationary, share splits 50/50
+    val alt = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "b"),
+      (1L, 5L, ts("2024-01-01 10:04:00"), "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val u = rows(Analytics.markovStationary(alt, "user_id", "ts",
+        "event_type", "event_id", iters = 2).orderBy(col("state")))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(u === Seq(("a", 0.5, 0.5), ("b", 0.5, 0.5)))
+    // a->b, b->b: b absorbs everything within 2 iterations
+    val sink = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "b"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val v = rows(Analytics.markovStationary(sink, "user_id", "ts",
+        "event_type", "event_id", iters = 2).orderBy(col("state")))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(v === Seq(("a", 0.0, 0.0), ("b", 1.0, 1.0)))
+  }
+
+  test("markovStationary: a no-outgoing state leaks mass; share reads NULL at full leak") {
+    // a->b and b never moves on: after 2 steps all mass has leaked
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = rows(Analytics.markovStationary(ev, "user_id", "ts",
+        "event_type", "event_id", iters = 2).orderBy(col("state")))
+    assert(r.map(_.getDouble(1)) === Seq(0.0, 0.0))
+    assert(r.forall(_.isNullAt(2))) // 0/0 renormalization -> NULL, not a crash
+  }
 }
