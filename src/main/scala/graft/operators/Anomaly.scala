@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trailing-window z-score anomaly detection over keyed count series —
+  * the volume-spike tripwire every ingestion pipeline wants on its
+  * per-source/per-hour row counts: "this hour's count is k sigmas off
+  * its own recent history". Purely retrospective (the frame ends at
+  * the PREVIOUS bucket), so an anomalous bucket cannot vote itself
+  * normal.
+  *
+  * Scale shape: the input is already the per-(key, bucket) aggregate —
+  * bounded by keys × buckets, not data rows; one hash partitioning on
+  * the key serves both window frames. Portability: the trailing frame
+  * keeps exact integer `Σx` and `Σx²`, so
+  * `var = (n·Σx² − (Σx)²) / n²` and `z = (x − Σx/n) / sqrt(var)` are
+  * a fixed chain of single IEEE steps over exact integers — an
+  * external engine lands on identical bits; z rounds to 6.
+  */
+object Anomaly {
+
+  /** Flag buckets whose value sits more than `threshold` trailing
+    * standard deviations from the trailing mean of the previous
+    * `window` buckets (row-count frame — gaps in the series are the
+    * caller's to fill first, e.g. via [[GapFill]]). Buckets with
+    * fewer than `minPrior` prior observations, or a zero-variance
+    * history, read NULL z and never flag (a constant history makes
+    * "sigmas" meaningless — the NULL is the audit, not a silent 0).
+    * Output: input columns + (mean_prior, z, is_anomaly).
+    */
+  def trailingZscores(
+      series: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      window: Int, minPrior: Int, threshold: Double): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minPrior >= 2 && minPrior <= window,
+      s"minPrior must be in [2, window], got $minPrior")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    Seq("mean_prior", "z", "is_anomaly").foreach(c =>
+      require(!series.columns.contains(c),
+        s"input column '$c' collides with trailingZscores' output"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-window.toLong, -1L)
+    val x = col(valueCol).cast(DecimalType(38, 0))
+    val n = count(col(valueCol)).over(w)
+    val sx = sum(x).over(w)
+    val sxx = sum(x * x).over(w)
+    val withStats = series
+      .withColumn("__n", n).withColumn("__sx", sx).withColumn("__sxx", sxx)
+    val nD = col("__n").cast(DecimalType(38, 0))
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val varNum = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varDen = (nD * nD).cast("double")
+    val z = try_divide(col(valueCol).cast("double") - mean,
+      sqrt(varNum / varDen))
+    withStats
+      .withColumn("mean_prior",
+        when(col("__n") >= minPrior, round(mean, 6)))
+      .withColumn("z", when(col("__n") >= minPrior, round(z, 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__n", "__sx", "__sxx")
+  }
+}

@@ -535,6 +535,49 @@ object Profile {
           / col("n_rows").cast("double"), 6).as("risk_share"))
   }
 
+  /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
+    * computed once and embedded as identical literals in the Spark
+    * plan and the generated oracle (no runtime log10 anywhere).
+    */
+  val BenfordShares: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-significant-digit audit over a positive
+    * numeric column — the cheap forensics screen for fabricated or
+    * truncated feeds (organic multi-magnitude quantities lean hard
+    * toward leading 1s; synthetic or clipped ones don't). Meaningful
+    * only for columns spanning several orders of magnitude — the
+    * caller's contract, as with any Benford test.
+    *
+    * The digit comes from the INTEGER-hundredths string (exact for
+    * <= 2-dp inputs — the pearsonExact scaling recipe), never from
+    * float formatting, so both engines read the same digit; shares
+    * divide exact counts by the exact total; expected shares are the
+    * embedded [[BenfordShares]] literals. The 9-digit spine emits
+    * zero-count digits too. Output per digit: (digit, n, obs_share,
+    * benford_share, deviation).
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.filter(col(c).isNotNull && col(c) > 0)
+      .select(substring(round(col(c).cast("double") * 100, 0)
+        .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val bLit = typedlit(BenfordShares)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    spine.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__total", sum(col("n")).over(wAll))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("obs_share"),
+        round(element_at(bLit, col("digit")), 6).as("benford_share"),
+        round(col("n").cast("double") / col("__total").cast("double")
+          - element_at(bLit, col("digit")), 6).as("deviation"))
+  }
+
   /** Jensen–Shannon divergence between two slices' CATEGORICAL
     * distributions — the bounded, symmetric drift distance that
     * completes the drift kit: KS sees numeric CDFs, PSI sees binned

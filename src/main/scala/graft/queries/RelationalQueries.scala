@@ -132,6 +132,26 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A10 statistical MODE per group (most frequent value, smallest on
+    // ties): one count aggregate then argmax over the bounded count
+    // table. The argmax ordering is the zero-padded string composite
+    // (count desc, inverted quantity) — the one composite tie-break
+    // both engines' arg_max accepts (the q_ts_ohlc lesson).
+    "q_agg_mode" -> ((s, dir) => {
+      val counts = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val key = concat(
+        lpad(col("cnt").cast("string"), 12, "0"),
+        lpad((lit(10000000L)
+          - round(col("l_quantity") * 100, 0).cast("long")).cast("string"),
+          9, "0"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"), key).as("mode_qty"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A9 per-group standardization (z-score): the q_agg_stats portable
     // moments (exact decimal sums cast to double once) produce per-group
     // mean and population sigma, which BROADCAST back onto the fact rows
@@ -810,6 +830,29 @@ object RelationalQueries {
     "q_profile_chi2" -> ((s, dir) => {
       Profile.chiSquared(table(s, dir, "orders"),
         "o_orderpriority", "o_orderstatus")
+    }),
+
+    // Benford first-digit forensics on order totals: digit from the
+    // exact integer-hundredths string (never float formatting),
+    // expected shares embedded as literals in both engines.
+    "q_profile_benford" -> ((s, dir) => {
+      Profile.benford(table(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit"))
+    }),
+
+    // Trailing z-score anomaly screen on hourly event volumes: 24-h
+    // retrospective frame (an anomalous hour cannot vote itself
+    // normal), exact integer Σx/Σx² in the frame so z is a fixed IEEE
+    // chain; <12 prior hours or flat history reads NULL and never
+    // flags.
+    "q_ts_anomaly" -> ((s, dir) => {
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Anomaly.trailingZscores(hourly, "event_type",
+          "bucket", "cnt", window = 24, minPrior = 12, threshold = 3.0)
+        .orderBy(col("event_type"), col("bucket"))
     }),
 
     // Fixed-bound equi-width histogram: map-side bucket projection +
@@ -3205,6 +3248,71 @@ object RelationalQueries {
         | TRY_CAST(substring(c_name, 10, 9) AS BIGINT) AS name_num,
         | TRY_CAST(c_mktsegment AS BIGINT) AS seg_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag,
+        |  arg_max(l_quantity,
+        |    lpad(CAST(cnt AS VARCHAR), 12, '0')
+        |    || lpad(CAST(10000000 - CAST(ROUND(l_quantity * 100) AS BIGINT)
+        |         AS VARCHAR), 9, '0')) AS mode_qty,
+        |  MAX(cnt) AS mode_n
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_profile_benford" ->
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+         |    AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+         |), c AS (
+         |  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+         |), sp AS (
+         |  SELECT CAST(unnest(range(1, 10)) AS INT) AS digit
+         |), j AS (
+         |  SELECT sp.digit, COALESCE(c.n, 0) AS n
+         |  FROM sp LEFT JOIN c USING (digit)
+         |), t AS (
+         |  SELECT digit, n, SUM(n) OVER () AS total FROM j
+         |)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+         |  ROUND(CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
+         |    AS DOUBLE), 6) AS benford_share,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+         |    - CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
+         |      AS DOUBLE), 6) AS deviation
+         |FROM t ORDER BY digit""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |    AS bucket, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, bucket, cnt,
+        |    COUNT(cnt) OVER w AS n,
+        |    SUM(CAST(cnt AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) OVER w AS sxx
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), t AS (
+        |  SELECT event_type, bucket, cnt, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(cnt AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS num,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)) AS sd
+        |  FROM s
+        |), z AS (
+        |  SELECT event_type, bucket, cnt,
+        |    CASE WHEN n >= 12 THEN ROUND(mu, 6) END AS mean_prior,
+        |    CASE WHEN n >= 12 AND sd <> 0 THEN ROUND(num / sd, 6) END AS zz
+        |  FROM t
+        |)
+        |SELECT event_type, bucket, cnt, mean_prior, zz AS z,
+        |  COALESCE(abs(zz) > 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
     "q_agg_argmax" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_orderkey, l_extendedprice, l_shipdate,

@@ -435,4 +435,20 @@ class ProfileSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(r(1).getInt(2) === 1) // sentence floor
   }
+  test("benford: digits from exact hundredths, spine emits zero digits") {
+    import spark.implicits._
+    // one value per leading digit 1..9 (mixed magnitudes incl. 0.05),
+    // zero/negative/null excluded
+    val df = Seq[java.lang.Double](1.0, 25.0, 300.0, 4000.0, 0.05, 6.1,
+      70.0, 800.0, 9.99, 0.0, -5.0, null).toDF("x")
+    val r = rows(Profile.benford(df, "x").orderBy(col("digit")))
+    assert(r.map(_.getInt(0)) === (1 to 9))
+    assert(r.map(_.getLong(1)).sum === 9L)
+    assert(r.forall(_.getLong(1) === 1L))
+    val d1 = r.head
+    assert(d1.getDouble(3) === BigDecimal(math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform digits sit BELOW benford for 1 and ABOVE for 9
+    assert(d1.getDouble(4) < 0 && r.last.getDouble(4) > 0)
+  }
 }
