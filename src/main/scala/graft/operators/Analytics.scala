@@ -174,4 +174,52 @@ object Analytics {
       .select(col("state"), col("x").as("stationary"),
         round(try_divide(col("x"), col("__mass")), 6).as("share"))
   }
+  /** Pairwise association rules over per-user item sets (market-basket
+    * support / confidence / lift) — "users who touch A also touch B",
+    * the co-behavior miner behind recommendations and funnel design.
+    * A pair's lift > 1 means the items co-occur more than independence
+    * predicts.
+    *
+    * Scale shape: the per-user distinct item list is the working set —
+    * the pair self-join fans out C(items-per-user, 2) per user, which
+    * the ITEM VOCABULARY bounds here; for long-tailed real baskets,
+    * cap the per-user set first (capPerGroup) — the documented
+    * contract, same as every pair miner in this engine. Supports and
+    * lift are exact-integer ratios evaluated as single IEEE divisions
+    * (`lift = n_ab·N / (n_a·n_b)` computed on exact products), round
+    * 6. Output per unordered pair (a < b): (item_a, item_b, n_a, n_b,
+    * n_ab, support, conf_a_b, conf_b_a, lift).
+    */
+  def associationRules(df: DataFrame, userCol: String, itemCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ut = df.filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+    val nUsers = ut.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val itemCnt = ut.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.__u") === col("y.__u") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemCnt.select(col("__i").as("item_a"),
+        col("__ni").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCnt.select(col("__i").as("item_b"),
+        col("__ni").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("__n").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b").cast("double"), 6)
+          .as("conf_b_a"),
+        round((col("n_ab").cast(DecimalType(38, 0))
+            * col("__n").cast(DecimalType(38, 0))).cast("double")
+          / (col("n_a").cast(DecimalType(38, 0))
+            * col("n_b").cast(DecimalType(38, 0))).cast("double"), 6)
+          .as("lift"))
+  }
 }

@@ -178,4 +178,60 @@ object TfIdf {
           / col("n_distinct_tokens").cast("double"), 6).as("novelty"))
       .orderBy(col("doc_id"))
   }
+  /** Okapi BM25 scoring of the corpus against a fixed query-term set —
+    * the classic lexical retrieval scorer (the baseline every
+    * embedding retriever is judged against, and the hybrid-search
+    * partner next to the ANN tier). Standard formulation:
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Scale shape: document length and corpus stats come from one
+    * partial-combined aggregate (a 1-row broadcast); term frequencies
+    * touch only rows matching the query terms (the filter is map-side
+    * against a literal set, so the corpus scan prunes BEFORE any
+    * shuffle); df is an aggregate over the bounded (doc, term) match
+    * table. Nothing joins all-pairs.
+    *
+    * Portability: tf/df/dl/N are exact integers; avgdl is one IEEE
+    * division; each per-term partial is a fixed chain of IEEE steps
+    * (ln via libm — the MI/PSI-established contract); per-doc partials
+    * fold in term-sorted order through the collected (bounded) term
+    * array, then round 6. Output: (doc_id, dl, n_matched, score) for
+    * docs matching at least one term.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "bm25 needs a nonempty set of distinct query terms")
+    val tok = docs.select(col("doc_id").as("__id"),
+      explode(Text.tokens(col("text"))).as("__tok"))
+    val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sumdl"))
+    val tf = tok.filter(col("__tok").isin(terms: _*))
+      .groupBy(col("__id"), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val df_ = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val partials = tf
+      .join(broadcast(df_), Seq("__tok"))
+      .join(dl, Seq("__id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("__id"), col("__tok"), col("dl"), {
+        val idf = log(lit(1.0)
+          + (col("__n").cast("double") - col("__df").cast("double") + 0.5)
+            / (col("__df").cast("double") + 0.5))
+        val dlNorm = col("dl").cast("double") *
+          (col("__n").cast("double") / col("__sumdl").cast("double"))
+        val sat = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+        (idf * sat).as("__p")
+      })
+    partials
+      .groupBy(col("__id"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_matched"),
+        sort_array(collect_list(struct(col("__tok"), col("__p"))))
+          .as("__terms"))
+      .select(col("__id").as("doc_id"), col("dl"), col("n_matched"),
+        round(aggregate(col("__terms"), lit(0.0),
+          (acc, t) => acc + t.getField("__p")), 6).as("score"))
+  }
 }

@@ -782,6 +782,17 @@ object LlmQueries {
       TfIdf.noveltyRates(docs(s, dir))
     }),
 
+    // Okapi BM25 lexical retrieval scores for a 3-term query — the
+    // baseline every embedding retriever is judged against, and the
+    // hybrid-search partner of the ANN tier. Exact tf/df/dl integers;
+    // per-doc partials fold term-sorted; the corpus scan prunes to
+    // matching rows before any shuffle.
+    "q_text_bm25" -> ((s, dir) => {
+      TfIdf.bm25(docs(s, dir), Seq("spark", "join", "vector"),
+          k1 = 1.2, b = 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
     // Flesch reading ease per document from engine-portable integer
     // counts (whitespace words, terminal-punctuation sentence runs
     // floored at 1, vowel-group syllables) — the classic readability
@@ -2905,6 +2916,35 @@ object LlmQueries {
         |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
         |  ROUND(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS vocab_rate
         |FROM r WHERE rk % 50 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        |), corp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'join', 'vector') GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        |), part AS (
+        |  SELECT tf.doc_id, tf.tok, dl.dl,
+        |    ln(1.0 + (CAST(corp.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |      / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |          * (CAST(corp.n AS DOUBLE) / CAST(corp.sumdl AS DOUBLE))))))
+        |      AS p
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corp
+        |)
+        |SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |  ROUND(list_sum(list(p ORDER BY tok)), 6) AS score
+        |FROM part GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

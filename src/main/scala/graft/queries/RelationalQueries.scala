@@ -2068,6 +2068,16 @@ object RelationalQueries {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Pairwise association rules over per-user event-type sets:
+    // support / confidence / lift — the co-behavior miner. Pair
+    // fanout per user is bounded by the event-type vocabulary; lift
+    // divides exact integer products once.
+    "q_assoc_rules" -> ((s, dir) => {
+      Analytics.associationRules(table(s, dir, "events"),
+          "user_id", "event_type")
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Stationary distribution of the behavior Markov chain (2 power
     // iterations from uniform, PageRank-recipe rounding) — where
     // attention concentrates in the limit; everything after the one
@@ -3591,6 +3601,35 @@ object RelationalQueries {
         |  ROUND(CAST(n_trans AS DOUBLE)
         |    / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, CAST(event_type AS VARCHAR) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), nn AS (
+        |  SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ut
+        |), ic AS (
+        |  SELECT i, COUNT(*) AS ni FROM ut GROUP BY i
+        |), p AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab
+        |  FROM ut x JOIN ut y ON x.u = y.u AND x.i < y.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.item_a, p.item_b,
+        |  CAST(a.ni AS BIGINT) AS n_a, CAST(b.ni AS BIGINT) AS n_b,
+        |  CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+        |    AS support,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(a.ni AS DOUBLE), 6)
+        |    AS conf_a_b,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(b.ni AS DOUBLE), 6)
+        |    AS conf_b_a,
+        |  ROUND(CAST(CAST(p.n_ab AS HUGEINT) * CAST(nn.n AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(a.ni AS HUGEINT) * CAST(b.ni AS HUGEINT)
+        |      AS DOUBLE), 6) AS lift
+        |FROM p JOIN ic a ON a.i = p.item_a JOIN ic b ON b.i = p.item_b
+        |CROSS JOIN nn
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_graph_markov" ->
       """WITH p AS (
         |  SELECT user_id, event_type,

@@ -148,4 +148,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.map(_.getDouble(1)) === Seq(0.0, 0.0))
     assert(r.forall(_.isNullAt(2))) // 0/0 renormalization -> NULL, not a crash
   }
+  test("associationRules: hand-computed support/confidence/lift") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"), // repeat: sets, not bags
+      (2L, 4L, ts("2024-01-01 11:00:00"), "a"),
+      (2L, 5L, ts("2024-01-01 11:01:00"), "b"),
+      (3L, 6L, ts("2024-01-01 12:00:00"), "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = rows(Analytics.associationRules(ev, "user_id", "event_type"))
+    assert(r.size === 1)
+    val p = r.head
+    assert((p.getString(0), p.getString(1)) === (("a", "b")))
+    assert((p.getLong(2), p.getLong(3), p.getLong(4)) === ((3L, 2L, 2L)))
+    assert(p.getDouble(5) === BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // support
+    assert(p.getDouble(6) === BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // conf a->b
+    assert(p.getDouble(7) === 1.0)                            // conf b->a
+    assert(p.getDouble(8) === 1.0)                            // lift
+  }
 }

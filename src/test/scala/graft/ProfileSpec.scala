@@ -451,4 +451,23 @@ class ProfileSpec extends SparkTestBase {
     // uniform digits sit BELOW benford for 1 and ABOVE for 9
     assert(d1.getDouble(4) < 0 && r.last.getDouble(4) > 0)
   }
+  test("bm25: rarity, term frequency, and length normalization behave") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x common"),          // rare term twice, short doc
+      (2L, "x common common pad"), // rare once, common twice, longer
+      (3L, "common pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val r = rows(TfIdf.bm25(df, Seq("x", "common"), k1 = 1.2, b = 0.75)
+      .orderBy(col("doc_id")))
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(_._1) === Seq(1L, 2L, 3L))
+    assert(r(0)._3 === 2L && r(1)._3 === 2L && r(2)._3 === 1L)
+    // doc 1 (rare term doubled, shortest) outscores doc 2, which
+    // outscores the long common-only doc 3
+    assert(r(0)._4 > r(1)._4 && r(1)._4 > r(2)._4, r.toString)
+    intercept[IllegalArgumentException] {
+      TfIdf.bm25(df, Seq("x", "x"), 1.2, 0.75)
+    }
+  }
 }
