@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{coalesce, col, lead, lit, max, min, row_number, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lead, lit, max, max_by, min, row_number, struct, when}
 
 /** Warehouse merge (SCD-1 upsert): apply a batch of keyed changes to a
   * base table — matched keys take the update row wholesale, unmatched
@@ -200,5 +200,31 @@ object Upsert {
       Seq(changeType.as("change_type")) ++
         keys.map(k => keyImage.getField(k).as(k)) ++
         valCols.map(c => image.getField(c).as(c)): _*)
+  }
+  /** Golden-record survivorship merge: per key, each field resolves
+    * independently to the value carried by the LATEST row where that
+    * field is non-null — the master-data-management move for entity
+    * profiles assembled from feeds that each carry different
+    * attributes (a click feed never has purchase amounts; blind
+    * latest-row-wins would null out every attribute the newest feed
+    * lacks).
+    *
+    * One aggregation pass: per field, `max_by(field,
+    * CASE field IS NOT NULL THEN ord)` — rows where the field is
+    * absent contribute a NULL ordering key, which both engines'
+    * argmax skips, so each field follows its own freshest feed. `ord`
+    * must be a totally-ordering SORTABLE column (the zero-padded
+    * string composite is the cross-engine recipe — see q_ts_ohlc). A
+    * field null in every version stays NULL. Adds `n_versions`.
+    */
+  def goldenRecord(
+      df: DataFrame, keyCol: String, ordCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    require(!fields.contains("n_versions"),
+      "field 'n_versions' collides with goldenRecord's output")
+    val aggs = count(lit(1)).as("n_versions") +: fields.map(f =>
+      max_by(col(f), when(col(f).isNotNull, col(ordCol))).as(f))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

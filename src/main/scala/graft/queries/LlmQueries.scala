@@ -160,6 +160,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact triangle count + global clustering coefficient over the
+    // same near-dup pair graph PageRank ranks: triangle density IS
+    // near-duplication transitivity ("do my near-dup pairs close into
+    // clusters or chain?" — high cc means clique-like duplicate
+    // families the canonical-survivor step can trust). The count is
+    // the degree-ordered orientation join — oriented out-degree is
+    // O(√m), so the wedge join fans out O(m^1.5), never Σ deg².
+    // The near-dup graph is sparse BY CONSTRUCTION (banded LSH +
+    // exact verify); a co-occurrence graph without a support
+    // threshold degenerates toward complete and makes triangle
+    // counting Θ(n³) — the operator contract documents that the
+    // caller owns graph sparsity.
+    "q_graph_triangles" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .minhashNearDuplicates(docs(s, dir), 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Triangles.triangleStats(pairs, "doc_a", "doc_b")
+    }),
+
     // Edit-distance (lev <= 1) fuzzy-key dedup with exact
     // deletion-neighborhood blocking. Single-char mutations are planted
     // deterministically (same CASE in the oracle) so substitution AND
@@ -1433,6 +1452,30 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      (ShingleCte +
+        """, e AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.8
+          |), deg AS (
+          |  SELECT v, COUNT(*) AS d FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          |  GROUP BY v
+          |), tri AS (
+          |  SELECT COUNT(*) AS t FROM e e1
+          |  JOIN e e2 ON e2.a = e1.b
+          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+          |), st AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |    CAST(SUM(d * (d - 1)) AS BIGINT) AS w2 FROM deg
+          |), ec AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+          |)
+          |SELECT st.n_nodes, ec.n_edges,
+          |  CAST(st.w2 // 2 AS BIGINT) AS n_wedges,
+          |  CAST(tri.t AS BIGINT) AS n_triangles,
+          |  ROUND(CAST(6 * tri.t AS DOUBLE) / CAST(st.w2 AS DOUBLE), 6)
+          |    AS global_cc
+          |FROM st, ec, tri""".stripMargin),
     "q_graph_pagerank" ->
       (ShingleCte +
         """, e AS (

@@ -1190,23 +1190,6 @@ object RelationalQueries {
         .orderBy(col("src"), col("dst"))
     }),
 
-    // Exact triangle count + global clustering coefficient over the
-    // co-supplier graph (suppliers linked when they serve the same
-    // order). Edge generation is bounded by lineitems-per-order; the
-    // count itself is the degree-ordered orientation join — oriented
-    // out-degree is O(√m), so the wedge join fans out O(m^1.5), never
-    // Σ deg² (the hub becomes everyone else's target, not a wedge
-    // source). The oracle counts the same triangles via the canonical
-    // a<b<c three-way join.
-    "q_graph_triangles" -> ((s, dir) => {
-      val su = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-        .distinct()
-      val edges = su.as("x").join(su.as("y"),
-          col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-        .select(col("x.s").as("src"), col("y.s").as("dst"))
-      graft.operators.Triangles.triangleStats(edges, "src", "dst")
-    }),
 
     // OHLC resampling: open/high/low/close bars per (event_type, day)
     // — the time-series downsampling shape (metrics rollups, market
@@ -2068,6 +2051,48 @@ object RelationalQueries {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Golden-record survivorship: per user, each attribute resolves to
+    // its own freshest non-null feed (purchase amounts from purchase
+    // events, k from clicks, signup time from signups) — blind
+    // latest-row-wins would null attributes the newest feed lacks.
+    // One aggregation pass; null ordering keys make each field follow
+    // its own channel.
+    "q_golden_record" -> ((s, dir) => {
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      val src = table(s, dir, "events").select(
+        col("user_id"), ordKey.as("__ord"),
+        when(col("event_type") === "purchase", col("value"))
+          .as("last_purchase_value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("int"))
+          .as("last_click_k"),
+        when(col("event_type") === "signup",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("last_signup_at"))
+      Upsert.goldenRecord(src, "user_id", "__ord",
+          Seq("last_purchase_value", "last_click_k", "last_signup_at"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Day-over-day percent change of daily volumes per event type —
+    // the period-over-period BI staple: one lag window over the daily
+    // aggregate spine; first day reads NULL, a zero prior day reads
+    // NULL (try_divide), never a crash.
+    "q_ts_daychange" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+        .withColumn("pct_change",
+          round(try_divide((col("cnt") - col("prev_cnt")).cast("double"),
+            col("prev_cnt").cast("double")), 6))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Pairwise association rules over per-user event-type sets:
     // support / confidence / lift — the co-behavior miner. Pair
     // fanout per user is bounded by the event-type vocabulary; lift
@@ -2890,34 +2915,6 @@ object RelationalQueries {
         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
-    "q_graph_triangles" ->
-      """WITH su AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
-        |), e AS (
-        |  SELECT DISTINCT x.s AS a, y.s AS b
-        |  FROM su x JOIN su y ON x.o = y.o AND x.s < y.s
-        |), deg AS (
-        |  SELECT v, COUNT(*) AS d FROM (
-        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-        |  GROUP BY v
-        |), tri AS (
-        |  SELECT COUNT(*) AS t
-        |  FROM e e1
-        |  JOIN e e2 ON e2.a = e1.b
-        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-        |), st AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        |    CAST(SUM(d * (d - 1)) AS BIGINT) AS w2
-        |  FROM deg
-        |), ec AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
-        |)
-        |SELECT st.n_nodes, ec.n_edges,
-        |  CAST(st.w2 // 2 AS BIGINT) AS n_wedges,
-        |  CAST(tri.t AS BIGINT) AS n_triangles,
-        |  ROUND(CAST(6 * tri.t AS DOUBLE) / CAST(st.w2 AS DOUBLE), 6)
-        |    AS global_cc
-        |FROM st, ec, tri""".stripMargin,
     "q_ts_ohlc" ->
       """SELECT event_type,
         | CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start,
@@ -3601,6 +3598,40 @@ object RelationalQueries {
         |  ROUND(CAST(n_trans AS DOUBLE)
         |    / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_golden_record" ->
+      """WITH src AS (
+        |  SELECT user_id,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(json_extract_string(props, '$.k') AS INT) END AS ck,
+        |    CASE WHEN event_type = 'signup'
+        |      THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END AS sg
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_versions,
+        |  arg_max(pv, CASE WHEN pv IS NOT NULL THEN ord END)
+        |    AS last_purchase_value,
+        |  arg_max(ck, CASE WHEN ck IS NOT NULL THEN ord END)
+        |    AS last_click_k,
+        |  arg_max(sg, CASE WHEN sg IS NOT NULL THEN ord END)
+        |    AS last_signup_at
+        |FROM src GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_daychange" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, day, cnt,
+        |    LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+        |  FROM d
+        |)
+        |SELECT event_type, day, cnt, CAST(prev_cnt AS BIGINT) AS prev_cnt,
+        |  ROUND(CAST(cnt - prev_cnt AS DOUBLE)
+        |    / CAST(prev_cnt AS DOUBLE), 6) AS pct_change
+        |FROM l ORDER BY event_type, day""".stripMargin,
     "q_assoc_rules" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id AS u, CAST(event_type AS VARCHAR) AS i

@@ -164,4 +164,22 @@ class UpsertSpec extends SparkTestBase {
       Upsert.diffSnapshots(keyOnly, keyOnly, Seq("id"))
     }
   }
+  test("goldenRecord: each field follows its own freshest non-null feed") {
+    import spark.implicits._
+    val feed = Seq(
+      // key 1: email arrives early, phone arrives late, name never
+      (1L, "001", Option("a@x.io"), Option.empty[String], Option.empty[String]),
+      (1L, "002", Option("b@x.io"), Option.empty[String], Option.empty[String]),
+      (1L, "003", Option.empty[String], Option("555"), Option.empty[String]),
+      // key 2: single row
+      (2L, "001", Option.empty[String], Option("777"), Option("Zoe")))
+      .toDF("k", "ord", "email", "phone", "name")
+    val out = rows(graft.operators.Upsert.goldenRecord(
+      feed, "k", "ord", Seq("email", "phone", "name")).orderBy(col("k")))
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getString(2) === "b@x.io") // latest NON-NULL, not latest row
+    assert(out(0).getString(3) === "555")
+    assert(out(0).isNullAt(4))               // never present stays NULL
+    assert(out(1).getString(3) === "777" && out(1).getString(4) === "Zoe")
+  }
 }
