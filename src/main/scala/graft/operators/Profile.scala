@@ -535,6 +535,111 @@ object Profile {
           / col("n_rows").cast("double"), 6).as("risk_share"))
   }
 
+  /** Quantile normalization map: project the CURRENT slice's value
+    * distribution onto the REFERENCE slice's — the cross-source score
+    * calibrator ("source B's quality scorer runs hot; map its scores
+    * onto source A's scale before one threshold governs both"). For
+    * each distinct current value v, its ECDF position is
+    * `q = (cum_le − 1) / (n_cur − 1)` (cum_le = rows <= v — the last
+    * occurrence's rank; deterministic under ties by construction),
+    * and the mapped value linearly interpolates the reference's order
+    * statistics at `p = q·(n_ref − 1)` (the percentile_cont recipe:
+    * `a[⌊p⌋] + (p−⌊p⌋)·(a[⌊p⌋+1] − a[⌊p⌋])`).
+    *
+    * Scale shape: the map is per DISTINCT current value (one count
+    * aggregate + one cumulative window over the aggregated value
+    * table); the reference is ranked once (a global sort — order
+    * statistics are inherently a sort; range partitioning serves it
+    * at scale) and met by two equi-joins on the ⌊p⌋ index. All ranks
+    * and counts are exact integers; q, p, and the interpolation are
+    * a fixed IEEE chain, rounded to 6. A single-row slice on either
+    * side yields NULL (no span to interpolate — try_divide guards).
+    * Output: (value, n_rows, q, mapped).
+    */
+  def quantileMap(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val refRanked = ref.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__a"))
+      .withColumn("__idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__a"))) - 1)
+      .withColumn("__na", count(lit(1)).over(wAll))
+    val curDist = cur.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("__cumle",
+        sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .withColumn("__nb", sum(col("n_rows")).over(wAll))
+    val q = try_divide((col("__cumle") - 1).cast("double"),
+      (col("__nb") - 1).cast("double"))
+    val withP = curDist
+      .withColumn("__q", q)
+      .crossJoin(broadcast(refRanked.agg(max(col("__na")).as("__naT"))))
+      .withColumn("__p", col("__q") * (col("__naT") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__p")).cast("long"))
+    withP
+      .join(refRanked.select(col("__idx").as("__lo"), col("__a").as("__alo")),
+        Seq("__lo"), "left")
+      .join(refRanked.select((col("__idx") - 1).as("__lo"),
+        col("__a").as("__ahi")), Seq("__lo"), "left")
+      .select(col("__v").as("value"), col("n_rows"),
+        round(col("__q"), 6).as("q"),
+        round(col("__alo")
+          + (col("__p") - col("__lo").cast("double"))
+            * (coalesce(col("__ahi"), col("__alo")) - col("__alo")), 6)
+          .as("mapped"))
+      .orderBy(col("value"))
+  }
+
+  /** Trailing rolling Pearson correlation between two aligned integer
+    * series — "did clicks decouple from purchases this week?": the
+    * windowed form of [[pearsonExact]], with the same portability
+    * contract. Frame sums Σx, Σy, Σx², Σy², Σxy are exact decimals
+    * over the trailing `window` rows (values scaled to integer
+    * hundredths — exact for <= 2-dp inputs), so
+    * `corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))` is two
+    * sqrt/divide IEEE steps per row. Rows with fewer than `minPeriods`
+    * prior+current observations, or zero variance in the frame, read
+    * NULL. One hash partitioning serves every frame.
+    * Output: input columns + (n_window, roll_corr).
+    */
+  def rollingCorr(
+      df: DataFrame, partCols: Seq[String], orderCol: String,
+      xCol: String, yCol: String, window: Int, minPeriods: Int): DataFrame = {
+    require(window >= 2 && minPeriods >= 2 && minPeriods <= window,
+      s"need 2 <= minPeriods <= window, got $minPeriods/$window")
+    val w0 = if (partCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    else
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(-(window.toLong - 1), 0)
+    val x = round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
+    val y = round(col(yCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
+    val stats = df
+      .withColumn("__n", count(lit(1)).over(w).cast(DecimalType(38, 0)))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    stats
+      .withColumn("n_window", col("__n").cast("long"))
+      .withColumn("roll_corr",
+        when(col("__n") >= minPeriods,
+          round(try_divide(num, sqrt(vx) * sqrt(vy)), 6)))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
     * computed once and embedded as identical literals in the Spark
     * plan and the generated oracle (no runtime log10 anywhere).

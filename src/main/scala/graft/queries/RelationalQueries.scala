@@ -832,6 +832,34 @@ object RelationalQueries {
         "o_orderpriority", "o_orderstatus")
     }),
 
+    // Quantile normalization: map source src1's doc-length
+    // distribution onto src0's — the cross-source score calibrator
+    // (one threshold can then govern both feeds). Exact ECDF ranks;
+    // percentile_cont interpolation against the reference's order
+    // statistics.
+    "q_profile_qmap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Profile.quantileMap(
+        d.filter(col("source") === "src0").select(col("n_chars")),
+        d.filter(col("source") === "src1").select(col("n_chars")),
+        "n_chars")
+    }),
+
+    // Trailing 7-day rolling correlation between daily purchase and
+    // view volumes — "did engagement decouple from conversion this
+    // week?". Exact decimal frame moments (the pearsonExact contract,
+    // windowed); short or flat frames read NULL.
+    "q_ts_rollcorr" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("cnt_purchase"),
+          count(when(col("event_type") === "view", 1)).as("cnt_view"))
+      Profile.rollingCorr(daily, Seq.empty, "day",
+          "cnt_purchase", "cnt_view", window = 7, minPeriods = 4)
+        .orderBy(col("day"))
+    }),
+
     // Benford first-digit forensics on order totals: digit from the
     // exact integer-hundredths string (never float formatting),
     // expected shares embedded as literals in both engines.
@@ -3267,6 +3295,74 @@ object RelationalQueries {
         |         AS VARCHAR), 9, '0')) AS mode_qty,
         |  MAX(cnt) AS mode_n
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_profile_qmap" ->
+      """WITH refv AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS a FROM documents
+        |  WHERE source = 'src0' AND n_chars IS NOT NULL
+        |), refr AS (
+        |  SELECT a, ROW_NUMBER() OVER (ORDER BY a) - 1 AS idx,
+        |    COUNT(*) OVER () AS na
+        |  FROM refv
+        |), curv AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS n_rows
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT v, n_rows,
+        |    SUM(n_rows) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumle,
+        |    SUM(n_rows) OVER () AS nb
+        |  FROM curv
+        |), pq AS (
+        |  SELECT v, n_rows,
+        |    CAST(cumle - 1 AS DOUBLE) / CAST(nb - 1 AS DOUBLE) AS q
+        |  FROM cum
+        |), pp AS (
+        |  SELECT v, n_rows, q,
+        |    q * CAST((SELECT MAX(na) FROM refr) - 1 AS DOUBLE) AS p
+        |  FROM pq
+        |), lo AS (
+        |  SELECT v, n_rows, q, p, CAST(floor(p) AS BIGINT) AS lo FROM pp
+        |)
+        |SELECT lo.v AS value, CAST(lo.n_rows AS BIGINT) AS n_rows,
+        |  ROUND(lo.q, 6) AS q,
+        |  ROUND(rl.a + (lo.p - CAST(lo.lo AS DOUBLE))
+        |    * (COALESCE(rh.a, rl.a) - rl.a), 6) AS mapped
+        |FROM lo
+        |LEFT JOIN refr rl ON rl.idx = lo.lo
+        |LEFT JOIN refr rh ON rh.idx = lo.lo + 1
+        |ORDER BY value""".stripMargin,
+    "q_ts_rollcorr" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS cp,
+        |    COUNT(*) FILTER (event_type = 'view') AS cv
+        |  FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT day, cp, cv,
+        |    CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+        |    SUM(CAST(ROUND(CAST(cp AS DOUBLE) * 100) AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(ROUND(CAST(cv AS DOUBLE) * 100) AS HUGEINT)) OVER w AS sy,
+        |    SUM(CAST(ROUND(CAST(cp AS DOUBLE) * 100) AS HUGEINT)
+        |      * CAST(ROUND(CAST(cp AS DOUBLE) * 100) AS HUGEINT)) OVER w AS sxx,
+        |    SUM(CAST(ROUND(CAST(cv AS DOUBLE) * 100) AS HUGEINT)
+        |      * CAST(ROUND(CAST(cv AS DOUBLE) * 100) AS HUGEINT)) OVER w AS syy,
+        |    SUM(CAST(ROUND(CAST(cp AS DOUBLE) * 100) AS HUGEINT)
+        |      * CAST(ROUND(CAST(cv AS DOUBLE) * 100) AS HUGEINT)) OVER w AS sxy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day, CAST(cp AS BIGINT) AS cnt_purchase,
+        |  CAST(cv AS BIGINT) AS cnt_view,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n >= 4 THEN
+        |    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |      THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |    END
+        |  END AS roll_corr
+        |FROM s ORDER BY day""".stripMargin,
     "q_profile_benford" ->
       s"""WITH d AS (
          |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS HUGEINT)

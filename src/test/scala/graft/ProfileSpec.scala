@@ -470,4 +470,31 @@ class ProfileSpec extends SparkTestBase {
       TfIdf.bm25(df, Seq("x", "x"), 1.2, 0.75)
     }
   }
+  test("quantileMap: identity on itself, endpoints pin, midpoint interpolates") {
+    import spark.implicits._
+    val ref = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val same = rows(Profile.quantileMap(ref, ref, "v"))
+      .map(r => (r.getDouble(0), r.getDouble(3)))
+    same.foreach { case (v, m) => assert(m === v, s"identity broke at $v") }
+    val two = Seq(0.0, 10.0).toDF("v")
+    val cur = Seq(100.0, 200.0, 300.0).toDF("v")
+    val m = rows(Profile.quantileMap(two, cur, "v")).map(_.getDouble(3))
+    assert(m === Seq(0.0, 5.0, 10.0)) // min->min, mid->interpolated, max->max
+  }
+
+  test("rollingCorr: perfect correlation, anti-correlation, flat frame NULL") {
+    import spark.implicits._
+    val df = Seq((1, 1.0, 10.0, 5.0), (2, 2.0, 8.0, 5.0), (3, 3.0, 6.0, 5.0),
+      (4, 4.0, 4.0, 5.0)).toDF("t", "x", "y", "c")
+    val up = rows(Profile.rollingCorr(df, Seq.empty, "t", "x", "x", 3, 2)
+      .orderBy(col("t")))
+    assert(up.head.isNullAt(5))                 // n=1 < minPeriods
+    assert(up.tail.forall(_.getDouble(5) === 1.0))
+    val down = rows(Profile.rollingCorr(df, Seq.empty, "t", "x", "y", 3, 2)
+      .orderBy(col("t")))
+    assert(down.tail.forall(_.getDouble(5) === -1.0))
+    val flat = rows(Profile.rollingCorr(df, Seq.empty, "t", "x", "c", 3, 2)
+      .orderBy(col("t")))
+    assert(flat.forall(_.isNullAt(5)))          // zero variance side
+  }
 }
