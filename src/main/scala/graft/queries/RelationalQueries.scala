@@ -2104,6 +2104,15 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Exact 7-day rolling unique users — the reach metric COUNT
+    // (DISTINCT) OVER cannot express: each distinct (user, day) votes
+    // for the 7 report days it covers (bounded explode over the
+    // aggregate), one distinct-count per day.
+    "q_ts_rollunique" -> ((s, dir) => {
+      Analytics.rollingUniques(table(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)
+    }),
+
     // Day-over-day percent change of daily volumes per event type —
     // the period-over-period BI staple: one lag window over the daily
     // aggregate spine; first day reads NULL, a zero prior day reads
@@ -3714,6 +3723,20 @@ object RelationalQueries {
         |  arg_max(sg, CASE WHEN sg IS NOT NULL THEN ord END)
         |    AS last_signup_at
         |FROM src GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_rollunique" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE)
+        |    AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), days AS (
+        |  SELECT DISTINCT d AS day FROM ud
+        |), votes AS (
+        |  SELECT ud.u, ud.d + CAST(x.i AS INT) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) x
+        |)
+        |SELECT v.day, COUNT(DISTINCT v.u) AS n_unique
+        |FROM votes v WHERE v.day IN (SELECT day FROM days)
+        |GROUP BY v.day ORDER BY v.day""".stripMargin,
     "q_ts_daychange" ->
       """WITH d AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)

@@ -169,4 +169,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p.getDouble(7) === 1.0)                            // conf b->a
     assert(p.getDouble(8) === 1.0)                            // lift
   }
+  test("rollingUniques matches a driver-side brute force on random data") {
+    val rnd = new scala.util.Random(5)
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val evs = (1 to 150).map { i =>
+      val day = rnd.nextInt(20)
+      (rnd.nextInt(12).toLong, i.toLong,
+        ts(f"2024-01-${day + 1}%02d 0${rnd.nextInt(9)}:00:00"), "view")
+    }
+    val df = evs.toDF("user_id", "event_id", "ts", "event_type")
+    val got = rows(Analytics.rollingUniques(df, "user_id", "ts", 7))
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = evs.groupBy(_._3.toLocalDateTime.toLocalDate)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    val want = byDay.keySet.toSeq.sorted.map { d =>
+      val users = (0 until 7).flatMap(i =>
+        byDay.getOrElse(d.minusDays(i.toLong), Set.empty[Long])).toSet
+      (d, users.size.toLong)
+    }
+    assert(got === want)
+  }
 }

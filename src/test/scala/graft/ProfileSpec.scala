@@ -497,4 +497,23 @@ class ProfileSpec extends SparkTestBase {
       .orderBy(col("t")))
     assert(flat.forall(_.isNullAt(5)))          // zero variance side
   }
+  test("quantileMap property: monotone, bounded by the reference range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 4) {
+      val ref = Seq.fill(5 + rnd.nextInt(40))(
+        math.floor(rnd.nextDouble() * 1000) / 10).toDF("v")
+      val cur = Seq.fill(5 + rnd.nextInt(40))(
+        math.floor(rnd.nextDouble() * 2000) / 10).toDF("v")
+      val out = rows(Profile.quantileMap(ref, cur, "v"))
+        .map(r => (r.getDouble(0), r.getDouble(3)))
+      assert(out.map(_._1) === out.map(_._1).sorted)
+      assert(out.map(_._2) === out.map(_._2).sorted,
+        s"trial $trial: mapped not monotone")
+      val refVals = rows(ref.orderBy(col("v"))).map(_.getDouble(0))
+      out.foreach { case (_, m) =>
+        assert(m >= refVals.min - 1e-9 && m <= refVals.max + 1e-9)
+      }
+    }
+  }
 }

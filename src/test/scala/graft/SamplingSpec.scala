@@ -374,4 +374,21 @@ class SamplingSpec extends SparkTestBase {
         "g", "id", num = 1, den = 5)
     }
   }
+  test("stratifiedSample property: every stratum keeps exactly ceil(n*num/den)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 4) {
+      val strata = (0 until 5).map(g => g.toString -> (1 + rnd.nextInt(23)))
+      val df = strata.flatMap { case (g, n) =>
+        (1 to n).map(i => (s"$g-$i", g)) }.toDF("id", "g")
+      val num = 1 + rnd.nextInt(3); val den = num + 1 + rnd.nextInt(4)
+      val kept = rows(Sampling.stratifiedSample(df, "g", "id", num, den))
+        .groupBy(_.getString(1)).view.mapValues(_.size).toMap
+      strata.foreach { case (g, n) =>
+        val want = (n * num + den - 1) / den
+        assert(kept.getOrElse(g, 0) === want,
+          s"trial $trial stratum $g n=$n frac=$num/$den")
+      }
+    }
+  }
 }

@@ -55,4 +55,24 @@ class TrianglesSpec extends SparkTestBase {
     assert(r.getLong(1) === 1L && r.getLong(2) === 0L && r.getLong(3) === 0L)
     assert(r.isNullAt(4)) // 0 wedges -> NULL cc, not a division error
   }
+  test("randomized sparse graphs match a brute-force triangle count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(18)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.25
+      } yield (a, b)).toVector
+      if (edges.nonEmpty) {
+        val eset = edges.toSet
+        val brute = (for {
+          a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if eset((a, b)) && eset((b, c)) && eset((a, c))
+        } yield 1).size.toLong
+        val got = rows(Triangles.triangleStats(
+          edges.toDF("src", "dst"), "src", "dst")).head.getLong(3)
+        assert(got === brute, s"trial $trial: n=$n m=${edges.size}")
+      }
+    }
+  }
 }
