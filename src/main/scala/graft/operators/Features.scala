@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+  * categorical columns become a fixed-width sparse count vector with
+  * NO vocabulary pass — index = md5("col=value") mod dim. The
+  * featurizer that never needs a dictionary build, never grows with
+  * cardinality, and assigns features identically on every engine, run,
+  * and data slice (a vocabulary-indexed encoder reshuffles ids every
+  * time the vocabulary changes — poison for incremental training).
+  *
+  * Shape: one map-side explode of the bounded per-row feature list,
+  * one (row, index) count aggregate keyed by the row id — nothing
+  * depends on category cardinality. Collisions are the documented
+  * hashing-trick trade (dim trades memory for collision rate); md5
+  * keeps them engine-identical.
+  */
+object Features {
+
+  /** Sparse hashed count vector per row, serialized as the canonical
+    * "idx:count" comma-joined string sorted by index (array columns
+    * can't cross the driver's comparator — the project-wide
+    * serialization rule, and the stable storage form). Each feature
+    * hashes as "column=value"; NULL values hash as the column's
+    * missing-marker "column=" (missingness is itself signal).
+    * Output: (idCol, n_features, features).
+    */
+  def hashedFeatures(
+      df: DataFrame, idCol: String, featureCols: Seq[String],
+      dim: Int): DataFrame = {
+    require(featureCols.nonEmpty, "hashedFeatures needs feature columns")
+    require(dim >= 2 && dim <= (1 << 20),
+      s"dim must be in [2, 2^20], got $dim")
+    val feats = df.select(col(idCol).as("__id"),
+      array(featureCols.map(c =>
+        concat(lit(s"$c="), coalesce(col(c).cast("string"), lit("")))): _*)
+        .as("__fs"))
+      .select(col("__id"), explode(col("__fs")).as("__f"))
+    feats
+      .select(col("__id"),
+        pmod(Text.md5Long63(col("__f")), lit(dim.toLong)).as("__idx"))
+      .groupBy(col("__id"), col("__idx"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_features"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__idx"), col("__c")))),
+          s => concat(s.getField("__idx").cast("string"), lit(":"),
+            s.getField("__c").cast("string"))), ",").as("features"))
+      .withColumnRenamed("__id", idCol)
+  }
+}

@@ -225,6 +225,48 @@ object Sampling {
       .filter(col("sample_rank") * den <= col("stratum_n") * num + (den - 1))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5(key) mod k — every row lands in exactly one of k folds,
+    * permanently (reruns, engines, partitionings all agree), and fold
+    * sizes are balanced in expectation. Train/validation for fold i =
+    * (fold != i, fold == i); the assignment is one map-side
+    * projection, so materializing all k splits costs one scan each
+    * with no shuffle anywhere. Adds `fold`.
+    */
+  def kFolds(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
+    require(!df.columns.contains("fold"),
+      "input column 'fold' collides with kFolds' output")
+    df.withColumn("fold",
+      pmod(Text.md5Long63(col(keyCol).cast("string")), lit(k.toLong)))
+  }
+
+  /** Temporal per-key holdout: each key's LAST `holdoutLast` events
+    * (by event time, tiebroken) become the evaluation slice — the
+    * leave-last-out protocol recommender/forecast eval demands, and
+    * the time-respecting complement to [[leakageFreeSplit]]'s
+    * cluster-aware split (that one prevents content leakage; this one
+    * prevents FUTURE leakage). One window shuffle on the key; keys
+    * with <= holdoutLast events land entirely in the holdout (the
+    * honest convention — fabricating a train slice for them would
+    * leak). Adds (recency_rank, split).
+    */
+  def temporalHoldout(
+      df: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+      holdoutLast: Int): DataFrame = {
+    require(holdoutLast >= 1, s"holdoutLast must be >= 1, got $holdoutLast")
+    Seq("recency_rank", "split").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with temporalHoldout's output"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+    df.withColumn("recency_rank", row_number().over(w))
+      .withColumn("split",
+        when(col("recency_rank") <= holdoutLast, lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
   /** Temperature resampling: rebalance a grouped corpus (languages,
     * domains, sources) toward the flattened distribution p_g ∝ n_g^alpha
     * by keeping each row of group g with probability

@@ -650,6 +650,15 @@ object LlmQueries {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    // Deterministic 5-fold cross-validation assignment: md5(doc) mod 5
+    // — permanent folds, one map-side projection, all k splits from
+    // one scan each.
+    "q_sample_folds" -> ((s, dir) => {
+      Sampling.kFolds(docs(s, dir), "doc_id", k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Proportional stratified 1/5 sample by source: the same-mixture
     // downsampler (capPerGroup flattens; this preserves shares). The
     // ceil target test is pure integer arithmetic — no division, so
@@ -3029,6 +3038,11 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
+    "q_sample_folds" ->
+      """SELECT doc_id,
+        |  CAST(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |    & 9223372036854775807::UBIGINT) % 5) AS BIGINT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->
       """WITH r AS (
         |  SELECT doc_id, source,

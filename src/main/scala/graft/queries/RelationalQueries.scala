@@ -2104,6 +2104,28 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Temporal per-user holdout: each user's last 2 events become the
+    // evaluation slice (leave-last-out) — the time-respecting split
+    // that prevents FUTURE leakage, beside the cluster-aware
+    // q_split_leakfree that prevents content leakage.
+    "q_split_temporal" -> ((s, dir) => {
+      graft.operators.Sampling.temporalHoldout(table(s, dir, "events"),
+          "user_id", "ts", "event_id", holdoutLast = 2)
+        .select(col("event_id"), col("user_id"), col("recency_rank"),
+          col("split"))
+        .orderBy(col("user_id"), col("recency_rank"), col("event_id"))
+    }),
+
+    // Feature hashing (the vocabulary-free categorical featurizer):
+    // md5("col=value") mod 32 indexes a sparse count vector per
+    // customer — identical feature ids on every engine/run/slice,
+    // nothing grows with cardinality.
+    "q_feat_hash" -> ((s, dir) => {
+      graft.operators.Features.hashedFeatures(table(s, dir, "customer"),
+          "c_custkey", Seq("c_mktsegment", "c_nationkey"), dim = 32)
+        .orderBy(col("c_custkey"))
+    }),
+
     // Exact 7-day rolling unique users — the reach metric COUNT
     // (DISTINCT) OVER cannot express: each distinct (user, day) votes
     // for the 7 report days it covers (bounded explode over the
@@ -3723,6 +3745,39 @@ object RelationalQueries {
         |  arg_max(sg, CASE WHEN sg IS NOT NULL THEN ord END)
         |    AS last_signup_at
         |FROM src GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_split_temporal" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS INT) AS recency_rank
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, recency_rank,
+        |  CASE WHEN recency_rank <= 2 THEN 'holdout' ELSE 'train' END
+        |    AS split
+        |FROM r ORDER BY user_id, recency_rank, event_id""".stripMargin,
+    "q_feat_hash" ->
+      """WITH f AS (
+        |  SELECT c_custkey AS id,
+        |    'c_mktsegment=' || COALESCE(CAST(c_mktsegment AS VARCHAR), '')
+        |      AS f
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    'c_nationkey=' || COALESCE(CAST(c_nationkey AS VARCHAR), '')
+        |  FROM customer
+        |), ix AS (
+        |  SELECT id,
+        |    CAST(((('0x' || substr(md5(f), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 32) AS BIGINT) AS idx
+        |  FROM f
+        |), c AS (
+        |  SELECT id, idx, COUNT(*) AS c FROM ix GROUP BY 1, 2
+        |)
+        |SELECT id AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_features,
+        |  string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+        |    ',' ORDER BY idx) AS features
+        |FROM c GROUP BY id ORDER BY c_custkey""".stripMargin,
     "q_ts_rollunique" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE)

@@ -516,4 +516,23 @@ class ProfileSpec extends SparkTestBase {
       }
     }
   }
+  test("hashedFeatures: counts preserved, equal values share an index, NULL marked") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), Option("x")), (2L, Option("a"), None),
+      (3L, Option("b"), Option("x"))).toDF("id", "f1", "f2")
+    val out = rows(graft.operators.Features.hashedFeatures(
+      df, "id", Seq("f1", "f2"), dim = 64).orderBy(col("id")))
+    def vec(s: String) = s.split(",").map { t =>
+      val Array(i, c) = t.split(":"); (i.toLong, c.toLong) }.toMap
+    val v = out.map(r => (r.getLong(0), vec(r.getString(2)))).toMap
+    // total count = number of feature columns, always
+    v.values.foreach(m => assert(m.values.sum === 2L))
+    // rows 1 and 2 share f1=a -> share that index; row 3 differs on f1
+    val shared = v(1L).keySet.intersect(v(2L).keySet)
+    assert(shared.nonEmpty)
+    // rows 1 and 3 share f2=x
+    assert(v(1L).keySet.intersect(v(3L).keySet).nonEmpty)
+    // row 2's NULL f2 hashes as the missing marker, distinct from f2=x
+    assert(v(2L) !== v(1L))
+  }
 }

@@ -391,4 +391,31 @@ class SamplingSpec extends SparkTestBase {
       }
     }
   }
+  test("kFolds: permanent assignment, all folds hit, complement = other folds") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val folds = rows(Sampling.kFolds(df, "id", 5))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(folds.map(_._2).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    val again = rows(Sampling.kFolds(df.repartition(9), "id", 5))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    folds.foreach { case (id, f) => assert(again(id) === f) }
+    // every row is in exactly one fold
+    assert(folds.size === 200)
+  }
+
+  test("temporalHoldout: last-k per key, short keys land fully in holdout") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-02"), (1L, 3L, "2024-01-03"),
+      (2L, 4L, "2024-01-01")
+    ).toDF("user_id", "event_id", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val out = rows(Sampling.temporalHoldout(df, "user_id", "ts", "event_id", 2)
+      .orderBy(col("user_id"), col("recency_rank")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+    assert(out === Seq(
+      (1L, 3L, "holdout"), (1L, 2L, "holdout"), (1L, 1L, "train"),
+      (2L, 4L, "holdout"))) // a 1-event user has no train slice
+  }
 }
