@@ -1347,6 +1347,38 @@ object RelationalQueries {
       c.unionByName(sup).orderBy(col("kind"), col("entity_id"))
     }),
 
+    // U1b: unionByName(allowMissingColumns) — the ragged-schema merge
+    // (two feeds carrying overlapping-but-different column sets);
+    // each side's absent columns null-fill, names align regardless of
+    // position. DuckDB's UNION ALL BY NAME is the oracle's exact
+    // counterpart.
+    "q_union_missing" -> ((s, dir) => {
+      val a = table(s, dir, "customer").select(
+        col("c_custkey").as("entity_id"),
+        col("c_mktsegment").as("segment"))
+      val b = table(s, dir, "supplier").select(
+        col("s_suppkey").as("entity_id"),
+        col("s_acctbal").as("balance"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("entity_id"), col("segment").asc_nulls_first,
+          col("balance").asc_nulls_first)
+    }),
+
+    // F5d: the SQL-surface UDTF form — LATERAL VIEW posexplode, the
+    // table-generating syntax SQL users write where the DSL says
+    // posexplode(); first 3 tokens per doc.
+    "q_fn_lateral" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .createOrReplaceTempView("graft_lateral_docs")
+      s.sql("""
+        SELECT doc_id, pos, tok
+        FROM graft_lateral_docs
+        LATERAL VIEW posexplode(toks) t AS pos, tok
+        WHERE pos < 3
+        ORDER BY doc_id, pos""")
+    }),
+
     // Columnar-format transport: write the customer dim to ORC
     // (overwrite), read it back — the oracle is the plain parquet
     // table, so a green row proves schema- and value-faithful ORC
@@ -2899,6 +2931,25 @@ object RelationalQueries {
     "q_sort" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q_union_missing" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS entity_id, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS entity_id, s_acctbal AS balance
+        |  FROM supplier
+        |)
+        |ORDER BY entity_id, segment NULLS FIRST,
+        |  balance NULLS FIRST""".stripMargin,
+    "q_fn_lateral" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |)
+        |SELECT doc_id, CAST(x.i AS INT) AS pos, w[CAST(x.i AS INT) + 1]
+        |  AS tok
+        |FROM w CROSS JOIN (SELECT unnest(range(3)) AS i) x
+        |WHERE x.i < len(w)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_union" ->
       """SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS kind FROM customer
         |UNION ALL

@@ -428,4 +428,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bcastRows === canon(Similarity.assignToCentroids(embs, centroids)),
       "broadcast-join assignment diverged from the literal-codebook path")
   }
+  test("kFolds is a pure map-side projection: zero exchanges") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val p = planString(graft.operators.Sampling.kFolds(docs, "doc_id", 5))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("trailingZscores: one hash partitioning serves both window frames") {
+    import spark.implicits._
+    val series = (1 to 40).map(i => ("k", i, i.toLong)).toDF("k", "b", "v")
+    val p = planString(graft.operators.Anomaly.trailingZscores(
+      series, "k", "b", "v", window = 5, minPrior = 3, threshold = 3.0))
+    assert(p.split("Exchange").length - 1 === 1, p)
+  }
+
+  test("hashedFeatures: two aggregation exchanges, no join machinery") {
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+    val p = planString(graft.operators.Features.hashedFeatures(
+      cust, "c_custkey", Seq("c_mktsegment", "c_nationkey"), 32))
+    assert(p.split("Exchange").length - 1 <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("stratifiedSample: one shuffle serves both the rank and size windows") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val p = planString(graft.operators.Sampling.stratifiedSample(
+      docs, "source", "doc_id", 1, 5))
+    assert(p.split("Exchange").length - 1 === 1, p)
+  }
 }
