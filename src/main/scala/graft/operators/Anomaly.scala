@@ -63,4 +63,55 @@ object Anomaly {
         coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__n", "__sx", "__sxx")
   }
+  /** CUSUM change-point localization over an ordered integer series —
+    * the LEVEL-SHIFT detector beside [[trailingZscores]]'s point-spike
+    * screen (a regime change never trips a spike test; its cumulative
+    * drift is unmissable). Classic centered cumulative sum, cleared of
+    * division so everything is exact integer arithmetic:
+    * `S'_t = n·Σ_{i<=t} x_i − t·Σx` (the textbook
+    * `Σ (x_i − x̄)` scaled by n), and the most likely single change
+    * point is the bucket maximizing |S'_t| — flagged `is_peak`, ties
+    * broken to the earliest bucket.
+    *
+    * Scale shape: runs over the per-bucket aggregate spine (one row
+    * per bucket, not data rows); one hash partitioning per key serves
+    * the ordered window, one bounded window pass finds the peak.
+    * `cusum` is exact (DECIMAL(38,0) internally; emitted as long —
+    * callers with n·Σx beyond 2^63 keep the decimal column instead,
+    * the documented contract). Output: input columns +
+    * (t, cusum, is_peak).
+    */
+  def cusumChangePoints(
+      series: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    Seq("t", "cusum", "is_peak").foreach(c =>
+      require(!series.columns.contains(c),
+        s"input column '$c' collides with cusumChangePoints' output"))
+    val base = if (partCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    else
+      org.apache.spark.sql.expressions.Window.partitionBy(partCols.map(col): _*)
+    val wOrd = base.orderBy(col(orderCol))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val x = col(valueCol).cast(DecimalType(38, 0))
+    val stats = series
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("__cum", sum(x).over(wCum))
+      .withColumn("__n", count(x).over(wAll).cast(DecimalType(38, 0)))
+      .withColumn("__sx", sum(x).over(wAll))
+      .withColumn("cusum",
+        (col("__n") * col("__cum")
+          - col("t").cast(DecimalType(38, 0)) * col("__sx")).cast("long"))
+    // earliest-bucket tie-break: max over (|cusum|, -t) structs
+    val withBest = stats.withColumn("__best",
+      max(struct(abs(col("cusum")).as("a"), (-col("t")).as("nt"))).over(wAll))
+    withBest
+      .withColumn("is_peak",
+        abs(col("cusum")) === col("__best.a") && -col("t") === col("__best.nt"))
+      .drop("__cum", "__n", "__sx", "__best")
+  }
 }

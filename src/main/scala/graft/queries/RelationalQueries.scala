@@ -868,6 +868,21 @@ object RelationalQueries {
         .orderBy(col("digit"))
     }),
 
+    // CUSUM change-point localization on daily purchase volumes — the
+    // level-shift detector beside the z-score spike screen. Division-
+    // free centered cumulative sum (exact integers end to end); the
+    // |cusum| peak marks the most likely regime change, earliest
+    // bucket on ties.
+    "q_ts_cusum" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Anomaly.cusumChangePoints(daily, Seq.empty,
+          "day", "cnt")
+        .orderBy(col("day"))
+    }),
+
     // Trailing z-score anomaly screen on hourly event volumes: 24-h
     // retrospective frame (an anomalous hour cannot vote itself
     // normal), exact integer Σx/Σx² in the frame so z is a fixed IEEE
@@ -3468,6 +3483,32 @@ object RelationalQueries {
          |    - CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
          |      AS DOUBLE), 6) AS deviation
          |FROM t ORDER BY digit""".stripMargin,
+    "q_ts_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), s AS (
+        |  SELECT day, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS t,
+        |    SUM(CAST(cnt AS HUGEINT)) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(COUNT(cnt) OVER () AS HUGEINT) AS n,
+        |    SUM(CAST(cnt AS HUGEINT)) OVER () AS sx
+        |  FROM d
+        |), c AS (
+        |  SELECT day, cnt, t,
+        |    CAST(n * cum - CAST(t AS HUGEINT) * sx AS BIGINT) AS cusum
+        |  FROM s
+        |), b AS (
+        |  SELECT *, MAX(abs(cusum)) OVER () AS ma FROM c
+        |), b2 AS (
+        |  SELECT *, MIN(CASE WHEN abs(cusum) = ma THEN t END) OVER () AS mt
+        |  FROM b
+        |)
+        |SELECT day, CAST(cnt AS BIGINT) AS cnt, t, cusum,
+        |  (abs(cusum) = ma AND t = mt) AS is_peak
+        |FROM b2 ORDER BY day""".stripMargin,
     "q_ts_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)

@@ -51,4 +51,27 @@ class AnomalySpec extends SparkTestBase {
         "k", "bucket", "cnt", 3, 3, 3.0)
     }
   }
+  test("cusumChangePoints pins the regime boundary; per-key peaks independent") {
+    import spark.implicits._
+    // 10 days at 10, then 10 days at 50: |cusum| maximal at the last
+    // low day (t=10)
+    val series = ((1 to 10).map(d => ("a", d, 10L))
+      ++ (11 to 20).map(d => ("a", d, 50L))).toDF("k", "b", "v")
+    val out = rows(Anomaly.cusumChangePoints(series, Seq("k"), "b", "v")
+      .orderBy(col("b")))
+    val peaks = out.filter(_.getBoolean(5))
+    assert(peaks.size === 1 && peaks.head.getInt(3) === 10)
+    // flat series: cusum identically 0, earliest bucket flagged (tie rule)
+    val flat = (1 to 5).map(d => ("a", d, 7L)).toDF("k", "b", "v")
+    val f = rows(Anomaly.cusumChangePoints(flat, Seq("k"), "b", "v")
+      .orderBy(col("b")))
+    assert(f.forall(_.getLong(4) === 0L))
+    assert(f.count(_.getBoolean(5)) === 1 && f.head.getBoolean(5))
+    // two keys: each gets its own peak
+    val two = (series.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      ++ (1 to 10).map(d => ("z", d, if (d <= 3) 100L else 1L)))
+      .toSeq.toDF("k", "b", "v")
+    val t2 = rows(Anomaly.cusumChangePoints(two, Seq("k"), "b", "v"))
+    assert(t2.filter(_.getBoolean(5)).map(_.getString(0)).toSet === Set("a", "z"))
+  }
 }
