@@ -148,6 +148,32 @@ object Text {
       lit(84.6) * try_divide(sylls, words)
   }
 
+  /** URL canonicalization for dedup/provenance keys: lowercase the
+    * scheme+host, drop the fragment, strip tracking parameters
+    * (utm_*, fbclid, gclid), and drop an emptied query — so the same
+    * resource fetched via different campaign links collapses to ONE
+    * key. Pure string/array primitives (regex in the Java ∩ RE2
+    * subset, split → list-filter → rejoin for the query string), so
+    * an external engine replays the canonical form byte-for-byte.
+    * Path, surviving params, and their order are preserved —
+    * reordering params is a semantic claim this operator does not
+    * make. Non-URL input passes through with only the fragment rule
+    * applied (head extraction misses; path = the whole string).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    val tail = substring(noFrag, length(head) + 1, lit(1 << 30))
+    val path = substring_index(tail, "?", 1)
+    val rawQuery = when(tail.contains("?"),
+      regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = filter(split(rawQuery, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    concat(lower(head), path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = LangMarkers.map { case (lang, markers) =>

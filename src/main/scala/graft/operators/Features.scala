@@ -53,4 +53,33 @@ object Features {
             s.getField("__c").cast("string"))), ",").as("features"))
       .withColumnRenamed("__id", idCol)
   }
+  /** Per-group mean imputation: fill NULLs in a numeric column with
+    * the group's mean over OBSERVED values — the standard feature-prep
+    * step before models that cannot eat NULLs, grouped so a sparse
+    * segment borrows from its own distribution, not the global one.
+    * The mean is the exact-decimal portable contract (6-dp inputs sum
+    * exactly; one final division, round 6); the tiny per-group stats
+    * frame broadcasts back, the fill is map-side — the rows never
+    * shuffle. A group with NO observed values keeps its NULLs (no
+    * mean exists — silence would fabricate data); `was_imputed`
+    * records provenance. Adds (<c>_filled, was_imputed).
+    */
+  def imputeWithGroupMean(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val outCol = s"${valueCol}_filled"
+    Seq(outCol, "was_imputed").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with imputeWithGroupMean's output"))
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(round(sum(round(col(valueCol).cast("double"), 6)
+          .cast(DecimalType(38, 12))).cast("double")
+        / count(lit(1)), 6).as("__gmean"))
+    df.join(broadcast(stats), col(groupCol) <=> col("__g"), "left")
+      .withColumn(outCol, coalesce(col(valueCol), col("__gmean")))
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("__gmean").isNotNull)
+      .drop("__g", "__gmean")
+  }
 }

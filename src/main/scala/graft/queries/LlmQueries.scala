@@ -810,6 +810,28 @@ object LlmQueries {
       TfIdf.noveltyRates(docs(s, dir))
     }),
 
+    // URL canonicalization: campaign-link noise (case-shifted host,
+    // utm params, fragments) collapses to one provenance key. The
+    // messy URL is CONSTRUCTED from doc_id (the q_fn_json
+    // construction-inverting pattern) so every rule — host lowering,
+    // fragment drop, tracking-param strip, emptied-query drop — is
+    // deterministically exercised and replayed.
+    "q_text_urlcanon" -> ((s, dir) => {
+      val base = concat(lit("HTTP://Ex"), (col("doc_id") % 5).cast("string"),
+        lit(".COM/p/"), col("doc_id").cast("string"))
+      val q = when(col("doc_id") % 3 === 0,
+          lit("?utm_source=a&utm_medium=b"))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?utm_source=a&id="), col("doc_id").cast("string")))
+        .otherwise(lit(""))
+      val frag = when(col("doc_id") % 2 === 0,
+        concat(lit("#sec"), col("doc_id").cast("string"))).otherwise(lit(""))
+      val url = concat(base, q, frag)
+      docs(s, dir).select(col("doc_id"), url.as("url"),
+          Text.canonicalizeUrl(url).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 lexical retrieval scores for a 3-term query — the
     // baseline every embedding retriever is judged against, and the
     // hybrid-search partner of the ANN tier. Exact tf/df/dl integers;
@@ -2968,6 +2990,47 @@ object LlmQueries {
         |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
         |  ROUND(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS vocab_rate
         |FROM r WHERE rk % 50 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_urlcanon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://Ex' || CAST(doc_id % 5 AS VARCHAR) || '.COM/p/'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=a&utm_medium=b'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '?utm_source=a&id=' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM u
+        |), h AS (
+        |  SELECT doc_id, url, nofrag,
+        |    regexp_extract(nofrag,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) AS head
+        |  FROM c
+        |), t AS (
+        |  SELECT doc_id, url, head,
+        |    substr(nofrag, length(head) + 1) AS tail
+        |  FROM h
+        |), pq AS (
+        |  SELECT doc_id, url, head,
+        |    string_split(tail, '?')[1] AS path,
+        |    CASE WHEN contains(tail, '?')
+        |      THEN regexp_replace(tail, '^[^?]*\?', '') ELSE '' END AS rawq
+        |  FROM t
+        |), k AS (
+        |  SELECT doc_id, url, head, path,
+        |    list_filter(string_split(rawq, '&'), p -> p <> ''
+        |      AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))
+        |      AS kept
+        |  FROM pq
+        |)
+        |SELECT doc_id, url,
+        |  lower(head) || path || CASE WHEN len(kept) > 0
+        |    THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -868,6 +868,38 @@ object RelationalQueries {
         .orderBy(col("digit"))
     }),
 
+    // Trending top-3 event types per day by trailing-7-observed-bucket
+    // volume — the leaderboard window composition (trailing sum per
+    // type, then rank within day).
+    "q_ts_trending" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      val byDay = Window.partitionBy(col("day"))
+        .orderBy(col("cnt7").desc, col("event_type"))
+      daily.withColumn("cnt7", sum(col("cnt")).over(w7))
+        .withColumn("rank", row_number().over(byDay))
+        .filter(col("rank") <= 3)
+        .select(col("day"), col("rank"), col("event_type"), col("cnt7"))
+        .orderBy(col("day"), col("rank"))
+    }),
+
+    // Per-group mean imputation over a deterministically sparsified
+    // value channel: NULLs fill from their own event type's exact-
+    // decimal mean; was_imputed records provenance; rows never
+    // shuffle (stats broadcast back).
+    "q_feat_impute" -> ((s, dir) => {
+      val sparse = table(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      graft.operators.Features.imputeWithGroupMean(sparse,
+          "event_type", "value")
+        .orderBy(col("event_id"))
+    }),
+
     // CUSUM change-point localization on daily purchase volumes — the
     // level-shift detector beside the z-score spike screen. Division-
     // free centered cumulative sum (exact integers end to end); the
@@ -3483,6 +3515,40 @@ object RelationalQueries {
          |    - CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
          |      AS DOUBLE), 6) AS deviation
          |FROM t ORDER BY digit""".stripMargin,
+    "q_ts_trending" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt7
+        |  FROM d
+        |), r AS (
+        |  SELECT day, event_type, cnt7,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY cnt7 DESC, event_type) AS INT) AS rank
+        |  FROM w
+        |)
+        |SELECT day, rank, event_type, cnt7 FROM r
+        |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+    "q_feat_impute" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type AS g,
+        |    ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS gmean
+        |  FROM s WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT s.event_id, s.event_type, s.value,
+        |  COALESCE(s.value, m.gmean) AS value_filled,
+        |  (s.value IS NULL AND m.gmean IS NOT NULL) AS was_imputed
+        |FROM s LEFT JOIN m ON s.event_type IS NOT DISTINCT FROM m.g
+        |ORDER BY s.event_id""".stripMargin,
     "q_ts_cusum" ->
       """WITH d AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -535,4 +535,19 @@ class ProfileSpec extends SparkTestBase {
     // row 2's NULL f2 hashes as the missing marker, distinct from f2=x
     assert(v(2L) !== v(1L))
   }
+  test("imputeWithGroupMean: own-group mean fills, all-null group stays NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option(2.0)), ("a", Option(4.0)), ("a", Option.empty[Double]),
+      ("b", Option(10.0)), ("b", Option.empty[Double]),
+      ("c", Option.empty[Double])).toDF("g", "v")
+    val out = rows(graft.operators.Features.imputeWithGroupMean(df, "g", "v")
+      .orderBy(col("g"), col("v").asc_nulls_last))
+      .map(r => (r.getString(0), r.isNullAt(1), 
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getBoolean(3)))
+    assert(out(2) === (("a", true, 3.0, true)))   // mean of 2,4
+    assert(out(4) === (("b", true, 10.0, true)))
+    assert(out(5)._1 === "c" && out(5)._3.isNaN && !out(5)._4) // no mean exists
+    assert(out(0) === (("a", false, 2.0, false))) // observed rows untouched
+  }
 }

@@ -641,4 +641,20 @@ class SimilarityTextSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again === stats)
   }
+
+  test("canonicalizeUrl: host lowering, tracking strip, fragment drop, passthrough") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://Site.COM/A/b?utm_source=x&q=1&utm_medium=y#frag",
+       "https://site.com/A/b?q=1"),      // path case preserved, utm gone
+      ("http://a.com/p?utm_source=x", "http://a.com/p"), // emptied query drops
+      ("http://a.com/p?fbclid=z&id=2", "http://a.com/p?id=2"),
+      ("HTTP://A.com", "http://a.com"),
+      ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"), // order kept
+      ("not a url #x", "not a url ")     // only the fragment rule applies
+    ).toDF("url", "want")
+    rows(cases.select(col("want"),
+      graft.functions.Text.canonicalizeUrl(col("url")).as("got")))
+      .foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
+  }
 }
