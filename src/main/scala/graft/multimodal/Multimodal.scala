@@ -116,6 +116,74 @@ object Multimodal {
       }
   }
 
+  /** A 63-bit perceptual hash row (63 bits, not 64 — signed/unsigned
+    * min-parity across engines, the SimHash lesson). */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual difference-hash (dHash) over the decoded media: bit j
+    * is "cell j at least as bright as cell j+1" over 64 brightness
+    * cells — the classic near-duplicate image fingerprint (robust to
+    * re-encoding and resizing, which preserve brightness ORDER even
+    * when they perturb values). Same `mapPartitions` batching as
+    * [[decodeMeta]]; the brightness kernel is the documented
+    * deterministic stand-in (first md5 byte of payload ++ "_p<j>" —
+    * a real impl reads resampled grayscale cells; nothing else
+    * changes), so a DuckDB oracle rebuilds every bit.
+    */
+  def perceptualHash(
+      spark: SparkSession, withPayload: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          def bright(j: Int): Int = {
+            digest.reset()
+            digest.update(r.payload)
+            digest.update(s"_p$j".getBytes("UTF-8"))
+            digest.digest()(0) & 0xff
+          }
+          var h = 0L
+          var j = 0
+          while (j < 63) {
+            if (bright(j) >= bright(j + 1)) h |= (1L << j)
+            j += 1
+          }
+          MediaHash(r.doc_id, h)
+        }
+      }
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance:
+    * 4 × 16-bit band buckets generate candidates (two hashes within
+    * hamming <= 3 MUST agree on at least one band — pigeonhole), an
+    * exact `bit_count(xor)` verifies. The [[Dedup.simhashNearDuplicates]]
+    * shape applied to media: candidates are an equi-join on (band,
+    * bucket), never all-pairs. Output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b.
+    */
+  def nearDuplicateMedia(
+      spark: SparkSession, withPayload: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band bucketing guarantees recall only for hamming <= 3, got $maxHamming")
+    val h = perceptualHash(spark, withPayload).toDF()
+    val bands = h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        (shiftright(col("phash"), 16 * b)
+          .bitwiseAND(lit(0xffffL))).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** A resized payload with its new dimensions. */
   case class ResizedMedia(
       doc_id: Long, width: Int, height: Int, payload: Array[Byte])

@@ -1169,6 +1169,25 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Perceptual difference-hash per media payload: bit j = "cell j at
+    // least as bright as cell j+1" over the deterministic brightness
+    // stub — 63 bits (signed/unsigned parity). The classic image
+    // near-dup fingerprint; the oracle rebuilds every bit.
+    "q_media_phash" -> ((s, dir) => {
+      Multimodal.perceptualHash(s, Multimodal.withBinaryPayload(docs(s, dir)))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // Media near-dup pairs by phash hamming <= 3: 4 x 16-bit band
+    // buckets generate candidates (pigeonhole guarantees recall),
+    // exact bit_count(xor) verifies — the SimHash band shape applied
+    // to media; the oracle brute-forces all pairs.
+    "q_media_neardup" -> ((s, dir) => {
+      Multimodal.nearDuplicateMedia(s,
+          Multimodal.withBinaryPayload(docs(s, dir)), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Batch resize: binary->binary mapPartitions with the deterministic
     // stub kernel — dimensions and byte counts are oracle-reproducible.
     "q_media_resize" -> ((s, dir) => {
@@ -3289,6 +3308,44 @@ object LlmQueries {
       """SELECT doc_id, CAST(unnest(generate_series(0,
         |   (1 + octet_length(encode(text)) % 16) - 1, 4)) AS INT) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    ('0x' || substr(md5(text || '_p' || CAST(j AS VARCHAR)), 1, 2))
+        |      ::INT AS br
+        |  FROM documents CROSS JOIN range(64) r(j)
+        |), bits AS (
+        |  SELECT x.doc_id, x.j,
+        |    CASE WHEN x.br >= y.br THEN 1 ELSE 0 END AS bit
+        |  FROM b x JOIN b y ON y.doc_id = x.doc_id AND y.j = x.j + 1
+        |  WHERE x.j < 63
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << j))
+        |    AS BIGINT) AS phash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_media_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    ('0x' || substr(md5(text || '_p' || CAST(j AS VARCHAR)), 1, 2))
+        |      ::INT AS br
+        |  FROM documents CROSS JOIN range(64) r(j)
+        |), bits AS (
+        |  SELECT x.doc_id, x.j,
+        |    CASE WHEN x.br >= y.br THEN 1 ELSE 0 END AS bit
+        |  FROM b x JOIN b y ON y.doc_id = x.doc_id AND y.j = x.j + 1
+        |  WHERE x.j < 63
+        |), p AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << j))
+        |      AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+        |FROM p x JOIN p y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.phash, y.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id, CAST(r.range AS INT) AS pos,
         | CAST((('0x' || substr(md5(text || '_' || CAST(r.range AS VARCHAR)), 1, 8))::UBIGINT

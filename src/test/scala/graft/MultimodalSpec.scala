@@ -86,4 +86,23 @@ class MultimodalSpec extends SparkTestBase {
     val counts = nn.groupBy(col("probe_id")).count().collect()
     assert(counts.length === 2 && counts.forall(_.getLong(1) === 5L))
   }
+  test("perceptualHash is 63-bit deterministic; duplicates pair at hamming 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (4L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val h = rows(Multimodal.perceptualHash(
+      spark, Multimodal.withBinaryPayload(docs)).toDF().orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.forall(_._2 >= 0L))            // bit 63 never set
+    assert(h(0)._2 === h(1)._2)             // same payload, same hash
+    assert(h(0)._2 !== h(2)._2)
+    val again = rows(Multimodal.perceptualHash(
+      spark, Multimodal.withBinaryPayload(docs.repartition(3))).toDF()
+      .orderBy(col("doc_id"))).map(r => (r.getLong(0), r.getLong(1)))
+    assert(again === h)                     // layout-independent
+    val pairs = rows(Multimodal.nearDuplicateMedia(
+      spark, Multimodal.withBinaryPayload(docs), maxHamming = 3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs === Seq((1L, 2L, 0)))      // only the true duplicate pair
+  }
 }
