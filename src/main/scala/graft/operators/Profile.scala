@@ -242,6 +242,40 @@ object Profile {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** 2D equi-width histogram (heatmap bins) over two numeric columns —
+    * the joint-distribution profile behind density heatmaps and
+    * bivariate drift checks ([[histogram]]'s clamping/NaN semantics,
+    * applied per axis). One map-side double-bucket projection, one
+    * bounded aggregate; the full nx × ny spine emits empty cells so
+    * totals reconcile. Output: (bucket_x, bucket_y, x_lo, y_lo, cnt).
+    */
+  def histogram2d(
+      df: DataFrame, xCol: String, xLo: Double, xHi: Double, nx: Int,
+      yCol: String, yLo: Double, yHi: Double, ny: Int): DataFrame = {
+    require(nx > 0 && ny > 0, s"bucket counts must be positive: $nx, $ny")
+    require(xLo < xHi && yLo < yHi, "need lo < hi on both axes")
+    require(nx.toLong * ny <= 1000000, "spine capped at 1e6 cells")
+    val wx = (xHi - xLo) / nx
+    val wy = (yHi - yLo) / ny
+    def bucket(c: String, lo: Double, w: Double, n: Int) = least(
+      greatest(floor((col(c).cast("double") - lo) / w), lit(0.0)),
+      lit((n - 1).toDouble)).cast("long")
+    val counts = df
+      .filter(col(xCol).isNotNull && !isnan(col(xCol).cast("double"))
+        && col(yCol).isNotNull && !isnan(col(yCol).cast("double")))
+      .select(bucket(xCol, xLo, wx, nx).as("bucket_x"),
+        bucket(yCol, yLo, wy, ny).as("bucket_y"))
+      .groupBy(col("bucket_x"), col("bucket_y"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = df.sparkSession.range(nx).toDF("bucket_x")
+      .crossJoin(df.sparkSession.range(ny).toDF("bucket_y"))
+    spine.join(counts, Seq("bucket_x", "bucket_y"), "left")
+      .select(col("bucket_x"), col("bucket_y"),
+        round(lit(xLo) + col("bucket_x") * wx, 6).as("x_lo"),
+        round(lit(yLo) + col("bucket_y") * wy, 6).as("y_lo"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Categorical (string) column profile: for each requested column,
     * the top-`k` values by count with null count, distinct count, and
     * each value's share of non-null rows.

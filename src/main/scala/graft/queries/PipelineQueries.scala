@@ -114,9 +114,30 @@ object PipelineQueries {
           col("length"),
           sha2(col("content"), 256).as("sha256"))
         .orderBy(col("file_name"))
+    }),
+
+    // S3b PERMISSIVE quarantine tier: a fixture with 2 good and 2
+    // malformed lines loads without dying; corrupt lines surface whole
+    // in _corrupt with schema fields NULL — the dead-letter split in
+    // one pass. FAILFAST stays the default read contract; this mode is
+    // the explicit opt-in.
+    "q_source_permissive" -> ((s, _) => {
+      Sources.readJsonPermissive(s,
+          s"$FixtureDir/station_status_mixed.json",
+          graft.model.Schemas.velibRaw)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("_corrupt").isNull, 1)).as("n_good"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(col("ttl")).as("ttl_sum"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_permissive" ->
+      """SELECT * FROM (VALUES
+        | (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |  CAST(10800 AS BIGINT))
+        |) AS t(n_rows, n_good, n_corrupt, ttl_sum)""".stripMargin,
     "q_velib_flatten" ->
       """SELECT * FROM (VALUES
         | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP), CAST('2024-02-01 01:00:00' AS TIMESTAMP), 'velib_spark', 'transform_station_data'),

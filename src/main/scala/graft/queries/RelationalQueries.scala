@@ -939,6 +939,15 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // 2D heatmap bins: the joint quantity × discount distribution in
+    // one map-side double-bucket pass; the full spine emits empty
+    // cells so totals reconcile.
+    "q_profile_hist2d" -> ((s, dir) => {
+      Profile.histogram2d(table(s, dir, "lineitem"),
+          "l_quantity", 1.0, 51.0, 10, "l_discount", 0.0, 0.11, 11)
+        .orderBy(col("bucket_x"), col("bucket_y"))
+    }),
+
     // W3 (RANGE frame): 7-day trailing average spend per customer —
     // an event-TIME range frame, not a row-count frame (the two differ
     // whenever events cluster). The frame sum goes through an exact
@@ -2755,6 +2764,34 @@ object RelationalQueries {
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_cats
         |FROM tm""".stripMargin,
+    "q_profile_hist2d" ->
+      """WITH w AS (
+        |  SELECT (CAST(51.0 AS DOUBLE) - 1.0) / 10 AS wx,
+        |    (CAST(0.11 AS DOUBLE) - 0.0) / 11 AS wy
+        |), c AS (
+        |  SELECT
+        |    CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - 1.0)
+        |      / w.wx), 0), 9) AS BIGINT) AS bucket_x,
+        |    CAST(least(greatest(floor((CAST(l_discount AS DOUBLE) - 0.0)
+        |      / w.wy), 0), 10) AS BIGINT) AS bucket_y
+        |  FROM lineitem CROSS JOIN w
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), g AS (
+        |  SELECT bucket_x, bucket_y, COUNT(*) AS cnt
+        |  FROM c GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT CAST(x.i AS BIGINT) AS bucket_x, CAST(y.i AS BIGINT)
+        |    AS bucket_y
+        |  FROM (SELECT unnest(range(10)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(11)) AS i) y
+        |)
+        |SELECT s.bucket_x, s.bucket_y,
+        |  ROUND(1.0 + s.bucket_x * w.wx, 6) AS x_lo,
+        |  ROUND(0.0 + s.bucket_y * w.wy, 6) AS y_lo,
+        |  COALESCE(g.cnt, 0) AS cnt
+        |FROM spine s CROSS JOIN w
+        |LEFT JOIN g USING (bucket_x, bucket_y)
+        |ORDER BY bucket_x, bucket_y""".stripMargin,
     "q_profile_gini" ->
       """WITH t AS (
         |  SELECT CAST(source AS VARCHAR) AS g,

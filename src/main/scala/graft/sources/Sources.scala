@@ -29,6 +29,22 @@ object Sources {
     spark.read.schema(Schemas.weatherRaw)
       .option("mode", "FAILFAST").json(path)
 
+  /** PERMISSIVE-tier JSON read: the quarantine mode for feeds where
+    * one bad producer line must not kill the load (FAILFAST remains
+    * the default contract above — permissive is an explicit opt-in,
+    * never a silent downgrade). Malformed lines surface whole in the
+    * `_corrupt` column with every schema field NULL, so the caller
+    * can split good rows from quarantine rows in one pass and land
+    * the quarantine for replay — the standard dead-letter pattern.
+    */
+  def readJsonPermissive(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** Headered CSV with explicit schema — the staging-zone re-read
     * (`airflow/plugins/s3_to_postgres.py:60`), minus the reference's
     * dtype re-inference (SURVEY.md §1.3: inference only as compat

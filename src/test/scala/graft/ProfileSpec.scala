@@ -550,4 +550,16 @@ class ProfileSpec extends SparkTestBase {
     assert(out(5)._1 === "c" && out(5)._3.isNaN && !out(5)._4) // no mean exists
     assert(out(0) === (("a", false, 2.0, false))) // observed rows untouched
   }
+  test("histogram2d: totals reconcile, both axes clamp, empty cells emitted") {
+    import spark.implicits._
+    val df = Seq((-5.0, 0.5), (0.0, 0.5), (9.0, 2.5), (20.0, 99.0),
+      (Double.NaN, 1.0), (3.0, Double.NaN)).toDF("x", "y")
+    val h = rows(Profile.histogram2d(df, "x", 0.0, 10.0, 2, "y", 0.0, 3.0, 3)
+      .orderBy(col("bucket_x"), col("bucket_y")))
+    assert(h.size === 6) // full 2x3 spine
+    assert(h.map(_.getLong(4)).sum === 4L) // NaN rows dropped, rest land
+    val cell = h.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(cell((0L, 0L)) === 2L) // -5 clamps in; 0.0 belongs
+    assert(cell((1L, 2L)) === 2L) // 20 and 99 clamp into the top cell
+  }
 }

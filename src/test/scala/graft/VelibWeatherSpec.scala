@@ -126,4 +126,18 @@ class VelibWeatherSpec extends SparkTestBase {
     assert(m((Timestamp.valueOf("2024-01-31 23:00:00"), 213688169L)) === 5)
     assert(m((Timestamp.valueOf("2024-02-01 00:00:00"), 213688169L)) === 4)
   }
+  test("readJsonPermissive quarantines malformed lines instead of dying") {
+    val df = graft.sources.Sources.readJsonPermissive(spark,
+      "/root/repo/fixtures/station_status_mixed.json",
+      graft.model.Schemas.velibRaw)
+    val rows_ = df.collect()
+    assert(rows_.length === 4)
+    val (bad, good) = rows_.partition(r => r.getAs[String]("_corrupt") != null)
+    assert(good.length === 2 && bad.length === 2)
+    // corrupt rows carry the raw line whole and NULL schema fields
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("ttl"))))
+    assert(bad.exists(_.getAs[String]("_corrupt").startsWith("not json")))
+    // good rows parse fully
+    assert(good.map(_.getAs[Long]("ttl")).sorted === Seq(3600L, 7200L))
+  }
 }
