@@ -830,6 +830,44 @@ object Profile {
         col("n_rows"), col("n_cells"))
   }
 
+  /** Ordinary-least-squares line fit y = slope·x + intercept with R² —
+    * the one-line trend estimator ("is volume actually growing, and
+    * how fast?") over the [[pearsonExact]] portability contract:
+    * values scale to exact integer hundredths, every Σx/Σy/Σxy/Σx²/Σy²
+    * is an exact DECIMAL(38,0) sum (one scan, one 1-row exchange), and
+    * slope/intercept/R² are a FIXED chain of IEEE steps over those
+    * exact sums — bit-replayable on any engine. The hundredths scaling
+    * cancels in the slope (both axes scale by 100); the intercept
+    * divides back once. A vertical/degenerate x (zero variance) reads
+    * NULL slope/intercept/R² via try_divide. <= 2-dp inputs exact
+    * (the documented contract). Output: (n, slope, intercept, r2).
+    */
+  def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val scaled = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(
+        round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
+          .as("__x"),
+        round(col(yCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
+          .as("__y"))
+    val sums = scaled.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n").cast(DecimalType(38, 0))
+    val num = (nD * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (nD * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val slope = try_divide(num, vx)
+    val corr = try_divide(num, sqrt(vx) * sqrt(vy))
+    sums.select(col("n"),
+      round(slope, 6).as("slope"),
+      round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
+        / col("n").cast("double") / 100.0, 6).as("intercept"),
+      round(corr * corr, 6).as("r2"))
+  }
+
   /** EXACT-integer Pearson correlation matrix over up to 6 numeric
     * columns with at most 2 fractional decimals — the cross-column
     * drift detector (price vs quantity suddenly decorrelating is a

@@ -939,6 +939,36 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // OLS trend line over daily volumes (y = slope·day + intercept,
+    // R²) — "is volume actually growing, and how fast?". Exact
+    // decimal moments (the pearsonExact contract), one scan, one
+    // 1-row exchange; slope/intercept/R² are a fixed IEEE chain.
+    "q_profile_ols" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(dayofmonth(col("ts")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      Profile.linearFit(daily, "x", "y")
+    }),
+
+    // Funnel latency: p50/p90 time-to-advance over the q_funnel
+    // steps (exact percentile over epoch-microsecond gaps; dropouts'
+    // NULL gaps are skipped by both engines' aggregates).
+    "q_funnel_latency" -> ((s, dir) => {
+      val f = Analytics.funnelTimes(table(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("signup", "view", "click", "purchase"))
+      val l2 = (unix_micros(col("t_2")) - unix_micros(col("t_1")))
+        .cast("double")
+      val l4 = (unix_micros(col("t_4")) - unix_micros(col("t_1")))
+        .cast("double")
+      f.agg(
+        count(lit(1)).as("n_entered"),
+        count(col("t_2")).as("n_step2"),
+        count(col("t_4")).as("n_converted"),
+        round(percentile(l2, lit(0.5)), 4).as("p50_step2_us"),
+        round(percentile(l4, lit(0.5)), 4).as("p50_convert_us"),
+        round(percentile(l4, lit(0.9)), 4).as("p90_convert_us"))
+    }),
+
     // 2D heatmap bins: the joint quantity × discount distribution in
     // one map-side double-bucket pass; the full spine emits empty
     // cells so totals reconcile.
@@ -2764,6 +2794,63 @@ object RelationalQueries {
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_cats
         |FROM tm""".stripMargin,
+    "q_profile_ols" ->
+      """WITH d AS (
+        |  SELECT day(ts) AS x, COUNT(*) AS y FROM events GROUP BY 1
+        |), sc AS (
+        |  SELECT CAST(ROUND(CAST(x AS DOUBLE) * 100) AS HUGEINT) AS xs,
+        |    CAST(ROUND(CAST(y AS DOUBLE) * 100) AS HUGEINT) AS ys
+        |  FROM d WHERE x IS NOT NULL AND y IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(xs) AS sx, SUM(ys) AS sy,
+        |    SUM(xs * xs) AS sxx, SUM(xs * ys) AS sxy, SUM(ys * ys) AS syy
+        |  FROM sc
+        |), f AS (
+        |  SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(num / vx, 6) AS slope,
+        |  ROUND((syd - (num / vx) * sxd) / CAST(n AS DOUBLE) / 100.0, 6)
+        |    AS intercept,
+        |  ROUND((num / (sqrt(vx) * sqrt(vy)))
+        |    * (num / (sqrt(vx) * sqrt(vy))), 6) AS r2
+        |FROM f""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t_1, MIN(e.ts) AS t_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts > s1.t_1
+        |  GROUP BY s1.user_id, s1.t_1
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t_1, s2.t_2, MIN(e.ts) AS t_3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'click' AND e.ts > s2.t_2
+        |  GROUP BY s2.user_id, s2.t_1, s2.t_2
+        |), s4 AS (
+        |  SELECT s3.user_id, s3.t_1, s3.t_2, s3.t_3, MIN(e.ts) AS t_4
+        |  FROM s3 LEFT JOIN events e
+        |    ON e.user_id = s3.user_id AND e.event_type = 'purchase' AND e.ts > s3.t_3
+        |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+        |  CAST(COUNT(t_2) AS BIGINT) AS n_step2,
+        |  CAST(COUNT(t_4) AS BIGINT) AS n_converted,
+        |  ROUND(quantile_cont(CAST(epoch_us(t_2) - epoch_us(t_1) AS DOUBLE),
+        |    0.5), 4) AS p50_step2_us,
+        |  ROUND(quantile_cont(CAST(epoch_us(t_4) - epoch_us(t_1) AS DOUBLE),
+        |    0.5), 4) AS p50_convert_us,
+        |  ROUND(quantile_cont(CAST(epoch_us(t_4) - epoch_us(t_1) AS DOUBLE),
+        |    0.9), 4) AS p90_convert_us
+        |FROM s4""".stripMargin,
     "q_profile_hist2d" ->
       """WITH w AS (
         |  SELECT (CAST(51.0 AS DOUBLE) - 1.0) / 10 AS wx,

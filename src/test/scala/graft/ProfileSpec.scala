@@ -562,4 +562,22 @@ class ProfileSpec extends SparkTestBase {
     assert(cell((0L, 0L)) === 2L) // -5 clamps in; 0.0 belongs
     assert(cell((1L, 2L)) === 2L) // 20 and 99 clamp into the top cell
   }
+  test("linearFit recovers an exact line; degenerate x reads NULL") {
+    import spark.implicits._
+    val line = Seq((1.0, 5.0), (2.0, 7.0), (3.0, 9.0), (4.0, 11.0))
+      .toDF("x", "y") // y = 2x + 3
+    val r = rows(Profile.linearFit(line, "x", "y")).head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 3.0)
+    assert(r.getDouble(3) === 1.0)
+    // noisy but centered: slope 0, r2 0
+    val flat = Seq((1.0, 10.0), (2.0, 0.0), (3.0, 10.0), (4.0, 0.0),
+      (1.0, 0.0), (2.0, 10.0), (3.0, 0.0), (4.0, 10.0)).toDF("x", "y")
+    val f = rows(Profile.linearFit(flat, "x", "y")).head
+    assert(f.getDouble(1) === 0.0 && f.getDouble(3) === 0.0)
+    // constant x: vertical line, no fit
+    val vert = Seq((2.0, 1.0), (2.0, 5.0)).toDF("x", "y")
+    val v = rows(Profile.linearFit(vert, "x", "y")).head
+    assert(v.isNullAt(1) && v.isNullAt(2) && v.isNullAt(3))
+  }
 }
