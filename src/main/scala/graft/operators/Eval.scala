@@ -194,4 +194,50 @@ object Eval {
       sum(col("__n")).as("n_rows"),
       count(lit(1)).as("n_bins"))
   }
+  /** Cohen's kappa for inter-annotator agreement — the labeling-QA
+    * gate a supervised corpus runs before trusting its labels (raw
+    * percent-agreement flatters raters who both spam the majority
+    * class; kappa subtracts chance agreement):
+    * `κ = (p_o − p_e) / (1 − p_e)` with observed agreement p_o and
+    * chance agreement `p_e = Σ_k p_a(k)·p_b(k)` from the marginals.
+    *
+    * One count shuffle builds the (a, b) confusion cells; marginals
+    * aggregate from those cells and meet on the class key. Every probability is
+    * an exact-integer ratio: the final kappa clears denominators to
+    * `(n·Σ_diag n_kk − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)` — exact
+    * DECIMAL numerator/denominator, ONE IEEE division, round 6 (NULL
+    * when the raters are constant and identical — p_e = 1 makes kappa
+    * undefined). NULL labels on either side are excluded. Output:
+    * (n_items, p_observed, p_chance, kappa).
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__c"))
+    // Σ r_k·c_k needs one term per CLASS, not per cell, so the
+    // marginals aggregate separately and meet on the class key.
+    val aM = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__ra"))
+    val bM = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__cb"))
+    val prodSum = aM.join(bM, Seq("__k"))
+      .agg(sum(col("__ra") * col("__cb")).as("__rc"))
+    val diagAndN = cells.agg(
+      sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(lit(0).cast(DecimalType(38, 0)))).as("__diag"),
+      sum(col("__c")).as("__n"))
+    diagAndN.crossJoin(prodSum).select(
+      col("__n").cast("long").as("n_items"),
+      round(col("__diag").cast("double") / col("__n").cast("double"), 6)
+        .as("p_observed"),
+      round(col("__rc").cast("double")
+        / (col("__n") * col("__n")).cast("double"), 6).as("p_chance"),
+      round(try_divide(
+        (col("__n") * col("__diag") - col("__rc")).cast("double"),
+        (col("__n") * col("__n") - col("__rc")).cast("double")), 6)
+        .as("kappa"))
+  }
 }

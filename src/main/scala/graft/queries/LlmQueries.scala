@@ -523,6 +523,19 @@ object LlmQueries {
         (col("label") % 2).as("y")), "score", "y")
     }),
 
+    // Cohen's kappa between two derived raters (label mod 3, and the
+    // same with planted disagreements on every 5th item) — the
+    // annotation-QA gate: chance-corrected agreement from the exact
+    // confusion cells, cleared-denominator single division.
+    "q_eval_kappa" -> ((s, dir) => {
+      Eval.cohensKappa(embs(s, dir)
+          .filter(col("label").isNotNull && col("vec_id").isNotNull)
+          .select((col("label") % 3).as("rater_a"),
+            ((col("label") + when(col("vec_id") % 5 === 0, 1).otherwise(0))
+              % 3).as("rater_b")),
+        "rater_a", "rater_b")
+    }),
+
     // Scalar Expected Calibration Error — the one-number drift alarm
     // over the same equi-frequency deciles as q_eval_calibration; the
     // weighted |pos_rate - mean_score| sum is exact decimal
@@ -2671,6 +2684,33 @@ object LlmQueries {
          |  SELECT probe_id, SUM(t) AS s, CAST(COUNT(*) AS BIGINT) AS n_common
          |  FROM terms GROUP BY probe_id) s ON s.probe_id = p.vec_id
          |ORDER BY probe_id""".stripMargin,
+    "q_eval_kappa" ->
+      """WITH r AS (
+        |  SELECT CAST(label % 3 AS VARCHAR) AS a,
+        |    CAST((label + CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) % 3
+        |      AS VARCHAR) AS b
+        |  FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+        |), c AS (
+        |  SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS c FROM r GROUP BY 1, 2
+        |), am AS (
+        |  SELECT a AS k, SUM(c) AS ra FROM c GROUP BY 1
+        |), bm AS (
+        |  SELECT b AS k, SUM(c) AS cb FROM c GROUP BY 1
+        |), rc AS (
+        |  SELECT SUM(am.ra * bm.cb) AS rc FROM am JOIN bm USING (k)
+        |), d AS (
+        |  SELECT SUM(CASE WHEN a = b THEN c ELSE 0 END) AS diag,
+        |    SUM(c) AS n
+        |  FROM c
+        |)
+        |SELECT CAST(d.n AS BIGINT) AS n_items,
+        |  ROUND(CAST(d.diag AS DOUBLE) / CAST(d.n AS DOUBLE), 6)
+        |    AS p_observed,
+        |  ROUND(CAST(rc.rc AS DOUBLE) / CAST(d.n * d.n AS DOUBLE), 6)
+        |    AS p_chance,
+        |  ROUND(CAST(d.n * d.diag - rc.rc AS DOUBLE)
+        |    / CAST(d.n * d.n - rc.rc AS DOUBLE), 6) AS kappa
+        |FROM d, rc""".stripMargin,
     "q_eval_auc" ->
       """WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y

@@ -104,4 +104,23 @@ class EvalSpec extends SparkTestBase {
     val perfect = Seq((1.0, 1), (0.0, 0)).toDF("s", "y")
     assert(rows(Eval.brier(perfect, "s", "y")).head.getDouble(0) === 0.0)
   }
+  test("cohensKappa: perfect, chance-level, and planted-disagreement cases") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))
+      .toDF("a", "b")
+    val p = rows(Eval.cohensKappa(perfect, "a", "b")).head
+    assert(p.getDouble(1) === 1.0 && p.getDouble(3) === 1.0)
+    // constant identical raters: p_e = 1 -> kappa undefined (NULL)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(rows(Eval.cohensKappa(const, "a", "b")).head.isNullAt(3))
+    // hand 2x2: cells (x,x)=20 (x,y)=5 (y,x)=10 (y,y)=15, n=50
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val hand = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y"))
+      ++ Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("a", "b")
+    val h = rows(Eval.cohensKappa(hand, "a", "b")).head
+    assert(h.getLong(0) === 50L)
+    assert(h.getDouble(1) === 0.7 && h.getDouble(2) === 0.5)
+    assert(h.getDouble(3) === BigDecimal(0.4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
