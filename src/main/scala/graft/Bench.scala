@@ -157,8 +157,38 @@ object Bench {
     // survives whether the capture keeps the head or the tail.
     val compact =
       s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}"""
+    // Per-query delta vs the previous bench run's artifact, so a
+    // regression is machine-visible in THIS round's JSON instead of
+    // being re-derived from two truncated tails. Prior times come from
+    // bench_total.json's "queries" map (extracted with a regex — the
+    // artifact is machine-written, flat, and number-valued by
+    // construction). Missing file / new query => no entry.
+    val priorTimes: Map[String, Double] = {
+      val f = new java.io.File("bench_total.json")
+      if (!f.isFile) Map.empty
+      else try {
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        val qsection = txt.indexOf("\"queries\":{")
+        if (qsection < 0) Map.empty
+        else "\"(q_[A-Za-z0-9_]+)\":([0-9.]+)".r
+          .findAllMatchIn(txt.substring(qsection))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val trend = results.flatMap { case (k, v, _, _) =>
+      priorTimes.get(k).map(p => s"${jstr(k)}:${num(v - p, "%.3f")}")
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"trend":$trend,"sf":${jstr(sfDir)}}"""
+    // Belt-and-braces for the driver's tail parser: the compact headline
+    // brackets the long map line on stdout, AND the full JSON is written
+    // to a bare artifact file free of any build-tool log prefixes.
+    val out = new java.io.PrintWriter(
+      new java.io.File("bench_total.json"), "UTF-8")
+    try out.println(full) finally out.close()
     println(compact)
-    println(s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"sf":${jstr(sfDir)}}""")
+    println(full)
     println(compact)
+    System.err.println(s"[bench] wrote ${new java.io.File("bench_total.json").getAbsolutePath}")
   }
 }

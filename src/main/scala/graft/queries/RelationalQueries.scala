@@ -1570,6 +1570,93 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S4 + K2 CSV staging round-trip, driver-visible (mirrors the
+    // reference's S3-CSV staging hop: transform writes replace=True CSV
+    // `etl_dag.py:106-112`, the loader re-reads it
+    // `s3_to_postgres.py:60`). Write the FULL slice first, then
+    // OVERWRITE with the filtered slice — if overwrite semantics ever
+    // degraded to append-or-keep, stale rows would survive and the
+    // row/hash check fails. Read back through the schema'd CSV reader
+    // (no inference) and return the rows; oracle = the same filter on
+    // the source table, so green proves header+overwrite+typed-re-read
+    // loses nothing and invents nothing. Doubles round-trip exactly:
+    // Spark writes Java's shortest round-trippable representation.
+    "q_sink_csvtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_").toString + "/customer"
+      val src = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+      Sinks.writeCsvOverwrite(src, out)
+      Sinks.writeCsvOverwrite(src.filter(col("c_mktsegment") === "BUILDING"), out)
+      Sources.readCsv(s, out, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // K1 raw-zone JSON, driver-visible: non-replacing write (the
+    // reference's S3 upload without `replace`, `etl_dag.py:51-55`) —
+    // raw history is immutable, so a re-land against the same path
+    // must FAIL, not silently overwrite. The query lands the slice,
+    // attempts the forbidden second land (must throw), then reads the
+    // raw zone back through the schema'd FAILFAST JSON reader. The
+    // `reland_failed` column pins the non-replacing contract into the
+    // oracle hash: if ErrorIfExists ever regressed to overwrite, the
+    // column reads false and the row hash-mismatches.
+    "q_sink_rawjson" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_rj_").toString + "/orders"
+      val src = table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      Sinks.writeRawJson(src, out)
+      val relandFailed =
+        try { Sinks.writeRawJson(src, out); false }
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      s.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+        .option("mode", "FAILFAST").json(out)
+        .withColumn("reland_failed", lit(relandFailed))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K4 idempotent DDL, driver-visible: CREATE TABLE IF NOT EXISTS
+    // (`etl_dag.py:116-139`, `:266-280`) through the session catalog.
+    // ensureTable → load → ensureTable AGAIN: the second call is the
+    // observable semantics under test — IF NOT EXISTS must be a no-op
+    // that preserves the loaded rows (a CREATE-OR-REPLACE regression
+    // would wipe them and fail the row/hash check). Read back through
+    // the catalog and aggregate; oracle = the same aggregate on the
+    // source table. DROP first so re-runs inside one session start
+    // clean; the graft_tmp database points at /tmp (see
+    // q_sink_bucketed) so catalog data never lands in the checkout.
+    "q_sink_ddl" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wh_")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$wh'")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.ddl_nation")
+      val ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+      Sinks.ensureTable(s, "graft_tmp.ddl_nation", ddl)
+      table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.insertInto("graft_tmp.ddl_nation")
+      Sinks.ensureTable(s, "graft_tmp.ddl_nation", ddl) // idempotent no-op
+      s.table("graft_tmp.ddl_nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).as("sum_key"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // Schema evolution: two drops of the same table where the newer
     // batch gained a column. mergeSchema unifies the layouts at read
     // time — old rows surface NULL for the new column instead of
@@ -3144,6 +3231,22 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sink_csvtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        | c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sink_rawjson" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        | TRUE AS reland_failed
+        |FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sink_ddl" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        | CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+        | MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_join_overlap" ->
       """WITH w AS (
         |  SELECT o_orderkey AS k,
