@@ -168,10 +168,14 @@ object Bench {
       if (!f.isFile) Map.empty
       else try {
         val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
-        val qsection = txt.indexOf("\"queries\":{")
-        if (qsection < 0) Map.empty
+        // Slice ONLY the queries object (names/values contain no
+        // braces, so the first '}' closes it) — scanning further would
+        // let the "spread" object's same-named entries shadow times.
+        val start = txt.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else txt.indexOf('}', start)
+        if (start < 0 || end < 0) Map.empty
         else "\"(q_[A-Za-z0-9_]+)\":([0-9.]+)".r
-          .findAllMatchIn(txt.substring(qsection))
+          .findAllMatchIn(txt.substring(start, end))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }

@@ -63,17 +63,37 @@ object LangModel {
       bigrams: Map[String, Long],
       totalTokens: Long)
 
+  /** Literal-path ceiling: below it the vocabulary membership filter
+    * and the scoring maps embed in the plan/closure (codegen-friendly,
+    * zero setup); above it [[train]] switches to a broadcast-variable
+    * membership check and callers score via [[scoreDocsBcast]]. The
+    * ceiling is SOFT — both paths are bit-identical (asserted at the
+    * boundary in LangModelSpec).
+    */
+  val LiteralCap = 8192
+
+  /** Hard model ceiling for either path: the pruned model is a
+    * driver-collected MODEL and must stay node-memory-bounded (~100 B
+    * per entry => ~100 MB at the cap — the same bounded-broadcast
+    * budget as [[Bloom]]'s filter). A vocabulary past this is no
+    * longer a pruned scoring LM; shard the corpus instead.
+    */
+  val MaxModelEntries = 1 << 20
+
   /** Train a pruned model over `textCol`. Empty tokens (from repeated
-    * separators) are dropped. vocabSize/bigramSize are capped at 8192
-    * — the model must stay a broadcastable literal.
+    * separators) are dropped. Below [[LiteralCap]] the vocabulary
+    * membership pre-filter is a literal map lookup (codegen'd);
+    * above it the vocabulary ships as a broadcast variable and the
+    * filter is a hash-set probe — same rows retained, no plan-size
+    * growth, corpus still never shuffles before the bigram count.
     */
   def train(
       docs: DataFrame, textCol: String,
       vocabSize: Int = 1000, bigramSize: Int = 4000): BigramModel = {
-    require(vocabSize >= 1 && vocabSize <= 8192,
-      s"vocabSize must be in [1, 8192], got $vocabSize")
-    require(bigramSize >= 1 && bigramSize <= 8192,
-      s"bigramSize must be in [1, 8192], got $bigramSize")
+    require(vocabSize >= 1 && vocabSize <= MaxModelEntries,
+      s"vocabSize must be in [1, $MaxModelEntries], got $vocabSize")
+    require(bigramSize >= 1 && bigramSize <= MaxModelEntries,
+      s"bigramSize must be in [1, $MaxModelEntries], got $bigramSize")
     val toks = docs
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -87,15 +107,32 @@ object LangModel {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     } finally counts.unpersist()
     // membership against the retained vocabulary is checked map-side
-    // against the literal vocab BEFORE the bigram count shuffle, so
-    // untracked bigrams never enter the exchange
-    val vocabLit = typedlit(vocab)
-    val biCounts = docs
+    // BEFORE the bigram count shuffle, so untracked bigrams never
+    // enter the exchange. Two equivalent forms of the same filter:
+    // a plan-literal map lookup while the vocab fits the codegen
+    // budget, a broadcast hash-set probe past it (one copy per
+    // executor, O(1) probes, zero plan growth).
+    val bigramsAll = docs
       .select(filter(Text.tokens(col(textCol)), w => w =!= "").as("t"))
       .select(explode(bigramPairs(col("t"))).as("b"))
-      .filter(
-        element_at(vocabLit, element_at(split(col("b"), " "), 1)).isNotNull &&
-        element_at(vocabLit, element_at(split(col("b"), " "), 2)).isNotNull)
+    // switch on the REQUESTED size (the caller's declared scale
+    // regime), not the realized map size: the plan shape stays stable
+    // as the corpus grows toward the requested vocabulary
+    val bigramsInVocab =
+      if (vocabSize <= LiteralCap) {
+        val vocabLit = typedlit(vocab)
+        bigramsAll.filter(
+          element_at(vocabLit, element_at(split(col("b"), " "), 1)).isNotNull &&
+          element_at(vocabLit, element_at(split(col("b"), " "), 2)).isNotNull)
+      } else {
+        val bc = docs.sparkSession.sparkContext.broadcast(vocab.keySet)
+        val inVocab = udf { (b: String) =>
+          val i = b.indexOf(' ') // tokens are space-split: first space separates
+          bc.value.contains(b.substring(0, i)) && bc.value.contains(b.substring(i + 1))
+        }
+        bigramsAll.filter(inVocab(col("b")))
+      }
+    val biCounts = bigramsInVocab
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("b").asc).limit(bigramSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -137,26 +174,62 @@ object LangModel {
     val big = model.bigrams
     val n = model.totalTokens.toDouble
     val a = alpha
+    val lpSum = udf { (toks: Seq[String]) => foldLogProb(toks, uni, big, n, a) }
+    scoreWith(docs, idCol, textCol, lpSum)
+  }
+
+  /** The scale path past [[LiteralCap]]: identical scoring with the
+    * model shipped as ONE Spark broadcast variable instead of a
+    * closure capture — one deserialized copy per executor (closure
+    * capture re-serializes the maps into every stage's task binary),
+    * no plan-size growth, and the same zero-shuffle map-side plan
+    * (asserted in LangModelSpec, with bit-equality to [[scoreDocs]]).
+    * A broadcast-JOIN form was rejected: joining exploded bigrams
+    * against the model requires re-grouping every bigram row back to
+    * its document — a full corpus exchange the fold never pays.
+    */
+  def scoreDocsBcast(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: BigramModel, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val n = model.totalTokens.toDouble
+    val a = alpha
     val lpSum = udf { (toks: Seq[String]) =>
-      var s = 0.0
-      var i = 0
-      while (i < toks.length - 1) {
-        val w1 = toks(i)
-        val w2 = toks(i + 1)
-        s += (big.get(w1 + " " + w2) match {
-          case Some(c12) => uni.get(w1) match {
-            case Some(c1) => math.log(c12.toDouble / c1.toDouble)
-            case None => math.log(a / n) // unreachable: retained => in vocab
-          }
-          case None => uni.get(w2) match {
-            case Some(c2) => math.log(a * c2.toDouble / n)
-            case None => math.log(a / n)
-          }
-        })
-        i += 1
-      }
-      s
+      foldLogProb(toks, bc.value.unigrams, bc.value.bigrams, n, a)
     }
+    scoreWith(docs, idCol, textCol, lpSum)
+  }
+
+  /** The shared left fold — ONE definition so the literal and the
+    * broadcast paths cannot drift arithmetically.
+    */
+  private def foldLogProb(
+      toks: Seq[String], uni: Map[String, Long], big: Map[String, Long],
+      n: Double, a: Double): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < toks.length - 1) {
+      val w1 = toks(i)
+      val w2 = toks(i + 1)
+      s += (big.get(w1 + " " + w2) match {
+        case Some(c12) => uni.get(w1) match {
+          case Some(c1) => math.log(c12.toDouble / c1.toDouble)
+          case None => math.log(a / n) // unreachable: retained => in vocab
+        }
+        case None => uni.get(w2) match {
+          case Some(c2) => math.log(a * c2.toDouble / n)
+          case None => math.log(a / n)
+        }
+      })
+      i += 1
+    }
+    s
+  }
+
+  private def scoreWith(
+      docs: DataFrame, idCol: String, textCol: String,
+      lpSum: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     docs
       .select(col(idCol),
         filter(Text.tokens(col(textCol)), w => w =!= "").as("__t"))
@@ -166,5 +239,4 @@ object LangModel {
         round(try_divide(
           lpSum(col("__t")),
           (size(col("__t")) - 1).cast("double")), 6).as("avg_logprob"))
-  }
 }

@@ -543,9 +543,9 @@ object Sampling {
     * total — inherent to the greedy, each against cache, never the
     * source). Each pick rides the plan as one literal vector (the
     * [[KMeans]] codebook idiom); the plan grows one node per round,
-    * which is why k is capped at 64 — past that, batch the selection
-    * (pick several farthest points per round) or switch to k-means++
-    * sampling rather than inflating a 100-deep literal plan.
+    * which is why k is capped at 64 — past that,
+    * [[farthestPointSampleBatched]] picks several farthest points per
+    * round rather than inflating a 100-deep literal plan.
     *
     * max is associative, so the running max is bit-identical to the
     * all-pairs re-score — `q_sample_coreset`'s unrolled oracle replays
@@ -602,6 +602,96 @@ object Sampling {
           selected = selected :+ ((next(0).getLong(0), vec))
           covered = covered.withColumn("__cover",
             greatest(col("__cover"), coverOf(vec)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+      } finally {
+        parent.foreach(_.unpersist())
+        covered.unpersist()
+      }
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case ((id, _), r) => (r, id) }.toDF("sel_rank", "vec_id")
+    } finally base.unpersist()
+  }
+
+  /** Driver round-trips a batched run pays: the seed plus one argmin
+    * job per batch of picks. Exposed so the large-k job-count contract
+    * is testable as arithmetic, not listener counting.
+    */
+  private[graft] def batchedRounds(k: Int, batch: Int): Int =
+    1 + (k - 2 + batch) / batch
+
+  /** Large-k path of [[farthestPointSample]]: each round takes the
+    * `batch` LEAST-covered points (w.r.t. the cover of all PREVIOUS
+    * rounds' picks) in one argmin job, then folds all of them into the
+    * running max at once — driver round-trips and persisted plan
+    * frames drop from k to ceil((k-1)/batch), so k=256 at batch=8 is
+    * 33 jobs and 32 frames instead of 256 of each.
+    *
+    * Guarantee, stated honestly: picks within one round do not see
+    * each other's coverage, so this is NOT the exact Gonzalez greedy
+    * past batch=1 — two same-round picks may be near each other, and
+    * the 2-approximation proof does not carry over verbatim. It is
+    * the standard oversampling relaxation (the k-means|| idea,
+    * Bahmani et al. VLDB'12: oversample per round, quality recovered
+    * because later rounds cover whatever a batch over-picked).
+    * batch=1 IS the exact greedy (asserted bit-equal to
+    * [[farthestPointSample]] in SamplingSpec); callers who need the
+    * proof use that, callers who need k in the hundreds trade it for
+    * k/batch round-trips.
+    *
+    * Ranks within a round follow the same (cover asc, id asc) order
+    * the argmin returned, so output ranks are deterministic.
+    */
+  def farthestPointSampleBatched(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      batch: Int = 8): DataFrame = {
+    require(batch >= 1 && batch <= 64, s"batch must be in [1, 64], got $batch")
+    require(k >= 1 && k <= 1024,
+      s"k must be in [1, 1024] (ceil((k-1)/batch) persisted plan frames), got $k")
+    require(k == 1 || batchedRounds(k, batch) <= 65,
+      s"k=$k at batch=$batch needs ${batchedRounds(k, batch)} rounds; " +
+        "raise batch so rounds stay <= 65")
+    import graft.functions.VectorOps
+    import org.apache.spark.storage.StorageLevel
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+        VectorOps.norm(col(vecCol)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = base.orderBy(col("id")).limit(1)
+        .select(col("id"), col("__v")).collect()
+      require(seedRow.nonEmpty, "corpus is empty")
+      var selected = List[(Long, Array[Float])](
+        (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
+      def coverOf(sv: Array[Float]) = {
+        var n = 0.0; sv.foreach(x => n += x.toDouble * x.toDouble)
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("__v"), typedlit(sv)),
+          col("__n") * lit(math.sqrt(n))))
+      }
+      var covered = base.withColumn("__cover", coverOf(selected.head._2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var parent: Option[DataFrame] = None
+      try {
+        while (selected.size < k) {
+          val want = math.min(batch, k - selected.size)
+          val next = covered
+            .filter(!col("id").isInCollection(selected.map(_._1)))
+            .select(col("id"), col("__v"), col("__cover"))
+            .orderBy(col("__cover").asc, col("id").asc)
+            .limit(want).collect()
+          require(next.length == want,
+            s"corpus exhausted before k=$k picks (got ${selected.size + next.length})")
+          parent.foreach(_.unpersist())
+          parent = Some(covered)
+          val picks = next.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          selected = selected ++ picks
+          // one frame folds the whole batch: greatest() over the prior
+          // cover and every new pick's cosine, all in one projection
+          covered = covered.withColumn("__cover",
+            greatest(col("__cover") +: picks.map(p => coverOf(p._2)): _*))
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
       } finally {

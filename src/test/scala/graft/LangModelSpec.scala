@@ -58,4 +58,26 @@ class LangModelSpec extends SparkTestBase {
     val p = planString(LangModel.scoreDocs(corpus, "doc_id", "text", m))
     assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
   }
+
+  test("boundary: broadcast-membership training path == literal path") {
+    // Requested sizes straddle LiteralCap; the tiny corpus retains the
+    // same vocabulary either way, so the two membership filters must
+    // produce the identical model (the soft-ceiling contract).
+    val lit = LangModel.train(corpus, "text",
+      vocabSize = LangModel.LiteralCap, bigramSize = 10)
+    val bc = LangModel.train(corpus, "text",
+      vocabSize = LangModel.LiteralCap + 1, bigramSize = 10)
+    assert(bc === lit)
+  }
+
+  test("scoreDocsBcast: bit-identical to scoreDocs, still zero-shuffle") {
+    val m = LangModel.train(corpus, "text", vocabSize = 2, bigramSize = 1)
+    val viaLit = rows(LangModel.scoreDocs(corpus, "doc_id", "text", m)
+      .orderBy(col("doc_id")))
+    val viaBc = rows(LangModel.scoreDocsBcast(corpus, "doc_id", "text", m)
+      .orderBy(col("doc_id")))
+    assert(viaBc === viaLit)
+    val p = planString(LangModel.scoreDocsBcast(corpus, "doc_id", "text", m))
+    assert(!p.contains("Exchange"), s"bcast scoring must not shuffle:\n$p")
+  }
 }

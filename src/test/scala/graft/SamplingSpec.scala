@@ -303,6 +303,48 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("farthestPointSampleBatched: batch=1 is bit-equal to the exact greedy") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat / 11f))
+    }.toDF("id", "vec").repartition(3)
+    val exact = rows(graft.operators.Sampling
+      .farthestPointSample(vecs, "id", "vec", k = 6)
+      .orderBy(col("sel_rank")))
+    val batched = rows(graft.operators.Sampling
+      .farthestPointSampleBatched(vecs, "id", "vec", k = 6, batch = 1)
+      .orderBy(col("sel_rank")))
+    assert(batched === exact)
+  }
+
+  test("farthestPointSampleBatched: large k completes in bounded rounds") {
+    import graft.operators.Sampling
+    // the job-count contract is arithmetic: k=256 at batch=8 = 33
+    // driver round-trips (seed + 32 batch argmins), within the <= 40
+    // bound the literal-plan rationale demands
+    assert(Sampling.batchedRounds(256, 8) === 33)
+    assert(Sampling.batchedRounds(2, 8) === 2)
+    import spark.implicits._
+    val vecs = (0L until 90L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 13 + d * 5) % 17).toFloat / 17f))
+    }.toDF("id", "vec").repartition(4)
+    val picks = rows(Sampling
+      .farthestPointSampleBatched(vecs, "id", "vec", k = 70, batch = 16)
+      .orderBy(col("sel_rank"))).map(r => (r.getInt(0), r.getLong(1)))
+    assert(picks.size === 70)
+    assert(picks.map(_._2).distinct.size === 70) // no repeats
+    assert(picks.head === ((0, 0L))) // rank 0 = lowest id
+    // round 1's first pick sees only the seed's cover — it must equal
+    // the exact greedy's second pick
+    val exact2 = rows(Sampling.farthestPointSample(vecs, "id", "vec", 2)
+      .orderBy(col("sel_rank"))).map(_.getLong(1))
+    assert(picks(1)._2 === exact2(1))
+    // old single-pick cap rejects k=70; the batched path is the escape
+    intercept[IllegalArgumentException] {
+      Sampling.farthestPointSample(vecs, "id", "vec", 70)
+    }
+  }
+
   test("weightedReservoir: exact k, dominant weights win, non-positive never selected") {
     import spark.implicits._
     // one row with overwhelming weight + tiny-weight rows + junk weights
