@@ -9,13 +9,57 @@ import org.apache.spark.sql.functions._
   * decoder (JNI image lib, ffmpeg pipe, ONNX runtime) amortizes its init
   * cost per partition, not per row.
   *
-  * The decode kernel itself is STUBBED with a deterministic fake (this
-  * container has no image/audio codecs); everything Spark-side — schema,
-  * binary handling, partition batching, the mapPartitions signature — is
-  * real and tested. Swap `fakeDecode` for a codec call and nothing else
+  * The IMAGE kernel is real: payloads any `javax.imageio` reader claims
+  * (PNG/BMP/GIF/JPEG — all ship with the JDK, zero-egress) decode to
+  * real pixels, and [[decodeMeta]]/[[perceptualHash]]/[[resize]] run on
+  * actual dimensions and luminance. Payloads no reader claims (text,
+  * audio, video — codecs this container lacks) fall back to the
+  * documented deterministic stub, so those kernels stay honestly
+  * stubbed while schema, batching, and plan shape are shared with the
+  * real path. Swap the stub for an ffmpeg/ONNX call and nothing else
   * changes.
   */
 object Multimodal {
+
+  /** Real image decode through the JDK's public ImageIO registry.
+    * None when no registered reader claims the payload OR the stream
+    * is a truncated/corrupt claimed format — both route to the
+    * deterministic stub rather than failing a 100 TB scan on one bad
+    * blob.
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** 64 integer brightness cells over an 8x8 block grid (block
+    * boundaries floor(c*W/8) etc.): luminance per pixel is
+    * (299r + 587g + 114b) / 1000 and the cell is the integer mean of
+    * its block — ALL-integer arithmetic, so an independent decoder
+    * replays every cell exactly (the q_media_phash_img VALUES oracle
+    * was computed by a from-scratch BMP reader running this math).
+    * Requires both dimensions >= 8 so every block is non-empty.
+    */
+  def imageCells(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 8 && h >= 8, s"image must be >= 8x8 for the cell grid, got ${w}x$h")
+    Array.tabulate(64) { c =>
+      val x0 = (c % 8) * w / 8; val x1 = (c % 8 + 1) * w / 8
+      val y0 = (c / 8) * h / 8; val y1 = (c / 8 + 1) * h / 8
+      var s = 0L; var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (s / ((x1 - x0).toLong * (y1 - y0))).toInt
+    }
+  }
 
   /** Typed metadata extracted from a binary payload. */
   case class MediaMeta(
@@ -55,12 +99,16 @@ object Multimodal {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[BinRow]
       .mapPartitions { rows =>
-        // real impl: val codec = Codec.open() — once per partition
+        // real impl for audio/video: val codec = Codec.open() — once per
+        // partition; images decode for real via ImageIO below
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
           digest.reset()
           val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-          val (w, h, f) = fakeDecode(r.payload)
+          val (w, h, f) = decodeImage(r.payload) match {
+            case Some(img) => (img.getWidth, img.getHeight, 1)
+            case None => fakeDecode(r.payload)
+          }
           MediaMeta(r.doc_id, r.payload.length, sha, w, h, f)
         }
       }
@@ -123,12 +171,18 @@ object Multimodal {
   /** Perceptual difference-hash (dHash) over the decoded media: bit j
     * is "cell j at least as bright as cell j+1" over 64 brightness
     * cells — the classic near-duplicate image fingerprint (robust to
-    * re-encoding and resizing, which preserve brightness ORDER even
-    * when they perturb values). Same `mapPartitions` batching as
-    * [[decodeMeta]]; the brightness kernel is the documented
-    * deterministic stand-in (first md5 byte of payload ++ "_p<j>" —
-    * a real impl reads resampled grayscale cells; nothing else
-    * changes), so a DuckDB oracle rebuilds every bit.
+    * re-encoding and uniform brightness shifts, which preserve
+    * brightness ORDER even when they perturb values). Same
+    * `mapPartitions` batching as [[decodeMeta]].
+    *
+    * Decodable images >= 8x8 hash REAL luminance via [[imageCells]]
+    * (all-integer, independently replayable — `q_media_phash_img`'s
+    * oracle holds values computed by a from-scratch BMP decoder);
+    * other payloads keep the md5 brightness stand-in (first md5 byte
+    * of payload ++ "_p<j>", DuckDB-rebuildable). Either way the 64
+    * cells are computed ONCE per row into a local array — the bit loop
+    * reads each cell twice, and recomputing per bit would double the
+    * digest passes for nothing.
     */
   def perceptualHash(
       spark: SparkSession, withPayload: DataFrame): Dataset[MediaHash] = {
@@ -137,16 +191,19 @@ object Multimodal {
       .mapPartitions { rows =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          def bright(j: Int): Int = {
-            digest.reset()
-            digest.update(r.payload)
-            digest.update(s"_p$j".getBytes("UTF-8"))
-            digest.digest()(0) & 0xff
-          }
+          val cells: Array[Int] = decodeImage(r.payload)
+            .filter(i => i.getWidth >= 8 && i.getHeight >= 8)
+            .map(imageCells)
+            .getOrElse(Array.tabulate(64) { j =>
+              digest.reset()
+              digest.update(r.payload)
+              digest.update(s"_p$j".getBytes("UTF-8"))
+              digest.digest()(0) & 0xff
+            })
           var h = 0L
           var j = 0
           while (j < 63) {
-            if (bright(j) >= bright(j + 1)) h |= (1L << j)
+            if (cells(j) >= cells(j + 1)) h |= (1L << j)
             j += 1
           }
           MediaHash(r.doc_id, h)
@@ -192,24 +249,52 @@ object Multimodal {
     * ratio — binary in, binary out, the transform an image-training
     * pipeline runs between decode and feature extraction. Same
     * `mapPartitions` batching as `decodeMeta` (a real resampler inits
-    * once per partition); the pixel kernel is the same documented stub
-    * (deterministic byte slice proportional to the area change), so the
-    * output payload sizes and dimensions are reproducible and testable.
+    * once per partition).
+    *
+    * Decodable images resample for REAL: deterministic nearest-neighbor
+    * pixel picks (src x = dst x * w / nw, integer floor — no
+    * platform-varying interpolation), re-encoded as BMP via the JDK
+    * encoder, so the output decodes back to the exact predicted pixels
+    * (round-tripped in MultimodalSpec). Non-image payloads keep the
+    * documented stub (byte slice proportional to the area change).
     */
   def resize(
       spark: SparkSession, withPayload: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[BinRow]
       .mapPartitions { rows =>
-        // real impl: val resampler = Resampler.open() — once per partition
+        // real impl for audio/video: val resampler = Resampler.open()
         rows.map { r =>
-          val (w, h, _) = fakeDecode(r.payload)
-          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // stub kernel: keep bytes proportional to the area change
-          val nBytes = math.max(1,
-            (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
-          ResizedMedia(r.doc_id, nw, nh, r.payload.take(nBytes))
+          decodeImage(r.payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+              val (nw, nh) =
+                (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+                  x += 1
+                }
+                y += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "bmp", baos)
+              ResizedMedia(r.doc_id, nw, nh, baos.toByteArray)
+            case None =>
+              val (w, h, _) = fakeDecode(r.payload)
+              val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+              val (nw, nh) =
+                (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+              // stub kernel: keep bytes proportional to the area change
+              val nBytes = math.max(1,
+                (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
+              ResizedMedia(r.doc_id, nw, nh, r.payload.take(nBytes))
+          }
         }
       }
   }

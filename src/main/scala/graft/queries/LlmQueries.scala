@@ -1209,7 +1209,40 @@ object LlmQueries {
         .select(col("doc_id"), col("width"), col("height"),
           length(col("payload")).cast("int").as("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL-pixel perceptual hashing over the committed BMP fixtures:
+    // ImageIO decodes actual pixels and the dHash reads integer
+    // luminance cells (Multimodal.imageCells). The oracle's VALUES
+    // were computed by an INDEPENDENT from-scratch BMP decoder
+    // (fixtures' generator) replaying the same all-integer cell math —
+    // a cross-implementation check, not a copy of the engine's output.
+    // Fixture design: img_001 is img_000 uniformly brightened (+6,
+    // order-preserving -> identical hash), img_002 has one brightened
+    // cell block (hamming 1), img_003/004 are structurally different.
+    "q_media_phash_img" -> ((s, _) => {
+      Multimodal.perceptualHash(s, mediaImages(s)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // Banded near-dup mining over the real-pixel hashes: the brightness
+    // shift and the local tweak must surface as pairs (hamming 0 and 1),
+    // the structurally different images must not.
+    "q_media_neardup_img" -> ((s, _) => {
+      Multimodal.nearDuplicateMedia(s, mediaImages(s), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
+
+  /** The committed real-image fixtures as (doc_id, payload) — doc_id
+    * parsed from the img_NNN.bmp filename.
+    */
+  private def mediaImages(s: SparkSession): DataFrame =
+    graft.sources.Sources
+      .readBinaryFiles(s, "/root/repo/fixtures/media_img", glob = "*.bmp")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "img_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
 
   /** Exactly 20 whitespace tokens — chunk 0 of a planted doc is the
     * whole disclaimer, so boilerplate detection has deterministic hits.
@@ -3406,5 +3439,24 @@ object LlmQueries {
         |)
         |SELECT doc_id, nw AS width, nh AS height,
         | CAST(GREATEST(1, (CAST(n AS BIGINT) * nw * nh) // (CAST(w AS BIGINT) * h)) AS INT) AS n_bytes
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // VALUES computed by the fixture generator's independent pure-python
+    // BMP decoder running the same all-integer luminance/cell math —
+    // see fixtures/media_img and Multimodal.imageCells.
+    "q_media_phash_img" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), CAST(36170086419038336 AS BIGINT)),
+        | (CAST(1 AS BIGINT), CAST(36170086419038336 AS BIGINT)),
+        | (CAST(2 AS BIGINT), CAST(36170086553256064 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(3086560954303228629 AS BIGINT)),
+        | (CAST(4 AS BIGINT), CAST(1338293197504418450 AS BIGINT))
+        |) AS t(doc_id, phash)
+        |ORDER BY doc_id""".stripMargin,
+    "q_media_neardup_img" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS INT)),
+        | (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INT)),
+        | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INT))
+        |) AS t(doc_a, doc_b, hamming)
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -105,4 +105,68 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs === Seq((1L, 2L, 0)))      // only the true duplicate pair
   }
+
+  // -- real-pixel image path (committed BMP fixtures) -----------------
+
+  private def fixtureImages = {
+    import spark.implicits._
+    new java.io.File("/root/repo/fixtures/media_img").listFiles()
+      .filter(_.getName.endsWith(".bmp")).sortBy(_.getName)
+      .map { f =>
+        (f.getName.replaceAll("\\D", "").toLong,
+          java.nio.file.Files.readAllBytes(f.toPath))
+      }.toSeq.toDF("doc_id", "payload")
+  }
+
+  test("decodeMeta reads REAL dimensions for decodable images") {
+    val m = Multimodal.decodeMeta(spark, fixtureImages)
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(m.size === 5)
+    m.values.foreach { x =>
+      assert(x.width === 24 && x.height === 16 && x.n_frames === 1)
+    }
+  }
+
+  test("perceptualHash on real pixels: brightness shift invariant, tweak flips one bit") {
+    val h = Multimodal.perceptualHash(spark, fixtureImages)
+      .collect().map(x => x.doc_id -> x.phash).toMap
+    assert(h(0L) === h(1L))                                // +6 uniform: same order
+    assert(java.lang.Long.bitCount(h(0L) ^ h(2L)) === 1)   // local tweak: 1 bit
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 3)     // checkerboard: far
+    // pinned against the independent pure-python BMP decoder's values
+    assert(h(0L) === 36170086419038336L)
+    assert(h(3L) === 3086560954303228629L)
+  }
+
+  test("nearDuplicateMedia over real pixels finds exactly the planted pairs") {
+    val pairs = rows(Multimodal.nearDuplicateMedia(spark, fixtureImages, maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs === Seq((0L, 1L, 0), (0L, 2L, 1), (1L, 2L, 1)))
+  }
+
+  test("resize on a real image: nearest-neighbor pixels, BMP round-trip") {
+    val out = Multimodal.resize(spark, fixtureImages, maxDim = 12)
+      .collect().map(r => r.doc_id -> r).toMap
+    val r0 = out(0L)
+    assert(r0.width === 12 && r0.height === 8) // 24x16 halved into the box
+    val back = Multimodal.decodeImage(r0.payload).get
+    assert(back.getWidth === 12 && back.getHeight === 8)
+    val orig = Multimodal.decodeImage(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/fixtures/media_img/img_000.bmp"))).get
+    // every output pixel is the exact nearest-neighbor source pick
+    for (y <- 0 until 8; x <- 0 until 12)
+      assert((back.getRGB(x, y) & 0xffffff) ===
+        (orig.getRGB(x * 24 / 12, y * 16 / 8) & 0xffffff))
+  }
+
+  test("non-image payloads still take the deterministic stub path") {
+    // text bytes decode via no ImageIO reader -> md5 stub (unchanged
+    // from the pre-image-path behavior pinned by q_media_phash)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    val h = Multimodal.perceptualHash(spark, Multimodal.withBinaryPayload(docs))
+      .collect()
+    assert(h.length === 3) // and decodeMeta's stub dims asserted above
+  }
 }
