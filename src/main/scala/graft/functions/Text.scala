@@ -157,8 +157,10 @@ object Text {
     * an external engine replays the canonical form byte-for-byte.
     * Path, surviving params, and their order are preserved —
     * reordering params is a semantic claim this operator does not
-    * make. Non-URL input passes through with only the fragment rule
-    * applied (head extraction misses; path = the whole string).
+    * make. Non-URL input (no recognized scheme://host head) passes
+    * through with ONLY the fragment rule applied — the query-string
+    * rules are gated on the head, so a plain-text value containing
+    * '?' (e.g. "really?utm_source=x") keeps its tail untouched.
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -169,9 +171,11 @@ object Text {
       regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
     val kept = filter(split(rawQuery, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
-    concat(lower(head), path,
-      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
-        .otherwise(lit("")))
+    when(length(head) > 0,
+      concat(lower(head), path,
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))))
+      .otherwise(noFrag)
   }
 
   def langId(text: Column): Column = {

@@ -80,6 +80,11 @@ object Anomaly {
     * callers with n·Σx beyond 2^63 keep the decimal column instead,
     * the documented contract). Output: input columns +
     * (t, cusum, is_peak).
+    *
+    * NULL `valueCol` rows are filtered at entry: sum() skips a null
+    * while row_number() would still count it, so a retained null row
+    * would skew S'_t for every bucket at or after it — the same
+    * explicit handling [[trailingZscores]] applies.
     */
   def cusumChangePoints(
       series: DataFrame, partCols: Seq[String], orderCol: String,
@@ -87,6 +92,7 @@ object Anomaly {
     Seq("t", "cusum", "is_peak").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with cusumChangePoints' output"))
+    val series0 = series.filter(col(valueCol).isNotNull)
     val base = if (partCols.isEmpty)
       org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     else
@@ -98,7 +104,7 @@ object Anomaly {
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val x = col(valueCol).cast(DecimalType(38, 0))
-    val stats = series
+    val stats = series0
       .withColumn("t", row_number().over(wOrd))
       .withColumn("__cum", sum(x).over(wCum))
       .withColumn("__n", count(x).over(wAll).cast(DecimalType(38, 0)))

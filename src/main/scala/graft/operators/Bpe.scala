@@ -87,8 +87,33 @@ object Bpe {
       .limit(topN)
   }
 
+  /** Greedy BPE merge learning, top-k merges over the distinct-word
+    * working set.
+    *
+    * Round ceiling, stated like [[Sampling.farthestPointSample]]'s:
+    * greedy BPE is INHERENTLY sequential — merge r+1's pair counts
+    * depend on merge r's rewrite — so every round pays one driver
+    * round-trip (the 1-row argmax), one persist of the rewritten
+    * working set, and one count() barrier to materialize it before
+    * the parent unpersists. k is capped at 32 because k rounds cost
+    * k such barriers; the cap is about round-trip latency and persist
+    * churn, not data volume (the working set is the DISTINCT-word
+    * aggregate — it only shrinks as merges fuse symbols).
+    *
+    * The scale path past a few dozen merges is pair-count pruning:
+    * drop pairs below a support floor each round (they can never win
+    * an argmax later at these corpus sizes), batch-learn several
+    * non-overlapping merges per round (pairs sharing no symbol
+    * commute), or train on a frequency-capped word sample — the
+    * standard production-tokenizer tricks, all of which change the
+    * learned vocabulary and so belong to a caller's explicit opt-in,
+    * not this exact-greedy operator (whose every round
+    * `q_vocab_bpe`'s oracle replays bit-for-bit).
+    */
   def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    require(k >= 1 && k <= 32,
+      s"k must be in [1, 32] (one driver round-trip + persist barrier " +
+        s"per merge round — see Scaladoc), got $k")
     val spark = docs.sparkSession
     import spark.implicits._
 

@@ -695,10 +695,18 @@ object Profile {
     * embedded [[BenfordShares]] literals. The 9-digit spine emits
     * zero-count digits too. Output per digit: (digit, n, obs_share,
     * benford_share, deviation).
+    *
+    * Population contract: values whose integer-hundredths
+    * representation is 0 (positives below 0.005) carry no readable
+    * first significant digit at this scaling and are EXCLUDED from
+    * both the counts and the total — an explicit filter, not a join
+    * artifact. A feed of sub-cent quantities needs a finer scaling
+    * before a Benford read is meaningful.
     */
   def benford(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
     val counts = df.filter(col(c).isNotNull && col(c) > 0)
+      .filter(round(col(c).cast("double") * 100, 0) >= 1)
       .select(substring(round(col(c).cast("double") * 100, 0)
         .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int")
         .as("digit"))

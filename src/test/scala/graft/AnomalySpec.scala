@@ -73,5 +73,15 @@ class AnomalySpec extends SparkTestBase {
       .toSeq.toDF("k", "b", "v")
     val t2 = rows(Anomaly.cusumChangePoints(two, Seq("k"), "b", "v"))
     assert(t2.filter(_.getBoolean(5)).map(_.getString(0)).toSet === Set("a", "z"))
+    // NULL values are filtered at entry: t and the sums stay aligned,
+    // so a planted null neither shifts the peak nor appears in output
+    val withNull = (series.collect()
+      .map(r => (r.getString(0), r.getInt(1), java.lang.Long.valueOf(r.getLong(2))))
+      :+ (("a", 5, null: java.lang.Long))).toSeq.toDF("k", "b", "v")
+    val n = rows(Anomaly.cusumChangePoints(withNull, Seq("k"), "b", "v")
+      .orderBy(col("b")))
+    assert(n.size === 20 && n.forall(!_.isNullAt(2)))
+    val nPeaks = n.filter(_.getBoolean(5))
+    assert(nPeaks.size === 1 && nPeaks.head.getInt(3) === 10)
   }
 }

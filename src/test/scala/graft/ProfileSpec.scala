@@ -450,6 +450,13 @@ class ProfileSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // uniform digits sit BELOW benford for 1 and ABOVE for 9
     assert(d1.getDouble(4) < 0 && r.last.getDouble(4) > 0)
+    // sub-cent positives (hundredths round to 0 -> no readable first
+    // digit at this scaling) are EXCLUDED from counts AND total — the
+    // stated population contract, not a silent join artifact
+    val sub = Seq[java.lang.Double](1.0, 25.0, 0.004, 0.0049).toDF("x")
+    val rs = rows(Profile.benford(sub, "x").orderBy(col("digit")))
+    assert(rs.map(_.getLong(1)).sum === 2L)
+    assert(rs.head.getDouble(2) === 0.5) // share over the 2 retained rows
   }
   test("bm25: rarity, term frequency, and length normalization behave") {
     import spark.implicits._

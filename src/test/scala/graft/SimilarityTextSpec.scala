@@ -651,7 +651,10 @@ class SimilarityTextSpec extends SparkTestBase {
       ("http://a.com/p?fbclid=z&id=2", "http://a.com/p?id=2"),
       ("HTTP://A.com", "http://a.com"),
       ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"), // order kept
-      ("not a url #x", "not a url ")     // only the fragment rule applies
+      ("not a url #x", "not a url "),    // only the fragment rule applies
+      // non-URL WITH '?': query rules are gated on the head, so the
+      // tail (tracking-param lookalike included) survives untouched
+      ("really?utm_source=x", "really?utm_source=x")
     ).toDF("url", "want")
     rows(cases.select(col("want"),
       graft.functions.Text.canonicalizeUrl(col("url")).as("got")))
