@@ -323,9 +323,42 @@ object StreamQueries {
       }
       s.read.parquet(outDir)
         .orderBy(col("station_id"), col("last_reported"))
+    }),
+
+    // S3b under STREAMING: the permissive dead-letter tier over a
+    // file-drop stream of mixed-quality producer lines. Two fixture
+    // files each mix a good GBFS line with a malformed one; the good
+    // rows parse to schema fields and the poison lines surface WHOLE
+    // in _corrupt with fields NULL — the one-pass quarantine split,
+    // now proven not to kill or wedge a continuous load. (FAILFAST
+    // would poison-pill the stream on every restart — the exact
+    // failure mode this tier exists to avoid.)
+    "q_stream_permissive" -> ((s, _) => {
+      val parsed = graft.sources.Sources.readJsonPermissiveStream(
+        s, MixedDir, Schemas.velibRaw)
+        .select(col("ttl"),
+          size(col("data.stations")).as("n_stations"),
+          col("_corrupt").isNotNull.as("is_corrupt"),
+          substring(col("_corrupt"), 1, 10).as("corrupt_head"))
+      runToBatch(s, parsed)
+        .orderBy(col("is_corrupt"), col("ttl").asc_nulls_first,
+          col("corrupt_head").asc_nulls_first)
     }))
 
+  /** Mixed good/malformed JSON-line drops for the streaming
+    * dead-letter query.
+    */
+  private val MixedDir = "/root/repo/fixtures/stream/mixed"
+
   val oracleSql: Map[String, String] = Map(
+    "q_stream_permissive" ->
+      """SELECT * FROM (VALUES
+        | (CAST(3600 AS BIGINT), 1, FALSE, CAST(NULL AS VARCHAR)),
+        | (CAST(7200 AS BIGINT), 0, FALSE, CAST(NULL AS VARCHAR)),
+        | (CAST(NULL AS BIGINT), CAST(NULL AS INT), TRUE, '{"lastUpda'),
+        | (CAST(NULL AS BIGINT), CAST(NULL AS INT), TRUE, 'not json a')
+        |) AS t(ttl, n_stations, is_corrupt, corrupt_head)
+        |ORDER BY is_corrupt, ttl ASC NULLS FIRST, corrupt_head ASC NULLS FIRST""".stripMargin,
     "q_stream_hourly" ->
       """SELECT * FROM (VALUES
         | (CAST('2024-01-31 22:00:00' AS TIMESTAMP), CAST(19179944124 AS BIGINT), 12, CAST(1 AS BIGINT)),

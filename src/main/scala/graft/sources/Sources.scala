@@ -50,6 +50,23 @@ object Sources {
     * dtype re-inference (SURVEY.md §1.3: inference only as compat
     * fallback).
     */
+  /** Streaming twin of [[readJsonPermissive]]: the same dead-letter
+    * contract over a file-drop stream — one malformed producer line
+    * must not kill a continuous load, and the quarantine channel
+    * (`_corrupt`) flows through the SAME micro-batches as the good
+    * rows so replay keeps ordering context. FAILFAST remains the
+    * batch default; streaming has no failfast worth wanting (a poison
+    * line would wedge the query on every restart), which is exactly
+    * why the permissive tier exists.
+    */
+  def readJsonPermissiveStream(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 

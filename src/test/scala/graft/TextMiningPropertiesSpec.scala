@@ -82,4 +82,28 @@ object TextMiningPropertiesSpec extends Properties("TextMiners") {
       } yield (a.toLong, b.toLong) -> ((r6(ca), r6(cb)))).toMap
       got == want
     }
+
+  // thresholds chosen so t·|x| is often mathematically integral (0.4,
+  // 0.5, 0.75 against small set sizes) — the exact edge the 1e-9
+  // ceil-nudge in the prefix length guards; a regression there loses
+  // pairs silently, and only a randomized sweep reliably lands on it
+  private val thresholdGen: Gen[Double] = Gen.oneOf(0.3, 0.4, 0.5, 0.75, 0.9)
+
+  property("prefixFilterPairs equals brute-force jaccard at randomized thresholds") =
+    forAll(corpusGen, thresholdGen) { (texts, t) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("doc_id", "text")
+      val got = Dedup.prefixFilterPairs(df, 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sh = texts.map(trigrams)
+      val want = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        inter = (sh(a) intersect sh(b)).size
+        if inter > 0
+        j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+        if j >= t
+      } yield (a.toLong, b.toLong) -> r6(j)).toMap
+      got == want
+    }
 }
