@@ -24,7 +24,9 @@ object PlanAudit {
       "q_sink_bucketed", "q_stream_timetravel", "q_join_notin",
       "q_profile_corr", "q_profile_mi", "q_eval_sliced", "q_eval_rbo",
       "q_ts_ohlc", "q_attr_linear", "q_dedup_contain", "q_vocab_bpe",
-      "q_vocab_pieces", "q_sample_reservoir", "q_embed_pca")
+      "q_vocab_pieces", "q_sample_reservoir", "q_embed_pca",
+      "q_sink_csvtrip", "q_sink_rawjson", "q_sink_ddl",
+      "q_media_phash_img", "q_media_neardup_img")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size
