@@ -50,6 +50,60 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A6 pivot: long-to-wide reshaping (the pandas pivot_table the
+    // reference's consumers would reach for). The EXPLICIT value list
+    // is the 100 TB contract: without it Spark first runs a distinct
+    // job over the pivot column to discover values — a full extra scan
+    // — and the output schema becomes data-dependent. With the list,
+    // this is ONE partial-combined aggregate (each pivot cell is a
+    // conditional agg), single shuffle on the row key. Absent cells
+    // read 0 via coalesce (pivot-count yields NULL for empty cells;
+    // the conditional-agg oracle yields 0 — same contract, pinned).
+    "q_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A6b unpivot: wide-to-long melt (pandas melt) over a per-flag
+    // aggregate — the inverse reshape. unpivot() is a generate-side
+    // expansion (no shuffle beyond the feeding aggregate's), so the
+    // exchange carries the narrow aggregate, never the melted rows.
+    "q_unpivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // W4 ntile: equal-frequency ranking buckets per partition — the
+    // quartile assignment BI tools lean on. The (price desc, key asc)
+    // ordering is TOTAL, so tile boundaries are deterministic and both
+    // engines' standard ntile (first tiles take the remainder rows)
+    // agree row-for-row; aggregating per tile checks every boundary.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .withColumn("tile", ntile(4).over(w))
+        .groupBy(col("o_orderstatus"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"), col("tile"))
+    }),
+
     // A3: rollup — grouping-set expansion happens before the shuffle, so
     // the exchange still carries only aggregated rows.
     "q_agg_rollup" -> ((s, dir) => {
@@ -3247,6 +3301,35 @@ object RelationalQueries {
         | CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
         | MIN(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q_window_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p,
+        |    ntile(4) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS tile
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, tile, COUNT(*) AS n,
+        | MIN(p) AS min_price, MAX(p) AS max_price
+        |FROM t GROUP BY o_orderstatus, tile
+        |ORDER BY o_orderstatus, tile""".stripMargin,
     "q_join_overlap" ->
       """WITH w AS (
         |  SELECT o_orderkey AS k,

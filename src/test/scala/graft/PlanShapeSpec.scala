@@ -38,6 +38,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_pivot: explicit value list keeps pivot to ONE scan + one partial-combined agg") {
+    val p = plan("q_pivot")
+    // without the explicit values, pivot runs a distinct discovery job
+    // and the plan (or a prior job) carries a second scan
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q_unpivot: melt expands AFTER the aggregate (Expand above HashAggregate)") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
   test("parquet scans prune columns (ReadSchema is narrow)") {
     val p = plan("q_agg_pricing")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
