@@ -187,12 +187,18 @@ object Bench {
     // Belt-and-braces for the driver's tail parser: the compact headline
     // brackets the long map line on stdout, AND the full JSON is written
     // to a bare artifact file free of any build-tool log prefixes.
-    val out = new java.io.PrintWriter(
-      new java.io.File("bench_total.json"), "UTF-8")
-    try out.println(full) finally out.close()
+    // FULL runs only: a SPARK_GRAFT_ONLY subset run is an iteration aid
+    // and must not clobber the artifact the next full run's trend field
+    // baselines against.
+    if (only.isEmpty) {
+      val out = new java.io.PrintWriter(
+        new java.io.File("bench_total.json"), "UTF-8")
+      try out.println(full) finally out.close()
+      System.err.println(
+        s"[bench] wrote ${new java.io.File("bench_total.json").getAbsolutePath}")
+    }
     println(compact)
     println(full)
     println(compact)
-    System.err.println(s"[bench] wrote ${new java.io.File("bench_total.json").getAbsolutePath}")
   }
 }
