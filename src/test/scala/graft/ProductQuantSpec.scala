@@ -138,4 +138,25 @@ class ProductQuantSpec extends SparkTestBase {
         coarse, rcb, nProbe = 1, kNN = 5)).map(_.getLong(1)).toSet
     assert(ids === Set(0L, 2L), s"list 1 must be pruned, got $ids") // id 1 lives in list 1
   }
+
+  test("codebookDF round-trips the trained codebook (the persistence surface)") {
+    // train once, persist the codebook as a table, reuse across jobs —
+    // the flat (subspace, centroid_id, pos, component) layout must
+    // reconstruct the in-memory Codebooks exactly
+    val df = ProductQuant.codebookDF(corpus, cb)
+    assert(df.count() === cb.m.toLong * cb.k * cb.subDim)
+    val back = df.collect()
+      .groupBy(r => r.getInt(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.groupBy(r => r.getLong(1)).toSeq.sortBy(_._1).map { case (cid, cs) =>
+          (cid, cs.sortBy(_.getInt(2)).map(_.getFloat(3)))
+        }.toArray
+      }.toArray
+    assert(back.length === cb.m)
+    for (s <- 0 until cb.m; c <- 0 until cb.k) {
+      assert(back(s)(c)._1 === cb.books(s)(c)._1)
+      assert(back(s)(c)._2.toSeq === cb.books(s)(c)._2.toSeq)
+    }
+  }
 }
