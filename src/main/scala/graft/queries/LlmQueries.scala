@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -592,6 +594,17 @@ object LlmQueries {
         .orderBy(col("sel_rank"))
     }),
 
+    // The large-k batched variant, driver-checked: k=5 at batch=2 is
+    // seed + two 2-pick rounds; the oracle unrolls exactly those
+    // rounds (each round's pair = the 2 least-covered w.r.t. all
+    // PRIOR rounds' picks — the relaxation's defined semantics, not
+    // an approximation of the one-at-a-time greedy).
+    "q_sample_coreset_batched" -> ((s, dir) => {
+      Sampling.farthestPointSampleBatched(
+          corpus(s, dir), "id", "vec", k = 5, batch = 2)
+        .orderBy(col("sel_rank"))
+    }),
+
     // Embedding drift between cohorts: per-dimension exact-decimal
     // mean difference between the label-0 and label-1 slices — the
     // encoder/corpus drift monitor (a new encoder version or data
@@ -946,6 +959,18 @@ object LlmQueries {
       val d = docs(s, dir)
       val model = LangModel.train(d, "text")
       LangModel.scoreDocs(d, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The broadcast-variable scoring path (the scale route past
+    // LangModel.LiteralCap) against the IDENTICAL oracle as
+    // q_text_perplexity — the bit-identity claim between the literal
+    // and broadcast paths, driver-hash-checked rather than only
+    // spec-asserted.
+    "q_text_perplexity_bcast" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.train(d, "text")
+      LangModel.scoreDocsBcast(d, "doc_id", "text", model)
         .orderBy(col("doc_id"))
     }),
 
@@ -2810,6 +2835,33 @@ object LlmQueries {
          |UNION ALL SELECT 2, s3.id FROM s3
          |UNION ALL SELECT 3, s4.id FROM s4
          |ORDER BY sel_rank""".stripMargin),
+    "q_sample_coreset_batched" ->
+      (s"""WITH s1 AS (
+         |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+         |), c1 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS emb,
+         |    ${duckCos("e.embedding", "s.embedding")} AS cover
+         |  FROM embeddings e CROSS JOIN s1 s WHERE e.vec_id <> s.vec_id
+         |), r1 AS (
+         |  SELECT id, emb, CAST(ROW_NUMBER() OVER (ORDER BY cover, id) AS INT) AS rk
+         |  FROM (SELECT * FROM c1 ORDER BY cover, id LIMIT 2)
+         |), c2 AS (
+         |  SELECT e.vec_id AS id,
+         |    GREATEST(${duckCos("e.embedding", "s.embedding")},
+         |      ${duckCos("e.embedding", "p1.emb")},
+         |      ${duckCos("e.embedding", "p2.emb")}) AS cover
+         |  FROM embeddings e CROSS JOIN s1 s
+         |    CROSS JOIN (SELECT emb FROM r1 WHERE rk = 1) p1
+         |    CROSS JOIN (SELECT emb FROM r1 WHERE rk = 2) p2
+         |  WHERE e.vec_id <> s.vec_id AND e.vec_id NOT IN (SELECT id FROM r1)
+         |), r2 AS (
+         |  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cover, id) AS INT) AS rk
+         |  FROM (SELECT * FROM c2 ORDER BY cover, id LIMIT 2)
+         |)
+         |SELECT 0 AS sel_rank, s1.vec_id AS vec_id FROM s1
+         |UNION ALL SELECT rk, id FROM r1
+         |UNION ALL SELECT 2 + rk, id FROM r2
+         |ORDER BY sel_rank""".stripMargin),
     "q_embed_drift" ->
       """WITH ex AS (
         |  SELECT (label % 2) AS grp, CAST(j AS INT) AS pos,
@@ -3459,4 +3511,8 @@ object LlmQueries {
         | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INT))
         |) AS t(doc_a, doc_b, hamming)
         |ORDER BY doc_a, doc_b""".stripMargin)
+    // The broadcast scoring path claims BIT-identity with the literal
+    // path, so it answers to the literal path's oracle verbatim — one
+    // string, no copy to drift.
+    .pipe(m => m.updated("q_text_perplexity_bcast", m("q_text_perplexity")))
 }
