@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.Ingest
 import graft.model.Schemas.RunContext
 import graft.sources.Sources
 import graft.transform.{Velib, Weather}
@@ -64,6 +65,58 @@ object PipelineQueries {
       Velib.withSurrogateKey(Velib.dedupSnapshots(velibCurated(s)))
         .select(col("id"), col("station_id"), col("num_bikes_available"))
         .orderBy(col("station_id"), col("id"))
+    }),
+
+    // S2 -> K1 -> S3 end-to-end, driver-visible: the full ingest path
+    // (fetch -> non-replacing raw-zone land -> schema'd re-read ->
+    // flatten/curate) with the ONE imperative edge — the HTTP GET —
+    // replaced by a canned transport serving the committed snapshot
+    // body (the offline stand-in; everything after the transport is
+    // the production code path, including the URL contract and the
+    // FAILFAST parse). The forbidden re-land into the same raw-zone
+    // key is attempted and its failure pinned into the oracle hash,
+    // mirroring q_sink_rawjson.
+    "q_ingest_velib" -> ((s, _) => {
+      val transport: Ingest.Transport = url => {
+        require(url == Ingest.VelibStatusUrl, s"unexpected URL $url")
+        // one snapshot = one API response body (the fixture's first line)
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"$FixtureDir/station_status.json")).get(0)
+      }
+      val raw = Ingest.fetchVelibSnapshot(s, transport)
+      val rawZone = java.nio.file.Files
+        .createTempDirectory("graft_ingest_v_").toString
+      Ingest.landRaw(raw, rawZone, "20240201-010000")
+      val relandFailed =
+        try { Ingest.landRaw(raw, rawZone, "20240201-010000"); false }
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      Velib.curateStations(Velib.flattenStations(
+          Sources.readVelibRaw(s, s"$rawZone/ingest_ts=20240201-010000")))
+        .withColumn("reland_failed", lit(relandFailed))
+        .orderBy(col("station_id"))
+    }),
+
+    // S1 -> K1 -> S3 for the weather branch: same shape, including the
+    // reference's parameterized onecall URL (`etl_dag.py:43`, lat/lon
+    // fixed to Paris at `:36-37`) asserted inside the transport.
+    "q_ingest_weather" -> ((s, _) => {
+      val url = Ingest.weatherUrl(48.85, 2.35, "offline-test-key")
+      val transport: Ingest.Transport = u => {
+        require(u == url, s"unexpected URL $u")
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"$FixtureDir/weather.json")).get(0)
+      }
+      val raw = Ingest.fetchWeatherSnapshot(s, transport, url)
+      val rawZone = java.nio.file.Files
+        .createTempDirectory("graft_ingest_w_").toString
+      Ingest.landRaw(raw, rawZone, "20240201-010000")
+      val relandFailed =
+        try { Ingest.landRaw(raw, rawZone, "20240201-010000"); false }
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      Weather.projectWeather(
+          Sources.readWeatherRaw(s, s"$rawZone/ingest_ts=20240201-010000"))
+        .withColumn("reland_failed", lit(relandFailed))
+        .orderBy(col("timestamp"))
     }),
 
     // P1 nested projection + P2 array index (`etl_dag.py:84-99`).
@@ -188,6 +241,18 @@ object PipelineQueries {
         | (CAST(277.99 AS DOUBLE), CAST(274.47 AS DOUBLE), 1029, 86, CAST(4.63 AS DOUBLE), 'light rain', CAST('2024-02-01 00:00:00' AS TIMESTAMP)),
         | (CAST(278.5 AS DOUBLE), CAST(275.0 AS DOUBLE), 1030, 80, CAST(3.1 AS DOUBLE), 'clear sky', CAST('2024-02-01 01:00:00' AS TIMESTAMP))
         |) AS t(temp, feels_like, pressure, humidity, wind_speed, weather_description, timestamp)
+        |ORDER BY timestamp""".stripMargin,
+    "q_ingest_velib" ->
+      """SELECT * FROM (VALUES
+        | (CAST(99950133 AS BIGINT), 0, 25, 1, 1, 0, CAST('2024-01-31 23:45:00' AS TIMESTAMP), TRUE),
+        | (CAST(213688169 AS BIGINT), 5, 30, 1, 1, 1, CAST('2024-01-31 23:50:00' AS TIMESTAMP), TRUE),
+        | (CAST(19179944124 AS BIGINT), 12, 8, 1, 0, 1, CAST('2024-01-31 22:45:00' AS TIMESTAMP), TRUE)
+        |) AS t(station_id, num_bikes_available, num_docks_available, is_installed, is_returning, is_renting, last_reported, reland_failed)
+        |ORDER BY station_id""".stripMargin,
+    "q_ingest_weather" ->
+      """SELECT * FROM (VALUES
+        | (CAST(277.99 AS DOUBLE), CAST(274.47 AS DOUBLE), 1029, 86, CAST(4.63 AS DOUBLE), 'light rain', CAST('2024-02-01 00:00:00' AS TIMESTAMP), TRUE)
+        |) AS t(temp, feels_like, pressure, humidity, wind_speed, weather_description, timestamp, reland_failed)
         |ORDER BY timestamp""".stripMargin,
     "q_velib_weather_asof" ->
       """SELECT * FROM (VALUES
