@@ -221,10 +221,20 @@ object Multimodal {
     */
   def nearDuplicateMedia(
       spark: SparkSession, withPayload: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    nearDuplicatesFromHashes(
+      perceptualHash(spark, withPayload).toDF(), maxHamming)
+
+  /** The banding core over an existing (doc_id, phash) frame —
+    * factored out so the pigeonhole recall guarantee is
+    * property-testable against brute force on arbitrary hash sets
+    * (MultimodalPropertiesSpec), and so callers with persisted hashes
+    * skip the re-hash.
+    */
+  def nearDuplicatesFromHashes(
+      h: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band bucketing guarantees recall only for hamming <= 3, got $maxHamming")
-    val h = perceptualHash(spark, withPayload).toDF()
     val bands = h.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         (shiftright(col("phash"), 16 * b)
