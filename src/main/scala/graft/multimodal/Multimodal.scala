@@ -25,12 +25,27 @@ object Multimodal {
     * None when no registered reader claims the payload OR the stream
     * is a truncated/corrupt claimed format — both route to the
     * deterministic stub rather than failing a 100 TB scan on one bad
-    * blob.
+    * blob. Two robustness points a per-row hot path needs:
+    *
+    *  - catch NonFatal, not just IOException: the JDK readers throw
+    *    RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+    *    NegativeArraySize) on malformed headers — a crafted blob must
+    *    degrade to the stub, never abort the scan;
+    *  - an explicit MemoryCacheImageInputStream: bare
+    *    ImageIO.read(InputStream) with the default useCache=true
+    *    spools every payload through a disk-backed temp file — one
+    *    executor-disk round-trip per row, paid even for payloads no
+    *    reader claims. The payload is already fully in memory.
     */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself on the
+      // success path; the swallow covers the resulting double-close
+      try Option(javax.imageio.ImageIO.read(iis))
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 64 integer brightness cells over an 8x8 block grid (block
     * boundaries floor(c*W/8) etc.): luminance per pixel is
@@ -275,12 +290,17 @@ object Multimodal {
       .mapPartitions { rows =>
         // real impl for audio/video: val resampler = Resampler.open()
         rows.map { r =>
-          decodeImage(r.payload) match {
+          val decoded = decodeImage(r.payload)
+          // ONE bounding-box rule for both kernels — a rounding tweak
+          // edited in one arm but not the other would silently make
+          // real-image and stub outputs disagree on dimensions
+          val (w, h) = decoded.map(i => (i.getWidth, i.getHeight))
+            .getOrElse { val (fw, fh, _) = fakeDecode(r.payload); (fw, fh) }
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) =
+            (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          decoded match {
             case Some(img) =>
-              val (w, h) = (img.getWidth, img.getHeight)
-              val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-              val (nw, nh) =
-                (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
               val out = new java.awt.image.BufferedImage(
                 nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
               var y = 0
@@ -296,10 +316,6 @@ object Multimodal {
               javax.imageio.ImageIO.write(out, "bmp", baos)
               ResizedMedia(r.doc_id, nw, nh, baos.toByteArray)
             case None =>
-              val (w, h, _) = fakeDecode(r.payload)
-              val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-              val (nw, nh) =
-                (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
               // stub kernel: keep bytes proportional to the area change
               val nBytes = math.max(1,
                 (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)

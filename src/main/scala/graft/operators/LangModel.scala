@@ -118,24 +118,30 @@ object LangModel {
     // switch on the REQUESTED size (the caller's declared scale
     // regime), not the realized map size: the plan shape stays stable
     // as the corpus grows toward the requested vocabulary
-    val bigramsInVocab =
+    val (bigramsInVocab, bcVocab) =
       if (vocabSize <= LiteralCap) {
         val vocabLit = typedlit(vocab)
-        bigramsAll.filter(
+        (bigramsAll.filter(
           element_at(vocabLit, element_at(split(col("b"), " "), 1)).isNotNull &&
-          element_at(vocabLit, element_at(split(col("b"), " "), 2)).isNotNull)
+          element_at(vocabLit, element_at(split(col("b"), " "), 2)).isNotNull),
+          None)
       } else {
         val bc = docs.sparkSession.sparkContext.broadcast(vocab.keySet)
         val inVocab = udf { (b: String) =>
           val i = b.indexOf(' ') // tokens are space-split: first space separates
           bc.value.contains(b.substring(0, i)) && bc.value.contains(b.substring(i + 1))
         }
-        bigramsAll.filter(inVocab(col("b")))
+        (bigramsAll.filter(inVocab(col("b"))), Some(bc))
       }
-    val biCounts = bigramsInVocab
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("b").asc).limit(bigramSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the collect is the broadcast's only consumer — destroy right
+    // after so repeated trainings in a long session don't pile stale
+    // broadcast blocks on executors awaiting the ContextCleaner
+    val biCounts =
+      try bigramsInVocab
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("b").asc).limit(bigramSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally bcVocab.foreach(_.destroy())
     BigramModel(vocab, biCounts, total)
   }
 
@@ -187,6 +193,14 @@ object LangModel {
     * A broadcast-JOIN form was rejected: joining exploded bigrams
     * against the model requires re-grouping every bigram row back to
     * its document — a full corpus exchange the fold never pays.
+    *
+    * Broadcast lifecycle: the variable must outlive the RETURNED
+    * DataFrame (any re-execution re-reads it), so this method cannot
+    * destroy it; it follows the session's ContextCleaner — reclaimed
+    * once the plan becomes unreachable, the standard lifecycle for
+    * broadcast-in-closure. Callers scoring many models in one
+    * long-lived session should materialize the result before dropping
+    * the frame.
     */
   def scoreDocsBcast(
       docs: DataFrame, idCol: String, textCol: String,

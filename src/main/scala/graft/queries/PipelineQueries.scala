@@ -84,12 +84,9 @@ object PipelineQueries {
           java.nio.file.Paths.get(s"$FixtureDir/station_status.json")).get(0)
       }
       val raw = Ingest.fetchVelibSnapshot(s, transport)
-      val rawZone = java.nio.file.Files
-        .createTempDirectory("graft_ingest_v_").toString
-      Ingest.landRaw(raw, rawZone, "20240201-010000")
+      val rawZone = QueryUtil.scratchDir("graft_ingest_v_")
       val relandFailed =
-        try { Ingest.landRaw(raw, rawZone, "20240201-010000"); false }
-        catch { case _: org.apache.spark.sql.AnalysisException => true }
+        QueryUtil.relandFails(Ingest.landRaw(raw, rawZone, "20240201-010000"))
       Velib.curateStations(Velib.flattenStations(
           Sources.readVelibRaw(s, s"$rawZone/ingest_ts=20240201-010000")))
         .withColumn("reland_failed", lit(relandFailed))
@@ -107,12 +104,9 @@ object PipelineQueries {
           java.nio.file.Paths.get(s"$FixtureDir/weather.json")).get(0)
       }
       val raw = Ingest.fetchWeatherSnapshot(s, transport, url)
-      val rawZone = java.nio.file.Files
-        .createTempDirectory("graft_ingest_w_").toString
-      Ingest.landRaw(raw, rawZone, "20240201-010000")
+      val rawZone = QueryUtil.scratchDir("graft_ingest_w_")
       val relandFailed =
-        try { Ingest.landRaw(raw, rawZone, "20240201-010000"); false }
-        catch { case _: org.apache.spark.sql.AnalysisException => true }
+        QueryUtil.relandFails(Ingest.landRaw(raw, rawZone, "20240201-010000"))
       Weather.projectWeather(
           Sources.readWeatherRaw(s, s"$rawZone/ingest_ts=20240201-010000"))
         .withColumn("reland_failed", lit(relandFailed))

@@ -126,4 +126,44 @@ object QueryUtil {
   /** Deterministic average: exact decimal sum (as double) over count. */
   def davg(c: Column): Column =
     dsum(c) / count(lit(1))
+
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { p =>
+        try java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f =>
+            try { java.nio.file.Files.deleteIfExists(f); () }
+            catch { case _: java.io.IOException => () })
+        catch { case _: java.io.IOException => () }
+      }))
+
+  /** Per-invocation scratch directory for the sink/ingest round-trip
+    * queries, registered for recursive deletion at JVM exit — the
+    * bench runs every query 2-3 times per round, and without cleanup
+    * each round strands a dozen directories (including full CSV table
+    * copies) on a long-lived host.
+    */
+  def scratchDir(prefix: String): String = {
+    scratchCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchRoots.add(p)
+    p.toString
+  }
+
+  /** Probe the non-replacing raw-zone contract shared by
+    * q_sink_rawjson and the two ingest queries: run `write` once (must
+    * succeed), then AGAIN — the re-land against the same key must fail
+    * with AnalysisException (path exists). Returns whether it failed,
+    * for pinning into an oracle column; one definition so a change in
+    * Spark's thrown type cannot silently flip one query's flag and not
+    * another's.
+    */
+  def relandFails(write: => Unit): Boolean = {
+    write
+    try { write; false }
+    catch { case _: org.apache.spark.sql.AnalysisException => true }
+  }
 }

@@ -106,8 +106,7 @@ object StreamQueries {
     * scoping cannot drift between them.
     */
   private def withScopedStreamRun[A](s: SparkSession)(body: String => A): A = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt_").toString
+    val ckpt = QueryUtil.scratchDir("graft_stream_ckpt_").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try body(ckpt)
@@ -177,7 +176,7 @@ object StreamQueries {
     // files): deterministic, and exactly how drops land in production.
     "q_stream_dedup" -> ((s, _) => {
       import org.apache.spark.sql.types._
-      val base = java.nio.file.Files.createTempDirectory("graft_admit_")
+      val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_admit_"))
       val dropDir = java.nio.file.Files.createDirectory(
         base.resolve("drops"))
       val acceptedDir = base.resolve("accepted").toString
@@ -246,8 +245,7 @@ object StreamQueries {
     // the final target IS the result. Timestamp-keyed merge semantics —
     // see Streams.streamingLatestMerge.
     "q_stream_upsert" -> ((s, _) => {
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_merge_").toString + "/target"
+      val outDir = QueryUtil.scratchDir("graft_stream_merge_").toString + "/target"
       withScopedStreamRun(s) { ckpt =>
         val raw = s.readStream.schema(Schemas.velibRaw)
           .option("maxFilesPerTrigger", 1) // force one batch per fixture file
@@ -275,7 +273,7 @@ object StreamQueries {
     // land each fixture into the drop dir and run an AvailableNow pass
     // PER DROP (shared checkpoint skips processed files).
     "q_stream_timetravel" -> ((s, _) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_tt_")
+      val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_stream_tt_"))
       val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
       val outDir = base.resolve("target").toString
       withScopedStreamRun(s) { ckpt =>
@@ -311,8 +309,7 @@ object StreamQueries {
     // as the result — end-to-end proof the loader delivered exactly
     // the deduped updates.
     "q_stream_load" -> ((s, _) => {
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_load_").toString + "/landed"
+      val outDir = QueryUtil.scratchDir("graft_stream_load_").toString + "/landed"
       withScopedStreamRun(s) { ckpt =>
         val q = Streams.foreachBatchLoad(
           Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),

@@ -50,6 +50,9 @@ object Sources {
     * dtype re-inference (SURVEY.md §1.3: inference only as compat
     * fallback).
     */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
   /** Streaming twin of [[readJsonPermissive]]: the same dead-letter
     * contract over a file-drop stream — one malformed producer line
     * must not kill a continuous load, and the quarantine channel
@@ -66,9 +69,6 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
-
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
 
   /** Compat fallback: schema-inferring CSV read, byte-for-byte the
     * reference loader's behavior.
