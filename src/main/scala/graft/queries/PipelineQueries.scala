@@ -150,6 +150,27 @@ object PipelineQueries {
         .orderBy(col("obs_ts"))
     }),
 
+    // Manifest-driven binary ingest — the extreme-file-count path: the
+    // manifest TABLE (not a directory listing) names the objects to
+    // read; executors open their partition's files through the Hadoop
+    // FS layer. One manifest row points at an absent object, dropped
+    // by the explicit skipMissing opt-in (reading mid-compaction) —
+    // the 3-row output pins the skip into the hash.
+    "q_source_manifest" -> ((s, _) => {
+      import s.implicits._
+      val manifest = Seq(
+        s"$FixtureDir/media/clip_000.bin",
+        s"$FixtureDir/media/clip_001.bin",
+        s"$FixtureDir/media/frame_007.bin",
+        s"$FixtureDir/media/absent_999.bin").toDF("path")
+      Sources.readBinaryManifest(s, manifest, "path", skipMissing = true)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"),
+          sha2(col("content"), 256).as("sha256"))
+        .orderBy(col("file_name"))
+    }),
+
     // Raw media directory ingestion (binaryFile source): whole files as
     // binary rows — the multimodal front door. Digest + length prove
     // the payload bytes arrived intact; the VALUES oracle carries the
@@ -261,6 +282,16 @@ object PipelineQueries {
         |) AS t(obs_ts, rain_1h, raining)
         |ORDER BY obs_ts""".stripMargin,
     "q_source_binary" ->
+      """SELECT * FROM (VALUES
+        | ('clip_000.bin', CAST(64 AS BIGINT), '1a0e0ecf84382961a85aa8629e98aefcfeffdcf0fd74a6dd49d55d9706477ab2'),
+        | ('clip_001.bin', CAST(96 AS BIGINT), 'bbf6409054eacfc0c32b350ee4fcde3544b40a28f6a9fe45002b7bc7e9a17b10'),
+        | ('frame_007.bin', CAST(128 AS BIGINT), '95de6b6fc2abb95b69ce1c14ea419781725620e83b447b87102c8d23abd893e9')
+        |) AS t(file_name, length, sha256)
+        |ORDER BY file_name""".stripMargin,
+    // Same payload truth as q_source_binary — the manifest route must
+    // deliver identical bytes; the absent manifest row contributes no
+    // output row (the skipMissing contract).
+    "q_source_manifest" ->
       """SELECT * FROM (VALUES
         | ('clip_000.bin', CAST(64 AS BIGINT), '1a0e0ecf84382961a85aa8629e98aefcfeffdcf0fd74a6dd49d55d9706477ab2'),
         | ('clip_001.bin', CAST(96 AS BIGINT), 'bbf6409054eacfc0c32b350ee4fcde3544b40a28f6a9fe45002b7bc7e9a17b10'),

@@ -111,6 +111,61 @@ object Sources {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(path)
 
+  /** Manifest-driven binary ingest — the extreme-file-count path
+    * [[readBinaryFiles]]'s Scaladoc names: at hundreds of millions of
+    * media files, directory LISTING itself becomes the bottleneck
+    * (driver-side file-status memory, object-store LIST throttling),
+    * so production corpora carry a manifest TABLE of object paths
+    * (WebDataset-style). This reads the payloads FROM that manifest:
+    * the manifest is an ordinary DataFrame (filterable, joinable,
+    * partitionable — selection pushdown happens in the manifest query,
+    * not the filesystem), and each executor opens its partition's
+    * files through the Hadoop FS layer — so local, HDFS, and `s3a://`
+    * paths all work, and parallelism is `manifest.repartition(n)`,
+    * not listing fan-out.
+    *
+    * Missing files fail the task by default (a manifest pointing at
+    * absent objects is corrupt — fail fast, like FAILFAST JSON); with
+    * `skipMissing=true` they are dropped, for reading a lake mid-
+    * compaction (the caller audits counts — the same explicit-opt-in
+    * contract as the PERMISSIVE tier). The Hadoop `FileSystem` handle
+    * comes from the per-JVM cache, so `mapPartitions` pays no
+    * per-partition client setup.
+    *
+    * Output: (path, length, content) — the [[readBinaryFiles]]
+    * downstream contract minus modificationTime (a manifest row, not
+    * the filesystem, is the source of truth at this scale).
+    */
+  def readBinaryManifest(
+      spark: SparkSession, manifest: DataFrame, pathCol: String,
+      skipMissing: Boolean = false): DataFrame = {
+    import spark.implicits._
+    // serializable snapshot of the Hadoop conf for executor-side use
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val skip = skipMissing
+    manifest.select(
+        org.apache.spark.sql.functions.col(pathCol).cast("string")).as[String]
+      .mapPartitions { paths =>
+        val conf = confBc.value.value
+        paths.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(conf) // per-JVM cached handle
+          if (skip && !fs.exists(hp)) Iterator.empty
+          else {
+            val in = fs.open(hp)
+            try {
+              val len = fs.getFileStatus(hp).getLen
+              val buf = new Array[Byte](len.toInt)
+              in.readFully(0, buf)
+              Iterator.single((p, len, buf))
+            } finally in.close()
+          }
+        }
+      }.toDF("path", "length", "content")
+  }
+
   /** JDBC scan shape (S7): reads a table back from an RDBMS with
     * partitioned parallelism. Not exercised in the offline harness (no
     * database), but this is the complete call surface.

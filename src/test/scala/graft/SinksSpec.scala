@@ -270,4 +270,28 @@ class SinksSpec extends SparkTestBase {
     assert(touching(48, 63, "x") <= 8, boxes.mkString(", "))
     assert(touching(48, 63, "y") <= 8, boxes.mkString(", "))
   }
+
+  test("readBinaryManifest: bytes identical to the listing route; missing fails fast unless opted out") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val dir = "/root/repo/fixtures/media"
+    val listed = Sources.readBinaryFiles(spark, dir, glob = "*.bin")
+      .select(col("path"), col("length"), col("content")).collect()
+      .map(r => r.getString(0).stripPrefix("file:") ->
+        ((r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val manifest = listed.keys.toSeq.sorted.toDF("path")
+    val viaManifest = Sources.readBinaryManifest(spark, manifest, "path")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(viaManifest === listed)
+    // a manifest naming an absent object is corrupt: fail fast...
+    val broken = (listed.keys.toSeq :+ s"$dir/absent.bin").toDF("path")
+    intercept[org.apache.spark.SparkException] {
+      Sources.readBinaryManifest(spark, broken, "path").count()
+    }
+    // ...unless the caller explicitly opts into the mid-compaction skip
+    val skipped = Sources.readBinaryManifest(
+      spark, broken, "path", skipMissing = true)
+    assert(skipped.count() === listed.size.toLong)
+  }
 }
