@@ -132,12 +132,19 @@ object QueryUtil {
   private lazy val scratchCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchRoots.forEach { p =>
-        try java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f =>
-            try { java.nio.file.Files.deleteIfExists(f); () }
-            catch { case _: java.io.IOException => () })
-        catch { case _: java.io.IOException => () }
+        // NonFatal, not IOException: the lazy walk stream throws
+        // UncheckedIOException/DirectoryIteratorException if a dir
+        // vanishes mid-traversal (e.g. Spark's own shutdown hooks run
+        // concurrently) — one bad root must not strand the rest
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f =>
+              try { java.nio.file.Files.deleteIfExists(f); () }
+              catch { case scala.util.control.NonFatal(_) => () })
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }))
 
   /** Per-invocation scratch directory for the sink/ingest round-trip

@@ -1524,7 +1524,7 @@ object RelationalQueries {
     // table, so a green row proves schema- and value-faithful ORC
     // round-tripping (the q_stream_load write-then-read pattern).
     "q_sink_orc" -> ((s, dir) => {
-      val out = QueryUtil.scratchDir("graft_orc_").toString + "/customer"
+      val out = QueryUtil.scratchDir("graft_orc_") + "/customer"
       Sinks.writeOrc(table(s, dir, "customer").select(
         col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment")),
@@ -1539,7 +1539,7 @@ object RelationalQueries {
     // is the same range query on the source table, so a green row
     // proves the layout is value-faithful.
     "q_sink_sorted" -> ((s, dir) => {
-      val out = QueryUtil.scratchDir("graft_rs_").toString + "/orders"
+      val out = QueryUtil.scratchDir("graft_rs_") + "/orders"
       Sinks.writeRangeSorted(table(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice")),
@@ -1556,7 +1556,7 @@ object RelationalQueries {
     // rewrite is value-faithful; SinksSpec proves the per-file
     // footer boxes actually prune on BOTH axes.
     "q_sink_zorder" -> ((s, dir) => {
-      val out = QueryUtil.scratchDir("graft_zo_").toString + "/orders"
+      val out = QueryUtil.scratchDir("graft_zo_") + "/orders"
       Sinks.writeZOrdered(table(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice")),
@@ -1608,7 +1608,7 @@ object RelationalQueries {
     // Oracle = the same filter on the source table, so green proves
     // the partitioned round-trip preserves values and loses no rows.
     "q_sink_partlayout" -> ((s, dir) => {
-      val out = QueryUtil.scratchDir("graft_pl_").toString + "/orders"
+      val out = QueryUtil.scratchDir("graft_pl_") + "/orders"
       Sinks.writeCuratedParquet(
         table(s, dir, "orders").select(
           col("o_orderkey"), col("o_orderstatus"),
@@ -1633,7 +1633,7 @@ object RelationalQueries {
     // Spark writes Java's shortest round-trippable representation.
     "q_sink_csvtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = QueryUtil.scratchDir("graft_csv_").toString + "/customer"
+      val out = QueryUtil.scratchDir("graft_csv_") + "/customer"
       val src = table(s, dir, "customer").select(
         col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("c_acctbal"),
@@ -1659,7 +1659,7 @@ object RelationalQueries {
     // column reads false and the row hash-mismatches.
     "q_sink_rawjson" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = QueryUtil.scratchDir("graft_rj_").toString + "/orders"
+      val out = QueryUtil.scratchDir("graft_rj_") + "/orders"
       val src = table(s, dir, "orders")
         .filter(col("o_orderstatus") === "P")
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -1711,7 +1711,7 @@ object RelationalQueries {
     // bumped prices; the other partitions must survive untouched
     // (static overwrite would truncate them — the classic wipe).
     "q_sink_dynpart" -> ((s, dir) => {
-      val base = QueryUtil.scratchDir("graft_dp_").toString + "/orders"
+      val base = QueryUtil.scratchDir("graft_dp_") + "/orders"
       val orders = table(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("price"))
@@ -1726,7 +1726,7 @@ object RelationalQueries {
     }),
 
     "q_sink_evolve" -> ((s, dir) => {
-      val base = QueryUtil.scratchDir("graft_ev_").toString
+      val base = QueryUtil.scratchDir("graft_ev_")
       val orders = table(s, dir, "orders")
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"),
@@ -1747,7 +1747,7 @@ object RelationalQueries {
     // encoding (repetition/definition levels) must preserve struct
     // fields, array order, and element values exactly.
     "q_sink_nested" -> ((s, dir) => {
-      val out = QueryUtil.scratchDir("graft_ne_").toString + "/nested"
+      val out = QueryUtil.scratchDir("graft_ne_") + "/nested"
       table(s, dir, "orders")
         .select(col("o_orderkey"),
           struct(
@@ -1772,7 +1772,7 @@ object RelationalQueries {
     // value-faithful; SinksSpec asserts the file-count collapse and
     // the no-shuffle plan shape.
     "q_sink_compact" -> ((s, dir) => {
-      val base = QueryUtil.scratchDir("graft_cmp_").toString
+      val base = QueryUtil.scratchDir("graft_cmp_")
       val frag = base + "/frag"
       val compacted = base + "/compacted"
       table(s, dir, "lineitem")

@@ -106,7 +106,7 @@ object StreamQueries {
     * scoping cannot drift between them.
     */
   private def withScopedStreamRun[A](s: SparkSession)(body: String => A): A = {
-    val ckpt = QueryUtil.scratchDir("graft_stream_ckpt_").toString
+    val ckpt = QueryUtil.scratchDir("graft_stream_ckpt_")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try body(ckpt)
@@ -245,7 +245,7 @@ object StreamQueries {
     // the final target IS the result. Timestamp-keyed merge semantics —
     // see Streams.streamingLatestMerge.
     "q_stream_upsert" -> ((s, _) => {
-      val outDir = QueryUtil.scratchDir("graft_stream_merge_").toString + "/target"
+      val outDir = QueryUtil.scratchDir("graft_stream_merge_") + "/target"
       withScopedStreamRun(s) { ckpt =>
         val raw = s.readStream.schema(Schemas.velibRaw)
           .option("maxFilesPerTrigger", 1) // force one batch per fixture file
@@ -309,7 +309,7 @@ object StreamQueries {
     // as the result — end-to-end proof the loader delivered exactly
     // the deduped updates.
     "q_stream_load" -> ((s, _) => {
-      val outDir = QueryUtil.scratchDir("graft_stream_load_").toString + "/landed"
+      val outDir = QueryUtil.scratchDir("graft_stream_load_") + "/landed"
       withScopedStreamRun(s) { ckpt =>
         val q = Streams.foreachBatchLoad(
           Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),

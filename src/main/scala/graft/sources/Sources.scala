@@ -152,15 +152,33 @@ object Sources {
         paths.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(conf) // per-JVM cached handle
-          if (skip && !fs.exists(hp)) Iterator.empty
-          else {
-            val in = fs.open(hp)
-            try {
-              val len = fs.getFileStatus(hp).getLen
-              val buf = new Array[Byte](len.toInt)
-              in.readFully(0, buf)
-              Iterator.single((p, len, buf))
-            } finally in.close()
+          // ONE metadata call (existence + length together): an
+          // exists()-then-open() probe would pay extra object-store
+          // HEADs per file AND race the compactor this flag exists
+          // for — a file deleted between the two calls would still
+          // fail the task. Catching FNF on the status call is both
+          // the cheap path and the race-free one.
+          val status =
+            try Some(fs.getFileStatus(hp))
+            catch {
+              case _: java.io.FileNotFoundException if skip => None
+            }
+          status match {
+            case None => Iterator.empty
+            case Some(st) =>
+              val len = st.getLen
+              // whole-payload rows stop at the JVM array limit — a
+              // silent toInt wrap would truncate content while
+              // reporting the full length (corruption, not an error)
+              require(len <= Int.MaxValue,
+                s"$p is $len bytes; single-row payloads are capped at " +
+                  "2 GiB — chunk oversized media at write time")
+              val in = fs.open(hp)
+              try {
+                val buf = new Array[Byte](len.toInt)
+                in.readFully(0, buf)
+                Iterator.single((p, len, buf))
+              } finally in.close()
           }
         }
       }.toDF("path", "length", "content")
