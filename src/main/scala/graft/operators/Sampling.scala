@@ -671,6 +671,7 @@ object Sampling {
           VectorOps.dot(col("__v"), typedlit(sv)),
           col("__n") * lit(math.sqrt(n))))
       }
+      val spark0 = corpus.sparkSession
       var covered = base.withColumn("__cover", coverOf(selected.head._2))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var parent: Option[DataFrame] = None
@@ -686,11 +687,21 @@ object Sampling {
             s"corpus exhausted before k=$k picks (got ${selected.size + next.length})")
           parent.foreach(_.unpersist())
           parent = Some(covered)
+          // Constant-size per-round plan: re-expose the just-
+          // materialized cache through an RDD boundary (the
+          // Reachability lineage-flattening idiom) BEFORE chaining the
+          // next projection. Without this each round's logical plan
+          // embeds every prior round's, and analysis + codegen cost
+          // grows with rounds until a k=256 run OOMs the driver —
+          // measured, and exactly the failure the batched variant
+          // exists to avoid. Execution-neutral: the RDD reads the
+          // cached frame, arithmetic unchanged (oracle re-verified).
+          val flat = spark0.createDataFrame(covered.rdd, covered.schema)
           val picks = next.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           selected = selected ++ picks
           // one frame folds the whole batch: greatest() over the prior
           // cover and every new pick's cosine, all in one projection
-          covered = covered.withColumn("__cover",
+          covered = flat.withColumn("__cover",
             greatest(col("__cover") +: picks.map(p => coverOf(p._2)): _*))
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
