@@ -235,8 +235,8 @@ object Analytics {
     * Scale shape: dedup to (user, day) first — the explode runs over
     * the aggregate, not raw events; the final count-distinct shuffles
     * (day, user) pairs bounded by uniques × window. At 100 TB with
-    * wide windows, the sketch path (HLL partials per day, merged
-    * across the frame — see q_agg_hll_merge) drops in for ±2%.
+    * wide windows, [[rollingUniquesHll]] is the drop-in sketch path
+    * (HLL partials per day, merged across the frame) at ±~2%.
     * Output: (day, n_unique).
     */
   def rollingUniques(
@@ -258,6 +258,46 @@ object Analytics {
       .join(days, Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("__u")).as("n_unique"))
+      .orderBy(col("day"))
+  }
+
+  /** Sketch-path rolling uniques — the wide-window form
+    * [[rollingUniques]]' Scaladoc names: one Datasketches HLL per
+    * OBSERVED DAY (raw events collapse into per-partition sketch
+    * partials map-side, so the shuffle carries at most
+    * partitions × days sketch blobs — never (user, day) pairs), then
+    * each day's sketch votes for the `windowDays` report days it
+    * covers and votes MERGE per report day (register max — the same
+    * union `q_agg_hll_merge` exercises). The explode runs over the
+    * per-day sketch table (≤ #days rows), not data.
+    *
+    * Where the exact path's final count-distinct shuffles
+    * uniques × window (user, day) pairs, this path's report-day merge
+    * moves window × days fixed-size sketches — the only form whose
+    * wire cost is independent of user cardinality. Price: ±~2%
+    * (lgConfigK default 12) — the estimate, not the exact count.
+    * Output: (day, n_unique_est) over the days observed in the data.
+    */
+  def rollingUniquesHll(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 92,
+      s"windowDays must be in [1, 92] (explode factor), got $windowDays")
+    val daily = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .groupBy(col("__d"))
+      .agg(hll_sketch_agg(col("__u")).as("__sk"))
+    val days = daily.select(col("__d").as("day"))
+    daily
+      .select(col("__sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        col("__d"))
+      .select(col("__sk"), date_add(col("__d"), col("__i")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk")))
+        .as("n_unique_est"))
       .orderBy(col("day"))
   }
 }

@@ -110,6 +110,119 @@ object Bpe {
     * not this exact-greedy operator (whose every round
     * `q_vocab_bpe`'s oracle replays bit-for-bit).
     */
+  /** Batch-merge BPE training — the "non-overlapping batch merges"
+    * scale path [[trainMerges]]' Scaladoc names, as the explicit
+    * caller opt-in (the [[Sampling.farthestPointSampleBatched]]
+    * recipe). Per ROUND: pair counts are aggregated and persisted
+    * once, then up to `batch` merges are picked from that one counts
+    * table — each pick the (count desc, "x y" asc) argmax among pairs
+    * whose BOTH symbols are disjoint from every symbol already picked
+    * this round AND whose merged token collides with none of them
+    * (symbol-disjoint merges whose outputs stay out of each other's
+    * patterns commute, so one sequential rewrite pass applies them
+    * all order-independently) — and the working set is rewritten and
+    * persisted ONCE. The expensive per-merge cost (working-set
+    * rewrite + persist + count barrier) drops from k to
+    * ceil(k/batch) rounds; picks are cheap TakeOrdered argmaxes on
+    * the persisted vocabulary-sized counts aggregate.
+    *
+    * `batch = 1` is bit-identical to [[trainMerges]] (asserted in
+    * BpeSpec). For `batch > 1` the relaxation is honest: picks 2..p
+    * of a round rank by the counts BEFORE any of that round's
+    * merges, so the learned list can diverge from the exact greedy's
+    * (which recounts between merges) — same-round picks don't see
+    * each other's rewrites. Pair counts of the emitted merges are the
+    * pre-round counts (what the pick ranked by), like the exact
+    * greedy's. A round that finds fewer than `batch` disjoint pairs
+    * emits what it found; no disjoint pair at all ends training.
+    *
+    * Output: (rank, round, left_sym, right_sym, merged, pair_count),
+    * rank = global pick order, round = the rewrite round that picked
+    * it (all merges of one round applied in one pass; rounds can hold
+    * fewer than `batch` picks when exclusions exhaust the candidates).
+    */
+  def trainMergesBatched(
+      docs: DataFrame, textCol: String, k: Int, batch: Int): DataFrame = {
+    require(batch >= 1 && batch <= 8,
+      s"batch must be in [1, 8] (same-round merges share one pre-round " +
+        s"count table; large batches drift far from the greedy), got $batch")
+    val rounds = (k + batch - 1) / batch
+    require(k >= 1 && rounds <= 32,
+      s"ceil(k/batch) must be <= 32 rounds (one rewrite + persist " +
+        s"barrier per round — see trainMerges' ceiling), got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var cur = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), filter(split(col("w"), ""), s => s =!= "").as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var nPicked = 0
+    var round = 0
+    try {
+      var exhausted = false
+      while (nPicked < k && !exhausted) {
+        round += 1
+        val counts = cur
+          .select(col("cnt"),
+            explode(zip_with(col("syms"),
+              slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b))).as("p"))
+          .filter(col("p").isNotNull)
+          .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+          .select(split(col("p"), " ", 2).getItem(0).as("x"),
+            split(col("p"), " ", 2).getItem(1).as("y"),
+            col("p"), col("pc"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val roundPicks = Seq.newBuilder[(String, String)]
+          var used = Set.empty[String]
+          var nRound = 0
+          var roundOpen = true
+          while (roundOpen && nPicked < k && nRound < batch) {
+            val cand =
+              (if (used.isEmpty) counts
+               else counts.filter(!col("x").isin(used.toSeq: _*) &&
+                 !col("y").isin(used.toSeq: _*) &&
+                 !concat(col("x"), col("y")).isin(used.toSeq: _*)))
+                .orderBy(col("pc").desc, col("p").asc)
+                .limit(1).collect()
+            if (cand.isEmpty) roundOpen = false
+            else {
+              val (x, y) = (cand(0).getString(0), cand(0).getString(1))
+              nPicked += 1
+              nRound += 1
+              merges += ((nPicked, round, x, y, x + y, cand(0).getLong(3)))
+              roundPicks += ((x, y))
+              // the merged token joins the exclusion set too: a later
+              // same-round pick consuming OR producing it would see
+              // positions this pick's rewrite creates (or vice versa),
+              // breaking the order-independence disjointness buys
+              used = used + x + y + (x + y)
+            }
+          }
+          val picks = roundPicks.result()
+          if (picks.isEmpty) exhausted = true
+          else {
+            val applyUdf = udf((s: Seq[String]) =>
+              picks.foldLeft(s) { case (acc, (x, y)) => applyMerge(acc, x, y) })
+            val next = cur.select(col("cnt"), applyUdf(col("syms")).as("syms"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            cur.unpersist()
+            cur = next
+          }
+        } finally counts.unpersist()
+      }
+    } finally cur.unpersist()
+    merges.result()
+      .toDF("rank", "round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 32,
       s"k must be in [1, 32] (one driver round-trip + persist barrier " +

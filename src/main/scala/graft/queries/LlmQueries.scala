@@ -805,6 +805,18 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // The batched scale path trainMerges' Scaladoc names, as the
+    // explicit opt-in: 4 merges in 2 rewrite rounds (batch=2) — per
+    // round, one persisted pair-count table feeds two disjoint argmax
+    // picks (symbols AND merged token pairwise distinct, so the picks
+    // commute) and ONE fused rewrite. The oracle replays both rounds:
+    // counts, pick a, the exclusion set, pick b, and the two chained
+    // greedy applications.
+    "q_vocab_bpe_batched" -> ((s, dir) => {
+      Bpe.trainMergesBatched(docs(s, dir), "text", k = 4, batch = 2)
+        .orderBy(col("rank"))
+    }),
+
     // The ENCODE side: top-20 pieces (by total corpus count, ties on
     // piece asc) after applying the 3 learned merges — the coverage
     // report trained merges are judged by.
@@ -1362,7 +1374,7 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  private val DuckBpeCtes: String =
+  private val DuckBpeBase: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS cnt FROM (
       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
@@ -1371,8 +1383,95 @@ object LlmQueries {
       |  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid, cnt,
       |    string_split(w, '') AS syms
       |  FROM words
-      |)""".stripMargin +
-      (1 to 3).map(duckBpeRound).mkString
+      |)""".stripMargin
+
+  private val DuckBpeCtes: String =
+    DuckBpeBase + (1 to 3).map(duckBpeRound).mkString
+
+  /** Greedy left-to-right application of the single merge in CTE `m`
+    * (one row: x, y) to word table `src`, producing `out` — the
+    * odd-rank-within-runs replay `duckBpeRound` uses, factored so the
+    * batched oracle can chain two applications per round. An EMPTY
+    * `m` (no disjoint pick) passes `src` through unchanged (the
+    * scalar subqueries read NULL, so no position matches).
+    */
+  private def duckBpeApply(
+      tag: String, src: String, m: String, out: String): String =
+    s"""
+       |, pos$tag AS (
+       |  SELECT wid, i,
+       |    i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS grp
+       |  FROM (
+       |    SELECT wid, CAST(unnest(range(len(syms)-1)) AS INT) AS i, syms
+       |    FROM $src)
+       |  WHERE syms[i+1] = (SELECT x FROM $m)
+       |    AND syms[i+2] = (SELECT y FROM $m)
+       |), keep$tag AS (
+       |  SELECT wid, i FROM (
+       |    SELECT wid, i,
+       |      ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
+       |    FROM pos$tag)
+       |  WHERE rn % 2 = 1
+       |), $out AS (
+       |  SELECT wid, cnt, list(sym ORDER BY i) AS syms FROM (
+       |    SELECT w.wid, w.cnt, t.i,
+       |      CASE WHEN k.i IS NOT NULL THEN w.syms[t.i+1] || w.syms[t.i+2]
+       |           ELSE w.syms[t.i+1] END AS sym,
+       |      kprev.i AS skip
+       |    FROM (SELECT wid, cnt, syms FROM $src) w
+       |    CROSS JOIN LATERAL (
+       |      SELECT CAST(unnest(range(len(w.syms))) AS INT) AS i) t
+       |    LEFT JOIN keep$tag k ON k.wid = w.wid AND k.i = t.i
+       |    LEFT JOIN keep$tag kprev ON kprev.wid = w.wid AND kprev.i = t.i - 1
+       |  ) WHERE skip IS NULL
+       |  GROUP BY wid, cnt
+       |)""".stripMargin
+
+  /** One batched-BPE super-round (`Bpe.trainMergesBatched`, batch=2)
+    * for the `q_vocab_bpe_batched` oracle: pair counts over w{r-1}
+    * ONCE, pick a = the (pc desc, pair asc) argmax, pick b = the same
+    * argmax among pairs whose x, y, AND merged token avoid pick a's
+    * {x, y, x||y} (the commutativity exclusion), then BOTH rewrites
+    * applied sequentially to produce w{r} — order irrelevant by
+    * construction, matching the Spark side's single fused pass.
+    */
+  private def duckBpeBatchedRound(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""
+       |, p$r AS (
+       |  SELECT syms[i+1] || ' ' || syms[i+2] AS pair, SUM(cnt) AS pc
+       |  FROM (SELECT cnt, syms,
+       |    CAST(unnest(range(len(syms)-1)) AS INT) AS i FROM $prev)
+       |  GROUP BY 1
+       |), c$r AS (
+       |  SELECT string_split(pair, ' ')[1] AS x,
+       |    string_split(pair, ' ')[2] AS y, pair, pc FROM p$r
+       |), m${r}a AS (
+       |  SELECT x, y, pc FROM c$r ORDER BY pc DESC, pair ASC LIMIT 1
+       |), ex$r AS (
+       |  SELECT x AS v FROM m${r}a UNION
+       |  SELECT y FROM m${r}a UNION
+       |  SELECT x || y FROM m${r}a
+       |), m${r}b AS (
+       |  SELECT x, y, pc FROM c$r
+       |  WHERE x NOT IN (SELECT v FROM ex$r)
+       |    AND y NOT IN (SELECT v FROM ex$r)
+       |    AND x || y NOT IN (SELECT v FROM ex$r)
+       |  ORDER BY pc DESC, pair ASC LIMIT 1
+       |)""".stripMargin +
+      duckBpeApply(s"${r}a", prev, s"m${r}a", s"w${r}h") +
+      duckBpeApply(s"${r}b", s"w${r}h", s"m${r}b", s"w$r")
+  }
+
+  private val DuckBpeBatchedOracle: String =
+    DuckBpeBase + (1 to 2).map(duckBpeBatchedRound).mkString +
+      """
+        |SELECT 1 AS rank, 1 AS round, x AS left_sym, y AS right_sym,
+        |  x || y AS merged, CAST(pc AS BIGINT) AS pair_count FROM m1a
+        |UNION ALL SELECT 2, 1, x, y, x || y, CAST(pc AS BIGINT) FROM m1b
+        |UNION ALL SELECT 3, 2, x, y, x || y, CAST(pc AS BIGINT) FROM m2a
+        |UNION ALL SELECT 4, 2, x, y, x || y, CAST(pc AS BIGINT) FROM m2b
+        |ORDER BY rank""".stripMargin
 
   private val DuckBpeOracle: String =
     DuckBpeCtes +
@@ -1942,6 +2041,7 @@ object LlmQueries {
         |FROM pairs WHERE greatest(ca, cb) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab_bpe" -> DuckBpeOracle,
+    "q_vocab_bpe_batched" -> DuckBpeBatchedOracle,
     "q_vocab_pieces" -> DuckBpePiecesOracle,
     "q_embed_pca" ->
       """WITH t AS (

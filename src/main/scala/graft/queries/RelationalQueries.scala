@@ -2383,6 +2383,26 @@ object RelationalQueries {
         windowDays = 7)
     }),
 
+    // The sketch path rollingUniques' Scaladoc names, made concrete:
+    // one HLL per observed day, merged across the 7-day frame — wire
+    // cost independent of user cardinality where the exact path
+    // shuffles uniques x window (user, day) pairs. PARTIAL ORACLE
+    // (the q_agg_hll_merge pattern): the sketch estimate is
+    // engine-specific, so the driver-checked columns are the exact
+    // rolling count plus approx_ok (estimate within 5% of exact —
+    // 3x the lgK-12 rsd) pinned TRUE, so a drifting sketch
+    // hash-mismatches.
+    "q_ts_rollunique_hll" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      Analytics.rollingUniques(ev, "user_id", "ts", windowDays = 7)
+        .join(Analytics.rollingUniquesHll(ev, "user_id", "ts",
+          windowDays = 7), Seq("day"))
+        .select(col("day"), col("n_unique"),
+          (abs(col("n_unique_est") - col("n_unique")).cast("double")
+            / col("n_unique") <= 0.05).as("approx_ok"))
+        .orderBy(col("day"))
+    }),
+
     // Day-over-day percent change of daily volumes per event type —
     // the period-over-period BI staple: one lag window over the daily
     // aggregate spine; first day reads NULL, a zero prior day reads
@@ -4247,6 +4267,20 @@ object RelationalQueries {
         |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) x
         |)
         |SELECT v.day, COUNT(DISTINCT v.u) AS n_unique
+        |FROM votes v WHERE v.day IN (SELECT day FROM days)
+        |GROUP BY v.day ORDER BY v.day""".stripMargin,
+    "q_ts_rollunique_hll" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE)
+        |    AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), days AS (
+        |  SELECT DISTINCT d AS day FROM ud
+        |), votes AS (
+        |  SELECT ud.u, ud.d + CAST(x.i AS INT) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) x
+        |)
+        |SELECT v.day, COUNT(DISTINCT v.u) AS n_unique, TRUE AS approx_ok
         |FROM votes v WHERE v.day IN (SELECT day FROM days)
         |GROUP BY v.day ORDER BY v.day""".stripMargin,
     "q_ts_daychange" ->

@@ -189,4 +189,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
     assert(got === want)
   }
+
+  test("rollingUniquesHll tracks the exact path within 2% on the same days") {
+    val rnd = new scala.util.Random(7)
+    val evs = (1 to 400).map { i =>
+      val day = rnd.nextInt(20)
+      (rnd.nextInt(120).toLong, i.toLong,
+        ts(f"2024-01-${day + 1}%02d 0${rnd.nextInt(9)}:00:00"), "view")
+    }
+    val df = evs.toDF("user_id", "event_id", "ts", "event_type")
+    val exact = rows(Analytics.rollingUniques(df, "user_id", "ts", 7))
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val est = rows(Analytics.rollingUniquesHll(df, "user_id", "ts", 7))
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    // same report-day set, and every estimate inside the sparse-mode band
+    assert(est.map(_._1).toSet === exact.keySet)
+    est.foreach { case (d, e) =>
+      val x = exact(d)
+      assert(math.abs(e - x).toDouble / x <= 0.02,
+        s"day $d: est $e vs exact $x")
+    }
+  }
 }
