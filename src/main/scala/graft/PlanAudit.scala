@@ -26,7 +26,9 @@ object PlanAudit {
       "q_ts_ohlc", "q_attr_linear", "q_dedup_contain", "q_vocab_bpe",
       "q_vocab_pieces", "q_sample_reservoir", "q_embed_pca",
       "q_sink_csvtrip", "q_sink_rawjson", "q_sink_ddl",
-      "q_media_phash_img", "q_media_neardup_img")
+      "q_media_phash_img", "q_media_neardup_img",
+      "q_ts_rollunique_hll", "q_vocab_bpe_batched", "q_media_audio",
+      "q_media_frames_gif", "q_media_neardup_frames")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size

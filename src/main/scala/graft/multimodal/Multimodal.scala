@@ -183,6 +183,100 @@ object Multimodal {
     * min-parity across engines, the SimHash lesson). */
   case class MediaHash(doc_id: Long, phash: Long)
 
+  /** The dHash bit rule over 64 brightness cells: bit j = "cell j at
+    * least as bright as cell j+1", 63 bits. One definition shared by
+    * the whole-payload and per-frame hash paths.
+    */
+  private def dHash63(cells: Array[Int]): Long = {
+    var h = 0L
+    var j = 0
+    while (j < 63) {
+      if (cells(j) >= cells(j + 1)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Real MULTI-frame decode through the ImageIO reader protocol —
+    * the [[decodeImage]] upgrade for animated containers. Animated
+    * GIF is the one multi-frame format whose codec ships with the
+    * JDK, so it stands in for video here the way BMP/PNG stand in for
+    * stills: frames come back as real decoded rasters (fixtures use
+    * full-size frames with no transparency, so per-frame reads need
+    * no compositing). Single-frame formats return one frame; payloads
+    * no reader claims, that any frame read trips on, or that declare
+    * more than [[MaxFrames]] frames (all frames materialize in memory
+    * here — a crafted 100k-frame blob must degrade to the stub, not
+    * OOM the executor) return None (NonFatal — the decodeImage
+    * robustness contract).
+    */
+  val MaxFrames = 1024
+
+  def decodeFrames(
+      payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n < 1 || n > MaxFrames) None
+            else Some((0 until n).map(reader.read).toVector)
+          } finally reader.dispose()
+        }
+      } finally { try iis.close() catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One perceptual hash PER DECODED FRAME ([[frameHashes]]). */
+  case class FrameHash(
+      doc_id: Long, frame_idx: Int, n_frames: Int, phash: Long)
+
+  /** Per-frame perceptual hashing: the frame-sampling path run over
+    * REAL multi-frame decode ([[decodeFrames]]) — each frame's 64
+    * integer luminance cells ([[imageCells]]) hash independently, so
+    * near-dup mining can match clips frame-by-frame (shot-level
+    * dedup) instead of collapsing a clip to one bit pattern. Same
+    * `mapPartitions` batching as [[decodeMeta]].
+    *
+    * Payloads [[decodeFrames]] rejects (or whose frames are smaller
+    * than the 8x8 cell grid) emit ONE stub row — frame_idx 0,
+    * n_frames 1, and the same md5 brightness stand-in
+    * [[perceptualHash]] uses — so a mixed corpus degrades per-row,
+    * never aborts, and the stub stays bit-compatible with the
+    * whole-payload hash path.
+    */
+  def frameHashes(
+      spark: SparkSession, withPayload: DataFrame): Dataset[FrameHash] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          decodeFrames(r.payload)
+            .filter(fs => fs.nonEmpty &&
+              fs.forall(f => f.getWidth >= 8 && f.getHeight >= 8)) match {
+            case Some(frames) =>
+              frames.zipWithIndex.map { case (f, i) =>
+                FrameHash(r.doc_id, i, frames.length, dHash63(imageCells(f)))
+              }
+            case None =>
+              val cells = Array.tabulate(64) { j =>
+                digest.reset()
+                digest.update(r.payload)
+                digest.update(s"_p$j".getBytes("UTF-8"))
+                digest.digest()(0) & 0xff
+              }
+              Seq(FrameHash(r.doc_id, 0, 1, dHash63(cells)))
+          }
+        }
+      }
+  }
+
   /** Perceptual difference-hash (dHash) over the decoded media: bit j
     * is "cell j at least as bright as cell j+1" over 64 brightness
     * cells — the classic near-duplicate image fingerprint (robust to
@@ -215,13 +309,7 @@ object Multimodal {
               digest.update(s"_p$j".getBytes("UTF-8"))
               digest.digest()(0) & 0xff
             })
-          var h = 0L
-          var j = 0
-          while (j < 63) {
-            if (cells(j) >= cells(j + 1)) h |= (1L << j)
-            j += 1
-          }
-          MediaHash(r.doc_id, h)
+          MediaHash(r.doc_id, dHash63(cells))
         }
       }
   }
@@ -264,6 +352,126 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Decoded PCM audio: format metadata plus ALL interleaved 16-bit
+    * samples as Int.
+    */
+  case class DecodedAudio(
+      sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Real audio decode through the JDK's public `javax.sound.sampled`
+    * registry (WAV/AIFF/AU PCM readers ship with the JDK —
+    * zero-egress, the [[decodeImage]] parallel). Only canonical
+    * 16-bit signed PCM is accepted; anything else — unclaimed
+    * payloads, truncated streams, other encodings — returns None and
+    * routes to the deterministic stub, so one bad blob degrades
+    * instead of aborting a 100 TB scan (NonFatal, the decodeImage
+    * lesson: format readers throw RuntimeExceptions on malformed
+    * headers).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = Array.tabulate(n) { i =>
+            if (f.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          }
+          Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels, samples))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Floor integer square root (Newton-corrected double seed) — equal
+    * to python's math.isqrt for every non-negative Long, so the
+    * fixture generator's independent replay matches bit-for-bit.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** Per-payload audio profile row ([[audioProfile]]). */
+  case class AudioProfile(
+      doc_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      duration_ms: Long, peak: Int, rms: Long, zero_crossings: Long,
+      decoded: Boolean)
+
+  /** Batch audio profiling: payload → (format, duration, loudness,
+    * zero-crossing rate) in one `mapPartitions` pass — the audio
+    * analogue of [[decodeMeta]]+[[perceptualHash]], and the
+    * filter-signal source an audio-training pipeline gates on
+    * (silence/clipping detection, duration histograms). ALL-integer
+    * arithmetic over real decoded samples:
+    *
+    *  - n_frames = interleaved samples / channels;
+    *    duration_ms = n_frames * 1000 / sample_rate (integer div)
+    *  - peak = max |s| over ALL interleaved samples
+    *  - rms = isqrt(Σ s² / n_samples) — integer floor sqrt, so the
+    *    fixture generator's python replay (math.isqrt) is exact
+    *  - zero_crossings counts sign flips over CHANNEL 0 only
+    *    ((prev < 0) != (cur < 0): a 0-sample counts as non-negative)
+    *
+    * Payloads [[decodeAudio]] rejects keep a deterministic md5 stub
+    * (decoded = false): rate 8000 / 1 channel / n_frames = byte
+    * length; peak = first-two-md5-bytes of payload ++ "_au" mod
+    * 32768, rms = peak/2, crossings = n_frames/4 — every value
+    * replayable by an external engine, mirroring [[fakeDecode]].
+    */
+  def audioProfile(
+      spark: SparkSession, withPayload: DataFrame): Dataset[AudioProfile] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[BinRow]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          decodeAudio(r.payload) match {
+            case Some(a) if a.samples.nonEmpty && a.sampleRate > 0 =>
+              val nFrames = a.samples.length.toLong / a.channels
+              var peak = 0
+              var sumSq = 0L
+              var i = 0
+              while (i < a.samples.length) {
+                val s = a.samples(i)
+                val abs = if (s < 0) -s else s
+                if (abs > peak) peak = abs
+                sumSq += s.toLong * s
+                i += 1
+              }
+              var zc = 0L
+              var j = a.channels
+              while (j < a.samples.length) {
+                if ((a.samples(j - a.channels) < 0) != (a.samples(j) < 0)) zc += 1
+                j += a.channels
+              }
+              AudioProfile(r.doc_id, a.sampleRate, a.channels, nFrames,
+                nFrames * 1000L / a.sampleRate, peak,
+                isqrt(sumSq / a.samples.length), zc, decoded = true)
+            case _ =>
+              digest.reset()
+              digest.update(r.payload)
+              digest.update("_au".getBytes("UTF-8"))
+              val h = digest.digest()
+              val peak = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 32768
+              val nFrames = r.payload.length.toLong
+              AudioProfile(r.doc_id, 8000, 1, nFrames,
+                nFrames * 1000L / 8000L, peak, peak / 2L, nFrames / 4L,
+                decoded = false)
+          }
+        }
+      }
   }
 
   /** A resized payload with its new dimensions. */

@@ -1268,6 +1268,51 @@ object LlmQueries {
     "q_media_neardup_img" -> ((s, _) => {
       Multimodal.nearDuplicateMedia(s, mediaImages(s), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL audio decode over the committed WAV fixtures: the JDK's
+    // javax.sound.sampled reads actual PCM samples and the profile is
+    // all-integer (peak / floor-isqrt rms / channel-0 zero crossings).
+    // The oracle's VALUES were computed by the fixture generator's
+    // INDEPENDENT pure-python replay (wave + struct + math.isqrt —
+    // fixtures/media_audio/_gen_audio_fixtures.py); `decoded` pinned
+    // TRUE means a fixture silently falling back to the stub
+    // hash-mismatches. With this row the multimodal stub caveat
+    // shrinks to video only.
+    "q_media_audio" -> ((s, _) => {
+      Multimodal.audioProfile(s, mediaAudio(s)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL multi-frame decode over the committed animated-GIF
+    // fixtures (the one multi-frame codec the JDK ships): one
+    // perceptual hash per decoded frame — the shot-level frame
+    // sampling a video pipeline runs, with GIF standing in for the
+    // video container the way BMP stands in for stills. Fixture
+    // design: vid_001 is vid_000 with an order-preserving palette
+    // shift, so all four frame hashes must match vid_000's exactly;
+    // vid_002's rotating gradient gives 6 distinct hashes. The
+    // oracle's VALUES were computed by the fixture generator's
+    // independent replay (it encodes known pixel arrays and runs the
+    // same integer cell/bit math — no JVM involved).
+    "q_media_frames_gif" -> ((s, _) => {
+      Multimodal.frameHashes(s, mediaGifs(s)).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Shot-level near-dup mining: the banded hamming miner run over
+    // PER-FRAME real hashes (composite key doc*100+frame), so clips
+    // sharing any near-identical frame surface as pairs — vid_001's
+    // palette-shifted frames must each pair with their vid_000
+    // original at hamming 0. The oracle brute-forces all pairs over
+    // the same frame-hash VALUES (xor + bit_count in DuckDB), so the
+    // banding's recall is checked, not assumed.
+    "q_media_neardup_frames" -> ((s, _) => {
+      val fh = Multimodal.frameHashes(s, mediaGifs(s)).toDF()
+        .select((col("doc_id") * 100 + col("frame_idx")).as("doc_id"),
+          col("phash"))
+      Multimodal.nearDuplicatesFromHashes(fh, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
 
   /** The committed real-image fixtures as (doc_id, payload) — doc_id
@@ -1278,6 +1323,28 @@ object LlmQueries {
       .readBinaryFiles(s, "/root/repo/fixtures/media_img", glob = "*.bmp")
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "img_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+
+  /** The committed real-audio fixtures as (doc_id, payload) — doc_id
+    * parsed from the au_NNN.wav filename.
+    */
+  private def mediaAudio(s: SparkSession): DataFrame =
+    graft.sources.Sources
+      .readBinaryFiles(s, "/root/repo/fixtures/media_audio", glob = "*.wav")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "au_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+
+  /** The committed animated-GIF fixtures as (doc_id, payload) —
+    * doc_id parsed from the vid_NNN.gif filename.
+    */
+  private def mediaGifs(s: SparkSession): DataFrame =
+    graft.sources.Sources
+      .readBinaryFiles(s, "/root/repo/fixtures/media_gif", glob = "*.gif")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "vid_(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("content").as("payload"))
 
@@ -3610,6 +3677,66 @@ object LlmQueries {
         | (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INT)),
         | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS INT))
         |) AS t(doc_a, doc_b, hamming)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // VALUES computed by fixtures/media_audio/_gen_audio_fixtures.py's
+    // independent pure-python WAV decode replaying the same integer
+    // profile math (peak / floor-isqrt rms / channel-0 zero crossings).
+    "q_media_audio" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 8000, 1, CAST(800 AS BIGINT), CAST(100 AS BIGINT), 12000, CAST(12000 AS BIGINT), CAST(79 AS BIGINT), TRUE),
+        | (CAST(1 AS BIGINT), 8000, 1, CAST(800 AS BIGINT), CAST(100 AS BIGINT), 6000, CAST(6000 AS BIGINT), CAST(79 AS BIGINT), TRUE),
+        | (CAST(2 AS BIGINT), 8000, 1, CAST(400 AS BIGINT), CAST(50 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        | (CAST(3 AS BIGINT), 16000, 2, CAST(600 AS BIGINT), CAST(37 AS BIGINT), 12000, CAST(4949 AS BIGINT), CAST(5 AS BIGINT), TRUE),
+        | (CAST(4 AS BIGINT), 11025, 1, CAST(1000 AS BIGINT), CAST(90 AS BIGINT), 11984, CAST(6884 AS BIGINT), CAST(501 AS BIGINT), TRUE)
+        |) AS t(doc_id, sample_rate, channels, n_frames, duration_ms,
+        |       peak, rms, zero_crossings, decoded)
+        |ORDER BY doc_id""".stripMargin,
+    // VALUES computed by fixtures/media_gif/_gen_gif_fixtures.py's
+    // independent replay: it encodes known pixel arrays into the GIFs
+    // and runs the same integer luminance-cell / dHash bit math on
+    // them directly (no decode, no JVM).
+    "q_media_frames_gif" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 0, 4, CAST(9223372036846354303 AS BIGINT)),
+        | (CAST(0 AS BIGINT), 1, 4, CAST(9223372036720031735 AS BIGINT)),
+        | (CAST(0 AS BIGINT), 2, 4, CAST(8644650654284906495 AS BIGINT)),
+        | (CAST(0 AS BIGINT), 3, 4, CAST(9187201950444158975 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 0, 4, CAST(9223372036846354303 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 1, 4, CAST(9223372036720031735 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 2, 4, CAST(8644650654284906495 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 3, 4, CAST(9187201950444158975 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 0, 6, CAST(36170086419038336 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 1, 6, CAST(4629771061636907072 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 2, 6, CAST(2314885530818453536 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 3, 6, CAST(1157442765409226768 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 4, 6, CAST(578721382704613384 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 5, 6, CAST(289360691352306692 AS BIGINT))
+        |) AS t(doc_id, frame_idx, n_frames, phash)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Brute-force all-pairs hamming over the SAME frame-hash values
+    // (id = doc*100 + frame): checks the banded miner's recall
+    // against an exhaustive oracle rather than assuming it.
+    "q_media_neardup_frames" ->
+      """WITH fh(id, phash) AS (VALUES
+        | (CAST(0 AS BIGINT), CAST(9223372036846354303 AS BIGINT)),
+        | (CAST(1 AS BIGINT), CAST(9223372036720031735 AS BIGINT)),
+        | (CAST(2 AS BIGINT), CAST(8644650654284906495 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(9187201950444158975 AS BIGINT)),
+        | (CAST(100 AS BIGINT), CAST(9223372036846354303 AS BIGINT)),
+        | (CAST(101 AS BIGINT), CAST(9223372036720031735 AS BIGINT)),
+        | (CAST(102 AS BIGINT), CAST(8644650654284906495 AS BIGINT)),
+        | (CAST(103 AS BIGINT), CAST(9187201950444158975 AS BIGINT)),
+        | (CAST(200 AS BIGINT), CAST(36170086419038336 AS BIGINT)),
+        | (CAST(201 AS BIGINT), CAST(4629771061636907072 AS BIGINT)),
+        | (CAST(202 AS BIGINT), CAST(2314885530818453536 AS BIGINT)),
+        | (CAST(203 AS BIGINT), CAST(1157442765409226768 AS BIGINT)),
+        | (CAST(204 AS BIGINT), CAST(578721382704613384 AS BIGINT)),
+        | (CAST(205 AS BIGINT), CAST(289360691352306692 AS BIGINT))
+        |)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM fh a JOIN fh b ON a.id < b.id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)
     // The broadcast scoring path claims BIT-identity with the literal
     // path, so it answers to the literal path's oracle verbatim — one

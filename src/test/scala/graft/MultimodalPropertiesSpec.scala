@@ -64,4 +64,37 @@ object MultimodalPropertiesSpec extends Properties("MediaNearDup") {
       } yield (a.toLong, b.toLong, d)).toSet
       got == want
     }
+
+  // decodeAudio against the JDK's own WAV ENCODER: any 16-bit PCM
+  // sample sequence written by AudioSystem.write must decode back
+  // bit-identically (little-endian mono/stereo, varied rates) — the
+  // fixture-free counterpart of the committed-WAV tests.
+  private val pcmGen: Gen[(List[Int], Int, Int)] = for {
+    n <- Gen.chooseNum(1, 400)
+    samples <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    channels <- Gen.oneOf(1, 2)
+    rate <- Gen.oneOf(8000, 11025, 16000, 44100)
+  } yield (samples.take(n - n % channels), channels, rate)
+
+  property("decodeAudio inverts the JDK WAV encoder on random PCM") =
+    forAll(pcmGen) { case (samples, channels, rate) =>
+      samples.isEmpty || {
+        val bytes = new Array[Byte](samples.length * 2)
+        samples.zipWithIndex.foreach { case (s, i) =>
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt,
+          samples.length / channels)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        val a = Multimodal.decodeAudio(baos.toByteArray).get
+        a.sampleRate == rate && a.channels == channels &&
+          a.samples.toList == samples
+      }
+    }
 }

@@ -169,4 +169,103 @@ class MultimodalSpec extends SparkTestBase {
       .collect()
     assert(h.length === 3) // and decodeMeta's stub dims asserted above
   }
+
+  test("decodeAudio reads REAL PCM samples from a committed WAV fixture") {
+    val payload = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media_audio/au_000.wav"))
+    val a = Multimodal.decodeAudio(payload).get
+    assert(a.sampleRate === 8000 && a.channels === 1)
+    assert(a.samples.length === 800)
+    // square wave, period 20, amp 12000: first half-period positive
+    assert(a.samples.take(10).forall(_ === 12000))
+    assert(a.samples.slice(10, 20).forall(_ === -12000))
+    // garbage and truncated payloads degrade, never throw
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(payload.take(30)).isEmpty)
+  }
+
+  test("isqrt equals floor sqrt on exact squares, off-by-one bands, big longs") {
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 24L, 25L, 26L,
+        (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31))) {
+      val r = Multimodal.isqrt(n)
+      assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
+    }
+  }
+
+  test("audioProfile: real WAVs profile decoded=true, stereo zc reads channel 0") {
+    val fx = graft.sources.Sources
+      .readBinaryFiles(spark, "/root/repo/fixtures/media_audio", glob = "*.wav")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "au_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val p = Multimodal.audioProfile(spark, fx).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(p.size === 5 && p.values.forall(_.decoded))
+    // au_001 is au_000 at half amplitude: same zero crossings, half rms
+    assert(p(0L).zero_crossings === p(1L).zero_crossings)
+    assert(p(0L).rms === 12000L && p(1L).rms === 6000L)
+    // silence: all-zero features
+    assert(p(2L).peak === 0 && p(2L).rms === 0L && p(2L).zero_crossings === 0L)
+    // stereo: n_frames halves the interleaved count; the constant-1000
+    // right channel never flips sign, so zc counts the left sawtooth only
+    assert(p(3L).channels === 2 && p(3L).n_frames === 600L)
+    assert(p(3L).zero_crossings === 5L)
+  }
+
+  test("decodeFrames reads every GIF frame's REAL pixels") {
+    val payload = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media_gif/vid_000.gif"))
+    val frames = Multimodal.decodeFrames(payload).get
+    assert(frames.length === 4)
+    assert(frames.forall(f => f.getWidth === 16 && f.getHeight === 16))
+    // frame 0: bright 8x8 block top-left (gray 224), background gray 32
+    assert((frames(0).getRGB(0, 0) & 0xffffff) === 0xe0e0e0)
+    assert((frames(0).getRGB(15, 15) & 0xffffff) === 0x202020)
+    // frame 2: block at bottom-right
+    assert((frames(2).getRGB(15, 15) & 0xffffff) === 0xe0e0e0)
+    assert((frames(2).getRGB(0, 0) & 0xffffff) === 0x202020)
+    // single-frame formats come back as one frame; garbage degrades
+    val bmp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media_img/img_000.bmp"))
+    assert(Multimodal.decodeFrames(bmp).get.length === 1)
+    assert(Multimodal.decodeFrames("not media".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("frameHashes: per-frame real hashes; palette shift is invariant") {
+    val fx = graft.sources.Sources
+      .readBinaryFiles(spark, "/root/repo/fixtures/media_gif", glob = "*.gif")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "vid_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val h = Multimodal.frameHashes(spark, fx).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(h(0L).map(_.n_frames).toSeq === Seq.fill(4)(4))
+    assert(h(2L).length === 6)
+    // vid_001 = vid_000 under an order-preserving brightness shift
+    assert(h(0L).map(_.phash).toSeq === h(1L).map(_.phash).toSeq)
+    // the rotating gradient hashes all differ
+    assert(h(2L).map(_.phash).distinct.length === 6)
+  }
+
+  test("frameHashes: undecodable payloads emit one stub row matching perceptualHash") {
+    val withPayload = Multimodal.withBinaryPayload(docs)
+    val stub = Multimodal.frameHashes(spark, withPayload).collect()
+    assert(stub.length === 3)
+    assert(stub.forall(f => f.frame_idx === 0 && f.n_frames === 1))
+    val whole = Multimodal.perceptualHash(spark, withPayload).collect()
+      .map(m => m.doc_id -> m.phash).toMap
+    stub.foreach(f => assert(f.phash === whole(f.doc_id)))
+  }
+
+  test("audioProfile: non-audio payloads take the md5 stub, decoded=false") {
+    val p = Multimodal.audioProfile(spark, Multimodal.withBinaryPayload(docs))
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(p.size === 3 && p.values.forall(!_.decoded))
+    val one = p(1L) // "hello world": 11 bytes
+    assert(one.sample_rate === 8000 && one.channels === 1)
+    assert(one.n_frames === 11L && one.duration_ms === 1L)
+    assert(one.rms === one.peak / 2L && one.zero_crossings === 2L)
+  }
 }
