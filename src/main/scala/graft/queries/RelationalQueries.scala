@@ -1702,6 +1702,50 @@ object RelationalQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // S7+K3 driver-visible: the reference's terminal hop — explicit
+    // DDL on a REAL database, then the batched JDBC append loader
+    // (`etl_dag.py:122-136` DDL + `s3_to_postgres.py:76-82` insert),
+    // then the partitioned JDBC scan back out. The database is
+    // embedded Derby, which ships in the Spark distribution for its
+    // metastore (zero egress, same JVM — standing in for Postgres the
+    // way local parquet stands in for S3). The query creates the
+    // target table via plain JDBC DDL, lands the full slice, APPENDS a
+    // second slice (append must append — a truncate/replace regression
+    // halves every count below), reads back through the 4-way
+    // stride-partitioned scan (`Sources.readJdbc` — the
+    // executor-parallel path a real cluster uses), and aggregates.
+    // DECIMAL(12,2) end-to-end keeps the balance sums exact; the
+    // read-back schema surfaces Derby's uppercase identifiers, so the
+    // final projection re-aliases the group key. Filter pushdown into
+    // the JDBC source is plan-asserted in JdbcSpec.
+    "q_sink_jdbc" -> ((s, dir) => {
+      val dbHome = QueryUtil.scratchDir("graft_jdbc_")
+      System.setProperty("derby.system.home", dbHome)
+      val url = s"jdbc:derby:$dbHome/wh;create=true"
+      val props = new java.util.Properties()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        "CREATE TABLE supplier_load (s_suppkey BIGINT, s_name VARCHAR(64)," +
+          " s_nationkey INT, s_acctbal DECIMAL(12,2))")
+      finally conn.close()
+      val src = table(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+      val cols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      Sinks.jdbcAppend(src, url, "supplier_load", cols, props)
+      Sinks.jdbcAppend(src.filter(col("s_nationkey") < 5),
+        url, "supplier_load", cols, props)
+      Sources.readJdbc(s, url, "supplier_load",
+          "s_suppkey", 0L, 1000000L, 4, props)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_sup"),
+          sum(col("s_suppkey")).as("sum_key"),
+          sum(col("s_acctbal")).cast("decimal(18,2)").as("sum_bal"))
+        .select(col("s_nationkey").cast("int").as("s_nationkey"),
+          col("n_sup"), col("sum_key"), col("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Schema evolution: two drops of the same table where the newer
     // batch gained a column. mergeSchema unifies the layouts at read
     // time — old rows surface NULL for the new column instead of
@@ -3310,6 +3354,15 @@ object RelationalQueries {
         | CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
         | MIN(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // Suppliers of nations < 5 were appended TWICE; the CASE weight
+    // replays the double-land against the source table directly.
+    "q_sink_jdbc" ->
+      """SELECT s_nationkey,
+        | CAST(SUM(CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS BIGINT) AS n_sup,
+        | CAST(SUM(s_suppkey * CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS BIGINT) AS sum_key,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) *
+        |          CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS DECIMAL(18,2)) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -227,8 +227,9 @@ object Sinks {
   /** Warehouse append (`airflow/plugins/s3_to_postgres.py:76-82`):
     * by-name column alignment, then a batched JDBC append — replacing the
     * reference's one-INSERT-per-row loop with executor-parallel batched
-    * writes. Not executable in the offline harness (no database); the
-    * call shape is complete.
+    * writes. Exercised offline against an embedded Derby warehouse
+    * (`q_sink_jdbc`, JdbcSpec) — the url decides the backend, so the
+    * same call lands in Postgres on a real deployment.
     */
   def jdbcAppend(
       df: DataFrame, url: String, table: String,

@@ -184,9 +184,11 @@ object Sources {
       }.toDF("path", "length", "content")
   }
 
-  /** JDBC scan shape (S7): reads a table back from an RDBMS with
-    * partitioned parallelism. Not exercised in the offline harness (no
-    * database), but this is the complete call surface.
+  /** JDBC scan (S7): reads a table back from an RDBMS with partitioned
+    * parallelism — numPartitions stride ranges on partitionColumn, each
+    * fetched by its own task, with filter pushdown into the source
+    * (plan-asserted in JdbcSpec). Exercised offline against an embedded
+    * Derby warehouse (`q_sink_jdbc`); the url decides the backend.
     */
   def readJdbc(
       spark: SparkSession, url: String, table: String,

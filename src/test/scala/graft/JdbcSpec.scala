@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Sources}
+import graft.queries.QueryUtil
+
+/** JDBC warehouse hop (SURVEY §2.1 S7 scan + §2.2 K3 batched append),
+  * exercised against an embedded Derby database — the RDBMS the Spark
+  * distribution itself ships (for its metastore), so the reference's
+  * Postgres terminal hop (`s3_to_postgres.py:76-82`) runs for real,
+  * offline. The url decides the backend; nothing here is
+  * Derby-specific except the DDL dialect in the fixture setup.
+  */
+class JdbcSpec extends SparkTestBase {
+
+  private def freshDb(): (String, java.util.Properties) = {
+    val home = QueryUtil.scratchDir("graft_jdbct_")
+    System.setProperty("derby.system.home", home)
+    (s"jdbc:derby:$home/db;create=true", new java.util.Properties())
+  }
+
+  private def createTable(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE t_load (k BIGINT, name VARCHAR(64), grp INT," +
+        " bal DECIMAL(12,2))")
+    finally conn.close()
+  }
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", 1, BigDecimal("10.50")),
+      (2L, "beta", 2, BigDecimal("-3.25")),
+      (3L, "gamma", 1, BigDecimal("7.00")),
+      (4L, "delta", 3, BigDecimal("0.00")))
+      .toDF("k", "name", "grp", "bal")
+      .select(col("k"), col("name"), col("grp"),
+        col("bal").cast("decimal(12,2)").as("bal"))
+  }
+
+  test("K3: batched append lands rows bit-for-bit and append APPENDS") {
+    val (url, props) = freshDb()
+    createTable(url)
+    Sinks.jdbcAppend(sample, url, "t_load",
+      Seq("k", "name", "grp", "bal"), props)
+    val once = Sources.readJdbc(spark, url, "t_load", "k", 0L, 100L, 2, props)
+    // Derby surfaces uppercase identifiers; values must be exact
+    assert(once.count() === 4)
+    val got = rows(once.orderBy(col("K")))
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDecimal(3).toPlainString))
+    assert(got === Seq(
+      (1L, "alpha", 1, "10.50"), (2L, "beta", 2, "-3.25"),
+      (3L, "gamma", 1, "7.00"), (4L, "delta", 3, "0.00")))
+    // second land of a subset must ADD, not replace
+    Sinks.jdbcAppend(sample.filter(col("grp") === 1), url, "t_load",
+      Seq("k", "name", "grp", "bal"), props)
+    val twice = Sources.readJdbc(spark, url, "t_load", "k", 0L, 100L, 2, props)
+    assert(twice.count() === 6)
+    assert(rows(twice.groupBy(col("GRP")).agg(count(lit(1)).as("n"))
+      .orderBy(col("GRP"))).map(r => (r.getInt(0), r.getLong(1)))
+      === Seq((1, 4L), (2, 1L), (3, 1L)))
+  }
+
+  test("S7: scan partitions by stride and pushes filters into the source") {
+    val (url, props) = freshDb()
+    createTable(url)
+    Sinks.jdbcAppend(sample, url, "t_load",
+      Seq("k", "name", "grp", "bal"), props)
+    val scan = Sources.readJdbc(spark, url, "t_load", "k", 0L, 100L, 4, props)
+    assert(scan.rdd.getNumPartitions === 4)
+    val filtered = scan.filter(col("k") > 2L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(K,2)"),
+      s"filter not pushed into the JDBC source:\n$plan")
+    assert(filtered.count() === 2)
+  }
+}
