@@ -1746,6 +1746,47 @@ object RelationalQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // §2.11 XCom load metrics, driver-visible: the reference counts
+    // loaded rows in a SECOND pass and XComs the number downstream
+    // (`s3_to_postgres.py:84-86`); here three metrics ride the single
+    // write pass as `observe` accumulators (`Sinks
+    // .writeParquetObserved`) — free telemetry vs double-the-job at
+    // 100 TB. The oracle recomputes the same aggregates over the
+    // source table, so a metric that missed rows (or a write that
+    // dropped them) hash-mismatches.
+    "q_load_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val out = QueryUtil.scratchDir("graft_obs_") + "/orders"
+      val src = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      val m = Sinks.writeParquetObserved(src, out, Seq(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        sum(col("o_totalprice")).as("sum_price")))
+      Seq((m("n_rows").asInstanceOf[Long], m("n_f").asInstanceOf[Long],
+        m("sum_price").toString))
+        .toDF("n_rows", "n_f", "sum_price")
+        .select(col("n_rows"), col("n_f"),
+          col("sum_price").cast("decimal(18,2)").as("sum_price"))
+    }),
+
+    // Metadata-only table stats, driver-visible: COUNT(*) + key
+    // min/max answered from parquet FOOTERS via DSv2 aggregate
+    // pushdown (`Sources.footerStats` — PushedAggregation in the scan,
+    // zero data pages read; the operator THROWS if the push is
+    // declined rather than run a silent full scan). The oracle
+    // recomputes the same stats the slow way, so a stale or wrong
+    // footer answer hash-mismatches.
+    "q_meta_stats" -> ((s, dir) => {
+      import s.implicits._
+      val r = Sources.footerStats(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber"))
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+        .toDF("n_rows", "min_okey", "max_okey", "min_line", "max_line")
+    }),
+
     // Schema evolution: two drops of the same table where the newer
     // batch gained a column. mergeSchema unifies the layouts at read
     // time — old rows surface NULL for the new column instead of
@@ -3363,6 +3404,16 @@ object RelationalQueries {
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) *
         |          CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS DECIMAL(18,2)) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_load_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders""".stripMargin,
+    "q_meta_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        | MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+        | MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
+        |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

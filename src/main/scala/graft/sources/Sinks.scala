@@ -21,6 +21,27 @@ object Sinks {
   def writeCsvOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Load with OBSERVED metrics — the reference's rows-loaded metric
+    * push (`s3_to_postgres.py:84-86` counts the frame and XComs the
+    * number to downstream tasks; SURVEY §2.11 maps XCom metrics to the
+    * `observe` API). The named metric expressions ride the ONE write
+    * pass as accumulator-backed observations and come back as a
+    * driver-side map — where the reference pays a second scan to
+    * count, this costs nothing extra, which is the difference between
+    * "free telemetry" and "double the job" at 100 TB. Metrics must be
+    * aggregate expressions the observation framework accepts (no
+    * distinct, no sort-dependent aggregates).
+    */
+  def writeParquetObserved(
+      df: DataFrame, path: String,
+      metrics: Seq[org.apache.spark.sql.Column]): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"load_${java.util.UUID.randomUUID()}")
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    obs.get
+  }
+
   /** Curated-zone parquet partitioned by ingest date — replaces the
     * reference's timestamped flat S3 keys (`etl_dag.py:46`) with a
     * partition layout Catalyst can prune (SURVEY.md §4.2).

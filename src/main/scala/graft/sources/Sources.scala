@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.Schemas
@@ -200,4 +201,42 @@ object Sources {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .jdbc(url, table, props)
+
+  /** Metadata-only table stats: COUNT(*) plus per-column MIN/MAX served
+    * from parquet FOOTERS via DSv2 aggregate pushdown — a petabyte
+    * table answers without touching a single data page (the scan's
+    * read schema IS the aggregate, `PushedAggregation` in the plan).
+    * This is the audit primitive behind "how big is this corpus /
+    * what's its key range" at 100 TB, where the naive agg is a full
+    * scan.
+    *
+    * Pushdown only exists on the v2 parquet path and only for
+    * nullable-free-safe aggregates (no filters, no DISTINCT, no
+    * nested/timestamp-with-rebase columns), so the method REQUIRES the
+    * pushed plan rather than silently degrading: if Spark declines to
+    * push (e.g. a column type without footer stats), this throws
+    * instead of running a 100 TB scan that looks like a metadata read.
+    * Execution happens eagerly inside the conf bracket (a lazy frame
+    * would plan under restored confs), returning the single stats row.
+    */
+  def footerStats(
+      spark: SparkSession, path: String, cols: Seq[String]): Row = {
+    val prevPush = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val frame = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+      val plan = frame.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate did not push to parquet footers — refusing the " +
+          s"silent full scan:\n$plan")
+      frame.collect().head
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
 }

@@ -37,6 +37,42 @@ class SinksSpec extends SparkTestBase {
       .map(_.getLong(0)) === Seq(213688169L))
   }
 
+  test("§2.11: observed load metrics match a recount and the write lands") {
+    val dir = Files.createTempDirectory("obs").toString + "/load"
+    val m = Sinks.writeParquetObserved(curated, dir, Seq(
+      count(lit(1)).as("n_rows"),
+      sum(col("num_bikes_available").cast("long")).as("sum_bikes")))
+    // the metric rode the write pass; it must equal an explicit recount
+    val back = spark.read.parquet(dir)
+    assert(m("n_rows") === back.count())
+    assert(m("sum_bikes") ===
+      rows(back.agg(sum(col("num_bikes_available").cast("long"))))
+        .head.getLong(0))
+    // raw-zone semantics: the observed writer must not silently re-land
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sinks.writeParquetObserved(curated, dir, Seq(count(lit(1)).as("n")))
+    }
+  }
+
+  test("footerStats answers from metadata, matches the slow path, refuses a silent scan") {
+    val dir = Files.createTempDirectory("meta").toString + "/t"
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"), (col("id") % 7).cast("int").as("grp"),
+      concat(lit("name_"), col("id")).as("name"))
+    df.repartition(4).write.parquet(dir)
+    val r = Sources.footerStats(spark, dir, Seq("k", "grp"))
+    assert(r.getLong(0) === 1000L) // n_rows
+    assert(r.getLong(1) === 0L && r.getLong(2) === 999L) // min/max k
+    assert(r.getInt(3) === 0 && r.getInt(4) === 6) // min/max grp
+    // string min/max has no reliable footer stats — Spark declines the
+    // push, and the operator must THROW rather than degrade to a scan
+    intercept[IllegalArgumentException] {
+      Sources.footerStats(spark, dir, Seq("name"))
+    }
+    // the conf bracket restored session state
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") === "false")
+  }
+
   test("K4: CREATE TABLE IF NOT EXISTS is idempotent and preserves the original schema") {
     Sinks.ensureTable(spark, "t_sink_spec", "id BIGINT, v DOUBLE")
     Sinks.ensureTable(spark, "t_sink_spec", "id BIGINT, v DOUBLE") // no error
