@@ -29,7 +29,7 @@ object PlanAudit {
       "q_media_phash_img", "q_media_neardup_img",
       "q_ts_rollunique_hll", "q_vocab_bpe_batched", "q_media_audio",
       "q_media_frames_gif", "q_media_neardup_frames", "q_sink_jdbc",
-      "q_load_metrics", "q_meta_stats")
+      "q_load_metrics", "q_meta_stats", "q_ann_partitioned")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size

@@ -261,6 +261,24 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     }),
 
+    // The IVF index MATERIALIZED (ivfTopK's documented scale path made
+    // concrete): corpus written ONCE hive-partitioned by centroid
+    // assignment, probes served by a statically partition-PRUNED read
+    // of their nProbe routed lists (pruning asserted via
+    // selectedPartitions in IvfPartitionedSpec). Same codebook,
+    // routing, and re-rank code as q_ann_ivf, so it answers to that
+    // oracle verbatim — in-query assignment vs persisted index must
+    // be indistinguishable to the byte.
+    "q_ann_partitioned" -> ((s, dir) => {
+      val centroids = embs(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("vec"))
+      val idx = QueryUtil.scratchDir("graft_ivf_") + "/index"
+      Similarity.ivfWritePartitioned(corpus(s, dir), centroids, idx)
+      Similarity.ivfTopKPartitioned(s, idx, probes(s, dir), centroids,
+        k = 10, nProbe = 4)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    }),
+
     // Codebook TRAINING: 2 Lloyd iterations of spherical k-means from
     // the 4 lowest-id seeds — every step (cosine assignment with
     // lowest-cid tie-break, round6-quantized decimal-sum means) is
@@ -3742,4 +3760,8 @@ object LlmQueries {
     // path, so it answers to the literal path's oracle verbatim — one
     // string, no copy to drift.
     .pipe(m => m.updated("q_text_perplexity_bcast", m("q_text_perplexity")))
+    // The persisted-index path claims bit-identity with the in-query
+    // IVF (same routing/re-rank code, parquet float round-trip exact),
+    // so it answers to q_ann_ivf's oracle verbatim.
+    .pipe(m => m.updated("q_ann_partitioned", m("q_ann_ivf")))
 }
