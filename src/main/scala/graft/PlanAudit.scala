@@ -29,7 +29,11 @@ object PlanAudit {
       "q_media_phash_img", "q_media_neardup_img",
       "q_ts_rollunique_hll", "q_vocab_bpe_batched", "q_media_audio",
       "q_media_frames_gif", "q_media_neardup_frames", "q_sink_jdbc",
-      "q_load_metrics", "q_meta_stats", "q_ann_partitioned")
+      // q_load_metrics / q_meta_stats return driver-local metric rows
+      // (LocalTableScan) — auditing them would print the wrapper's
+      // plan, not the real write/scan, while executing both as a side
+      // effect; their physical behavior is asserted in SinksSpec
+      "q_ann_partitioned")
     for (n <- targets) {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size

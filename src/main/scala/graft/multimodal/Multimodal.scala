@@ -212,6 +212,15 @@ object Multimodal {
     */
   val MaxFrames = 1024
 
+  /** Total decoded pixels a single payload may materialize (all frames
+    * live at once in the returned Vector): a declared-dimensions bound
+    * checked BEFORE any raster allocates, because a crafted header
+    * claiming 30000×30000 frames would OOM on `reader.read` — and
+    * OutOfMemoryError is an Error, which the NonFatal degradation
+    * cannot catch. 64M pixels ≈ 256 MB of ARGB rasters.
+    */
+  val MaxTotalPixels = 64L * 1024 * 1024
+
   def decodeFrames(
       payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
     try {
@@ -225,7 +234,12 @@ object Multimodal {
           try {
             reader.setInput(iis, false, true)
             val n = reader.getNumImages(true)
-            if (n < 1 || n > MaxFrames) None
+            val declaredPixels =
+              if (n < 1 || n > MaxFrames) Long.MaxValue
+              else (0 until n).iterator
+                .map(i => reader.getWidth(i).toLong * reader.getHeight(i))
+                .sum
+            if (declaredPixels > MaxTotalPixels) None
             else Some((0 until n).map(reader.read).toVector)
           } finally reader.dispose()
         }
@@ -370,15 +384,24 @@ object Multimodal {
     * lesson: format readers throw RuntimeExceptions on malformed
     * headers).
     */
+  /** Largest audio payload decoded in place: the sample array is a 2×
+    * byte-size amplification held per row (and OutOfMemoryError would
+    * escape the NonFatal degradation), so oversized blobs route to the
+    * stub the way oversized frame rasters do in [[decodeFrames]].
+    * 64 MiB of 16-bit PCM ≈ 32M samples ≈ 128 MB as Int.
+    */
+  val MaxAudioBytes: Int = 64 * 1024 * 1024
+
   def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
-    try {
+    if (payload.length > MaxAudioBytes) None
+    else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val f = ais.getFormat
         if (f.getEncoding !=
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16) None
+            f.getSampleSizeInBits != 16 || f.getChannels < 1) None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
@@ -397,9 +420,13 @@ object Multimodal {
     */
   private[graft] def isqrt(n: Long): Long = {
     require(n >= 0, s"isqrt of negative $n")
+    // correction compares via division: x*x > n ⟺ x > n/x for x > 0
+    // (and (x+1)² <= n ⟺ x+1 <= n/(x+1)) — x*x itself overflows Long
+    // for n near Long.MaxValue and would wrap negative, stalling the
+    // loop for ~2e9 iterations before returning a wrong root
     var x = math.sqrt(n.toDouble).toLong
-    while (x > 0 && x * x > n) x -= 1
-    while ((x + 1) * (x + 1) <= n) x += 1
+    while (x > 0 && x > n / x) x -= 1
+    while (x + 1 <= n / (x + 1)) x += 1
     x
   }
 

@@ -497,9 +497,16 @@ object Similarity {
       spark: SparkSession, indexPath: String, probes: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val code = loadCodebook(centroids)
+    // the partition values round-trip hive inference as INT — a wider
+    // centroid id would silently wrap under the cast below and prune
+    // every real directory, so refuse it up front
+    require(code.forall(c => c._1 >= 0 && c._1 <= Int.MaxValue),
+      "centroid ids must fit a non-negative Int (hive partition-value " +
+        "inference reads them back as int)")
     val probed = routeProbes(probes, code, nProbe)
       .withColumn("centroid_id", col("centroid_id").cast("int"))
-    // ≤ k distinct list ids — bounded by the codebook, never data-sized
+    // distinct routed list ids — bounded by the codebook size (≤ 256),
+    // never data-sized
     val lists = probed.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = spark.read.parquet(indexPath)

@@ -1765,7 +1765,7 @@ object RelationalQueries {
         count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
         sum(col("o_totalprice")).as("sum_price")))
       Seq((m("n_rows").asInstanceOf[Long], m("n_f").asInstanceOf[Long],
-        m("sum_price").toString))
+        String.valueOf(m("sum_price")))) // sum observes null on 0 rows
         .toDF("n_rows", "n_f", "sum_price")
         .select(col("n_rows"), col("n_f"),
           col("sum_price").cast("decimal(18,2)").as("sum_price"))

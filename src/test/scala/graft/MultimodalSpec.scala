@@ -185,11 +185,18 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("isqrt equals floor sqrt on exact squares, off-by-one bands, big longs") {
+    val isqrtMax = 3037000499L // floor sqrt of Long.MaxValue
     for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 24L, 25L, 26L,
-        (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31))) {
+        (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31),
+        // the x*x-overflow band a multiply-based correction wraps on
+        isqrtMax * isqrtMax - 1, isqrtMax * isqrtMax,
+        isqrtMax * isqrtMax + 1, Long.MaxValue)) {
       val r = Multimodal.isqrt(n)
-      assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
+      // division-form floor contract — (r+1)² itself overflows up here
+      assert(r >= 0 && (r == 0 || r <= n / r) && (r + 1) > n / (r + 1),
+        s"isqrt($n) = $r")
     }
+    assert(Multimodal.isqrt(Long.MaxValue) === isqrtMax)
   }
 
   test("audioProfile: real WAVs profile decoded=true, stereo zc reads channel 0") {
