@@ -239,6 +239,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFrames("not media".getBytes("UTF-8")).isEmpty)
   }
 
+  test("decode guards: declared-huge GIF and oversized audio degrade, never allocate") {
+    // hand-built GIF89a declaring ONE 60000x60000 frame (3.6e9 pixels,
+    // ~14 GB as ARGB) with only a few bytes of LZW data — the
+    // declared-dimensions guard must refuse it BEFORE reader.read
+    // allocates the raster (OutOfMemoryError would escape NonFatal)
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val hugeGif =
+      "GIF89a".getBytes("US-ASCII") ++
+        u16(60000) ++ u16(60000) ++ Array[Byte](0x00, 0, 0) ++ // LSD, no GCT
+        Array[Byte](0x2c) ++ u16(0) ++ u16(0) ++               // image desc
+        u16(60000) ++ u16(60000) ++ Array[Byte](0x00) ++       // no LCT
+        Array[Byte](0x02, 0x02, 0x4c, 0x01, 0x00) ++           // stub LZW
+        Array[Byte](0x3b)                                      // trailer
+    // sanity: the structure itself parses (a reader claims it)...
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(hugeGif))
+    assert(javax.imageio.ImageIO.getImageReaders(iis).hasNext)
+    iis.close()
+    // ...and the guard still refuses it
+    assert(Multimodal.decodeFrames(hugeGif).isEmpty)
+
+    // audio: the byte-length cap routes to the stub before any decode
+    val oversized = new Array[Byte](Multimodal.MaxAudioBytes + 1)
+    assert(Multimodal.decodeAudio(oversized).isEmpty)
+  }
+
   test("frameHashes: per-frame real hashes; palette shift is invariant") {
     val fx = graft.sources.Sources
       .readBinaryFiles(spark, "/root/repo/fixtures/media_gif", glob = "*.gif")
