@@ -148,7 +148,20 @@ object Dedup {
       .select(col("doc_id"), explode(bandKeyArr).as("bk"))
   }
 
-  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    minhashNearDuplicatesReleasable(docs, threshold)._1
+
+  /** [[minhashNearDuplicates]] with an explicit cache-release hook:
+    * the banded-signature table persists so the self-join's two sides
+    * share one computation, and `release()` drops that cache once the
+    * caller has MATERIALIZED the pairs. One-shot callers may ignore it
+    * (the JVM's cache registry holds one entry); repeated callers —
+    * the streaming admission loop runs this every micro-batch — must
+    * call it, or block-manager bookkeeping grows by one pinned frame
+    * per batch for the life of the stream.
+    */
+  def minhashNearDuplicatesReleasable(
+      docs: DataFrame, threshold: Double): (DataFrame, () => Unit) = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
 
@@ -160,7 +173,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(candidates, withShingles, withShingles, threshold)
+    (verifyJaccard(candidates, withShingles, withShingles, threshold),
+      () => { banded.unpersist(); () })
   }
 
   /** Incremental near-duplicate detection: NEW documents against an
@@ -211,7 +225,30 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+      maxDocFreq: Long = Long.MaxValue): DataFrame =
+    invertedIndexCommon(docs, n, maxDocFreq)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Shared core of [[ngramJaccardPairs]] and [[containmentPairs]]:
+    * the exploded (shingle, doc) inverted index, the opt-in
+    * stop-shingle cap, the intersection-count self-join, and the size
+    * re-attaches — one definition, so a skew-guard or index fix cannot
+    * silently miss one miner. Returns
+    * (doc_a, doc_b, n_common, n_sh_a, n_sh_b) for every co-occurring
+    * pair; the similarity measure is the caller's.
+    *
+    * Document frequency per shingle (when capped): hot shingles are
+    * excluded from candidate generation. Window-count over the shingle
+    * key — same single shuffle the self-join needs, no extra pass over
+    * the corpus. Skipped entirely when no cap is set (the default):
+    * the exact path carries no window operator at all.
+    */
+  private def invertedIndexCommon(
+      docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), n).as("sh"))
     val sizes = withShingles.select(
@@ -219,11 +256,6 @@ object Dedup {
     val index = withShingles.select(
       col("doc_id"), explode(col("sh")).as("shingle"))
 
-    // Document frequency per shingle; hot shingles are excluded from
-    // candidate generation. Window-count over the shingle key — same
-    // single shuffle the self-join needs, no extra pass over the corpus.
-    // Skipped entirely when no cap is set (the default): the exact path
-    // carries no window operator at all.
     val filteredIndex = if (maxDocFreq == Long.MaxValue) index else {
       val dfW = Window.partitionBy(col("shingle"))
       index
@@ -232,19 +264,14 @@ object Dedup {
         .drop("__df")
     }
 
-    val common = filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
+    filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-
-    common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n_sh").as("n_sh_a"), col("sb.n_sh").as("n_sh_b"))
   }
 
   /** Exact n-gram CONTAINMENT pairs — the asymmetric companion to
@@ -265,28 +292,9 @@ object Dedup {
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1]")
-    val withShingles = docs.select(
-      col("doc_id"), shingles(col("text"), n).as("sh"))
-    val sizes = withShingles.select(
-      col("doc_id"), size(col("sh")).as("n_sh"))
-    val index = withShingles.select(
-      col("doc_id"), explode(col("sh")).as("shingle"))
-    val filteredIndex = if (maxDocFreq == Long.MaxValue) index else {
-      val dfW = Window.partitionBy(col("shingle"))
-      index
-        .withColumn("__df", count(lit(1)).over(dfW))
-        .filter(col("__df") <= maxDocFreq)
-        .drop("__df")
-    }
-    val common = filteredIndex.as("x").join(filteredIndex.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("contain_a", col("n_common").cast("double") / col("sa.n_sh"))
-      .withColumn("contain_b", col("n_common").cast("double") / col("sb.n_sh"))
+    invertedIndexCommon(docs, n, maxDocFreq)
+      .withColumn("contain_a", col("n_common").cast("double") / col("n_sh_a"))
+      .withColumn("contain_b", col("n_common").cast("double") / col("n_sh_b"))
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("contain_a"), 6).as("contain_a"),
@@ -680,6 +688,12 @@ object Dedup {
     * at least one of the 4 bands), verified with an exact popcount.
     */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // the 4×16-bit pigeonhole only guarantees a shared band for pairs
+    // within Hamming 3 — a larger threshold would silently return
+    // incomplete pairs (4 differing bits can land one per band)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band 64-bit SimHash blocking guarantees recall only for " +
+        s"maxHamming <= 3, got $maxHamming")
     val sigs = simhashSignatures(docs)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
@@ -698,8 +712,11 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         hamming.as("hamming"))
-      .distinct()
+      // threshold BEFORE the distinct: hamming is a pure function of
+      // the pair, so filtering first is result-identical and keeps
+      // random same-band collisions out of the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Pairs of rows whose `keyCol` strings are within Levenshtein

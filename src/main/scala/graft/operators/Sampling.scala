@@ -66,7 +66,10 @@ object Sampling {
     * score, keep good documents proportionally more often).
     */
   def sampleByWeight(df: DataFrame, keyCol: String, weight: Column): DataFrame =
-    df.filter(hashUnit(col(keyCol)) < weight)
+    // NaN is LARGER than every number under Spark's ordered comparisons,
+    // so without the guard a 0.0/0.0 quality score would always keep
+    df.filter(hashUnit(col(keyCol)) < weight &&
+      !isnan(weight.cast("double")))
 
   /** Deterministic weighted sampling WITHOUT replacement, exactly k
     * rows (Efraimidis–Spirakis A-ES, IPL 2006): each row draws the key
@@ -81,8 +84,8 @@ object Sampling {
     * same ordering, but ln is the one transcendental this project has
     * verified bit-identical across engines (pow is not). The selection
     * is a TakeOrderedAndProject (size-k heap per partition, k rows to
-    * the driver-side merge, no global sort). Non-positive or NULL
-    * weights never win (key -> -inf). Ties (identical hash draws)
+    * the driver-side merge, no global sort). Non-positive, NULL, or
+    * NaN weights never win (key -> -inf). Ties (identical hash draws)
     * break on the key column, making the sample unique.
     *
     * Output: the selected rows plus `es_key` (rounded to 6). One scan.
@@ -92,7 +95,10 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     require(!df.columns.contains("es_key"),
       "input column 'es_key' collides with weightedReservoir's output")
-    val key = when(weight > 0.0,
+    // NaN > 0.0 is TRUE in Spark (NaN sorts largest) and ln(u)/NaN is
+    // NaN, which desc-sorts FIRST — without the isnan guard NaN-weight
+    // garbage fills the reservoir before any real row
+    val key = when(weight > 0.0 && !isnan(weight.cast("double")),
       log(hashUnit(col(keyCol))) / weight.cast("double"))
       .otherwise(lit(Double.NegativeInfinity))
     df.withColumn("es_key", key)
@@ -116,7 +122,7 @@ object Sampling {
       require(!df.columns.contains(c),
         s"input column '$c' collides with weightedReservoirPerGroup's output")
     }
-    val key = when(weight > 0.0,
+    val key = when(weight > 0.0 && !isnan(weight.cast("double")),
       log(hashUnit(col(keyCol))) / weight.cast("double"))
       .otherwise(lit(Double.NegativeInfinity))
     val w = org.apache.spark.sql.expressions.Window
@@ -222,7 +228,11 @@ object Sampling {
       .partitionBy(col(stratumCol))
     df.withColumn("sample_rank", row_number().over(w))
       .withColumn("stratum_n", count(lit(1)).over(wc))
-      .filter(col("sample_rank") * den <= col("stratum_n") * num + (den - 1))
+      // rank is a 32-bit row_number: the product must widen to LONG or
+      // a ~21M-row stratum at den=100 wraps negative and keeps
+      // everything past it (stratum_n is already a long count)
+      .filter(col("sample_rank").cast("long") * den <=
+        col("stratum_n") * num + (den - 1))
   }
 
   /** Deterministic k-fold assignment for cross-validation: fold =
@@ -417,7 +427,12 @@ object Sampling {
     val extra = hashUnit(
       concat(col(keyCol).cast("string"), lit("#rep"))) <
       (col("__r") - floor(col("__r")))
-    df.join(broadcast(rates), Seq(groupCol))
+    // NULL keys make `extra` NULL, which the otherwise-branch would
+    // quietly turn into floor(r) copies — enforce the documented
+    // keyless-rows-never-leak policy explicitly (NULL groups already
+    // drop at the rates join)
+    df.filter(col(keyCol).isNotNull)
+      .join(broadcast(rates), Seq(groupCol))
       .withColumn("__copies",
         floor(col("__r")).cast("long") + when(extra, 1L).otherwise(0L))
       .filter(col("__copies") > 0)

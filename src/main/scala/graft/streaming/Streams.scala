@@ -297,7 +297,11 @@ object Streams {
     } else {
       val out = Seq.newBuilder[StockoutEvent]
       var cur = state.getOption
-      rows.toSeq.sortBy(_.last_reported.getTime).foreach { p =>
+      // (ts, bikes) tie-break: same-timestamp pings fold in one order
+      // on every run, or the emitted transition stream is
+      // nondeterministic (the trackEwma lesson)
+      rows.toSeq.sortBy(p => (p.last_reported.getTime, p.num_bikes_available))
+        .foreach { p =>
         val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
         if (!late) {
           cur.foreach { s =>
@@ -395,6 +399,16 @@ object Streams {
         val conf = s.sessionState.newHadoopConf()
         val fs = root.getFileSystem(conf)
         val current = latestVersion(fs, root)
+        val version = s"v$batchId"
+        // Replay of a FULLY-committed batch (pointer swung, stream
+        // checkpoint didn't): the pointer only moves after a complete
+        // snapshot write, so pointer == v<batchId> means the live
+        // snapshot already holds this batch's merge. Re-running the
+        // overwrite would delete-and-rewrite the LIVE pointer target
+        // in place — a crash mid-rewrite would leave _LATEST aimed at
+        // a partial directory and silently lose committed keys from
+        // every future merge. The idempotent commit is to do nothing.
+        if (!current.contains(version)) {
         val target = current match {
           case Some(v) =>
             s.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
@@ -406,9 +420,9 @@ object Streams {
         val merged = target.unionByName(batch)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val version = s"v$batchId"
-        // Materialize before writing: on a replay-after-pointer-swing
-        // the snapshot dir being (re)written IS the one just read.
+        // Materialize before writing: when replaying after a crash
+        // between write and pointer swing, the straggler dir being
+        // (re)written may share files with the lineage just read.
         merged.localCheckpoint(true).write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
         val tmp = new org.apache.hadoop.fs.Path(root, "_LATEST.tmp")
@@ -431,6 +445,7 @@ object Streams {
           listVersions(fs, root).partition(_.drop(1).toLong > committedId)
         (stragglers ++ committed.drop(retain)).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
+        }
         }
         }
       }
@@ -554,8 +569,13 @@ object Streams {
       val spark = batch.sparkSession
       val b = batch.select(col("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // releasable variant: this loop runs EVERY micro-batch, and the
+      // plain form would pin one banded-signature cache per batch for
+      // the life of the stream
+      val (withinPairs, releaseBands) =
+        Dedup.minhashNearDuplicatesReleasable(b, threshold)
       try {
-        val withinDupes = Dedup.minhashNearDuplicates(b, threshold)
+        val withinDupes = withinPairs
           .select(col("doc_b").as("doc_id")).distinct()
         val withinSurvivors = b.join(withinDupes, Seq("doc_id"), "left_anti")
         val path = new org.apache.hadoop.fs.Path(acceptedDir)
@@ -571,6 +591,6 @@ object Streams {
           }
         survivors.write
           .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
-      } finally b.unpersist()
+      } finally { releaseBands(); b.unpersist() }
     }
 }

@@ -226,6 +226,12 @@ class DedupSpec extends SparkTestBase {
     val pairs = rows(Dedup.simhashNearDuplicates(docs, 3))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+    // the 4x16-bit pigeonhole only guarantees recall through hamming 3:
+    // a larger threshold would silently return incomplete pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates(docs, 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
   }
 
   test("LSH near-dup detection is a superset filter verified against exact jaccard") {

@@ -362,6 +362,27 @@ class SamplingSpec extends SparkTestBase {
       .map(_.getLong(0)) === out.map(_.getLong(0)))
   }
 
+  test("NaN weights never win: reservoirs, per-group, and Bernoulli keep") {
+    import spark.implicits._
+    // NaN compares LARGER than every double in Spark — an unguarded
+    // weight > 0.0 test admits NaN and ln(u)/NaN desc-sorts FIRST,
+    // so 0.0/0.0 quality scores would fill the whole sample
+    val df = (Seq((1L, 1e9)) ++ (2L to 10L).map(i => (i, 0.5)) ++
+      (90L to 99L).map(i => (i, Double.NaN))).toDF("id", "w")
+    val ids = rows(Sampling.weightedReservoir(df, "id", col("w"), 5))
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.forall(_ < 90L),
+      s"NaN-weight rows entered the reservoir: $ids")
+    val grouped = df.withColumn("g", (col("id") % 2).cast("int"))
+    val gids = rows(Sampling.weightedReservoirPerGroup(
+      grouped, "g", "id", col("w"), 3)).map(_.getLong(0)).toSet
+    assert(gids.forall(_ < 90L),
+      s"NaN-weight rows entered a group reservoir: $gids")
+    val kept = rows(Sampling.sampleByWeight(df, "id", col("w")))
+      .map(_.getLong(0)).toSet
+    assert(kept.forall(_ < 90L), s"NaN-weight rows were kept: $kept")
+  }
+
   test("weightedReservoir plans as TakeOrderedAndProject, no global sort") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "w")

@@ -310,6 +310,48 @@ class StreamsSpec extends SparkTestBase {
     assert(files.count(_.startsWith("v")) === 1, s"snapshot GC left: $files")
   }
 
+  test("streamingLatestMerge: replaying a committed batch never rewrites the live snapshot") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("merge_rp").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge_rp_c").toString
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val updates = mem.toDF()
+      .toDF("station_id", "num_bikes_available", "last_reported")
+      .withWatermark("last_reported", "2 hours")
+    def runBatch(data: (Long, Int, Timestamp)*): Unit = {
+      mem.addData(data: _*)
+      val q = Streams.streamingLatestMerge(
+        updates, "station_id", "last_reported", target, ckpt).start()
+      q.awaitTermination(60000)
+    }
+    val t0 = new Timestamp(1706745000000L)
+    runBatch((1L, 5, t0)) // v0 fully committed: snapshot + pointer
+    val v0dir = new java.io.File(target, "v0")
+    val before = v0dir.listFiles().map(_.getName).toSet
+    // crash window: the pointer swung but the STREAM checkpoint's
+    // commit marker was lost — delete it so the restart REPLAYS batch
+    // 0 against a target whose live snapshot is already v0. The
+    // replay must be a no-op: an in-place overwrite of the pointer
+    // target would turn a second crash mid-rewrite into committed
+    // data loss.
+    val commit0 = new java.io.File(ckpt, "commits/0")
+    assert(commit0.exists, "expected commit marker for batch 0")
+    assert(commit0.delete())
+    // the local FS shadows every log file with a .crc — leaving it
+    // behind makes the replay's commit rewrite fail as a spurious
+    // "concurrent query" rename conflict
+    new java.io.File(ckpt, "commits/.0.crc").delete()
+    runBatch() // restart; no new data, batch 0 replays
+    val after = v0dir.listFiles().map(_.getName).toSet
+    assert(after === before,
+      "replay rewrote the live committed snapshot in place")
+    val got = rows(Streams.readLatestMergeTarget(spark, target)
+      .select(col("station_id"), col("num_bikes_available")))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 5)))
+  }
+
   test("streamingLatestMerge time travel: retain keeps immutable older snapshots") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
