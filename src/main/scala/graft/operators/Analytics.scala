@@ -72,10 +72,14 @@ object Analytics {
         s"input column '$c' collides with cohortRetention's columns")
     }
     // weeks are DATEs (Monday-start), not midnight timestamps — the
-    // cross-engine-portable type for a calendar bucket
-    val firsts = events.groupBy(col(userCol))
+    // cross-engine-portable type for a calendar bucket. NULL users are
+    // dropped up front: groupBy would size them into cohort_size as
+    // one phantom member while the equi-join below can never match
+    // them into n_active — biasing every affected cohort low.
+    val named = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val firsts = named.groupBy(col(userCol))
       .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
-    val active = events
+    val active = named
       .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("__wk"))
       .distinct()
     val cells = active.join(firsts, Seq(userCol))
@@ -110,7 +114,11 @@ object Analytics {
     }
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tiebreakCol))
-    val pairs = events
+    // NULL users form ONE window partition: anonymous events from
+    // unrelated people would chain into fabricated transitions (and a
+    // large NULL share makes that partition a skew hazard) — drop
+    // them, as rollingUniques does
+    val pairs = events.filter(col(userCol).isNotNull)
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))

@@ -58,11 +58,14 @@ object Eval {
         sum(col("__np")).as("n_pos"),
         sum(col("__n") - col("__np")).as("n_neg"))
       .select(
-        round(
-          (col("__pos_rank_sum").cast("double")
+        // try_divide: a single-class input (n_pos or n_neg = 0) reads
+        // NULL, matching aucByRankGrouped's documented contract — the
+        // plain division would emit NaN/Infinity into downstream gates
+        round(try_divide(
+          col("__pos_rank_sum").cast("double")
             - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
-              / lit(2.0))
-            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+              / lit(2.0),
+          col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }
@@ -177,7 +180,11 @@ object Eval {
   def ece(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     val scored = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      // NaN scores pass isNotNull, land in quantileBucket's NULL bin,
+      // and their decimal cast in the bin-mean sum dies under ANSI —
+      // a probability column's NaNs carry no calibration signal
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("score"),
         col(labelCol).cast("int").as("__y"))
     val perBin = Profile.quantileBucket(scored, "score", bins)

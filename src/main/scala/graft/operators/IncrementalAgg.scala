@@ -98,7 +98,12 @@ object IncrementalAgg {
           newN.as("n_v"),
           when(newN === 0, lit(null)).otherwise(col("min_v")).as("min_v"),
           when(newN === 0, lit(null)).otherwise(col("max_v")).as("max_v"),
-          (col("__d_min") <=> col("min_v") || col("__d_max") <=> col("max_v"))
+          // a rebuild needs a REAL deleted value tying the stored
+          // extreme: NULL <=> NULL is true, so the null-safe compare
+          // alone flags every all-NULL-value group (min_v NULL) whose
+          // deletes are absent (__d_min NULL) — a pointless rescan
+          ((col("__d_min").isNotNull && (col("__d_min") <=> col("min_v"))) ||
+            (col("__d_max").isNotNull && (col("__d_max") <=> col("max_v"))))
             .as("needs_rebuild")): _*)
   }
 

@@ -92,13 +92,20 @@ object Profile {
     // winsorize query for the shared-buffer form; the remaining cost is
     // the single exact buffer itself — the 100 TB path stays
     // approx_percentile, q_agg_approxpct).
-    val cuts = df.agg(
+    // NaN rows are excluded from the cut points (percentile sorts NaN
+    // LARGEST, so a NaN share would push the hi cut to NaN) and read a
+    // NULL clipped value, as do NULLs: greatest/least skip NULLs and
+    // order NaN largest, so unguarded clamping would IMPUTE the lo cut
+    // for every missing value and the hi cut for every NaN — the
+    // "clamping would lie" policy quantileBucket documents.
+    val cuts = df.filter(!isnan(col(c).cast("double"))).agg(
       percentile(col(c), array(lit(pLo), lit(pHi))).as("__q"))
       .select(element_at(col("__q"), 1).as("__lo"),
         element_at(col("__q"), 2).as("__hi"))
     df.crossJoin(broadcast(cuts))
       .withColumn(outCol,
-        least(greatest(col(c), col("__lo")), col("__hi")))
+        when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
+          .otherwise(least(greatest(col(c), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 
@@ -127,7 +134,11 @@ object Profile {
         s"input column '$s' collides with quantileBucket's columns")
     }
     val ps = (1 until k).map(i => lit(i.toDouble / k))
-    val cuts = df.agg(percentile(col(c), array(ps: _*)).as("__q"))
+    // NaN excluded from the cuts too: percentile sorts NaN largest, so
+    // a NaN share would make upper cut points NaN and the top buckets
+    // permanently empty (value > NaN is false for every real value)
+    val cuts = df.filter(!isnan(col(c).cast("double")))
+      .agg(percentile(col(c), array(ps: _*)).as("__q"))
     df.crossJoin(broadcast(cuts))
       .withColumn(outCol,
         when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
@@ -160,7 +171,9 @@ object Profile {
         s"input column '$s' collides with quantileBucketByGroup's columns")
     }
     val ps = (1 until k).map(i => lit(i.toDouble / k))
-    val cuts = df.groupBy(col(groupCol))
+    // NaN excluded from cuts (the quantileBucket rationale, per group)
+    val cuts = df.filter(!isnan(col(c).cast("double")))
+      .groupBy(col(groupCol))
       .agg(percentile(col(c), array(ps: _*)).as("__q"))
     df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn(outCol,
@@ -192,9 +205,12 @@ object Profile {
       require(!df.columns.contains(s),
         s"input column '$s' collides with madOutliers' columns")
     }
-    val med = df.agg(percentile(col(c), lit(0.5)).as("__med"))
+    // medians over finite values only: percentile sorts NaN largest,
+    // so a NaN share would drag the median/MAD toward NaN
+    val finite = df.filter(!isnan(col(c).cast("double")))
+    val med = finite.agg(percentile(col(c), lit(0.5)).as("__med"))
     val withMed = df.crossJoin(broadcast(med))
-    val mad = withMed
+    val mad = finite.crossJoin(broadcast(med))
       .agg(percentile(abs(col(c) - col("__med")), lit(0.5)).as("__mad"))
     withMed.crossJoin(broadcast(mad))
       .withColumn(outCols.head, abs(col(c) - col("__med")))
@@ -309,14 +325,18 @@ object Profile {
         sum(when(col("val").isNull, lit(0L)).otherwise(col("cnt"))).over(perCol))
       .withColumn("n_distinct",
         sum(when(col("val").isNull, lit(0L)).otherwise(lit(1L))).over(perCol))
-      .filter(col("val").isNotNull)
+      // an all-NULL column must still SURFACE (it is exactly the
+      // pathology a profiler exists to catch): keep its one NULL-val
+      // row when the column has no non-null rows at all, with a NULL
+      // share (try_divide — the denominator is 0 there)
+      .filter(col("val").isNotNull || col("n_nonnull") === 0L)
       .withColumn("val_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("col_name"))
           .orderBy(col("cnt").desc, col("val").asc)))
       .filter(col("val_rank") <= k)
     ranked.select(col("col_name"), col("val"), col("cnt"),
-      round(col("cnt") / col("n_nonnull"), 6).as("share"),
+      round(try_divide(col("cnt"), col("n_nonnull")), 6).as("share"),
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
 
@@ -651,10 +671,20 @@ object Profile {
       org.apache.spark.sql.expressions.Window
         .partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
     val w = w0.rowsBetween(-(window.toLong - 1), 0)
-    val x = round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
-    val y = round(col(yCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
+    // Pearson is defined over PAIRED observations: a row missing (or
+    // NaN in) either side contributes to no moment and no count — an
+    // unguarded count(lit(1)) would mix an all-rows n with
+    // paired-rows sums, emitting a wrong non-NULL correlation (and a
+    // NaN would kill the decimal cast under ANSI).
+    val paired = col(xCol).isNotNull && col(yCol).isNotNull &&
+      !isnan(col(xCol).cast("double")) && !isnan(col(yCol).cast("double"))
+    val x = when(paired,
+      round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0)))
+    val y = when(paired,
+      round(col(yCol).cast("double") * 100, 0).cast(DecimalType(38, 0)))
     val stats = df
-      .withColumn("__n", count(lit(1)).over(w).cast(DecimalType(38, 0)))
+      .withColumn("__n",
+        count(when(paired, lit(1))).over(w).cast(DecimalType(38, 0)))
       .withColumn("__sx", sum(x).over(w))
       .withColumn("__sy", sum(y).over(w))
       .withColumn("__sxx", sum(x * x).over(w))
@@ -705,7 +735,13 @@ object Profile {
     */
   def benford(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
+    // NaN passes `> 0` (NaN compares largest) and Infinity passes both
+    // filters; either would kill the DecimalType(38,0) cast under ANSI
+    // — a forensics screen over an untrusted feed must drop them, and
+    // values at or beyond 1e36 would overflow the decimal after *100
     val counts = df.filter(col(c).isNotNull && col(c) > 0)
+      .filter(!isnan(col(c).cast("double")) &&
+        col(c).cast("double") < lit(1e36))
       .filter(round(col(c).cast("double") * 100, 0) >= 1)
       .select(substring(round(col(c).cast("double") * 100, 0)
         .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int")

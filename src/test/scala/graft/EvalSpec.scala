@@ -83,6 +83,17 @@ class EvalSpec extends SparkTestBase {
     }
   }
 
+  test("single-class AUC reads NULL; NaN scores drop from ECE instead of crashing") {
+    import spark.implicits._
+    val onesided = Seq((0.9, 1), (0.8, 1), (0.7, 1)).toDF("s", "y")
+    val auc = rows(Eval.aucByRank(onesided, "s", "y")).head
+    assert(auc.isNullAt(0), "single-class AUC must be NULL, not NaN")
+    val withNan = Seq((0.9, 1), (0.1, 0), (0.5, 1), (0.4, 0),
+      (Double.NaN, 1)).toDF("s", "y")
+    val e = rows(Eval.ece(withNan, "s", "y", bins = 2)).head
+    assert(e.getLong(1) === 4L, "NaN score row must drop from n_rows")
+  }
+
   test("ece: perfectly calibrated bins score 0; a known gap scores exactly") {
     import spark.implicits._
     // 2 bins of 2: bin means 0.25/0.75, pos rates 0.5/0.5

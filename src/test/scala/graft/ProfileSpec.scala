@@ -504,6 +504,47 @@ class ProfileSpec extends SparkTestBase {
       .orderBy(col("t")))
     assert(flat.forall(_.isNullAt(5)))          // zero variance side
   }
+  test("NaN/NULL policy: winsorize passes through NULL, cuts exclude NaN, benford survives junk, all-NULL column surfaces") {
+    import spark.implicits._
+    // winsorize: NULL must stay NULL (not the lo cut) and NaN must not
+    // become the hi cut; NaN rows must not drag the cut points either
+    val w = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0),
+      None, Some(Double.NaN)).toDF("v")
+    val clipped = rows(Profile.winsorize(w, "v", 0.2, 0.8))
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(clipped.count(_.isEmpty) === 2, s"NULL and NaN must clip to NULL: $clipped")
+    assert(clipped.flatten.max <= 5.0 && !clipped.flatten.exists(_.isNaN))
+    // quantileBucket: NaN share must not empty the top bucket
+    val q = Seq(1.0, 2.0, 3.0, 4.0, Double.NaN, Double.NaN).toDF("v")
+    val buckets = rows(Profile.quantileBucket(q, "v", 2))
+      .filter(!_.isNullAt(1)).map(_.getInt(1)).toSet
+    assert(buckets === Set(0, 1), s"top bucket vanished: $buckets")
+    // benford: NaN and Infinity rows drop instead of killing the job
+    val b = Seq(1.23, 45.6, Double.NaN, Double.PositiveInfinity, 7.89)
+      .toDF("v")
+    assert(rows(Profile.benford(b, "v")).map(_.getLong(1)).sum === 3L)
+    // categoricalProfile: a 100%-NULL column still surfaces its count
+    val c = Seq(("a", null: String), ("b", null: String)).toDF("k", "dead")
+    val prof = rows(Profile.categoricalProfile(c, Seq("k", "dead"), 3))
+    val dead = prof.filter(_.getString(0) == "dead")
+    assert(dead.size === 1 && dead.head.getLong(5) === 2L,
+      s"all-NULL column vanished from the profile: $prof")
+  }
+
+  test("rollingCorr: a NULL on either side drops the PAIR from count and moments") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0), Some(1.0)), (2, Some(2.0), Some(2.0)),
+      (3, None: Option[Double], Some(9.0)), (4, Some(4.0), Some(4.0)))
+      .toDF("t", "x", "y")
+    val out = rows(Profile.rollingCorr(df, Seq.empty, "t", "x", "y", 4, 2)
+      .orderBy(col("t")))
+    // at t=4 the frame holds 3 paired observations (t=3's pair is
+    // incomplete): count must say 3, and the correlation over the
+    // remaining colinear pairs must be exactly 1, not a mixed-n value
+    assert(out.last.getLong(3) === 3L, s"n_window counted unpaired rows: $out")
+    assert(out.last.getDouble(4) === 1.0)
+  }
+
   test("quantileMap property: monotone, bounded by the reference range") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
