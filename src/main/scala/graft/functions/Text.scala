@@ -12,6 +12,14 @@ object Text {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** [[tokens]] minus the ''-artifacts that consecutive, leading, or
+    * trailing spaces produce — the TERM-LEVEL tokenizer (the LangModel
+    * precedent): an empty string must never become a scored term, a
+    * vocabulary entry, or a document-length count.
+    */
+  def nonEmptyTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
   /** Whitespace-robust token split (multiple spaces / tabs collapse). */
   def tokensWs(text: Column): Column =
     split(trim(text), "\\s+")
@@ -180,12 +188,26 @@ object Text {
 
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    val scores = LangMarkers.map {
+      // CJK text is UNSEGMENTED — whole-token matching against
+      // single-character markers would never fire (a real Chinese doc
+      // is one giant token), so zh scores by marker-character
+      // occurrences instead; CJK chars cannot appear inside Latin
+      // tokens, so the channels stay disjoint
+      case ("zh", markers) =>
+        "zh" -> size(regexp_extract_all(
+          text, lit(markers.mkString("|")), lit(0)))
+      case (lang, markers) =>
+        lang -> size(filter(toks, t => t.isInCollection(markers)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // a TIE between languages carries no signal: und, as documented —
+    // not the first language in lexicon order
+    val nBest = scores
+      .map { case (_, s) => when(s === best, lit(1)).otherwise(lit(0)) }
+      .reduce(_ + _)
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
+      when(s === best && best > 0 && nBest === 1, lit(lang)).otherwise(acc)
     }
   }
 
@@ -253,8 +275,19 @@ object Text {
     * scan-speed at any corpus size; a DOM-aware boilerplate model
     * slots in behind the same column contract.
     */
-  private[graft] val HtmlSubtreePattern =
-    "(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>"
+  /** One pattern PER dropped tag, applied script → style → head: a
+    * combined alternation's lazy closer can match the WRONG tag
+    * (`<head><script>…</script><title>T</title></head>` would end the
+    * head match at `</script>` and leak the title into the prose).
+    * Per-tag passes are immune — script/style cannot nest in HTML, and
+    * any script/style inside head is gone before the head pass runs.
+    * Backreferences would also fix it but live outside the RE2 subset
+    * the oracle engine replays.
+    */
+  private[graft] val HtmlSubtreePatterns = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?is)<head[^>]*>.*?</head>")
   private[graft] val HtmlCommentPattern = "(?s)<!--.*?-->"
   private[graft] val HtmlTagPattern = "<[^>]+>"
   private[graft] val WhitespaceRunPattern = "\\s+"
@@ -267,7 +300,8 @@ object Text {
     "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
 
   def stripHtml(html: Column): Column = {
-    val noBlocks = regexp_replace(html, HtmlSubtreePattern, " ")
+    val noBlocks = HtmlSubtreePatterns.foldLeft(html)(
+      (c, p) => regexp_replace(c, p, " "))
     val noComments = regexp_replace(noBlocks, HtmlCommentPattern, " ")
     val noTags = regexp_replace(noComments, HtmlTagPattern, " ")
     val decoded = HtmlEntities.foldLeft(noTags) {

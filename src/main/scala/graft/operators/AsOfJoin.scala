@@ -103,8 +103,19 @@ object AsOfJoin {
     val clash = left.columns.intersect(reserved)
     require(clash.isEmpty,
       s"left columns ${clash.mkString(", ")} collide with asof internals")
-    require(!carried.contains("__mts"),
-      "carried destination name '__mts' collides with asof internals")
+    // the RIGHT side is rewritten with the same scratch names before
+    // the carried struct is built — an input column named __ts/__tag
+    // would be silently clobbered and carry a constant
+    val rClash = right.columns.intersect(reserved)
+    require(rClash.isEmpty,
+      s"right columns ${rClash.mkString(", ")} collide with asof internals")
+    val carriedReserved = carried.intersect(reserved :+ "__mts")
+    require(carriedReserved.isEmpty,
+      s"carried destination names ${carriedReserved.mkString(", ")} " +
+        "collide with asof internals")
+    val missingSrc = rightCols.keys.filterNot(right.columns.contains).toSeq
+    require(missingSrc.isEmpty,
+      s"carried source columns ${missingSrc.mkString(", ")} not on the right side")
     require(carried.distinct.length == carried.length,
       s"duplicate carried destination names: ${carried.mkString(", ")}")
     val dup = carried.intersect(left.columns)
@@ -138,10 +149,14 @@ object AsOfJoin {
     // Backward scans time ascending (carry the latest past right row);
     // forward scans DESCENDING (carry the nearest future one). In both,
     // tag 0 < 1 puts the right row first within an equal-ts group, so
-    // simultaneous right rows match.
+    // simultaneous right rows match. The final __r key pins which of
+    // several right rows sharing the SAME (key, ts) is carried — the
+    // greatest carried tuple, deterministically; without it the pick
+    // is partition-order-dependent and re-runs diverge. (Carried
+    // columns must therefore be orderable types — maps are not.)
     val w = Window.partitionBy(col(key))
       .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
-        col("__tag").asc)
+        col("__tag").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged, allowMissingColumns = false)

@@ -43,6 +43,14 @@ object Geo {
       cands: DataFrame, candId: String, cx: String, cy: String,
       radius: Double): DataFrame = {
     require(radius > 0.0, s"radius must be positive, got $radius")
+    // both sides meet in one equi-join: shared names (the common
+    // probes(id,x,y)/cands(id,x,y) case) would make every later
+    // reference ambiguous — fail fast with an actionable message
+    val sharedNames = Seq(probeId, px, py).toSet
+      .intersect(Seq(candId, cx, cy).toSet)
+    require(sharedNames.isEmpty,
+      s"probe and candidate column names must be disjoint (alias one " +
+        s"side); shared: ${sharedNames.mkString(", ")}")
     val reserved = Seq("__geo_cell", "__geo_best")
     Seq(probes -> "probes", cands -> "cands").foreach { case (df, side) =>
       reserved.foreach(c => require(!df.columns.contains(c),

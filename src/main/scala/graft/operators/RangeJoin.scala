@@ -58,6 +58,13 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // same disjoint-name contract as intervalOverlap: a shared name
+    // would survive the bin equi-join as duplicate output columns and
+    // die far downstream in AMBIGUOUS_REFERENCE
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals column names must be disjoint; " +
+        s"shared: ${shared.mkString(", ")}")
     Seq(points -> "points", intervals -> "intervals").foreach { case (df, side) =>
       require(!df.columns.contains(BinCol),
         s"$side input already has a column named $BinCol (reserved)")

@@ -31,11 +31,19 @@ object Similarity {
     * k rows per probe per partition — never the full scored set. At
     * 100 TB this is one corpus pass + a k-row-per-probe shuffle.
     *
+    * ID-SPACE CONTRACT (here and in every IVF/LSH top-k below): probes
+    * are drawn FROM the corpus id space, and a corpus row whose id
+    * equals the probe's id is its self-match and is excluded. Probes
+    * numbered in their own space must be re-keyed first (e.g. negated
+    * ids), or the corpus row sharing the number is silently dropped
+    * from that probe's neighbor list.
+    *
     * @param corpus (id, vec) rows
     * @param probes (probe_id, vec) rows — must be small (broadcast side)
     */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val scored = corpus.as("c")
       .join(broadcast(probes.as("p")), col("c.id") =!= col("p.probe_id"))
       .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
@@ -425,6 +433,8 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val code = loadCodebook(centroids)
     val assigned = assignWithCodebook(corpus, code)
     rerankRoutedLists(assigned, routeProbes(probes, code, nProbe), k)
@@ -496,6 +506,8 @@ object Similarity {
   def ivfTopKPartitioned(
       spark: SparkSession, indexPath: String, probes: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val code = loadCodebook(centroids)
     // the partition values round-trip hive inference as INT — a wider
     // centroid id would silently wrap under the cast below and prune
@@ -528,6 +540,7 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, k: Int,
       dim: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val planes = hyperplanes(dim, 16, seed)
     val bandsOf = 4 // 16 bits as 4 × 4-bit bands
 

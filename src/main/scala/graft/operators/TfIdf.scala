@@ -35,7 +35,7 @@ object TfIdf {
   def topTerms(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = docs.select(col("doc_id"),
-      explode(Text.tokens(col("text"))).as("term"))
+      explode(Text.nonEmptyTokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df derives from tf (one row per distinct (doc, term) already) —
@@ -99,7 +99,7 @@ object TfIdf {
   def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val toks = docs.select(col("doc_id"),
-      explode(Text.tokens(col("text"))).as("tok"))
+      explode(Text.nonEmptyTokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__in_vocab"))
@@ -129,7 +129,7 @@ object TfIdf {
   def vocabGrowth(docs: DataFrame, every: Int): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
     val tok = docs.select(col("doc_id").as("__id"),
-      explode(Text.tokens(col("text"))).as("__tok"))
+      explode(Text.nonEmptyTokens(col("text"))).as("__tok"))
     val perDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("__ntok"))
     val firstDoc = tok.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
     val newPerDoc = firstDoc.groupBy(col("__fd").as("__id"))
@@ -165,7 +165,7 @@ object TfIdf {
     */
   def noveltyRates(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id").as("__id"),
-      explode(Text.tokens(col("text"))).as("__tok")).distinct()
+      explode(Text.nonEmptyTokens(col("text"))).as("__tok")).distinct()
     val firstDoc = grams.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
     grams.join(firstDoc, Seq("__tok"))
       .groupBy(col("__id"))
@@ -203,7 +203,7 @@ object TfIdf {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "bm25 needs a nonempty set of distinct query terms")
     val tok = docs.select(col("doc_id").as("__id"),
-      explode(Text.tokens(col("text"))).as("__tok"))
+      explode(Text.nonEmptyTokens(col("text"))).as("__tok"))
     val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("__n"),
       sum(col("dl")).as("__sumdl"))

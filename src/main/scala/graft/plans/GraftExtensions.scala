@@ -122,8 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import graft.functions.Text
         def rr(e: Expression, pat: String): Expression =
           RegExpReplace(e, Literal(pat), Literal(" "))
-        val noTags = rr(rr(rr(children.head,
-          Text.HtmlSubtreePattern), Text.HtmlCommentPattern), Text.HtmlTagPattern)
+        val noBlocks = Text.HtmlSubtreePatterns.foldLeft(children.head)(rr)
+        val noTags = rr(rr(noBlocks,
+          Text.HtmlCommentPattern), Text.HtmlTagPattern)
         val decoded = Text.HtmlEntities.foldLeft(noTags) {
           case (e, (ent, ch)) => StringReplace(e, Literal(ent), Literal(ch))
         }

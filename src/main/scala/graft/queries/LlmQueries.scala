@@ -1930,8 +1930,11 @@ object LlmQueries {
         |SELECT doc_id,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(regexp_replace(regexp_replace(html,
-        |        '(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>', ' ', 'g'),
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
         |        '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
@@ -3592,20 +3595,28 @@ object LlmQueries {
         |   len(list_filter(w, x -> x IN ('le','la','les','des','est','une','dans','pour'))) AS s_fr,
         |   len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
         |   len(list_filter(w, x -> x IN ('el','los','las','una','está','por','para','como'))) AS s_es,
-        |   len(list_filter(w, x -> x IN ('的','是','了','在','我','有','不','人'))) AS s_zh
+        |   len(regexp_extract_all(text, '的|是|了|在|我|有|不|人')) AS s_zh
         |  FROM t
+        |), b AS (
+        |  SELECT *, greatest(s_en, s_fr, s_de, s_es, s_zh) AS best FROM sc
+        |), nb AS (
+        |  SELECT *,
+        |   (CASE WHEN s_en = best THEN 1 ELSE 0 END
+        |    + CASE WHEN s_fr = best THEN 1 ELSE 0 END
+        |    + CASE WHEN s_de = best THEN 1 ELSE 0 END
+        |    + CASE WHEN s_es = best THEN 1 ELSE 0 END
+        |    + CASE WHEN s_zh = best THEN 1 ELSE 0 END) AS n_best
+        |  FROM b
         |)
         |SELECT doc_id,
-        | CASE
-        |  WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'en'
-        |  WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'fr'
-        |  WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'de'
-        |  WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'es'
-        |  WHEN s_zh = greatest(s_en, s_fr, s_de, s_es, s_zh) AND greatest(s_en, s_fr, s_de, s_es, s_zh) > 0 THEN 'zh'
-        |  ELSE 'und' END AS lang_guess,
+        | CASE WHEN best > 0 AND n_best = 1 THEN
+        |   CASE WHEN s_en = best THEN 'en' WHEN s_fr = best THEN 'fr'
+        |        WHEN s_de = best THEN 'de' WHEN s_es = best THEN 'es'
+        |        ELSE 'zh' END
+        | ELSE 'und' END AS lang_guess,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |   ' +', ' ', 'g'))) AS fingerprint
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |FROM nb ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,

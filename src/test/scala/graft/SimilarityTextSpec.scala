@@ -212,6 +212,14 @@ class SimilarityTextSpec extends SparkTestBase {
     val h1 = rows(Seq("<body><h1>Title</h1><p>body</p></body>").toDF("html")
       .select(Text.stripHtml(col("html")))).head.getString(0)
     assert(h1 === "Title body")
+    // a script INSIDE head followed by head-only content: the per-tag
+    // passes drop the whole head (a combined alternation's lazy closer
+    // would end the head match at </script> and leak the title)
+    val nested = rows(Seq(
+      "<head><script>var a=1;</script><title>Site Title</title></head>" +
+        "<body><p>hi</p></body>").toDF("html")
+      .select(Text.stripHtml(col("html")))).head.getString(0)
+    assert(nested === "hi", s"head content leaked: '$nested'")
   }
 
   test("native md5Long64 matches the composed built-in form bit-for-bit") {
@@ -252,6 +260,18 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(r(0).getString(1) === "en")
     assert(r(1).getString(1) === "fr")
     assert(r(2).getString(1) === "und")
+    // a TIE carries no signal — und, not the first language in lexicon
+    // order; and unsegmented CJK text scores by marker characters
+    // (whole-token matching would never fire on it)
+    val edge = rows(Seq(
+      (1L, "the le"),          // en 1, fr 1 — tie
+      (2L, "我是学生的人"),      // one giant token, 4 marker chars
+      (3L, "the house of the") // en only
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.langId(col("text"))).orderBy(col("doc_id")))
+    assert(edge(0).getString(1) === "und", "tie must read und")
+    assert(edge(1).getString(1) === "zh", "unsegmented CJK must score")
+    assert(edge(2).getString(1) === "en")
   }
 
   test("normalizedFingerprint is stable under case / punctuation / spacing noise") {
