@@ -74,8 +74,7 @@ object Bpe {
       ms.foldLeft(s) { case (acc, (x, y)) => applyMerge(acc, x, y) }
     }
     docs
-      .select(explode(Text.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(Text.nonEmptyTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
         applyAll(filter(split(col("w"), ""), s => s =!= "")).as("syms"))
@@ -154,8 +153,7 @@ object Bpe {
     import spark.implicits._
 
     var cur = docs
-      .select(explode(Text.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(Text.nonEmptyTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("w"), ""), s => s =!= "").as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -233,8 +231,7 @@ object Bpe {
     // chars via split on the empty pattern; filter guards against any
     // engine-version quirk producing empty edge elements
     var cur = docs
-      .select(explode(Text.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(Text.nonEmptyTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("w"), ""), s => s =!= "").as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -22,13 +22,14 @@ import graft.functions.Text
   *    total) is a MODEL, not data: it rides the scoring plan as two
   *    literal maps plus a scalar (the codebook idiom —
   *    [[Similarity.loadCodebook]]).
-  *  - SCORE is one map-side pass: each document's bigram list is built
-  *    with array HOFs (no explode, no shuffle), each bigram looks up
-  *    the literal maps, and the per-document log-probability is a
-  *    deterministic LEFT FOLD over the array (`aggregate`) — never a
-  *    row-level SUM whose shuffle order could perturb the IEEE total.
-  *    The only shuffle in a full scoring run is whatever the caller
-  *    aggregates afterwards.
+  *  - SCORE is one map-side pass: each document's tokens feed ONE
+  *    compiled fold closure (a Scala UDF — the deliberate exception
+  *    documented at [[BigramModel.scoreDocs]]) that walks the token
+  *    array once, looks each bigram up in the model maps, and
+  *    accumulates the log-probability as a deterministic LEFT FOLD —
+  *    never a row-level SUM whose shuffle order could perturb the
+  *    IEEE total. The only shuffle in a full scoring run is whatever
+  *    the caller aggregates afterwards.
   *
   * Probability model (stupid backoff, Brants et al. '07 — the
   * industry-standard pruned-LM scoring scheme because it needs no
@@ -95,14 +96,20 @@ object LangModel {
     require(bigramSize >= 1 && bigramSize <= MaxModelEntries,
       s"bigramSize must be in [1, $MaxModelEntries], got $bigramSize")
     val toks = docs
-      .select(explode(Text.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(Text.nonEmptyTokens(col(textCol))).as("w"))
     // persisted: the total and the top-V cut both read this aggregate —
     // without the persist each job re-scans and re-counts the corpus
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (total, vocab) = try {
-      (counts.agg(sum(col("c")).as("n")).collect()(0).getLong(0),
+      // sum over an EMPTY aggregate is NULL — surface "no tokens" as a
+      // real message, not a getLong NPE (and a 0 total would later put
+      // ln(alpha/0) = -Infinity under every backoff)
+      val totalRow = counts.agg(sum(col("c")).as("n")).collect()(0)
+      require(!totalRow.isNullAt(0),
+        s"cannot train a language model on a corpus with no tokens " +
+          s"(column '$textCol' is empty or all-blank)")
+      (totalRow.getLong(0),
         counts.orderBy(col("c").desc, col("w").asc).limit(vocabSize)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     } finally counts.unpersist()
@@ -113,7 +120,7 @@ object LangModel {
     // budget, a broadcast hash-set probe past it (one copy per
     // executor, O(1) probes, zero plan growth).
     val bigramsAll = docs
-      .select(filter(Text.tokens(col(textCol)), w => w =!= "").as("t"))
+      .select(Text.nonEmptyTokens(col(textCol)).as("t"))
       .select(explode(bigramPairs(col("t"))).as("b"))
     // switch on the REQUESTED size (the caller's declared scale
     // regime), not the realized map size: the plan shape stays stable
@@ -245,12 +252,20 @@ object LangModel {
       docs: DataFrame, idCol: String, textCol: String,
       lpSum: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     docs
+      // coalesce: a NULL text would reach the fold UDF as a null array
+      // (Spark does not null-guard reference-typed UDF inputs) and NPE
+      // the scoring job; NULL scores like a blank document instead
       .select(col(idCol),
-        filter(Text.tokens(col(textCol)), w => w =!= "").as("__t"))
+        Text.nonEmptyTokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(
         col(idCol),
         size(col("__t")).as("n_tokens"),
-        round(try_divide(
-          lpSum(col("__t")),
-          (size(col("__t")) - 1).cast("double")), 6).as("avg_logprob"))
+        // the documented <2-token contract, explicitly: try_divide
+        // alone only nulls the n=1 case — a ZERO-token doc would read
+        // 0.0 / -1.0 = -0.0 and outrank every real (negative-scoring)
+        // document in a perplexity filter
+        when(size(col("__t")) < 2, lit(null).cast("double"))
+          .otherwise(round(try_divide(
+            lpSum(col("__t")),
+            (size(col("__t")) - 1).cast("double")), 6)).as("avg_logprob"))
 }

@@ -42,6 +42,13 @@ object Pca {
   def topComponent(embs: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    // a vector longer than dim would die mid-job in element_at's ANSI
+    // range check (and feed out-of-range d values to the driver fold)
+    // — one limit-1 probe turns that into a real message
+    embs.select(size(col("vec")).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dim,
+        s"topComponent(dim = $dim) got vectors of dimension ${r.getInt(0)}")
+    }
     val spark = embs.sparkSession
     import spark.implicits._
 

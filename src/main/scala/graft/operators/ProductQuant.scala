@@ -59,6 +59,20 @@ object ProductQuant {
   private def subCol(vecCol: String, s: Int, subDim: Int): Column =
     slice(col(vecCol), s * subDim + 1, subDim)
 
+  /** Fail fast when the vector dimension is not m·subDim: a short
+    * vector silently yields EMPTY tail subspaces (every centroid ties
+    * at the degenerate score and all codes read 0), a long one drops
+    * tail dimensions while vec_norm still covers them — both produce
+    * plausible-looking garbage codes. One limit-1 probe job.
+    */
+  private def requireDim(
+      df: DataFrame, vecCol: String, want: Int, who: String): Unit =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == want,
+        s"$who expects vectors of dimension $want (m*subDim), " +
+          s"got ${r.getInt(0)}")
+    }
+
   /** Train m independent codebooks over `corpus(idCol, vecCol)` whose
     * vectors have dimension m * subDim. Model size m·k·subDim floats —
     * driver-bounded, the legitimate broadcast-model idiom.
@@ -66,6 +80,7 @@ object ProductQuant {
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int, k: Int, iters: Int): Codebooks = {
     require(m > 0 && subDim > 0, s"m/subDim must be positive, got $m/$subDim")
+    requireDim(corpus, vecCol, m * subDim, "ProductQuant.fit")
     val books = (0 until m).map { s =>
       KMeans.fit(
         corpus.select(col(idCol).as("id"), subCol(vecCol, s, subDim).as("vec")),
@@ -104,19 +119,22 @@ object ProductQuant {
     * only: the codebooks ride the plan as literals, nothing shuffles.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks, passthrough: Seq[String] = Nil): DataFrame = {
+    requireDim(corpus, vecCol, cb.m * cb.subDim, "ProductQuant.encode")
     val reserved = (0 until cb.m).map(s => s"__pq_sub$s") ++
       (0 until cb.m).map(s => s"__pq_n$s")
     reserved.foreach(c => require(!corpus.columns.contains(c),
       s"input already has a column named $c (reserved)"))
+    val carry = passthrough.map(col)
     // Two projection boundaries so each subvector and its norm evaluate
     // ONCE (Catalyst substitutes, it does not let-bind — referencing
     // the slice inside every centroid score would re-slice k times).
     val subs = corpus.select(
       Seq(col(idCol).as("id"), VectorOps.norm(col(vecCol)).as("vec_norm")) ++
+        carry ++
         (0 until cb.m).map(s => subCol(vecCol, s, cb.subDim).as(s"__pq_sub$s")): _*)
     val normed = subs.select(
-      Seq(col("id"), col("vec_norm")) ++
+      Seq(col("id"), col("vec_norm")) ++ carry ++
         (0 until cb.m).flatMap(s => Seq(col(s"__pq_sub$s"),
           VectorOps.norm(col(s"__pq_sub$s")).as(s"__pq_n$s"))): _*)
     val codes = (0 until cb.m).map { s =>
@@ -130,10 +148,10 @@ object ProductQuant {
       }: _*))
       (-best.getField("negc")).as(s"__pq_code$s")
     }
-    normed.select(Seq(col("id"), col("vec_norm")) ++ codes: _*)
-      .select(col("id"), col("vec_norm"),
+    normed.select(Seq(col("id"), col("vec_norm")) ++ carry ++ codes: _*)
+      .select(Seq(col("id"), col("vec_norm")) ++ carry :+
         posexplode(array((0 until cb.m).map(s => col(s"__pq_code$s")): _*))
-          .as(Seq("subspace", "code")))
+          .as(Seq("subspace", "code")): _*)
   }
 
   /** IVF-PQ index rows: (id, list_id, vec_norm, subspace, code) — the
@@ -154,9 +172,11 @@ object ProductQuant {
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Long, Array[Float])], cb: Codebooks): DataFrame = {
     val res = residuals(corpus, idCol, vecCol, centroids)
-    encode(res, "id", "residual", cb)
-      .withColumnRenamed("vec_norm", "res_norm")
-      .join(res.select(col("id"), col("list_id"), col("orig_norm")), Seq("id"))
+    // list_id/orig_norm ride THROUGH the encode projections: the old
+    // join-back form scanned the residual frame twice and paid a
+    // corpus-sized shuffle, contradicting the map-side contract
+    encode(res, "id", "residual", cb,
+        passthrough = Seq("list_id", "orig_norm"))
       .select(col("id"), col("list_id"), col("orig_norm").as("vec_norm"),
         col("subspace"), col("code"))
   }

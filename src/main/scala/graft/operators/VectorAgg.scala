@@ -70,7 +70,12 @@ object VectorAgg {
         (sum((col("xr") * col("xr")).cast(DecimalType(38, 12))).cast("double")
           / count(lit(1))).as("ex2"))
       .select(col("pos"), col("mean"),
-        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+        // the two moments pass through decimal→double casts and
+        // divisions, so a CONSTANT dimension's variance can land a
+        // hair below zero — sqrt(negative) is NaN in Spark, and the
+        // floor turns it into the documented std=0 → z NULL instead
+        sqrt(greatest(col("ex2") - col("mean") * col("mean"),
+          lit(0.0))).as("std"))
     ex.join(broadcast(stats), Seq("pos"))
       .select(col("vec_id"), col("pos"),
         round(try_divide(col("xr") - col("mean"), col("std")), 6).as("z"))
@@ -114,8 +119,11 @@ object VectorAgg {
           .as("__cos"))
     val perVec = scored.groupBy(col("__vid"), col("__lab"))
       .agg(
-        max(when(col("__clab") === col("__lab"), col("__cos"))).as("__own"),
-        max(when(col("__clab") =!= col("__lab"), col("__cos"))).as("__oth"))
+        // null-safe label compares: meanVectors supports a NULL-label
+        // group, and ===/=!= would give its members an all-NULL row
+        // while hiding its centroid from every real label's rivals
+        max(when(col("__clab") <=> col("__lab"), col("__cos"))).as("__own"),
+        max(when(!(col("__clab") <=> col("__lab")), col("__cos"))).as("__oth"))
     perVec.groupBy(col("__lab"))
       .agg(
         count(lit(1)).as("n_vecs"),
