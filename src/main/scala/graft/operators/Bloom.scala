@@ -99,8 +99,20 @@ object Bloom {
     */
   def prunedSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    // the bloom hashes the key's STRING rendering while the verify
+    // join compares under SQL coercion — a DOUBLE 5.0 fact key would
+    // hash "5.0", miss the bits of an INT dim key's "5", and be
+    // silently dropped from the "exact" result. Identical types make
+    // the renderings agree; refuse anything else up front.
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"fact/dim key types must match exactly (bloom hashes the string " +
+        s"rendering): ${fact.schema(factKey).dataType.simpleString} vs " +
+        s"${dim.schema(dimKey).dataType.simpleString}")
     val bits = buildBits(dim, dimKey, mBits, k)
-    fact.filter(mightContain(col(factKey), bits, k))
-      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+    // child-qualified join keys: with factKey == dimKey (the common
+    // shared-name schema) a bare col(...) === col(...) is ambiguous
+    val dimD = dim.select(col(dimKey)).distinct()
+    val pruned = fact.filter(mightContain(col(factKey), bits, k))
+    pruned.join(dimD, pruned.col(factKey) === dimD.col(dimKey), "left_semi")
   }
 }

@@ -4,6 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One EWMA output step. Top-level (not nested) so Spark's
+  * encoder-generated code can construct it.
+  */
+case class EwmaStep(ts: java.sql.Timestamp, ewma: Double)
+
 /** Time-series regularization: project an irregular per-key event
   * stream onto a fixed-interval spine, carrying the last observation
   * forward (LOCF) across gaps — the transform that turns sensor/feed
@@ -45,7 +50,12 @@ object GapFill {
       floor(unix_timestamp(col(tsCol)) / stepSeconds).cast("long") * stepSeconds)
     val perBucket = Window.partitionBy(col(key), col("__gf_bucket"))
       .orderBy(col(tsCol).desc, col(valCol).desc)
+    // a NULL measurement is NO measurement: kept, it would mark its
+    // bucket observed=true-but-unfilled, and a key whose first bucket
+    // held only NULLs would void the never-null fill contract (the
+    // spine extent now starts at the first REAL observation)
     val obs = df
+      .filter(col(valCol).isNotNull)
       .withColumn("__gf_bucket", bucket)
       .withColumn("__gf_rn", row_number().over(perBucket))
       .filter(col("__gf_rn") === 1)
@@ -76,9 +86,14 @@ object GapFill {
     * through `pow`, whose cross-engine bit behavior is exactly what the
     * portability rules avoid. So: one `collect_list` per key, one
     * in-aggregate `sort_array` (deterministic (ts, x) order, no window
-    * shuffle), one `aggregate` HOF left fold emitting every step. Per-key
-    * memory is the series length — the [[Packing.concatPacked]]
-    * batch-bounded contract; segment epoch-long series upstream.
+    * shuffle), then ONE compiled fold closure per key emitting every
+    * step (the LangModel scoring precedent — an expression-level
+    * `aggregate` HOF must rebuild the output array per element,
+    * Θ(L²) copy work that stalls a 50k-observation series; the
+    * closure appends to a buffer, Θ(L), with the identical IEEE ops
+    * in the identical order). Per-key memory is the series length —
+    * the [[Packing.concatPacked]] batch-bounded contract; segment
+    * epoch-long series upstream.
     *
     * Portability: each step is two multiplies and one add on doubles in
     * a FIXED fold order, so any engine replaying the recursion (DuckDB:
@@ -107,21 +122,25 @@ object GapFill {
       .agg(sort_array(collect_list(struct(
         col(tsCol).cast("timestamp").as("ts"),
         col(valCol).cast("double").as("x")))).as("__ew_series"))
-    val zero = struct(
-      lit(null).cast("double").as("prev"),
-      expr("CAST(array() AS array<struct<ts:timestamp,ewma:double>>)").as("out"))
-    val folded = series.select(col(key),
-      aggregate(col("__ew_series"), zero,
-        (acc, e) => {
-          val s = when(acc("prev").isNull, e("x"))
-            .otherwise(lit(alpha) * e("x") + lit(1.0 - alpha) * acc("prev"))
-          struct(s.as("prev"),
-            concat(acc("out"), array(struct(e("ts").as("ts"), s.as("ewma"))))
-              .as("out"))
-        },
-        acc => acc("out")).as("__ew_out"))
-    folded
-      .select(col(key), explode(col("__ew_out")).as("e"))
+    // the two multiplies and one add below are the EXACT ops, in the
+    // exact order, the previous expression-HOF fold performed — the
+    // closure only replaces the per-element array rebuild with an
+    // O(L) buffer append
+    val oneMinus = 1.0 - alpha
+    val foldEwma = udf { (s: Seq[org.apache.spark.sql.Row]) =>
+      val out = new scala.collection.mutable.ArrayBuffer[EwmaStep](s.length)
+      var prev = 0.0
+      var first = true
+      s.foreach { r =>
+        val x = r.getDouble(1)
+        val v = if (first) { first = false; x } else alpha * x + oneMinus * prev
+        prev = v
+        out += EwmaStep(r.getTimestamp(0), v)
+      }
+      out.toSeq
+    }
+    series
+      .select(col(key), explode(foldEwma(col("__ew_series"))).as("e"))
       .select(col(key), col("e.ts").as(tsCol), col("e.ewma").as("ewma"))
   }
 }

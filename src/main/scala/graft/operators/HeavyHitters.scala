@@ -134,17 +134,27 @@ object HeavyHitters {
       s"minShare must be in (0,1), got $minShare")
     require(slack >= 1.0, s"slack must be >= 1, got $slack")
     val k = math.ceil(slack / minShare).toInt
-    val cand = candidates(df, keyCol, k).select(col("key"))
+    val mg = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
     val keyed = df.filter(col(keyCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"))
-    val total = keyed.agg(count(lit(1)).as("total"))
+    // the exact total rides the SAME aggregate as the Misra-Gries
+    // candidates (a separate count agg was a third full scan); the
+    // result is one row of ≤ k entries + a long — the bounded-model
+    // collect idiom
+    val head = keyed
+      .agg(mg(col("key")).as("__mg"), count(lit(1)).as("total"))
+      .collect()(0)
+    val total = head.getLong(1)
+    val candKeys = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val candFilter =
+      if (candKeys.isEmpty) lit(false)
+      else col("key").isInCollection(candKeys)
     keyed
-      .join(broadcast(cand), Seq("key"), "left_semi")
+      .filter(candFilter)
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") > col("total") * lit(minShare))
+      .filter(col("cnt") > lit(total) * lit(minShare))
       .select(col("key"), col("cnt"),
-        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        round(col("cnt").cast("double") / lit(total), 6).as("share"))
   }
 
   /** [[heavyHitters]] per group: keys exceeding `minShare` of THEIR
@@ -168,12 +178,19 @@ object HeavyHitters {
       .select(col("grp"), explode(col("__mg")).as("e"))
       .select(col("grp"), col("e.key").as("key"))
     val totals = keyed.groupBy(col("grp")).agg(count(lit(1)).as("total"))
-    keyed
-      .join(broadcast(cand), Seq("grp", "key"), "left_semi")
+    // null-safe group joins: a NULL group is a real segment (untagged
+    // tenant) that groupBy tracks but an equi-join would silently drop
+    // between the candidate and totals passes — its heavy hitters
+    // would vanish with no error
+    val counted = keyed.as("i")
+      .join(broadcast(cand).as("c"),
+        col("i.grp") <=> col("c.grp") && col("i.key") === col("c.key"),
+        "left_semi")
       .groupBy(col("grp"), col("key")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq("grp"))
+    counted.as("x")
+      .join(broadcast(totals).as("t"), col("x.grp") <=> col("t.grp"))
       .filter(col("cnt") > col("total") * lit(minShare))
-      .select(col("grp").as(groupCol), col("key"), col("cnt"),
+      .select(col("x.grp").as(groupCol), col("key"), col("cnt"),
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
   }
 }

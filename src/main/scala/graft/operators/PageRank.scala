@@ -60,7 +60,12 @@ object PageRank {
     // EAGERLY (localCheckpoint also truncates the per-iteration
     // lineage), release the cache on the way out. Measured on
     // q_graph_pagerank at sf0.1: 9.1 s -> ~2 s.
+    // NULL endpoints have no vertex identity: an unfiltered (v, NULL)
+    // edge would surface a phantom NULL rank row while its mass
+    // vanishes (the using-column join never matches NULL) — the kHop/
+    // triangleStats entry contract, applied here too
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__pr_deg"))

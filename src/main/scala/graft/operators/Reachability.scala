@@ -55,41 +55,65 @@ object Reachability {
     // the accumulated union doubles per level (each child embeds its
     // predecessors even when cached) — exponential ANALYSIS cost with
     // depth even though execution reads the caches. Reads hit the
-    // level's cache through the RDD; superseded caches are released as
-    // soon as their successor materializes.
+    // level's cache through the RDD; each round releases every cache
+    // older than the current frontier + reach pair.
     val spark = edges.sparkSession
     val cachedLevels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    // (flat frame, row count): persist + count the real plan, then hand
-    // back a LogicalRDD view of its cache.
-    def materialize(df: DataFrame): (DataFrame, Long) = {
+    // (flat frame, its cache handle, row count): persist + eager count
+    // the real plan, then hand back a LogicalRDD view of its cache.
+    def materialize(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val cached = df.persist()
       val n = cached.count()
       cachedLevels += cached
-      (spark.createDataFrame(cached.rdd, cached.schema), n)
+      (spark.createDataFrame(cached.rdd, cached.schema), cached, n)
     }
+    var reachCache: DataFrame = null
+    var ok = false
     try {
-      var (reach, _) = materialize(e.withColumn("hops", lit(1L)))
+      val (reach0, rc0, _) = materialize(e.withColumn("hops", lit(1L)))
+      var reach = reach0
+      reachCache = rc0
       var frontier = reach
       var frontierSize = 1L
       var h = 1
       while (h < maxHops && frontierSize > 0) {
-        val (next, n) = materialize(frontier.alias("f")
+        val (next, nextCache, n) = materialize(frontier.alias("f")
           .join(e.alias("e"), col("f.dst") === col("e.src"))
           .select(col("f.src").as("src"), col("e.dst").as("dst"))
           .distinct()
           .join(reach, Seq("src", "dst"), "left_anti")
           .withColumn("hops", lit((h + 1).toLong)))
         frontierSize = n
-        val (grown, _) = materialize(reach.unionByName(next))
-        reach = grown
-        frontier = next
+        if (n > 0) {
+          val (grown, grownCache, _) = materialize(reach.unionByName(next))
+          reach = grown
+          reachCache = grownCache
+          frontier = next
+          // the new level's cache supersedes everything older: release
+          // now, so peak cache is the CURRENT frontier + reach, not
+          // ~maxHops/2 full copies of the final result (an evicted
+          // upstream cache only ever degrades a recompute, never the
+          // answer)
+          while (cachedLevels.size > 2) cachedLevels.remove(0).unpersist()
+        } else {
+          // exhausted frontier: the empty level has nothing to keep,
+          // and unioning it would recompute and double-cache the
+          // entire reach set just to produce an identical copy
+          cachedLevels -= nextCache
+          nextCache.unpersist()
+        }
         h += 1
       }
-      // Only the cache backing the FINAL frame must outlive the call;
-      // evicting it degrades to an RDD-lineage recompute, never a wrong
-      // answer. Intermediate level caches are released here.
-      cachedLevels.dropRight(1).foreach(_.unpersist())
+      ok = true
       reach
-    } finally e.unpersist()
+    } finally {
+      // on success only the cache backing the returned frame survives;
+      // on failure nothing does (the old path leaked every level cache
+      // for the session's lifetime if a count job failed mid-loop)
+      cachedLevels.foreach { c =>
+        if (!(ok && (c eq reachCache))) c.unpersist()
+      }
+      e.unpersist()
+    }
   }
 }

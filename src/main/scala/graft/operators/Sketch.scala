@@ -75,6 +75,16 @@ object Sketch {
     * the corpora the sketches summarize; a depth-row spine keeps rows
     * with zero overlapping cells in the min (their product is 0 —
     * disjoint key spaces estimate 0, not "empty result").
+    *
+    * CONTRACT: both sketches must be built over key columns of the
+    * SAME data type. Cells key on the string rendering
+    * (`md5(key::string)`), so a DECIMAL key's "5.00" and a BIGINT's
+    * "5" never share a cell even though the SQL equi-join would match
+    * them under coercion — across mismatched types the one-sided
+    * overestimate guarantee is void (the estimate can read near 0 for
+    * a huge real join). The sketch frame carries no type metadata, so
+    * this cannot be checked here; align the key types before
+    * [[cmsBuild]].
     */
   def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
     require(depth > 0, s"depth must be positive, got $depth")
