@@ -71,7 +71,12 @@ object Dsir {
           pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
 
     val corpusBuckets = bucketed(corpus)
-    val targetBuckets = bucketed(target)
+    // only the target's bucket DISTRIBUTION survives — selecting idCol
+    // would both crash an id-less curated target (the documented
+    // "needs only a text column" contract) and be dead weight
+    val targetBuckets = target
+      .select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
 
     // ONE corpus-side aggregate: the per-(doc, bucket) counts. The
     // B-row source distribution and the 1-row totals both roll up from
@@ -88,6 +93,13 @@ object Dsir {
     // Smoothed ratio per bucket, exactly rounded then 6-place quantized
     // (see object doc). Buckets absent from the corpus cannot appear in
     // any corpus document, so the left join from src covers everything.
+    // CEILING: the long products below stay exact (and the double cast
+    // correctly rounded) only while (t_b+1)·(stot+B) and
+    // (s_b+1)·(ttot+B) are < 2^53 — roughly corpus·target token
+    // products under ~9e15. Past that the cross-engine bit-parity
+    // claim softens to last-ulp agreement, and past 2^63 the product
+    // overflows outright (ANSI: job error); at that scale compute the
+    // ratio as ln-difference of per-side doubles instead.
     val b = lit(buckets.toLong)
     val ratio = round(
       ((coalesce(col("__tcnt"), lit(0L)) + lit(1L)) * (col("__stot") + b))

@@ -37,7 +37,13 @@ object Features {
       s"dim must be in [2, 2^20], got $dim")
     val feats = df.select(col(idCol).as("__id"),
       array(featureCols.map(c =>
-        concat(lit(s"$c="), coalesce(col(c).cast("string"), lit("")))): _*)
+        // NULL's missing-marker is the bare column name — no real
+        // value can produce it, since every present value renders as
+        // "col=value" (coalescing NULL to "" would collapse it onto
+        // the legitimate empty-string value, erasing the missingness
+        // signal the doc promises)
+        when(col(c).isNull, lit(c))
+          .otherwise(concat(lit(s"$c="), col(c).cast("string")))): _*)
         .as("__fs"))
       .select(col("__id"), explode(col("__fs")).as("__f"))
     feats
@@ -68,9 +74,9 @@ object Features {
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val outCol = s"${valueCol}_filled"
-    Seq(outCol, "was_imputed").foreach(c =>
+    Seq(outCol, "was_imputed", "__g", "__gmean").foreach(c =>
       require(!df.columns.contains(c),
-        s"input column '$c' collides with imputeWithGroupMean's output"))
+        s"input column '$c' collides with imputeWithGroupMean's columns"))
     val stats = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("__g"))
       .agg(round(sum(round(col(valueCol).cast("double"), 6)

@@ -21,6 +21,15 @@ import graft.functions.Text
   */
 object Packing {
 
+  /** PRECONDITION: `orderCol` must be UNIQUE within each group (a
+    * total order — a doc id, not a date). The running token sum is
+    * computed over ORDER BY orderCol; rows tied on it sum in
+    * partition-dependent order, so their batch assignment (and every
+    * assignment after a tie straddling a budget boundary) would
+    * differ between runs and engines. Not checked here — a
+    * distinct-count pass would double the operator's cost; callers
+    * own the invariant, as with [[Dedup]]'s caller-owns-sparsity.
+    */
   def packByTokenBudget(
       docs: DataFrame, groupCol: String, orderCol: String,
       budget: Int): DataFrame = {

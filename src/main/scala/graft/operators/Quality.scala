@@ -31,12 +31,18 @@ object Quality {
     require(rules.nonEmpty, "checkRows needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
-    val aggs = rules.map(r =>
-      count_if(!coalesce(r.passes, lit(false))).as(r.name)) :+
-      count(lit(1)).as("__q_total")
+    // each rule's count is aliased to a GENERATED name and the user's
+    // rule name rides only as a literal: round-tripping the name
+    // through col(...) would re-parse a dotted rule name
+    // ("orders.amount_ok") as a struct-field access and fail analysis,
+    // and a rule literally named __q_total would alias-collide
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      count_if(!coalesce(r.passes, lit(false))).as(s"__q_r$i")
+    } :+ count(lit(1)).as("__q_total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(rules.map(r =>
-      struct(lit(r.name).as("rule"), col(r.name).as("violations"))): _*)
+    val entries = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__q_r$i").as("violations"))
+    }: _*)
     one.select(explode(entries).as("e"), col("__q_total").as("total_rows"))
       .select(col("e.rule"), col("e.violations"), col("total_rows"))
   }
@@ -44,8 +50,11 @@ object Quality {
   /** Duplicate-key violations: rows in excess of one per key. */
   def checkUnique(df: DataFrame, keys: Seq[String], name: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__q_n"))
-      .agg(sum(col("__q_n") - 1).as("violations"),
-        sum(col("__q_n")).as("total_rows"))
+      // empty input: sums over zero groups are NULL, which a gate
+      // comparing `violations > 0` / `=== 0` treats as neither —
+      // report the (0, 0) checkRows/checkRef report instead
+      .agg(coalesce(sum(col("__q_n") - 1), lit(0L)).as("violations"),
+        coalesce(sum(col("__q_n")), lit(0L)).as("total_rows"))
       .select(lit(name).as("rule"), col("violations"), col("total_rows"))
 
   /** Referential violations: non-null child keys absent from the parent

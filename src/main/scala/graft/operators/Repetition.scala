@@ -94,11 +94,17 @@ object Repetition {
     * shorter than n tokens have no grams and score 0 via the left
     * join, not by dropping out.
     */
-  def dupSpanStats(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    // posexplode index i is 0-based; gram i starts at token position
-    // i+1 and covers positions i+1 .. i+n (1-based).
+  /** Shared core of [[dupSpanStats]] and [[removeDupSpans]]: the
+    * positional gram stream, the corpus-hot gram set (document
+    * frequency >= minDf over DISTINCT (doc, gram)), and the distinct
+    * 1-based token positions each doc has covered by a hot gram — one
+    * definition, so a position-convention or df fix cannot
+    * desynchronize the diagnostic from the rewrite it documents.
+    * posexplode index i is 0-based; gram i starts at token position
+    * i+1 and covers positions i+1 .. i+n (1-based).
+    */
+  private def hotCoveredPositions(
+      docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     val grams = docs.select(col("doc_id"),
       posexplode(Text.ngrams(col("text"), n)).as(Seq("p0", "gram")))
       .select(col("doc_id"), col("p0"), Text.md5Long63(col("gram")).as("gh"))
@@ -106,10 +112,16 @@ object Repetition {
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gh"))
-    val covered = grams.join(hot, Seq("gh"), "left_semi")
+    grams.join(hot, Seq("gh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p0") + 1, col("p0") + n)).as("pos"))
       .distinct()
+  }
+
+  def dupSpanStats(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val covered = hotCoveredPositions(docs, n, minDf)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
     docs.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
@@ -141,17 +153,7 @@ object Repetition {
   def removeDupSpans(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val grams = docs.select(col("doc_id"),
-      posexplode(Text.ngrams(col("text"), n)).as(Seq("p0", "gram")))
-      .select(col("doc_id"), col("p0"), Text.md5Long63(col("gram")).as("gh"))
-    val hot = grams.select(col("doc_id"), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("gh"))
-    val covered = grams.join(hot, Seq("gh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("p0") + 1, col("p0") + n)).as("pos"))
-      .distinct()
+    val covered = hotCoveredPositions(docs, n, minDf)
     val kept = docs
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))

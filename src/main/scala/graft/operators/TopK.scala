@@ -22,6 +22,9 @@ case class ScoredNeighbor(id: Long, score: Double)
   */
 class TopKAggregator(k: Int)
   extends Aggregator[ScoredNeighbor, Array[ScoredNeighbor], Array[ScoredNeighbor]] {
+  // k=0 would dereference buf(-1) in reduce (executor-side AIOOBE),
+  // k<0 a negative allocation — fail at construction with a message
+  require(k >= 1, s"k must be >= 1, got $k")
 
   // Total order via Double.compare so NaN ranks greatest — the same
   // place Spark's ORDER BY score DESC and the DuckDB oracle put it.

@@ -4340,12 +4340,14 @@ object RelationalQueries {
     "q_feat_hash" ->
       """WITH f AS (
         |  SELECT c_custkey AS id,
-        |    'c_mktsegment=' || COALESCE(CAST(c_mktsegment AS VARCHAR), '')
+        |    CASE WHEN c_mktsegment IS NULL THEN 'c_mktsegment'
+        |         ELSE 'c_mktsegment=' || CAST(c_mktsegment AS VARCHAR) END
         |      AS f
         |  FROM customer
         |  UNION ALL
         |  SELECT c_custkey,
-        |    'c_nationkey=' || COALESCE(CAST(c_nationkey AS VARCHAR), '')
+        |    CASE WHEN c_nationkey IS NULL THEN 'c_nationkey'
+        |         ELSE 'c_nationkey=' || CAST(c_nationkey AS VARCHAR) END
         |  FROM customer
         |), ix AS (
         |  SELECT id,

@@ -43,14 +43,21 @@ object Velib {
 
   /** Mechanical / ebike split from `num_bikes_available_types` — the
     * array-of-single-key-maps shape observed at `research.ipynb` cell 3:
-    * `[{mechanical: n}, {ebike: n}]`.
+    * `[{mechanical: n}, {ebike: n}]`. Extraction is BY KEY, not by
+    * position: a station reporting the entries reversed, or only one
+    * of them, yields the right counts (or NULL for the absent kind)
+    * instead of swapped values — and a short array would kill the job
+    * under ANSI's element_at range check.
     */
-  def withBikeTypes(flat: DataFrame): DataFrame =
+  def withBikeTypes(flat: DataFrame): DataFrame = {
+    def kindCount(key: String) = aggregate(
+      col("num_bikes_available_types"),
+      lit(null).cast("int"),
+      (acc, m) => coalesce(acc, try_element_at(m, lit(key))))
     flat
-      .withColumn("num_bikes_mechanical",
-        element_at(element_at(col("num_bikes_available_types"), 1), "mechanical"))
-      .withColumn("num_bikes_ebike",
-        element_at(element_at(col("num_bikes_available_types"), 2), "ebike"))
+      .withColumn("num_bikes_mechanical", kindCount("mechanical"))
+      .withColumn("num_bikes_ebike", kindCount("ebike"))
+  }
 
   /** Loader-injected run metadata (`airflow/plugins/s3_to_postgres.py:63-69`). */
   def withRunMetadata(df: DataFrame, ctx: RunContext): DataFrame =

@@ -371,9 +371,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q_sketch_heavy: candidate membership joins by broadcast before the exact count") {
+  test("q_sketch_heavy: candidate membership is a literal map-side filter, no join") {
+    // the Misra-Gries candidates (<= k of them) ride the plan as an IN
+    // list — the verify pass is scan + filter + one aggregate, with no
+    // join operator of any kind (the totals also ride the same scan
+    // now, so no second exchange either)
     val p = plan("q_sketch_heavy")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains(" IN ") || p.contains("key#"), p)
   }
 
   test("star schema: every dimension broadcasts, the fact table is never shuffled for joins") {
