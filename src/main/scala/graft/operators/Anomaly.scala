@@ -38,7 +38,7 @@ object Anomaly {
     require(minPrior >= 2 && minPrior <= window,
       s"minPrior must be in [2, window], got $minPrior")
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    Seq("mean_prior", "z", "is_anomaly").foreach(c =>
+    Seq("mean_prior", "z", "is_anomaly", "__n", "__sx", "__sxx").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with trailingZscores' output"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
@@ -89,9 +89,9 @@ object Anomaly {
   def cusumChangePoints(
       series: DataFrame, partCols: Seq[String], orderCol: String,
       valueCol: String): DataFrame = {
-    Seq("t", "cusum", "is_peak").foreach(c =>
+    Seq("t", "cusum", "is_peak", "__cum", "__n", "__sx", "__best").foreach(c =>
       require(!series.columns.contains(c),
-        s"input column '$c' collides with cusumChangePoints' output"))
+        s"input column '$c' collides with cusumChangePoints' columns"))
     val series0 = series.filter(col(valueCol).isNotNull)
     val base = if (partCols.isEmpty)
       org.apache.spark.sql.expressions.Window.partitionBy(lit(1))

@@ -31,6 +31,11 @@ object Chunking {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap")
     val step = chunkTokens - overlap
+    // NULL text carries no chunks: unfiltered, greatest/least's
+    // null-skipping would fabricate one row with chunk_text = NULL and
+    // n_tokens = chunkTokens — inflating token accounting by a full
+    // chunk per null doc
+    val nonNull = docs.filter(col("text").isNotNull)
     // The token array is let-bound through a single-element transform
     // (the Text.ngrams / Dedup.shingles trick): referencing a computed
     // Column directly would inline the tokenizer into the starts
@@ -44,7 +49,7 @@ object Chunking {
             array_join(slice(w, st, lit(chunkTokens)), " ").as("chunk_text"),
             least(size(w) - st + 1, lit(chunkTokens)).as("n_tokens")))),
       1)
-    docs
+    nonNull
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"),
         col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))

@@ -46,8 +46,12 @@ case class BandJoinRewrite(session: SparkSession)
 
   val WidthConf = "spark.graft.bandjoin.width"
 
+  // tolerant parse: this rule runs in the optimizer of EVERY query in
+  // the session, so a malformed conf value ("7 ", "7x") must disable
+  // the rewrite, not kill unrelated SELECTs with a bare
+  // NumberFormatException
   private def width: Long =
-    session.conf.get(WidthConf, "0").toLong
+    session.conf.get(WidthConf, "0").trim.toLongOption.getOrElse(0L)
 
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
@@ -83,22 +87,16 @@ case class BandJoinRewrite(session: SparkSession)
   private def bound(
       c: Expression, left: LogicalPlan, right: LogicalPlan):
       Option[(Expression, Expression, Boolean)] = c match {
-    case GreaterThanOrEqual(a, b) => sidedPair(a, b, left, right).map {
-      case (p, r, true) => (p, r, true)   // p >= lo
-      case (p, r, false) => (p, r, false) // lo' >= p  <=>  p <= lo'
-    }
-    case GreaterThan(a, b) => sidedPair(a, b, left, right).map {
-      case (p, r, true) => (p, r, true)
-      case (p, r, false) => (p, r, false)
-    }
-    case LessThanOrEqual(a, b) => sidedPair(a, b, left, right).map {
-      case (p, r, true) => (p, r, false)  // p <= hi
-      case (p, r, false) => (p, r, true)  // hi' <= p  <=>  p >= hi'
-    }
-    case LessThan(a, b) => sidedPair(a, b, left, right).map {
-      case (p, r, true) => (p, r, false)
-      case (p, r, false) => (p, r, true)
-    }
+    // strictness is irrelevant for bin coverage (the original
+    // predicate stays as the residual), so GT(E) and LT(E) collapse:
+    // `p >= lo` IS a lower bound (sidedPair's flag passes through);
+    // `p <= hi` flips it (`hi' <= p` is `p >= hi'`)
+    case GreaterThanOrEqual(a, b) => sidedPair(a, b, left, right)
+    case GreaterThan(a, b) => sidedPair(a, b, left, right)
+    case LessThanOrEqual(a, b) => sidedPair(a, b, left, right)
+      .map { case (p, r, isLower) => (p, r, !isLower) }
+    case LessThan(a, b) => sidedPair(a, b, left, right)
+      .map { case (p, r, isLower) => (p, r, !isLower) }
     case _ => None
   }
 

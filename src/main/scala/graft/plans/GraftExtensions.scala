@@ -99,10 +99,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           sentinel))
       }))
 
-    // The portable-hash primitive behind every deterministic
-    // sample/split/shard/LSH decision — exposed so SQL callers (and
-    // ad-hoc audits of those decisions) compute the identical draw the
-    // operators did, through the same allocation-free kernel.
     // Composed regex/replace chain mirroring Text.stripHtml — the
     // web-corpus text extractor for SQL callers. Built directly from
     // catalyst nodes (a Column->Expression round-trip leaves
@@ -132,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           decoded, Literal(Text.WhitespaceRunPattern), Literal(" ")))
       }))
 
+    // The portable-hash primitive behind every deterministic
+    // sample/split/shard/LSH decision — exposed so SQL callers (and
+    // ad-hoc audits of those decisions) compute the identical draw the
+    // operators did, through the same allocation-free kernel.
     ext.injectFunction((
       FunctionIdentifier("md5_long64"),
       info(classOf[graft.functions.Md5Long64], "md5_long64",

@@ -123,9 +123,13 @@ object QueryUtil {
   def dsum4(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
-  /** Deterministic average: exact decimal sum (as double) over count. */
+  /** Deterministic average: exact decimal sum (as double) over the
+    * NON-NULL count — SQL AVG semantics, so a NULL-bearing column
+    * cannot silently diverge from a DuckDB oracle's AVG (count(1)
+    * would divide the null-skipping sum by ALL rows).
+    */
   def davg(c: Column): Column =
-    dsum(c) / count(lit(1))
+    dsum(c) / count(c)
 
   private val scratchRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
