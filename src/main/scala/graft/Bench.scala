@@ -69,8 +69,12 @@ object Bench {
     // when it lands mid-query inside a busy session — observed via jstack:
     // an executor thread pinned in CollationAwareUTF8String$1.<init>).
     // Any collation-aware string expression can trigger it; initialize it
-    // here on the main thread so no timed query ever pays for it.
-    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    // here on the main thread so no timed query ever pays for it. The
+    // class is catalyst-INTERNAL: if a Spark bump moves it, degrade to
+    // re-exposing the one-time warmup cost, don't kill the whole bench.
+    try Class.forName(
+      "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    catch { case _: ClassNotFoundException => () }
 
     val RecycleEvery = 8
     val Passes = 2 // min-of-2: bursty environment noise (100 s windows
@@ -118,13 +122,20 @@ object Bench {
         noisy.grouped(RecycleEvery).flatMap { chunk =>
           val spark = newSession(cpus)
           val rs = chunk.map { name =>
+            // same start/done logging as the main passes: retries fire
+            // exactly for stall-window queries, and a wedged retry with
+            // no per-query line would be unattributable
+            System.err.println(s"[bench] retry start $name")
             val t0 = System.nanoTime()
             val err: Option[String] =
               try { SparkEntry.queries(name)(spark, sfDir)
                 .write.format("noop").mode("overwrite").save(); None }
               catch { case e: Throwable =>
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-            (name, ((System.nanoTime() - t0) / 1e9, err))
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"[bench] retry done  $name $dt%.2f s${err.fold("")(e => s" ERR $e")}")
+            (name, (dt, err))
           }
           spark.stop()
           SparkSession.clearActiveSession()

@@ -78,25 +78,46 @@ object StreamQueries {
       s: SparkSession, df: DataFrame, mode: String = "append"): DataFrame = {
     val sink = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    withScopedStreamRun(s) { ckpt =>
-      val q = df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    // Drop the sink view even when collect fails — repeated Bench
-    // passes must not accumulate leaked memory sinks.
+    // Drop the sink view even when the RUN fails, not just the collect
+    // — start() registers the view before awaitTermination can throw,
+    // and repeated Bench passes must not accumulate leaked memory
+    // sinks (dropTempView of a never-registered view is a no-op).
     try {
+      withScopedStreamRun(s) { ckpt =>
+        val q = df.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val collected = s.table(sink)
       val schema = collected.schema
       s.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(collected.collect(): _*)),
         schema)
     } finally s.catalog.dropTempView(sink)
+  }
+
+  /** Land each .json fixture from `srcDir` into a fresh `drops` dir
+    * under `base` and call `runOne(dropDirPath)` after EVERY copy —
+    * one AvailableNow pass per drop, so batch order is fixture-name
+    * order regardless of the file source's arbitrary equal-mtime
+    * tie-break (the caller's shared checkpoint skips already-processed
+    * files). One definition for every per-drop streaming query, so a
+    * drop-ordering fix cannot silently miss one of them.
+    */
+  private def perDropPasses(srcDir: String, base: java.nio.file.Path)(
+      runOne: String => Unit): Unit = {
+    val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
+    new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
+        runOne(dropDir.toString)
+      }
   }
 
   /** One scoped streaming run: temp checkpoint dir + shuffle
@@ -177,18 +198,13 @@ object StreamQueries {
     "q_stream_dedup" -> ((s, _) => {
       import org.apache.spark.sql.types._
       val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_admit_"))
-      val dropDir = java.nio.file.Files.createDirectory(
-        base.resolve("drops"))
       val acceptedDir = base.resolve("accepted").toString
       withScopedStreamRun(s) { ckpt =>
-        val src = new java.io.File(DocsDedupDir).listFiles()
-          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-        src.foreach { f =>
-          java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
+        perDropPasses(DocsDedupDir, base) { dropDir =>
           val docs = s.readStream
             .schema(StructType(Seq(
               StructField("doc_id", LongType), StructField("text", StringType))))
-            .json(dropDir.toString)
+            .json(dropDir)
           val q = Streams.streamingDedupAdmission(docs, acceptedDir, ckpt).start()
           q.awaitTermination()
         }
@@ -274,15 +290,10 @@ object StreamQueries {
     // PER DROP (shared checkpoint skips processed files).
     "q_stream_timetravel" -> ((s, _) => {
       val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_stream_tt_"))
-      val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
       val outDir = base.resolve("target").toString
       withScopedStreamRun(s) { ckpt =>
-        val src = new java.io.File(StationsDir).listFiles()
-          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-        src.foreach { f =>
-          java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
-          val raw = s.readStream.schema(Schemas.velibRaw)
-            .json(dropDir.toString)
+        perDropPasses(StationsDir, base) { dropDir =>
+          val raw = s.readStream.schema(Schemas.velibRaw).json(dropDir)
           val q = Streams.streamingLatestMerge(
             Streams.dedupedStationUpdates(raw),
             "station_id", "last_reported", outDir, ckpt, retain = 2).start()
@@ -315,7 +326,7 @@ object StreamQueries {
           Streams.dedupedStationUpdates(Streams.velibStream(s, StationsDir)),
           ckpt) { (batch, _) =>
           batch.write.mode("append").parquet(outDir)
-        }.trigger(Trigger.AvailableNow()).start()
+        }.start() // foreachBatchLoad already sets AvailableNow
         q.awaitTermination()
       }
       s.read.parquet(outDir)

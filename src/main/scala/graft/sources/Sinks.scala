@@ -35,6 +35,7 @@ object Sinks {
   def writeParquetObserved(
       df: DataFrame, path: String,
       metrics: Seq[org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty, "writeParquetObserved needs at least one metric")
     val obs = new org.apache.spark.sql.Observation(
       s"load_${java.util.UUID.randomUUID()}")
     df.observe(obs, metrics.head, metrics.tail: _*)
@@ -112,9 +113,15 @@ object Sinks {
     * the exact shuffled order with zero read-time sorting.
     *
     * One exchange total: the hash repartition on `shard` feeds both
-    * the within-shard sort and the partitioned write (each task holds
-    * exactly its shard, so every shard directory is written by one
-    * task as one sorted run).
+    * the within-shard sort and the partitioned write. Each SHARD is
+    * wholly inside one task (so every shard directory is one sorted
+    * run), but the mapping is murmur3(shard) % numShards, not
+    * identity — hash collisions make some tasks carry 2+ shards and
+    * leave ~1/e of tasks empty at small shard counts, so write
+    * parallelism degrades by a small constant factor. Contents and
+    * ordering are unaffected; callers needing balanced write tasks
+    * should over-provision shuffle partitions, not assume task k =
+    * shard k.
     */
   def writeShards(
       df: DataFrame, path: String, keyCol: String, numShards: Int): Unit = {
@@ -204,6 +211,17 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val p = new Path(inDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a hive-partitioned layout would be read WITH partition inference
+    // and written back FLAT — every later partition-pruned scan of the
+    // compacted copy silently degrades to a full read. Refuse it:
+    // compact each partition directory separately (the layout the doc
+    // targets is append-heavy small files WITHIN one directory).
+    val partitioned = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$inDir contains hive partition directories — compacting would " +
+        "flatten the layout and lose partition pruning; compact each " +
+        "partition directory separately")
     val it = fs.listFiles(p, true)
     var totalBytes = 0L
     while (it.hasNext) {

@@ -52,7 +52,11 @@ object Sources {
     * fallback).
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    // FAILFAST: the object contract (and both JSON readers) promise a
+    // malformed cell fails the load — the CSV default (PERMISSIVE)
+    // would silently null it into the warehouse
+    spark.read.option("header", "true").option("mode", "FAILFAST")
+      .schema(schema).csv(path)
 
   /** Streaming twin of [[readJsonPermissive]]: the same dead-letter
     * contract over a file-drop stream — one malformed producer line
@@ -171,7 +175,11 @@ object Sources {
               // whole-payload rows stop at the JVM array limit — a
               // silent toInt wrap would truncate content while
               // reporting the full length (corruption, not an error)
-              require(len <= Int.MaxValue,
+              // Int.MaxValue - 8: HotSpot's real array ceiling sits a
+              // few elements under Int.MaxValue — admitting the edge
+              // would trade this message for an opaque
+              // "Requested array size exceeds VM limit" OOM
+              require(len <= Int.MaxValue - 8,
                 s"$p is $len bytes; single-row payloads are capped at " +
                   "2 GiB — chunk oversized media at write time")
               val in = fs.open(hp)
