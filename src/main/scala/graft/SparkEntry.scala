@@ -14,7 +14,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Velib.latestPerStation(Velib.dedupSnapshots(Velib.curateStations(
       Velib.flattenStations(
-        Sources.readVelibRaw(spark, "/root/repo/fixtures/station_status.json")))))
+        Sources.readVelibRaw(spark, s"${graft.queries.QueryUtil.fixtureRoot}/station_status.json")))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -35,6 +35,8 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val FixtureRoot = QueryUtil.fixtureRoot
+
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = table(s, dir, "embeddings")
 
@@ -1338,7 +1340,7 @@ object LlmQueries {
     */
   private def mediaImages(s: SparkSession): DataFrame =
     graft.sources.Sources
-      .readBinaryFiles(s, "/root/repo/fixtures/media_img", glob = "*.bmp")
+      .readBinaryFiles(s, s"$FixtureRoot/media_img", glob = "*.bmp")
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "img_(\\d+)", 1)
           .cast("long").as("doc_id"),
@@ -1349,7 +1351,7 @@ object LlmQueries {
     */
   private def mediaAudio(s: SparkSession): DataFrame =
     graft.sources.Sources
-      .readBinaryFiles(s, "/root/repo/fixtures/media_audio", glob = "*.wav")
+      .readBinaryFiles(s, s"$FixtureRoot/media_audio", glob = "*.wav")
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "au_(\\d+)", 1)
           .cast("long").as("doc_id"),
@@ -1360,7 +1362,7 @@ object LlmQueries {
     */
   private def mediaGifs(s: SparkSession): DataFrame =
     graft.sources.Sources
-      .readBinaryFiles(s, "/root/repo/fixtures/media_gif", glob = "*.gif")
+      .readBinaryFiles(s, s"$FixtureRoot/media_gif", glob = "*.gif")
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "vid_(\\d+)", 1)
           .cast("long").as("doc_id"),
@@ -1383,10 +1385,16 @@ object LlmQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM tok
       |), pairs AS (
+      |  -- the shared-shingle guard replays the Spark miners' inverted
+      |  -- index (no shared shingle = never a candidate) and kills the
+      |  -- 0/0 = NaN a <3-token doc pair would otherwise produce — NaN
+      |  -- compares GREATER than any threshold under DuckDB's total
+      |  -- order, which would fabricate pairs Spark never emits
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0
       |)""".stripMargin
 
   /** RBO@10 suffix constants: S(m) = Σ_{d=m..10} (1-p)·p^(d-1) / d at
@@ -2119,10 +2127,13 @@ object LlmQueries {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM tok
         |), pairs AS (
+        |  -- shared-shingle guard: replays the inverted index and kills
+        |  -- the 0/0 = NaN of an empty shingle set (see ShingleCte)
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS ca,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) AS cb
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0
         |)
         |SELECT doc_a, doc_b, ROUND(ca, 6) AS contain_a,
         |  ROUND(cb, 6) AS contain_b
@@ -2838,11 +2849,16 @@ object LlmQueries {
          |  FROM cand
          |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
          |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), lsel AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM sc QUALIFY rn <= 10
          |), lshk AS (
          |  SELECT probe_id, neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rb
-         |  FROM sc QUALIFY rb <= 10
+         |      ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS INT) AS rb
+         |  FROM lsel
          |), allp AS (
          |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
          |    ${duckCos("e.embedding", "p.embedding")} AS cos_raw
@@ -2850,11 +2866,16 @@ object LlmQueries {
          |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
          |    WHERE vec_id < 5) p
          |  WHERE e.vec_id != p.vec_id
+         |), esel AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM allp QUALIFY rn <= 10
          |), ex AS (
          |  SELECT probe_id, neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS ra
-         |  FROM allp QUALIFY ra <= 10
+         |      ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS INT) AS ra
+         |  FROM esel
          |), terms AS (
          |  SELECT ex.probe_id,
          |    CAST(([${RboSuffix.mkString(", ")}])
@@ -2896,11 +2917,16 @@ object LlmQueries {
          |  FROM cand
          |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
          |  JOIN embeddings q ON q.vec_id = cand.probe_id
+         |), lsel AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM sc QUALIFY rn <= 10
          |), lshk AS (
          |  SELECT probe_id, neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rb
-         |  FROM sc QUALIFY rb <= 10
+         |      ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS INT) AS rb
+         |  FROM lsel
          |), allp AS (
          |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
          |    ${duckCos("e.embedding", "p.embedding")} AS cos_raw
@@ -2908,11 +2934,16 @@ object LlmQueries {
          |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
          |    WHERE vec_id < 5) p
          |  WHERE e.vec_id != p.vec_id
+         |), esel AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM allp QUALIFY rn <= 10
          |), ex AS (
          |  SELECT probe_id, neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS ra
-         |  FROM allp QUALIFY ra <= 10
+         |      ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS INT) AS ra
+         |  FROM esel
          |), terms AS (
          |  SELECT ex.probe_id,
          |    CAST(CAST(11 - ex.ra AS DOUBLE)

@@ -22,7 +22,7 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val FixtureDir = "/root/repo/fixtures"
+  private val FixtureDir = QueryUtil.fixtureRoot
   private val Ctx = RunContext("2024-02-01 01:00:00", "velib_spark", "transform_station_data")
 
   private def velibCurated(s: SparkSession): DataFrame =

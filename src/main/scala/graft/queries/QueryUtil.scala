@@ -16,6 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object QueryUtil {
 
+  /** Root of the checkout holding the committed fixtures. The harness
+    * pins the repo at /root/repo; any other checkout sets
+    * -Dgraft.repo.root=... (or GRAFT_REPO_ROOT) so the fixture-driven
+    * queries don't silently read an empty directory and hash-mismatch
+    * their pinned VALUES oracles.
+    */
+  lazy val repoRoot: String =
+    sys.props.get("graft.repo.root")
+      .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+      .getOrElse("/root/repo")
+
+  /** Committed-fixture directory under [[repoRoot]]. */
+  lazy val fixtureRoot: String = s"$repoRoot/fixtures"
+
   /** Tables whose parquet carries TIMESTAMP(NANOS) columns (here: the
     * harness's `events.ts`). Scoped by table name so the generic loader
     * never reinterprets an ordinary bigint that happens to be named

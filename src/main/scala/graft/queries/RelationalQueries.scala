@@ -50,24 +50,20 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // A6 pivot: long-to-wide reshaping (the pandas pivot_table the
-    // reference's consumers would reach for). The EXPLICIT value list
-    // is the 100 TB contract: without it Spark first runs a distinct
-    // job over the pivot column to discover values — a full extra scan
-    // — and the output schema becomes data-dependent. With the list,
-    // this is ONE partial-combined aggregate (each pivot cell is a
-    // conditional agg), single shuffle on the row key. Absent cells
-    // read 0 via coalesce (pivot-count yields NULL for empty cells;
-    // the conditional-agg oracle yields 0 — same contract, pinned).
+    // A6 pivot with a non-count MEASURE: long-to-wide SUM cells (the
+    // pandas pivot_table(values=..., aggfunc="sum") — q_agg_pivot
+    // covers the count form). Same explicit-value-list 100 TB
+    // contract: one conditional-agg pass, no values-discovery scan,
+    // single shuffle on the row key. Empty cells stay NULL (SUM over
+    // no rows), pinning the sum-vs-count NULL semantics the count
+    // pivot's coalesce hides.
     "q_pivot" -> ((s, dir) => {
       table(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
+        .agg(dsum(col("o_totalprice")))
         .select(col("o_orderpriority"),
-          coalesce(col("F"), lit(0L)).as("n_f"),
-          coalesce(col("O"), lit(0L)).as("n_o"),
-          coalesce(col("P"), lit(0L)).as("n_p"))
+          col("F").as("sum_f"), col("O").as("sum_o"), col("P").as("sum_p"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -1037,7 +1033,6 @@ object RelationalQueries {
     // whenever events cluster). The frame sum goes through an exact
     // decimal so the trailing average is order-independent.
     "q_window_movavg" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(unix_timestamp(col("o_orderdate")))
         .rangeBetween(-604800L, 0L)
@@ -2532,7 +2527,8 @@ object RelationalQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / COUNT(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_distinct" ->
@@ -3416,9 +3412,12 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
-        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS sum_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_unpivot" ->

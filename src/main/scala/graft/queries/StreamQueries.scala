@@ -28,8 +28,8 @@ object StreamQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val StationsDir = "/root/repo/fixtures/stream/stations"
-  private val WeatherDir = "/root/repo/fixtures/stream/weather"
+  private val StationsDir = s"${QueryUtil.fixtureRoot}/stream/stations"
+  private val WeatherDir = s"${QueryUtil.fixtureRoot}/stream/weather"
 
   /** Outer-join fixtures: reports at 00:10/00:40 (hour 00 has an
     * observation), one at 02:10 in an observation-less hour (the row
@@ -40,8 +40,8 @@ object StreamQueries {
     * the state store before termination. The station sentinel itself
     * stays above the final watermark — buffered, never emitted.
     */
-  private val StationsOuterDir = "/root/repo/fixtures/stream/stations_outer"
-  private val WeatherOuterDir = "/root/repo/fixtures/stream/weather_outer"
+  private val StationsOuterDir = s"${QueryUtil.fixtureRoot}/stream/stations_outer"
+  private val WeatherOuterDir = s"${QueryUtil.fixtureRoot}/stream/weather_outer"
 
   /** Streaming-admission fixtures: batch 0 seeds docs 1/2 and carries a
     * within-batch duplicate (7 = copy of 2, rejected); batch 1 brings a
@@ -51,7 +51,7 @@ object StreamQueries {
     * batch ORDER (1 must already be accepted when 3 arrives); the
     * harness drops one file per AvailableNow pass to pin it.
     */
-  private val DocsDedupDir = "/root/repo/fixtures/stream/docs"
+  private val DocsDedupDir = s"${QueryUtil.fixtureRoot}/stream/docs"
 
   /** The stations fixtures plus a far-future sentinel report (05:00,
     * throwaway station 1): append-mode session windows only emit once
@@ -61,7 +61,7 @@ object StreamQueries {
     * past every real session — while its own session stays open and
     * thus out of the output.
     */
-  private val StationsSessionsDir = "/root/repo/fixtures/stream/stations_sessions"
+  private val StationsSessionsDir = s"${QueryUtil.fixtureRoot}/stream/stations_sessions"
 
   /** Run `df` (a streaming frame) to completion under AvailableNow into
     * a uniquely-named memory sink; hand back its rows as a batch frame.
@@ -356,7 +356,7 @@ object StreamQueries {
   /** Mixed good/malformed JSON-line drops for the streaming
     * dead-letter query.
     */
-  private val MixedDir = "/root/repo/fixtures/stream/mixed"
+  private val MixedDir = s"${QueryUtil.fixtureRoot}/stream/mixed"
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_permissive" ->
