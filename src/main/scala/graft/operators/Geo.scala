@@ -51,7 +51,11 @@ object Geo {
     require(sharedNames.isEmpty,
       s"probe and candidate column names must be disjoint (alias one " +
         s"side); shared: ${sharedNames.mkString(", ")}")
-    val reserved = Seq("__geo_cell", "__geo_best")
+    // dist_sq is an OUTPUT column: an input coordinate column named
+    // dist_sq would otherwise fail deep in Catalyst with
+    // AMBIGUOUS_REFERENCE at the filter — the unactionable failure mode
+    // these requires exist to prevent.
+    val reserved = Seq("__geo_cell", "__geo_best", "dist_sq")
     Seq(probes -> "probes", cands -> "cands").foreach { case (df, side) =>
       reserved.foreach(c => require(!df.columns.contains(c),
         s"$side already has a column named $c (reserved)"))

@@ -44,12 +44,15 @@ object SkewJoin {
       salts: Int, entropy: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     // Scratch-column collision is a silent-clobber hazard (withColumn
-    // replaces an existing column of the same name, and the drop at the
-    // end would then remove USER data) — fail fast like AsOfJoin does.
-    Seq(skewed -> "__salt_s", other -> "__salt_o").foreach { case (df, c) =>
-      require(!df.columns.contains(c),
-        s"input column '$c' collides with SkewJoin's internal salt column")
-    }
+    // replaces an existing column of the same name, and the final drop
+    // removes BOTH names across the whole joined frame, so either side
+    // carrying either name would lose user data) — fail fast like
+    // AsOfJoin does, checking both names on both inputs.
+    for {
+      (df, side) <- Seq(skewed -> "skewed", other -> "other")
+      c <- Seq("__salt_s", "__salt_o")
+    } require(!df.columns.contains(c),
+      s"$side input column '$c' collides with SkewJoin's internal salt column")
     val salted = skewed.withColumn(
       "__salt_s", pmod(xxhash64(entropy), lit(salts.toLong)))
     val fanned = other.withColumn(

@@ -80,6 +80,17 @@ object Upsert {
       require(!history.columns.contains(c) && !changes.columns.contains(c),
         s"reserved scratch column name collides: $c")
     }
+    // valid_from/valid_to are OUTPUTS here: a changes batch carrying
+    // them (e.g. a history export re-fed as changes) would have them
+    // classified as attribute columns, deduped, then silently
+    // OVERWRITTEN by the withColumn below — a plausible-but-wrong
+    // merge. Fail fast instead.
+    Seq("valid_from", "valid_to").foreach { c =>
+      require(!changes.columns.contains(c),
+        s"changes must not carry '$c' — scd2Apply derives the validity " +
+          s"interval from $tsCol (drop the column, or rebuild the key's " +
+          "history instead of merging)")
+    }
     val attrCols = changes.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     require(attrCols.nonEmpty, "changes carry no attribute columns")

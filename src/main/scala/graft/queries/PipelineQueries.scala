@@ -140,12 +140,16 @@ object PipelineQueries {
 
     // F5 map access + F7 null handling over the reference's optional
     // rain/snow maps (`research.ipynb` cell 1: {"rain": {"1h": 0.15}},
-    // absent on dry observations) — element_at on a MapType column with
-    // coalesce for the missing case.
+    // absent on dry observations) — try_element_at on a MapType column
+    // (ANSI-safe: plain element_at raises MAP_KEY_DOES_NOT_EXIST for a
+    // PRESENT map lacking the "1h" key, e.g. {"3h": 0.4}, before the
+    // coalesce can substitute — the coalesce alone only covers the
+    // absent-map NULL case) with coalesce for both missing cases.
     "q_weather_rain" -> ((s, _) => {
       Sources.readWeatherRaw(s, s"$FixtureDir/weather.json").select(
         timestamp_seconds(col("current.dt")).as("obs_ts"),
-        coalesce(element_at(col("current.rain"), "1h"), lit(0.0)).as("rain_1h"),
+        coalesce(try_element_at(col("current.rain"), lit("1h")), lit(0.0))
+          .as("rain_1h"),
         col("current.rain").isNotNull.as("raining"))
         .orderBy(col("obs_ts"))
     }),

@@ -112,7 +112,14 @@ object StreamQueries {
   private def perDropPasses(srcDir: String, base: java.nio.file.Path)(
       runOne: String => Unit): Unit = {
     val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
-    new java.io.File(srcDir).listFiles()
+    // listFiles() returns null (not empty) for a missing/unreadable dir
+    // — fail with an actionable message instead of an NPE when the
+    // fixture root is misconfigured (see QueryUtil.repoRoot)
+    val listed = new java.io.File(srcDir).listFiles()
+    require(listed != null,
+      s"fixture directory not found or unreadable: $srcDir " +
+        "(set GRAFT_REPO_ROOT or -Dgraft.repo.root to the checkout root)")
+    listed
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       .foreach { f =>
         java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))

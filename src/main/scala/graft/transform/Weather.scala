@@ -25,9 +25,13 @@ object Weather {
       col("current.pressure").as("pressure"),
       col("current.humidity").as("humidity"),
       col("current.wind_speed").as("wind_speed"),
-      // array index [0] (`etl_dag.py:93`); element_at is 1-based
-      element_at(col("current.weather"), 1).getField("description")
-        .as("weather_description"),
+      // array index [0] (`etl_dag.py:93`); try_element_at is 1-based
+      // and ANSI-safe: a present-but-EMPTY weather array (the API can
+      // return one) reads NULL instead of killing the branch with
+      // INVALID_ARRAY_INDEX under Spark 4's default ANSI mode — the
+      // same hazard Velib.withBikeTypes guards with try_element_at
+      try_element_at(col("current.weather"), lit(1))
+        .getField("description").as("weather_description"),
       timestamp_seconds(col("current.dt")).as("timestamp"))
 
   /** String rendering matching the reference's strftime output

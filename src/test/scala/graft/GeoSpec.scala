@@ -62,4 +62,15 @@ class GeoSpec extends SparkTestBase {
     val got = nearest(probes, cands, 1.0)
     assert(got === Seq((2L, 5L, 0.5)))
   }
+
+  test("fails fast when an input column is named dist_sq (reserved output)") {
+    import spark.implicits._
+    val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "px", "dist_sq")
+    val cands = Seq((5L, 0.5, 0.5)).toDF("cid", "cx", "cy")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Geo.nearestWithinRadius(
+        probes, "pid", "px", "dist_sq", cands, "cid", "cx", "cy", 2.0)
+    }
+    assert(e.getMessage.contains("dist_sq"))
+  }
 }

@@ -246,6 +246,16 @@ class PlanShapeSpec extends SparkTestBase {
         li, supp, "l_suppkey", "s_suppkey", salts = 4, entropy = col("l_orderkey"))
     }
     assert(e.getMessage.contains("__salt_s"))
+    // the guard is SYMMETRIC: the final drop removes both salt names
+    // across the whole joined frame, so the skewed side carrying the
+    // OTHER side's salt name would silently lose that column
+    val li2 = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .withColumn("__salt_o", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedEquiJoin(
+        li2, supp, "l_suppkey", "s_suppkey", salts = 4, entropy = col("l_orderkey"))
+    }
+    assert(e2.getMessage.contains("__salt_o"))
   }
 
   test("q_join_asof plans exactly one exchange (union + single window shuffle)") {

@@ -164,6 +164,20 @@ class UpsertSpec extends SparkTestBase {
       Upsert.diffSnapshots(keyOnly, keyOnly, Seq("id"))
     }
   }
+  test("scd2Apply fails fast when changes carry the interval outputs") {
+    import spark.implicits._
+    val hist = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      Option.empty[java.sql.Timestamp])).toDF("k", "attr", "valid_from", "valid_to")
+    // a history export re-fed as a change batch: valid_to would be
+    // classified as an attribute, then silently OVERWRITTEN
+    val changes = Seq((1L, "b", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      Option.empty[java.sql.Timestamp])).toDF("k", "attr", "ts", "valid_to")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(hist, changes, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("valid_to"))
+  }
+
   test("goldenRecord: each field follows its own freshest non-null feed") {
     import spark.implicits._
     val feed = Seq(

@@ -109,6 +109,27 @@ class VelibWeatherSpec extends SparkTestBase {
     assert(s === "2024-02-01 00:00:00")
   }
 
+  test("weather: empty weather array and off-key rain map are ANSI-safe") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("wx_empty")
+    // valid API shapes the fixture lacks: weather PRESENT but empty,
+    // rain PRESENT but without the "1h" key — under Spark 4's default
+    // ANSI mode a plain element_at would raise INVALID_ARRAY_INDEX /
+    // MAP_KEY_DOES_NOT_EXIST here instead of reading NULL
+    Files.writeString(Paths.get(dir.toString, "w.json"),
+      """{"current": {"dt": 1706745600, "temp": 1.5, "feels_like": 1.0,""" +
+        """ "pressure": 1000, "humidity": 50, "wind_speed": 2.0,""" +
+        """ "weather": [], "rain": {"3h": 0.4}}}""")
+    val raw = Sources.readWeatherRaw(spark, dir.toString)
+    val w = rows(Weather.projectWeather(raw)).head
+    assert(w.isNullAt(w.fieldIndex("weather_description")))
+    // the q_weather_rain read: present map lacking "1h" reads 0.0
+    val r = rows(raw.select(
+      coalesce(try_element_at(col("current.rain"), lit("1h")), lit(0.0))
+        .as("rain_1h"))).head
+    assert(r.getDouble(0) === 0.0)
+  }
+
   test("raw read fails fast on malformed input") {
     import java.nio.file.{Files, Paths}
     val bad = Files.createTempDirectory("badjson")
