@@ -31,19 +31,6 @@ object Md5Hash {
   }
 }
 
-/** Native md5-derived 64-bit hash of a string.
-  *
-  * Why a custom expression (measured, same bar as the vector ones): the
-  * composed built-in form — `conv(substring(md5(x), 1, 8), 16, 10)`
-  * twice, shifted and OR'd — allocates a 32-char hex string, two
-  * substring strings, two decimal strings, and a fresh MessageDigest
-  * per evaluation. On the rolling-fingerprint path that is ~490 gram
-  * hashes per document; the corpus fingerprint query spent most of its
-  * time in that allocation churn. This expression digests the UTF-8
-  * bytes straight to a long with a ThreadLocal digest — identical bits
-  * to the composed form (asserted in tests), so every DuckDB oracle is
-  * unchanged.
-  */
 /** Static kernel for [[HyperplaneSignBits]]. Plain object → static
   * forwarder callable from generated Java.
   */
@@ -202,6 +189,19 @@ case class HyperplaneProjections(
       newChild: Expression): HyperplaneProjections = copy(child = newChild)
 }
 
+/** Native md5-derived 64-bit hash of a string.
+  *
+  * Why a custom expression (measured, same bar as the vector ones): the
+  * composed built-in form — `conv(substring(md5(x), 1, 8), 16, 10)`
+  * twice, shifted and OR'd — allocates a 32-char hex string, two
+  * substring strings, two decimal strings, and a fresh MessageDigest
+  * per evaluation. On the rolling-fingerprint path that is ~490 gram
+  * hashes per document; the corpus fingerprint query spent most of its
+  * time in that allocation churn. This expression digests the UTF-8
+  * bytes straight to a long with a ThreadLocal digest — identical bits
+  * to the composed form (asserted in tests), so every DuckDB oracle is
+  * unchanged.
+  */
 case class Md5Long64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -95,17 +95,19 @@ object VectorOps {
     * on the float vectors is the standard two-tier layout.
     */
   def quantizeInt8(a: Column): Column =
-    // Degenerate vectors (a NULL or NaN element) quantize to NULL —
-    // the same "no usable geometry" verdict the float tier's -2
-    // cosine sentinel gives them. Unguarded, a NULL element silently
-    // became code 0 (a legitimate value) while NaN poisoned the whole
-    // vector to zeros under a NaN scale — the two tiers of the
-    // candidates/re-rank layout disagreeing on the same vector.
+    // Degenerate vectors (a NULL, NaN, or ±Infinity element) quantize
+    // to NULL — the same "no usable geometry" verdict the float tier's
+    // -2 cosine sentinel gives them. Unguarded, a NULL element silently
+    // became code 0 (a legitimate value), NaN poisoned the whole
+    // vector to zeros under a NaN scale, and an Infinity element made
+    // maxAbs infinite so Inf/Inf = NaN — whose tinyint cast KILLS the
+    // query under ANSI mode — the two tiers of the candidates/re-rank
+    // layout disagreeing on the same vector.
     // max|x| let-bound like l2Normalize's norm — once per vector, not
     // once per element. TINYINT: values are proven in [-127, 127], and
     // byte storage is the whole point — array<int> would be the same
     // width as the float32 input.
-    when(!exists(a, x => x.isNull || isnan(d(x))),
+    when(!exists(a, degenerateElem),
       element_at(
         transform(array(maxAbs(a)), mx =>
           transform(a, x =>
@@ -113,13 +115,19 @@ object VectorOps {
               + lit(0.5)).cast("tinyint"))),
         1))
 
+  /** NULL, NaN, or ±Infinity — an element with no usable geometry. */
+  private def degenerateElem(x: Column): Column =
+    x.isNull || isnan(d(x)) ||
+      abs(d(x)) === lit(Double.PositiveInfinity)
+
   private def maxAbs(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
 
   /** Dequantization scale paired with [[quantizeInt8]]: max|x| / 127
     * (0.0 for an all-zero vector, NULL for a degenerate one — the
-    * quantizeInt8 verdict).
+    * quantizeInt8 verdict, including ±Infinity, whose scale would
+    * otherwise read Infinity).
     */
   def quantScale(a: Column): Column =
-    when(!exists(a, x => x.isNull || isnan(d(x))), maxAbs(a) / lit(127.0))
+    when(!exists(a, degenerateElem), maxAbs(a) / lit(127.0))
 }

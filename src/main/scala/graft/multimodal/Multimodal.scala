@@ -41,10 +41,50 @@ object Multimodal {
     try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // ImageIO.read(ImageInputStream) closes the stream itself on the
-      // success path; the swallow covers the resulting double-close
-      try Option(javax.imageio.ImageIO.read(iis))
-      finally { try iis.close() catch { case _: java.io.IOException => () } }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            // declared-dimensions bound BEFORE the raster allocates —
+            // the decodeFrames guard applied to the single-frame path:
+            // a crafted header claiming 40000×40000 would OOM inside
+            // reader.read, and OutOfMemoryError is an Error the
+            // NonFatal degradation cannot catch
+            if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxTotalPixels)
+              None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally { try iis.close() catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Header-only probe: declared (width, height, n_frames) without
+    * allocating any raster — what [[decodeMeta]] needs. n_frames comes
+    * from the reader's full-scan count (`getNumImages(true)`), so an
+    * animated GIF reports its REAL frame count here and agrees with
+    * [[frameHashes]] — a hardcoded 1 made the two operators contradict
+    * each other on the same corpus. Same NonFatal + no-reader fallback
+    * contract as [[decodeImage]].
+    */
+  def imageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            Some((reader.getWidth(0), reader.getHeight(0),
+              reader.getNumImages(true)))
+          } finally reader.dispose()
+        }
+      } finally { try iis.close() catch { case _: java.io.IOException => () } }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 64 integer brightness cells over an 8x8 block grid (block
@@ -120,10 +160,11 @@ object Multimodal {
         rows.map { r =>
           digest.reset()
           val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-          val (w, h, f) = decodeImage(r.payload) match {
-            case Some(img) => (img.getWidth, img.getHeight, 1)
-            case None => fakeDecode(r.payload)
-          }
+          // header-only: dimensions and the REAL frame count without
+          // decoding a raster (an animated GIF reports its n frames,
+          // agreeing with frameHashes)
+          val (w, h, f) = imageHeader(r.payload)
+            .getOrElse(fakeDecode(r.payload))
           MediaMeta(r.doc_id, r.payload.length, sha, w, h, f)
         }
       }
@@ -132,9 +173,13 @@ object Multimodal {
   /** Frame sampling shape: explode n_frames into (doc_id, frame_idx)
     * rows — the layout a video pipeline feeds to a per-frame model.
     */
-  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame = {
+    // fail at plan time with an actionable message, not mid-scan with
+    // sequence()'s obscure step-must-not-be-zero runtime error
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
 
   /** Embedding row produced by [[extractFeatures]] — `features`
     * conforms to the `array<float>` contract the Similarity / KMeans

@@ -63,8 +63,12 @@ object Reachability {
     // the real plan, then hand back a LogicalRDD view of its cache.
     def materialize(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val cached = df.persist()
-      val n = cached.count()
+      // register BEFORE the count: a count job that fails mid-loop
+      // must still leave its persist in cachedLevels for the finally
+      // block to release — registering after would leak exactly the
+      // failed level's cache
       cachedLevels += cached
+      val n = cached.count()
       (spark.createDataFrame(cached.rdd, cached.schema), cached, n)
     }
     var reachCache: DataFrame = null

@@ -44,10 +44,22 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val scored = corpus.as("c")
-      .join(broadcast(probes.as("p")), col("c.id") =!= col("p.probe_id"))
+    // norms are per-vector: compute them BELOW the pair join (the
+    // cosineSimilarPairs pattern), once per row per side, instead of
+    // letting cosineSimilarity recompute each probe norm |corpus|
+    // times inside the scored stream — same expression shape and
+    // multiply order, so scores are bit-identical
+    val scored = corpus
+      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("__cn"))
+      .as("c")
+      .join(broadcast(probes
+          .select(col("probe_id"), col("vec"),
+            VectorOps.norm(col("vec")).as("__pn")).as("p")),
+        col("c.id") =!= col("p.probe_id"))
       .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
-        VectorOps.cosineSimilarity(col("c.vec"), col("p.vec")).as("cos_raw"))
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("c.vec"), col("p.vec")),
+          col("c.__cn") * col("p.__pn"))).as("cos_raw"))
     scored
       .groupBy(col("probe_id"))
       .agg(TopK.topK(k)(col("neighbor_id"), col("cos_raw")).as("nn"))
@@ -310,6 +322,14 @@ object Similarity {
       .sortBy(_._1)
     require(code.nonEmpty && code.length <= 256,
       s"codebook size ${code.length} outside [1, 256]")
+    // a duplicate centroid_id would duplicate routing rows, and the
+    // re-rank join would then feed the SAME (id, score) twice into the
+    // bounded heap — a repeated neighbor crowding out a real one
+    require(code.map(_._1).distinct.length == code.length,
+      "duplicate centroid_id in codebook: " +
+        code.map(_._1).groupBy(identity).collect {
+          case (id, g) if g.length > 1 => id
+        }.mkString(", "))
     code
   }
 
@@ -462,11 +482,20 @@ object Similarity {
     */
   private def rerankRoutedLists(
       lists: DataFrame, probed: DataFrame, k: Int): DataFrame =
+    // norms below the join (the bruteForceTopK/cosineSimilarPairs
+    // pattern): once per list row / per routed probe, not per scored
+    // pair — bit-identical scores, same multiply order
     lists
-      .join(broadcast(probed), Seq("centroid_id"))
+      .select(col("centroid_id"), col("id"), col("vec"),
+        VectorOps.norm(col("vec")).as("__ln"))
+      .join(broadcast(probed
+          .withColumn("__pn", VectorOps.norm(col("pvec")))),
+        Seq("centroid_id"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("neighbor_id"),
-        VectorOps.cosineSimilarity(col("vec"), col("pvec")).as("cos_raw"))
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("vec"), col("pvec")),
+          col("__ln") * col("__pn"))).as("cos_raw"))
       .groupBy(col("probe_id"))
       .agg(TopK.topK(k)(col("neighbor_id"), col("cos_raw")).as("nn"))
       .select(col("probe_id"), explode(col("nn")).as("n"))
@@ -544,22 +573,35 @@ object Similarity {
     val planes = hyperplanes(dim, 16, seed)
     val bandsOf = 4 // 16 bits as 4 × 4-bit bands
 
+    // The vector norm rides the banded rows (computed ONCE per input
+    // row, before the 4× band explode), so the per-pair score below is
+    // one dot + one divide — cosineSimilarity here would recompute
+    // both norms per banded candidate pair.
     def banded(df: DataFrame, idCol: String) = df
       .select(col(idCol), col("vec"),
+        VectorOps.norm(col("vec")).as("__nrm"),
         packedSignBits(col("vec"), planes).as("bits"))
-      .select(col(idCol), col("vec"),
+      .select(col(idCol), col("vec"), col("__nrm"),
         explode(array((0 until planes.length / bandsOf).map { b =>
           struct(lit(b).as("band"),
             bucketOfBits(col("bits"), b, bandsOf).as("bucket"))
         }: _*)).as("bb"))
-      .select(col(idCol), col("vec"),
+      .select(col(idCol), col("vec"), col("__nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
+    // The probe side is broadcast EXPLICITLY (bruteForceTopK's
+    // contract: probes are the bounded side): a size-estimate miss
+    // would otherwise fall back to a sort-merge join that shuffles 4
+    // banded copies of every corpus VECTOR — with the broadcast, the
+    // corpus never crosses the wire; only (probe_id, neighbor_id,
+    // cos_raw) reaches the dedup exchange.
     banded(corpus, "id").as("c")
-      .join(banded(probes, "probe_id").as("p"), Seq("band", "bucket"))
+      .join(broadcast(banded(probes, "probe_id").as("p")), Seq("band", "bucket"))
       .filter(col("c.id") =!= col("p.probe_id"))
       .select(col("p.probe_id"), col("c.id").as("neighbor_id"),
-        VectorOps.cosineSimilarity(col("c.vec"), col("p.vec")).as("cos_raw"))
+        VectorOps.guardCos(try_divide(
+          VectorOps.dot(col("c.vec"), col("p.vec")),
+          col("c.__nrm") * col("p.__nrm"))).as("cos_raw"))
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(first(col("cos_raw")).as("cos_raw"))
       .groupBy(col("probe_id"))
