@@ -2238,16 +2238,23 @@ object RelationalQueries {
             .cast("double").as("syy"),
           sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 4)))
             .cast("double").as("sxy"))
+      // Degenerate groups are guarded IDENTICALLY in both engines
+      // (single-row group: Spark double/0 reads Infinity where DuckDB
+      // reads NULL; cancellation noise: sqrt(negative) is NaN in Spark
+      // but ABORTS the DuckDB oracle) — n>1 gates the sample variance,
+      // greatest(·,0) floors the cancellation, and the corr denominator
+      // must be strictly positive. On non-degenerate groups every
+      // branch returns the exact pre-guard value.
+      val vQty = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      val dx = col("sxx") - col("sx") * col("sx") / col("n")
+      val dy = col("syy") - col("sy") * col("sy") / col("n")
       m.select(
         col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("var_qty"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("std_qty"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-            (col("syy") - col("sy") * col("sy") / col("n"))))
+        when(col("n") > 1.0, vQty).as("var_qty"),
+        when(col("n") > 1.0, sqrt(greatest(vQty, lit(0.0)))).as("std_qty"),
+        when(col("n") > 1.0 && dx * dy > 0.0,
+          (col("sxy") - col("sx") * col("sy") / col("n")) / sqrt(dx * dy))
           .as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
@@ -3277,23 +3284,32 @@ object RelationalQueries {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The click side is pre-collapsed per (user_id, ts) to max(value)
+    // in all three as-of oracles: DuckDB's native ASOF JOIN picks an
+    // UNSPECIFIED row among right rows tied on (key, ts) (and the
+    // tolerance oracle's equality re-join would fan out to ALL of
+    // them), while AsOfJoin deterministically carries the greatest
+    // (click_ts, click_value) tuple — equal ts, so max(value).
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_asof_fwd" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         | ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_asof_tol" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
         |m AS (
         |  SELECT p.event_id, p.user_id, p.ts, p.value,
         |    (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id
@@ -3458,8 +3474,11 @@ object RelationalQueries {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |), obs AS (
         |  SELECT user_id,
-        |    CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
-        |      AS TIMESTAMP) AS bucket,
+        |    -- make_timestamp(micros) builds a NAIVE timestamp: the old
+        |    -- to_timestamp + CAST went through TIMESTAMPTZ and shifted
+        |    -- by the DuckDB connection's TimeZone on any non-UTC host
+        |    make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+        |      * 21600 * 1000000) AS bucket,
         |    value,
         |    row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 21600)
         |      ORDER BY ts DESC, value DESC) AS rn
@@ -3679,9 +3698,13 @@ object RelationalQueries {
         |    CAST(c_acctbal AS DOUBLE), 1, 'I'
         |  FROM customer WHERE c_custkey % 10 = 3
         |), latest AS (
+        |  -- (c_name, c_acctbal) DESC replays applyCdc's attribute-tuple
+        |  -- tie-break: without it, duplicate (key, ts, op) changes
+        |  -- resolve by DuckDB's unspecified ordering
         |  SELECT c_custkey, c_name, c_acctbal, op FROM (
         |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
-        |      ORDER BY ts DESC, op DESC) AS rn FROM ch
+        |      ORDER BY ts DESC, op DESC, c_name DESC, c_acctbal DESC)
+        |      AS rn FROM ch
         |  ) WHERE rn = 1
         |)
         |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM (
@@ -4089,7 +4112,11 @@ object RelationalQueries {
       """SELECT vec_id, CAST(j AS INT) AS pos,
         | CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) AS v
         |FROM embeddings CROSS JOIN range(64) r(j)
-        |WHERE vec_id < 3 ORDER BY vec_id, pos""".stripMargin,
+        |-- the length guard (q_fn_lateral's form) keeps the spine tied
+        |-- to the ACTUAL vector length: unguarded, a non-64-dim fixture
+        |-- regeneration would NULL-pad short vectors where posexplode
+        |-- adapts
+        |WHERE vec_id < 3 AND j < len(embedding) ORDER BY vec_id, pos""".stripMargin,
     "q_fn_regex_all" ->
       """SELECT o_orderkey,
         | COALESCE(array_to_string(
@@ -4159,10 +4186,14 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n_rows,
-        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-        |  SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-        |  (sxy - sx * sy / n) /
-        |    SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+        |  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var_qty,
+        |  CASE WHEN n > 1 THEN
+        |    SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) END AS std_qty,
+        |  CASE WHEN n > 1
+        |    AND (sxx - sx * sx / n) * (syy - sy * sy / n) > 0.0 THEN
+        |    (sxy - sx * sy / n) /
+        |      SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) END
+        |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_agg_conditional" ->
       """SELECT o_orderpriority,
@@ -4263,8 +4294,13 @@ object RelationalQueries {
       """WITH conv AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |), t AS (
-        |  SELECT user_id, ts AS tts, 'ch_' || (event_id % 3) AS channel
-        |  FROM events WHERE event_type = 'click'
+        |  -- collapse ties on (user_id, tts) to max(channel): DuckDB's
+        |  -- ASOF JOIN picks an unspecified tied row, AsOfJoin carries
+        |  -- the greatest (channel) tuple deterministically
+        |  SELECT user_id, tts, max(channel) AS channel FROM (
+        |    SELECT user_id, ts AS tts, 'ch_' || (event_id % 3) AS channel
+        |    FROM events WHERE event_type = 'click')
+        |  GROUP BY user_id, tts
         |), att AS (
         |  SELECT c.value, t.channel, c.ts, t.tts
         |  FROM conv c ASOF JOIN t ON c.user_id = t.user_id AND c.ts >= t.tts
