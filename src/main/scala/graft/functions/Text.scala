@@ -290,7 +290,11 @@ object Text {
     "(?is)<head[^>]*>.*?</head>")
   private[graft] val HtmlCommentPattern = "(?s)<!--.*?-->"
   private[graft] val HtmlTagPattern = "<[^>]+>"
-  private[graft] val WhitespaceRunPattern = "\\s+"
+  // EXPLICIT class, not \s: Java's \s is [ \t\n\x0B\f\r] while RE2's
+  // (the oracle engine's) is [ \t\n\f\r] — a vertical tab would be
+  // collapsed on one side only. The literal class means both engines
+  // match the identical character set.
+  private[graft] val WhitespaceRunPattern = "[ \\t\\n\\u000B\\f\\r]+"
 
   /** Entity decode order matters: `&amp;` LAST, so `&amp;lt;` renders
     * as the literal string "&lt;" (the HTML spec's double-escape).

@@ -36,6 +36,16 @@ import graft.functions.Text
   * Determinism contract: `docs` is scanned once for word counts, but
   * the greedy is sequential — same input, same merges.
   *
+  * Symbol alphabet contract: the initial symbols are UTF-16 CODE
+  * UNITS (Spark's `split(w, "")`), so a supplementary-plane character
+  * (emoji, U+1D11E) starts as its two surrogate halves — analogous to
+  * byte-level BPE starting below the codepoint (GPT-2 merges raw
+  * bytes). An engine that splits by CODEPOINT (DuckDB's
+  * `string_split(w, '')`) learns a different alphabet on astral
+  * input; the generated oracles assume a BMP-only corpus (the
+  * fixtures are ASCII), and a codepoint-level variant would swap the
+  * split for a codepoint iterator in this one place.
+  *
   * Output: (rank, left_sym, right_sym, merged, pair_count) for ranks
   * 1..k (fewer if the corpus runs out of repeated pairs).
   */

@@ -436,9 +436,14 @@ object LlmQueries {
     // input that tells a threshold-tuner whether scores MEAN their
     // probabilities. Decimal-exact mean over 6-place-rounded scores.
     "q_eval_calibration" -> ((s, dir) => {
+      // pre-filter NULL scores/labels like the oracle does: unfiltered,
+      // a short embedding (NULL score) would add a bin=NULL row and a
+      // NULL label would skew its bin's n vs pos_rate — calibration is
+      // defined over scored, labeled rows
       val scored = embs(s, dir).select(
         element_at(col("embedding"), 2).cast("double").as("score"),
         (col("label") % 2).as("y"))
+        .filter(col("score").isNotNull && col("y").isNotNull)
       Profile.quantileBucket(scored, "score", 10)
         .groupBy(col("score_qbucket").cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
@@ -563,9 +568,13 @@ object LlmQueries {
     // weighted |pos_rate - mean_score| sum is exact decimal
     // arithmetic, so the single final division is the only float step.
     "q_eval_ece" -> ((s, dir) => {
+      // same pre-filter as q_eval_calibration (the oracle excludes
+      // NULL scores/labels before bucketing)
       Eval.ece(embs(s, dir).select(
-        element_at(col("embedding"), 2).cast("double").as("score"),
-        (col("label") % 2).as("y")), "score", "y", bins = 10)
+          element_at(col("embedding"), 2).cast("double").as("score"),
+          (col("label") % 2).as("y"))
+          .filter(col("score").isNotNull && col("y").isNotNull),
+        "score", "y", bins = 10)
     }),
 
     // ANN quality eval: recall@10 of the sign-LSH index against the
@@ -1606,6 +1615,16 @@ object LlmQueries {
        |     * sqrt(list_sum(list_transform(range(1, len($b) + 1),
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
+  /** [[duckCos]] with `VectorOps.guardCos` replayed: NULL (0/0 — float
+    * division by zero is NULL in DuckDB) and NaN both pin to the -2.0
+    * degenerate sentinel. Without it, a zero-norm vector's cover reads
+    * NULL, which DuckDB's NULLS-LAST argmin NEVER picks while Spark's
+    * -2.0 sorts FIRST — the selected coreset would diverge. NULLIF
+    * works because DuckDB compares NaN = NaN TRUE (total order).
+    */
+  private def duckCosG(a: String, b: String): String =
+    s"COALESCE(NULLIF(${duckCos(a, b)}, 'NaN'::DOUBLE), -2.0)"
+
   /** DuckDB replay of [[ProductQuant]] training + encoding at the
     * registered configuration (m=4 subspaces x 16 dims, k=4, one
     * KMeans iteration) — the q_ivf_train CTE pattern, stamped per
@@ -1894,8 +1913,12 @@ object LlmQueries {
          |SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim FROM r
          |WHERE rn <= 10 ORDER BY probe_id, cos_sim DESC, neighbor_id""".stripMargin,
     "q_text_tfidf" ->
+      // list_filter(w <> '') replays Text.nonEmptyTokens: doubled /
+      // leading / trailing spaces must not mint a '' term (it would
+      // score and shift every df) — same fix as the four oracles below
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS term FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
         |), dfreq AS (
@@ -1947,7 +1970,7 @@ object LlmQueries {
         |        '<[^>]+>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS html_text
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS html_text
         |FROM paged ORDER BY doc_id""".stripMargin,
     "q_text_bpetokens" ->
       """WITH p AS (
@@ -2612,7 +2635,10 @@ object LlmQueries {
         |  CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
         |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
-        |GROUP BY label, j ORDER BY label, pos""".stripMargin,
+        |-- NULLS FIRST: Spark ascending orderBy is nulls-first, DuckDB
+        |-- defaults to nulls-last — a NULL-label group would sort to
+        |-- opposite ends under the row-order-sensitive hash compare
+        |GROUP BY label, j ORDER BY label NULLS FIRST, pos""".stripMargin,
     "q_embed_separation" ->
       s"""WITH cm AS (
          |  SELECT label AS clab, CAST(j AS INT) AS pos,
@@ -2627,9 +2653,13 @@ object LlmQueries {
          |    ROUND(${duckCos("e.embedding", "c.cvec")}, 6) AS cs
          |  FROM embeddings e CROSS JOIN cent c
          |), pv AS (
+         |  -- null-safe label compares (IS [NOT] DISTINCT FROM) replay
+         |  -- clusterSeparation's <=>: a NULL-label group gets a real
+         |  -- own_cos and its centroid counts as every real label's
+         |  -- rival — plain =/!= silently dropped both
          |  SELECT vec_id, label,
-         |    MAX(CASE WHEN clab = label THEN cs END) AS own_cos,
-         |    MAX(CASE WHEN clab != label THEN cs END) AS oth_cos
+         |    MAX(CASE WHEN clab IS NOT DISTINCT FROM label THEN cs END) AS own_cos,
+         |    MAX(CASE WHEN clab IS DISTINCT FROM label THEN cs END) AS oth_cos
          |  FROM sc GROUP BY vec_id, label
          |), agg AS (
          |  SELECT label, COUNT(*) AS n_vecs,
@@ -2641,7 +2671,7 @@ object LlmQueries {
          |)
          |SELECT label, n_vecs, mean_own_cos, mean_other_cos,
          |  ROUND(mean_own_cos - mean_other_cos, 6) AS separation
-         |FROM agg ORDER BY label""".stripMargin,
+         |FROM agg ORDER BY label NULLS FIRST""".stripMargin,
     "q_diag_lshload" ->
       (s"""WITH pw AS (
          |  SELECT j, d, ${duckPlaneW(42L)} AS w
@@ -3031,21 +3061,21 @@ object LlmQueries {
          |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
          |), c1 AS (
          |  SELECT e.vec_id AS id, e.embedding AS emb,
-         |    ${duckCos("e.embedding", "s.embedding")} AS cover
+         |    ${duckCosG("e.embedding", "s.embedding")} AS cover
          |  FROM embeddings e CROSS JOIN s1 s WHERE e.vec_id <> s.vec_id
          |), s2 AS (SELECT id, emb FROM c1 ORDER BY cover, id LIMIT 1
          |), c2 AS (
          |  SELECT e.vec_id AS id, e.embedding AS emb,
-         |    GREATEST(${duckCos("e.embedding", "p1.embedding")},
-         |      ${duckCos("e.embedding", "p2.emb")}) AS cover
+         |    GREATEST(${duckCosG("e.embedding", "p1.embedding")},
+         |      ${duckCosG("e.embedding", "p2.emb")}) AS cover
          |  FROM embeddings e CROSS JOIN s1 p1 CROSS JOIN s2 p2
          |  WHERE e.vec_id <> p1.vec_id AND e.vec_id <> p2.id
          |), s3 AS (SELECT id, emb FROM c2 ORDER BY cover, id LIMIT 1
          |), c3 AS (
          |  SELECT e.vec_id AS id, e.embedding AS emb,
-         |    GREATEST(${duckCos("e.embedding", "p1.embedding")},
-         |      ${duckCos("e.embedding", "p2.emb")},
-         |      ${duckCos("e.embedding", "p3.emb")}) AS cover
+         |    GREATEST(${duckCosG("e.embedding", "p1.embedding")},
+         |      ${duckCosG("e.embedding", "p2.emb")},
+         |      ${duckCosG("e.embedding", "p3.emb")}) AS cover
          |  FROM embeddings e CROSS JOIN s1 p1 CROSS JOIN s2 p2 CROSS JOIN s3 p3
          |  WHERE e.vec_id <> p1.vec_id AND e.vec_id <> p2.id AND e.vec_id <> p3.id
          |), s4 AS (SELECT id, emb FROM c3 ORDER BY cover, id LIMIT 1)
@@ -3059,16 +3089,16 @@ object LlmQueries {
          |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
          |), c1 AS (
          |  SELECT e.vec_id AS id, e.embedding AS emb,
-         |    ${duckCos("e.embedding", "s.embedding")} AS cover
+         |    ${duckCosG("e.embedding", "s.embedding")} AS cover
          |  FROM embeddings e CROSS JOIN s1 s WHERE e.vec_id <> s.vec_id
          |), r1 AS (
          |  SELECT id, emb, CAST(ROW_NUMBER() OVER (ORDER BY cover, id) AS INT) AS rk
          |  FROM (SELECT * FROM c1 ORDER BY cover, id LIMIT 2)
          |), c2 AS (
          |  SELECT e.vec_id AS id,
-         |    GREATEST(${duckCos("e.embedding", "s.embedding")},
-         |      ${duckCos("e.embedding", "p1.emb")},
-         |      ${duckCos("e.embedding", "p2.emb")}) AS cover
+         |    GREATEST(${duckCosG("e.embedding", "s.embedding")},
+         |      ${duckCosG("e.embedding", "p1.emb")},
+         |      ${duckCosG("e.embedding", "p2.emb")}) AS cover
          |  FROM embeddings e CROSS JOIN s1 s
          |    CROSS JOIN (SELECT emb FROM r1 WHERE rk = 1) p1
          |    CROSS JOIN (SELECT emb FROM r1 WHERE rk = 2) p2
@@ -3107,23 +3137,40 @@ object LlmQueries {
         |    CAST(SUM(CAST(xr * xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ex2
         |  FROM ex GROUP BY pos
         |), sd AS (
-        |  SELECT pos, mean, sqrt(ex2 - mean * mean) AS std FROM st
+        |  -- greatest(·,0) replays standardizeDims' floor: a constant
+        |  -- dimension's var lands a hair NEGATIVE under decimal→double
+        |  -- cancellation, and DuckDB sqrt(negative) ABORTS the query
+        |  -- where Spark floors to std=0 (→ NULL z via NULLIF)
+        |  SELECT pos, mean, sqrt(greatest(ex2 - mean * mean, 0.0)) AS std FROM st
         |)
         |SELECT ex.vec_id, ex.pos,
         |  ROUND((ex.xr - sd.mean) / NULLIF(sd.std, 0), 6) AS z
         |FROM ex JOIN sd USING (pos)
         |ORDER BY vec_id, pos""".stripMargin,
     "q_embed_quant" ->
-      """SELECT vec_id,
+      // The degenerate gate and the zero-divisor coalesce replay
+      // quantizeInt8/quantScale exactly: a NULL/NaN/Inf element reads
+      // NULL (unguarded, DuckDB CAST(NaN AS INT) throws and an Inf
+      // scale leaks through), and an all-zero vector quantizes to
+      // all-zero (float x/0 is NULL in DuckDB — COALESCE(...,0.0) is
+      // try_divide + coalesce).
+      """WITH g AS (
+        |  SELECT vec_id, embedding,
+        |    len(list_filter(embedding, x -> x IS NULL
+        |      OR isnan(CAST(x AS DOUBLE))
+        |      OR isinf(CAST(x AS DOUBLE)))) = 0 AS ok,
+        |    list_max(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
         | ROUND(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-        | ROUND(list_max(list_transform(embedding,
-        |   x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS q_scale,
-        | array_to_string(list_transform(embedding,
-        |   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0
-        |     / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
-        |     + 0.5) AS INT) AS VARCHAR)), ',') AS q_vec
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        | CASE WHEN ok THEN ROUND(mx / 127.0, 6) END AS q_scale,
+        | CASE WHEN ok THEN array_to_string(list_transform(embedding,
+        |   x -> CAST(CAST(floor(COALESCE(CAST(x AS DOUBLE) * 127.0 / mx, 0.0)
+        |     + 0.5) AS INT) AS VARCHAR)), ',') END AS q_vec
+        |FROM g ORDER BY vec_id""".stripMargin,
     "q_embed_project" ->
       """WITH pl AS (
         |  SELECT j, list_transform(range(0, 64),
@@ -3255,8 +3302,13 @@ object LlmQueries {
         |FROM dc JOIN r USING (bkt)
         |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_mix" ->
+      // the lang IN (...) filter replays mixtureResample's drop policy:
+      // a group ABSENT from the target-share map leaves the output
+      // entirely — the unfiltered oracle fabricated a 0.2 share for
+      // any new language a fixture regeneration introduces
       """WITH n AS (
-        |  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1
+        |  SELECT lang, COUNT(*) AS n_g FROM documents
+        |  WHERE lang IN ('en', 'fr', 'de', 'es', 'zh') GROUP BY 1
         |), tot AS (
         |  SELECT COUNT(*) AS n FROM documents
         |), r AS (
@@ -3268,7 +3320,11 @@ object LlmQueries {
         |      ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#rep'), 1, 16))::UBIGINT
         |        & 9223372036854775807::UBIGINT)::DOUBLE / 9223372036854775808.0)
         |      < r.r - floor(r.r) THEN 1 ELSE 0 END AS k
+        |  -- doc_id IS NOT NULL replays the keyless-rows-never-leak
+        |  -- policy (Spark filters them; the ELSE 0 branch would give
+        |  -- a NULL-keyed row floor(r) copies here)
         |  FROM documents d JOIN r USING (lang)
+        |  WHERE d.doc_id IS NOT NULL
         |)
         |SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
         |FROM c WHERE k > 0 ORDER BY doc_id, epoch""".stripMargin,
@@ -3316,7 +3372,8 @@ object LlmQueries {
         |FROM b GROUP BY lang, qb ORDER BY lang, qbucket""".stripMargin,
     "q_vocab_oov" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS tok FROM documents
         |), v AS (
         |  SELECT tok FROM (
         |    SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
@@ -3329,7 +3386,8 @@ object LlmQueries {
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_growth" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS tok FROM documents
         |), pd AS (
         |  SELECT doc_id, COUNT(*) AS ntok FROM tok GROUP BY doc_id
         |), fd AS (
@@ -3396,7 +3454,8 @@ object LlmQueries {
         |FROM k ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS tok
         |  FROM documents
         |), dl AS (
         |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
@@ -3440,7 +3499,8 @@ object LlmQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH tok0 AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w <> '')) AS tok
         |  FROM documents
         |), tok AS (
         |  SELECT DISTINCT doc_id, tok FROM tok0
