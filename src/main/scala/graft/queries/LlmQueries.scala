@@ -1436,6 +1436,9 @@ object LlmQueries {
     */
   private def duckBpeRound(r: Int): String = {
     val prev = r - 1
+    // the greedy-application block is duckBpeApply — ONE copy of the
+    // odd-rank-within-runs replay SQL, so a rewrite-rule fix cannot
+    // desynchronize the exact and batched oracles
     s"""
        |, p$r AS (
        |  SELECT syms[i+1] || ' ' || syms[i+2] AS pair, SUM(cnt) AS pc
@@ -1446,34 +1449,8 @@ object LlmQueries {
        |  SELECT string_split(pair, ' ')[1] AS x,
        |    string_split(pair, ' ')[2] AS y, pc
        |  FROM p$r ORDER BY pc DESC, pair ASC LIMIT 1
-       |), pos$r AS (
-       |  SELECT wid, i,
-       |    i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS grp
-       |  FROM (
-       |    SELECT wid, CAST(unnest(range(len(syms)-1)) AS INT) AS i, syms
-       |    FROM w$prev)
-       |  WHERE syms[i+1] = (SELECT x FROM m$r)
-       |    AND syms[i+2] = (SELECT y FROM m$r)
-       |), keep$r AS (
-       |  SELECT wid, i FROM (
-       |    SELECT wid, i,
-       |      ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
-       |    FROM pos$r)
-       |  WHERE rn % 2 = 1
-       |), w$r AS (
-       |  SELECT wid, cnt, list(sym ORDER BY i) AS syms FROM (
-       |    SELECT w.wid, w.cnt, t.i,
-       |      CASE WHEN k.i IS NOT NULL THEN w.syms[t.i+1] || w.syms[t.i+2]
-       |           ELSE w.syms[t.i+1] END AS sym,
-       |      kprev.i AS skip
-       |    FROM (SELECT wid, cnt, syms FROM w$prev) w
-       |    CROSS JOIN LATERAL (
-       |      SELECT CAST(unnest(range(len(w.syms))) AS INT) AS i) t
-       |    LEFT JOIN keep$r k ON k.wid = w.wid AND k.i = t.i
-       |    LEFT JOIN keep$r kprev ON kprev.wid = w.wid AND kprev.i = t.i - 1
-       |  ) WHERE skip IS NULL
-       |  GROUP BY wid, cnt
-       |)""".stripMargin
+       |)""".stripMargin +
+      duckBpeApply(r.toString, s"w$prev", s"m$r", s"w$r")
   }
 
   private val DuckBpeBase: String =
@@ -1536,6 +1513,15 @@ object LlmQueries {
     * {x, y, x||y} (the commutativity exclusion), then BOTH rewrites
     * applied sequentially to produce w{r} — order irrelevant by
     * construction, matching the Spark side's single fused pass.
+    *
+    * GENERATOR SHAPE ASSUMPTION (checked against the registered
+    * corpus): every super-round finds a disjoint second pick. When
+    * the exclusion set exhausts a round's candidates,
+    * `trainMergesBatched` renumbers ranks COMPACTLY and runs extra
+    * rewrite rounds until k merges land — dynamic behavior a static
+    * 2-round/4-rank CTE chain cannot replay. A corpus regeneration
+    * that collapses the candidate set needs this oracle regenerated
+    * (the exact-greedy DuckBpeOracle has no such assumption).
     */
   private def duckBpeBatchedRound(r: Int): String = {
     val prev = s"w${r - 1}"
@@ -1577,7 +1563,14 @@ object LlmQueries {
 
   private val DuckBpeOracle: String =
     DuckBpeCtes +
+      // the outer left_sym IS NOT NULL filter replays trainMerges
+      // STOPPING when the corpus runs out of repeated pairs: an empty
+      // m$r makes every scalar subquery NULL, and merges exhaust
+      // monotonically (m2 empty ⇒ m3 empty), so the surviving rows are
+      // exactly ranks 1..j — unfiltered, a collapsed vocabulary padded
+      // phantom all-NULL rank rows the Spark side never emits
       """
+        |SELECT * FROM (
         |SELECT 1 AS rank, (SELECT x FROM m1) AS left_sym,
         |  (SELECT y FROM m1) AS right_sym, (SELECT x || y FROM m1) AS merged,
         |  (SELECT CAST(pc AS BIGINT) FROM m1) AS pair_count
@@ -1585,6 +1578,7 @@ object LlmQueries {
         |  (SELECT x || y FROM m2), (SELECT CAST(pc AS BIGINT) FROM m2)
         |UNION ALL SELECT 3, (SELECT x FROM m3), (SELECT y FROM m3),
         |  (SELECT x || y FROM m3), (SELECT CAST(pc AS BIGINT) FROM m3)
+        |) WHERE left_sym IS NOT NULL
         |ORDER BY rank""".stripMargin
 
   private val DuckBpePiecesOracle: String =
@@ -1827,7 +1821,8 @@ object LlmQueries {
           |  FROM e JOIN r0 r ON e.u = r.id JOIN deg ON e.u = deg.u
           |  GROUP BY e.v
           |), r1 AS (
-          |  SELECT v.id, ROUND(0.15 + 0.85 * COALESCE(c1.s, 0.0), 6) AS rank
+          |  SELECT v.id, ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |    + 0.85 * COALESCE(c1.s, 0.0), 6) AS rank
           |  FROM vtx v LEFT JOIN c1 ON v.id = c1.id
           |), c2 AS (
           |  SELECT e.v AS id,
@@ -1835,7 +1830,8 @@ object LlmQueries {
           |  FROM e JOIN r1 r ON e.u = r.id JOIN deg ON e.u = deg.u
           |  GROUP BY e.v
           |), r2 AS (
-          |  SELECT v.id, ROUND(0.15 + 0.85 * COALESCE(c2.s, 0.0), 6) AS rank
+          |  SELECT v.id, ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |    + 0.85 * COALESCE(c2.s, 0.0), 6) AS rank
           |  FROM vtx v LEFT JOIN c2 ON v.id = c2.id
           |)
           |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin),
@@ -1886,8 +1882,17 @@ object LlmQueries {
          |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
          |), bits AS (
          |  SELECT e.vec_id, pl.j,
-         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    -- replays HyperplaneHash.signBits' JAVA comparison: a NaN
+         |    -- dot reads bit 0 (DuckDB/Spark SQL NaN >= 0 is TRUE under
+         |    -- the total order) and a NULL element zeroes the whole
+         |    -- signature (the kernel's malformed-input convention;
+         |    -- list_sum would silently skip it)
+         |    CASE WHEN len(list_filter(e.embedding, v -> v IS NULL)) > 0
+         |      THEN 0
+         |      WHEN isnan(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))) THEN 0
+         |      WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
          |    THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e CROSS JOIN pl
          |), bkt AS (
@@ -2680,8 +2685,17 @@ object LlmQueries {
          |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
          |), bits AS (
          |  SELECT e.vec_id, pl.j,
-         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    -- replays HyperplaneHash.signBits' JAVA comparison: a NaN
+         |    -- dot reads bit 0 (DuckDB/Spark SQL NaN >= 0 is TRUE under
+         |    -- the total order) and a NULL element zeroes the whole
+         |    -- signature (the kernel's malformed-input convention;
+         |    -- list_sum would silently skip it)
+         |    CASE WHEN len(list_filter(e.embedding, v -> v IS NULL)) > 0
+         |      THEN 0
+         |      WHEN isnan(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))) THEN 0
+         |      WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
          |    THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e CROSS JOIN pl
          |), bkt AS (
@@ -2806,8 +2820,17 @@ object LlmQueries {
          |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
          |), bits AS (
          |  SELECT e.vec_id, pl.j,
-         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    -- replays HyperplaneHash.signBits' JAVA comparison: a NaN
+         |    -- dot reads bit 0 (DuckDB/Spark SQL NaN >= 0 is TRUE under
+         |    -- the total order) and a NULL element zeroes the whole
+         |    -- signature (the kernel's malformed-input convention;
+         |    -- list_sum would silently skip it)
+         |    CASE WHEN len(list_filter(e.embedding, v -> v IS NULL)) > 0
+         |      THEN 0
+         |      WHEN isnan(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))) THEN 0
+         |      WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
          |    THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e CROSS JOIN pl
          |), bkt AS (
@@ -2861,8 +2884,17 @@ object LlmQueries {
          |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
          |), bits AS (
          |  SELECT e.vec_id, pl.j,
-         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    -- replays HyperplaneHash.signBits' JAVA comparison: a NaN
+         |    -- dot reads bit 0 (DuckDB/Spark SQL NaN >= 0 is TRUE under
+         |    -- the total order) and a NULL element zeroes the whole
+         |    -- signature (the kernel's malformed-input convention;
+         |    -- list_sum would silently skip it)
+         |    CASE WHEN len(list_filter(e.embedding, v -> v IS NULL)) > 0
+         |      THEN 0
+         |      WHEN isnan(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))) THEN 0
+         |      WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
          |    THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e CROSS JOIN pl
          |), bkt AS (
@@ -2929,8 +2961,17 @@ object LlmQueries {
          |  SELECT j, list(w ORDER BY d) AS w FROM pw GROUP BY j
          |), bits AS (
          |  SELECT e.vec_id, pl.j,
-         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+         |    -- replays HyperplaneHash.signBits' JAVA comparison: a NaN
+         |    -- dot reads bit 0 (DuckDB/Spark SQL NaN >= 0 is TRUE under
+         |    -- the total order) and a NULL element zeroes the whole
+         |    -- signature (the kernel's malformed-input convention;
+         |    -- list_sum would silently skip it)
+         |    CASE WHEN len(list_filter(e.embedding, v -> v IS NULL)) > 0
+         |      THEN 0
+         |      WHEN isnan(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))) THEN 0
+         |      WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
          |    THEN 1 ELSE 0 END AS bit
          |  FROM embeddings e CROSS JOIN pl
          |), bkt AS (
