@@ -56,9 +56,16 @@ object Dedup {
     * content, carrying the smallest doc_id (the canonical survivor) and
     * the duplicate count. Single hash shuffle on the digest — uniform by
     * construction, no skew at any scale.
+    *
+    * NULL-text rows are excluded: md5(NULL) is NULL and groupBy
+    * COLLATES null keys, so distinct null-text docs would otherwise
+    * report as one "duplicate" group whose keep rule silently drops
+    * all but one of them — rows with no content aren't duplicates of
+    * anything; route them through a quality gate, not a deduper.
     */
   def exactDuplicateGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("content_key"))
+    docs.filter(col("text").isNotNull)
+      .groupBy(md5(col("text")).as("content_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** 128-permutation MinHash signature over 3-word shingles.
@@ -202,6 +209,43 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    verifyJaccard(candidates, corpusShingles, newShingles, threshold)
+  }
+
+  /** The PERSISTABLE signature table of a doc frame: (doc_id, bk) LSH
+    * band rows — what a growing deployment writes once per admitted
+    * batch so later batches band-join against STORED keys instead of
+    * re-deriving shingles + 128 minima over the whole corpus every
+    * time ([[minhashNearDuplicatesAgainst]]'s corpus side, made
+    * incremental). Docs shorter than the shingle width produce no
+    * rows (no signature — pair an exact-fingerprint channel for them,
+    * as the streaming admission loop does).
+    */
+  def signatureRows(docs: DataFrame): DataFrame =
+    bandedKeys(docs.select(col("doc_id"), shingles(col("text"), 3).as("sh")))
+
+  /** [[minhashNearDuplicatesAgainst]] against a corpus represented by
+    * its PERSISTED [[signatureRows]] table: the band join reads stored
+    * (doc_id, bk) rows — zero corpus-side signature computation — and
+    * the exact verify shingles ONLY the corpus docs that surfaced as
+    * candidates (a semi-join on the candidate ids), so per-batch work
+    * scales with the batch and its matches, not the corpus.
+    */
+  def minhashNearDuplicatesAgainstSigs(
+      corpusSigs: DataFrame, corpusDocs: DataFrame,
+      newDocs: DataFrame, threshold: Double): DataFrame = {
+    val newShingles = newDocs.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val candidates = corpusSigs.select(col("doc_id"), col("bk")).as("x")
+      .join(bandedKeys(newShingles).as("y"), Seq("bk"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val candCorpus = corpusDocs.join(
+      candidates.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"),
+      "left_semi")
+    val corpusShingles = candCorpus.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
     verifyJaccard(candidates, corpusShingles, newShingles, threshold)
   }
 
@@ -350,26 +394,26 @@ object Dedup {
     // the set sizes, so J >= t needs min >= t·max — a pipelined
     // predicate on the two carried sizes that kills most cross-size
     // candidates BEFORE the pair aggregation and the exact verify ever
-    // see them. Purely necessary, so the result set is unchanged.
+    // see them. Purely necessary, so the result set is unchanged. The
+    // 1e-9 nudge is the SAME ulp guard as prefixLen's ceil above:
+    // t·|y| can land a few ulps ABOVE a mathematically attainable
+    // boundary (0.07 × 100 → 7.000000000000001) and kill a pair whose
+    // exact J equals t — breaking exact recall; the nudge only ever
+    // admits a few extra candidates for the verify to reject.
     val candidates = prefixIndex.as("x").join(prefixIndex.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
-        col("x.n_sh").cast("double") >= lit(threshold) * col("y.n_sh") &&
-        col("y.n_sh").cast("double") >= lit(threshold) * col("x.n_sh"))
+        col("x.n_sh").cast("double") >=
+          lit(threshold) * col("y.n_sh") - lit(1e-9) &&
+        col("y.n_sh").cast("double") >=
+          lit(threshold) * col("x.n_sh") - lit(1e-9))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__n_prefix_common"))
       .drop("__n_prefix_common")
 
-    // Exact verify over the FULL shingle sets.
-    candidates
-      .join(withShingles.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-        Seq("doc_a"))
-      .join(withShingles.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-        Seq("doc_b"))
-      .withColumn("__inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    // Exact verify over the FULL shingle sets — the SHARED verifier
+    // (identical integer counts, identical division: |A∪B| of distinct
+    // arrays IS |A|+|B|-|A∩B|), so a verify fix cannot miss one miner.
+    verifyJaccard(candidates, withShingles, withShingles, threshold)
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023,

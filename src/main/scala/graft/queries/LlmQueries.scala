@@ -2141,7 +2141,8 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY content_key""".stripMargin,
     "q_dedup_ngram" ->
       (ShingleCte +
         """

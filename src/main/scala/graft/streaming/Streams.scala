@@ -253,77 +253,73 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(trackEwma(alpha))
   }
 
-  private def trackEwma(alpha: Double)(
-      stationId: Long, rows: Iterator[StationPing],
-      state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+  /** Shared keyed-state scaffolding of [[trackEwma]] and
+    * [[trackStockouts]]: the timeout-eviction branch, the
+    * deterministic (ts, bikes) sort (same-timestamp pings must fold in
+    * one order on every run — this tie-break once existed in only ONE
+    * of the two trackers and drifted), the stale-row drop, and the
+    * watermark-clamped idle timeout (must land strictly beyond the
+    * current watermark). ONE definition, so a state-semantics fix
+    * cannot silently miss one operator. Parameterized by the per-ping
+    * fold: (state so far, ping) => (new state, emitted rows).
+    */
+  private def keyedPingFold[S, O](
+      rows: Iterator[StationPing], state: GroupState[S],
+      asOfOf: S => java.sql.Timestamp)(
+      step: (Option[S], StationPing) => (S, Seq[O])): Iterator[O] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
-      val beta = 1.0 - alpha // exact for dyadic alpha
-      val out = Seq.newBuilder[EwmaPoint]
+      val out = Seq.newBuilder[O]
       var cur = state.getOption
-      // (ts, value) sort matches GapFill.ewma's batch fold tie-break —
-      // with only the timestamp key, rows tied on last_reported would
-      // fold in arbitrary iterator order and the EWMA would be
-      // nondeterministic for non-deduped input.
       rows.toSeq.sortBy(p => (p.last_reported.getTime, p.num_bikes_available))
         .foreach { p =>
-        val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
-        if (!late) {
-          val s = cur match {
-            case None => p.num_bikes_available.toDouble
-            case Some(st) => alpha * p.num_bikes_available + beta * st.value
+          val late = cur.exists(s => asOfOf(s).getTime > p.last_reported.getTime)
+          if (!late) {
+            val (next, emits) = step(cur, p)
+            out ++= emits
+            cur = Some(next)
           }
-          out += EwmaPoint(stationId, p.last_reported, p.num_bikes_available, s)
-          cur = Some(EwmaState(s, p.last_reported))
         }
-      }
       cur.foreach { s =>
         state.update(s)
         state.setTimeoutTimestamp(math.max(
-          s.asOf.getTime + IdleRetentionMs, state.getCurrentWatermarkMs() + 1))
+          asOfOf(s).getTime + IdleRetentionMs,
+          state.getCurrentWatermarkMs() + 1))
       }
       out.result().iterator
     }
   }
 
-  private def trackStockouts(
+  private def trackEwma(alpha: Double)(
       stationId: Long, rows: Iterator[StationPing],
-      state: GroupState[StockoutState]): Iterator[StockoutEvent] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      Iterator.empty
-    } else {
-      val out = Seq.newBuilder[StockoutEvent]
-      var cur = state.getOption
-      // (ts, bikes) tie-break: same-timestamp pings fold in one order
-      // on every run, or the emitted transition stream is
-      // nondeterministic (the trackEwma lesson)
-      rows.toSeq.sortBy(p => (p.last_reported.getTime, p.num_bikes_available))
-        .foreach { p =>
-        val late = cur.exists(_.asOf.getTime > p.last_reported.getTime)
-        if (!late) {
-          cur.foreach { s =>
-            if ((s.bikes == 0) != (p.num_bikes_available == 0)) {
-              out += StockoutEvent(
-                stationId,
-                if (p.num_bikes_available == 0) "stockout" else "restock",
-                p.last_reported, p.num_bikes_available)
-            }
-          }
-          cur = Some(StockoutState(p.num_bikes_available, p.last_reported))
-        }
+      state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    val beta = 1.0 - alpha // exact for dyadic alpha
+    keyedPingFold[EwmaState, EwmaPoint](rows, state, _.asOf) { (cur, p) =>
+      val s = cur match {
+        case None => p.num_bikes_available.toDouble
+        case Some(st) => alpha * p.num_bikes_available + beta * st.value
       }
-      cur.foreach { s =>
-        state.update(s)
-        // Timeout must land strictly beyond the current watermark.
-        state.setTimeoutTimestamp(math.max(
-          s.asOf.getTime + IdleRetentionMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.result().iterator
+      (EwmaState(s, p.last_reported),
+        Seq(EwmaPoint(stationId, p.last_reported, p.num_bikes_available, s)))
     }
   }
+
+  private def trackStockouts(
+      stationId: Long, rows: Iterator[StationPing],
+      state: GroupState[StockoutState]): Iterator[StockoutEvent] =
+    keyedPingFold[StockoutState, StockoutEvent](rows, state, _.asOf) {
+      (cur, p) =>
+        val emits = cur.toSeq.collect {
+          case s if (s.bikes == 0) != (p.num_bikes_available == 0) =>
+            StockoutEvent(
+              stationId,
+              if (p.num_bikes_available == 0) "stockout" else "restock",
+              p.last_reported, p.num_bikes_available)
+        }
+        (StockoutState(p.num_bikes_available, p.last_reported), emits)
+    }
 
   /** Per-run writer: AvailableNow = process-what-exists then stop —
     * the `catchup=False` + `max_active_runs=1` semantics of the
@@ -400,6 +396,32 @@ object Streams {
         val fs = root.getFileSystem(conf)
         val current = latestVersion(fs, root)
         val version = s"v$batchId"
+        // Lineage stamp: the replay guard below keys on batchId, so a
+        // FRESH checkpoint reusing batch ids against an existing target
+        // (pointer already at v0, new batch 0 arrives) would be
+        // mistaken for a replay and silently dropped — while the new
+        // checkpoint still commits the batch, losing it permanently.
+        // The target is bound to its checkpoint on first commit; a
+        // mismatch fails fast instead of guessing.
+        val lineagePath = new org.apache.hadoop.fs.Path(root, "_LINEAGE")
+        if (fs.exists(lineagePath)) {
+          val in = fs.open(lineagePath)
+          val stamped =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (stamped != checkpoint)
+            throw new IllegalStateException(
+              s"merge target $targetPath belongs to checkpoint lineage " +
+                s"'$stamped', not '$checkpoint' — a fresh checkpoint " +
+                "replays batch ids the pointer-based idempotency guard " +
+                "treats as already committed, silently dropping batches; " +
+                "resume with the original checkpoint or use a new target")
+        } else {
+          val out = fs.create(lineagePath, false)
+          try out.write(
+            checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
         // Replay of a FULLY-committed batch (pointer swung, stream
         // checkpoint didn't): the pointer only moves after a complete
         // snapshot write, so pointer == v<batchId> means the live
@@ -455,14 +477,32 @@ object Streams {
 
   /** Resolve the current committed snapshot of a [[streamingLatestMerge]]
     * target. Fails if no batch has committed yet.
+    *
+    * Concurrent-read contract: resolve-then-read is not atomic — with
+    * retain=1 a commit that lands between the two steps GC's the
+    * resolved version. Schema resolution retries on the re-resolved
+    * pointer (bounded), which closes the common window; a LONG-running
+    * scan overlapping a commit still needs `retain >= 2` so the version
+    * it reads outlives the next pointer swing.
     */
   def readLatestMergeTarget(spark: SparkSession, targetPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalStateException(
-        s"no committed snapshot at $targetPath (no _LATEST pointer)"))
-    spark.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
+    def attempt(left: Int): DataFrame = {
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot at $targetPath (no _LATEST pointer)"))
+      try {
+        val df = spark.read.parquet(new org.apache.hadoop.fs.Path(root, v).toString)
+        df.schema // force eager file-index resolution inside the try
+        df
+      } catch {
+        case scala.util.control.NonFatal(e) if left > 0 &&
+            !fs.exists(new org.apache.hadoop.fs.Path(root, v)) =>
+          attempt(left - 1) // version GC'd mid-resolve: follow the new pointer
+      }
+    }
+    attempt(3)
   }
 
   /** Retained COMMITTED snapshot versions of a merge target, newest
@@ -542,14 +582,24 @@ object Streams {
       .trigger(Trigger.AvailableNow())
 
   /** ST11: streaming corpus ADMISSION — the training-data dedup gate
-    * run as a stream. Each micro-batch of documents is (1) deduped
-    * within the batch (min-id survivor; a doc near-duplicating a
-    * lower-id batch doc is rejected, transitively — the conservative
-    * choice for training data), (2) checked against the ACCUMULATED
-    * accepted corpus via the incremental band join
-    * ([[graft.operators.Dedup.minhashNearDuplicatesAgainst]] — per
-    * batch cost scales with the batch, not the corpus), and (3) the
-    * survivors are APPENDED to the accepted store.
+    * run as a stream. Each micro-batch of documents is
+    * (0) exact-deduped within the batch on the normalized fingerprint
+    * (min-id survivor — the channel that catches documents SHORTER
+    * than the shingle width, which the MinHash channel structurally
+    * never sees: an empty shingle set has no signature, so a feed
+    * replaying the same two-word doc forever would otherwise admit
+    * every copy), (1) near-dup-deduped within the batch (min-id
+    * survivor; a doc near-duplicating a lower-id batch doc is
+    * rejected, transitively — the conservative choice for training
+    * data), (2) checked against the ACCUMULATED accepted corpus on
+    * BOTH channels — fingerprint anti-join, plus the band join against
+    * the PERSISTED signature table (`<acceptedDir>_sigs`, maintained
+    * here: stored (doc_id, fp, bk) rows, so per-batch signature work
+    * scales with the BATCH; re-deriving corpus signatures per batch
+    * would grow every micro-batch linearly with corpus age) — and
+    * (3) the survivors are APPENDED to the accepted store and their
+    * fingerprint/signature rows to the sidecar table. A pre-sidecar
+    * accepted store is migrated on first touch (one corpus pass).
     *
     * `foreachBatch` is the only tool that expresses this: the
     * accepted store is both read and appended within one batch — a
@@ -567,30 +617,67 @@ object Streams {
     foreachBatchLoad(docs, checkpoint) { (batch, _) =>
       import graft.operators.Dedup
       val spark = batch.sparkSession
+      val sigsDir = acceptedDir.stripSuffix("/") + "_sigs"
       val b = batch.select(col("doc_id"), col("text"))
+        .withColumn("__fp",
+          graft.functions.Text.normalizedFingerprint(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // releasable variant: this loop runs EVERY micro-batch, and the
-      // plain form would pin one banded-signature cache per batch for
-      // the life of the stream
-      val (withinPairs, releaseBands) =
-        Dedup.minhashNearDuplicatesReleasable(b, threshold)
       try {
-        val withinDupes = withinPairs
-          .select(col("doc_b").as("doc_id")).distinct()
-        val withinSurvivors = b.join(withinDupes, Seq("doc_id"), "left_anti")
-        val path = new org.apache.hadoop.fs.Path(acceptedDir)
-        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        val survivors =
-          if (!fs.exists(path)) withinSurvivors
-          else {
-            val accepted = spark.read.parquet(acceptedDir)
-            val corpusDupes = Dedup
-              .minhashNearDuplicatesAgainst(accepted, withinSurvivors, threshold)
-              .select(col("doc_b").as("doc_id")).distinct()
-            withinSurvivors.join(corpusDupes, Seq("doc_id"), "left_anti")
-          }
-        survivors.write
-          .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
-      } finally { releaseBands(); b.unpersist() }
+        // (0) exact channel within the batch: min-id survivor per
+        // normalized fingerprint
+        val keepFp = b.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep"))
+        val exactSurvivors = b.join(keepFp, Seq("__fp"))
+          .filter(col("doc_id") === col("__keep")).drop("__keep")
+        // (1) near-dup within the batch. Releasable variant: this loop
+        // runs EVERY micro-batch, and the plain form would pin one
+        // banded-signature cache per batch for the life of the stream.
+        val (withinPairs, releaseBands) =
+          Dedup.minhashNearDuplicatesReleasable(exactSurvivors, threshold)
+        try {
+          val withinDupes = withinPairs
+            .select(col("doc_b").as("doc_id")).distinct()
+          val withinSurvivors =
+            exactSurvivors.join(withinDupes, Seq("doc_id"), "left_anti")
+          val path = new org.apache.hadoop.fs.Path(acceptedDir)
+          val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
+          val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+          val survivors =
+            if (!fs.exists(path)) withinSurvivors
+            else {
+              if (!fs.exists(sigsPath)) {
+                // migration: a store admitted before the sidecar existed
+                val acc = spark.read.parquet(acceptedDir)
+                sidecarRows(acc).write.parquet(sigsDir)
+              }
+              val sigs = spark.read.parquet(sigsDir)
+              // (2a) exact channel vs corpus
+              val afterExact = withinSurvivors.join(
+                sigs.select(col("fp").as("__fp")).distinct(),
+                Seq("__fp"), "left_anti")
+              // (2b) near-dup channel vs the persisted signature table
+              val corpusDupes = Dedup.minhashNearDuplicatesAgainstSigs(
+                  sigs.filter(col("bk").isNotNull),
+                  spark.read.parquet(acceptedDir),
+                  afterExact, threshold)
+                .select(col("doc_b").as("doc_id")).distinct()
+              afterExact.join(corpusDupes, Seq("doc_id"), "left_anti")
+            }
+          // (3) append docs (original schema) + their sidecar rows
+          survivors.drop("__fp").write
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
+          sidecarRows(survivors.drop("__fp")).write
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+        } finally releaseBands()
+      } finally b.unpersist()
     }
+
+  /** (doc_id, fp, bk) sidecar rows for the admission store: one row
+    * per doc per LSH band, fp on every row; a doc with NO bands (below
+    * the shingle width) keeps one bk-NULL row so its fingerprint still
+    * lands in the exact channel.
+    */
+  private def sidecarRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Text.normalizedFingerprint(col("text")).as("fp"))
+      .join(graft.operators.Dedup.signatureRows(docs), Seq("doc_id"), "left")
 }

@@ -352,6 +352,44 @@ class StreamsSpec extends SparkTestBase {
     assert(got === Set((1L, 5)))
   }
 
+  test("streamingLatestMerge: a fresh checkpoint against an existing target fails fast") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("merge_ln").toString + "/t"
+    val ckpt1 = Files.createTempDirectory("merge_ln_c1").toString
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val updates = mem.toDF()
+      .toDF("station_id", "num_bikes_available", "last_reported")
+      .withWatermark("last_reported", "2 hours")
+    val t0 = new Timestamp(1706745000000L)
+    mem.addData((1L, 5, t0))
+    val q1 = Streams.streamingLatestMerge(
+      updates, "station_id", "last_reported", target, ckpt1).start()
+    q1.awaitTermination(60000)
+    // a NEW checkpoint restarts batch ids at 0; the pointer already
+    // reads v0, so without the lineage stamp this batch would be
+    // mistaken for a replay and silently dropped while the new
+    // checkpoint commits it — permanent data loss
+    val ckpt2 = Files.createTempDirectory("merge_ln_c2").toString
+    val mem2 = MemoryStream[(Long, Int, Timestamp)]
+    val updates2 = mem2.toDF()
+      .toDF("station_id", "num_bikes_available", "last_reported")
+      .withWatermark("last_reported", "2 hours")
+    mem2.addData((2L, 7, t0))
+    val q2 = Streams.streamingLatestMerge(
+      updates2, "station_id", "last_reported", target, ckpt2).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("lineage") ||
+      Option(e.getCause).exists(_.getMessage.contains("lineage")), e.getMessage)
+    // the original lineage's target is untouched
+    val got = rows(Streams.readLatestMergeTarget(spark, target)
+      .select(col("station_id"), col("num_bikes_available")))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 5)))
+  }
+
   test("streamingLatestMerge time travel: retain keeps immutable older snapshots") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
