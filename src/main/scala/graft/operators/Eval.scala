@@ -35,7 +35,11 @@ object Eval {
     */
   def aucByRank(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      // NaN passes isNotNull and sorts LARGEST: a NaN-scored positive
+      // would take the top average rank and silently inflate AUC (the
+      // ece guard, applied to its siblings)
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
     // Per-score combine FIRST (map-side partial), so the only ordered
@@ -83,7 +87,9 @@ object Eval {
     */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      // NaN would form a bogus first threshold point (desc-sorts first)
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("threshold"),
         col(labelCol).cast("int").as("__y"))
     val perScore = scored.groupBy(col("threshold"))
@@ -116,7 +122,8 @@ object Eval {
       scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
       .filter(col(groupCol).isNotNull &&
-        col(scoreCol).isNotNull && col(labelCol).isNotNull)
+        col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .select(col(groupCol).as("__g"),
         col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
@@ -153,7 +160,9 @@ object Eval {
     */
   def brier(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      // a NaN residual kills the DECIMAL(38,12) cast under ANSI
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("__p"),
         col(labelCol).cast("int").as("__y"))
     scored

@@ -85,6 +85,10 @@ object Profile {
     val outCol = s"${c}_clipped"
     require(!df.columns.contains(outCol),
       s"input column '$outCol' collides with winsorize's output column")
+    Seq("__lo", "__hi").foreach { sc =>
+      require(!df.columns.contains(sc),
+        s"input column '$sc' collides with winsorize's scratch column")
+    }
     // ONE percentile aggregate with both cut points: Spark's exact
     // percentile keeps a value→count buffer PER aggregate expression,
     // so asking for lo and hi separately builds and merges the
@@ -600,45 +604,76 @@ object Profile {
     * statistics at `p = q·(n_ref − 1)` (the percentile_cont recipe:
     * `a[⌊p⌋] + (p−⌊p⌋)·(a[⌊p⌋+1] − a[⌊p⌋])`).
     *
-    * Scale shape: the map is per DISTINCT current value (one count
-    * aggregate + one cumulative window over the aggregated value
-    * table); the reference is ranked once (a global sort — order
-    * statistics are inherently a sort; range partitioning serves it
-    * at scale) and met by two equi-joins on the ⌊p⌋ index. All ranks
-    * and counts are exact integers; q, p, and the interpolation are
-    * a fixed IEEE chain, rounded to 6. A single-row slice on either
-    * side yields NULL (no span to interpolate — try_divide guards).
-    * Output: (value, n_rows, q, mapped).
+    * Scale shape: BOTH sides reduce to per-DISTINCT-value aggregates
+    * before any window runs (the ksTwoSample shape) — ranking RAW
+    * reference rows with a global row_number would move the entire
+    * slice into ONE partition (WindowExec's "Moving all data to a
+    * single partition"), the opposite of order statistics at scale. A
+    * distinct reference value with count c covers order-statistic
+    * indices [start, start+c); the two index lookups (⌊p⌋ and ⌊p⌋+1)
+    * resolve through the as-of union+window idiom over the aggregated
+    * spine. All ranks and counts are exact integers; q, p, and the
+    * interpolation are a fixed IEEE chain, rounded to 6. A single-row
+    * slice on either side yields NULL (no span to interpolate —
+    * try_divide guards). Output: (value, n_rows, q, mapped).
     */
   def quantileMap(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val refRanked = ref.filter(col(valueCol).isNotNull)
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+    val refDist = ref.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__a"))
-      .withColumn("__idx",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__a"))) - 1)
-      .withColumn("__na", count(lit(1)).over(wAll))
+      .groupBy(col("__a")).agg(count(lit(1)).as("__c"))
+      .withColumn("__start",
+        coalesce(sum(col("__c")).over(
+          W.orderBy(col("__a")).rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+    val refTotal = refDist.agg(sum(col("__c")).as("__naT"))
     val curDist = cur.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("n_rows"))
       .withColumn("__cumle",
-        sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__v"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
+        sum(col("n_rows")).over(W.orderBy(col("__v"))
+          .rowsBetween(W.unboundedPreceding, 0)))
       .withColumn("__nb", sum(col("n_rows")).over(wAll))
     val q = try_divide((col("__cumle") - 1).cast("double"),
       (col("__nb") - 1).cast("double"))
     val withP = curDist
       .withColumn("__q", q)
-      .crossJoin(broadcast(refRanked.agg(max(col("__na")).as("__naT"))))
+      .crossJoin(broadcast(refTotal))
       .withColumn("__p", col("__q") * (col("__naT") - 1).cast("double"))
       .withColumn("__lo", floor(col("__p")).cast("long"))
+    // Order-statistic lookup at indices ⌊p⌋ and ⌊p⌋+1 WITHOUT one row
+    // per reference row: probe positions union with the distinct-value
+    // start positions, and the last reference value at-or-before each
+    // probe position carries forward (ref rows sort before probes at
+    // equal position). A probe one past the last index (only q = 1)
+    // carries the max value — exactly the coalesce(__ahi, __alo)
+    // fallback of the equi-join form, and its interpolation weight is
+    // 0 there anyway.
+    val probes = withP.select(col("__v"), col("__lo"))
+      .select(col("__v"), explode(array(
+        struct(col("__lo").as("__pos"), lit("lo").as("__tag")),
+        struct((col("__lo") + 1).as("__pos"), lit("hi").as("__tag"))))
+        .as("__pe"))
+      .select(col("__v"), col("__pe.__pos").as("__pos"),
+        col("__pe.__tag").as("__tag"))
+    val unioned = refDist
+      .select(col("__start").as("__pos"), lit(0).as("__isp"), col("__a"),
+        lit(null).cast("double").as("__v"), lit(null).cast("string").as("__tag"))
+      .unionByName(probes.select(col("__pos"), lit(1).as("__isp"),
+        lit(null).cast("double").as("__a"), col("__v"), col("__tag")))
+    val carried = unioned.withColumn("__val",
+      last(col("__a"), ignoreNulls = true).over(
+        W.orderBy(col("__pos").asc_nulls_first, col("__isp"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .filter(col("__isp") === 1)
+    val lows = carried.filter(col("__tag") === "lo")
+      .select(col("__v"), col("__val").as("__alo"))
+    val highs = carried.filter(col("__tag") === "hi")
+      .select(col("__v"), col("__val").as("__ahi"))
     withP
-      .join(refRanked.select(col("__idx").as("__lo"), col("__a").as("__alo")),
-        Seq("__lo"), "left")
-      .join(refRanked.select((col("__idx") - 1).as("__lo"),
-        col("__a").as("__ahi")), Seq("__lo"), "left")
+      .join(lows, Seq("__v"), "left")
+      .join(highs, Seq("__v"), "left")
       .select(col("__v").as("value"), col("n_rows"),
         round(col("__q"), 6).as("q"),
         round(col("__alo")
@@ -753,11 +788,16 @@ object Profile {
     spine.join(counts, Seq("digit"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("__total", sum(col("n")).over(wAll))
+      // try_divide: a feed whose every row is excluded (all-negative,
+      // all-sub-cent, or empty) still emits the 9-digit spine with
+      // __total = 0 — plain division would be an ANSI DIVIDE_BY_ZERO;
+      // shares read NULL instead (DuckDB's 0/0 is NULL — parity holds)
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("__total").cast("double"), 6)
-          .as("obs_share"),
+        round(try_divide(col("n").cast("double"),
+          col("__total").cast("double")), 6).as("obs_share"),
         round(element_at(bLit, col("digit")), 6).as("benford_share"),
-        round(col("n").cast("double") / col("__total").cast("double")
+        round(try_divide(col("n").cast("double"),
+            col("__total").cast("double"))
           - element_at(bLit, col("digit")), 6).as("deviation"))
   }
 
@@ -794,8 +834,12 @@ object Profile {
       .withColumn("__na", sum(col("__ca")).over(wAll))
       .withColumn("__nb", sum(col("__cb")).over(wAll))
       .select(col("__c"), col("__na"), col("__nb"), {
-        val p = col("__ca").cast("double") / col("__na").cast("double")
-        val q = col("__cb").cast("double") / col("__nb").cast("double")
+        // try_divide: an EMPTY slice makes its total 0 and the shares
+        // 0/0 — an ANSI DIVIDE_BY_ZERO via the m = (p+q)/2 term even
+        // on the other side's branch (the psi empty-slice guard); the
+        // divergence reads NULL on an empty slice instead
+        val p = try_divide(col("__ca").cast("double"), col("__na").cast("double"))
+        val q = try_divide(col("__cb").cast("double"), col("__nb").cast("double"))
         val m = (p + q) / 2.0
         (when(col("__ca") > 0, p * log(p / m)).otherwise(lit(0.0)) / 2.0
           + when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0)) / 2.0)
@@ -834,6 +878,13 @@ object Profile {
     * dof = (|X|−1)(|Y|−1); `V = sqrt(χ² / (n·min(|X|−1, |Y|−1)))`,
     * NULL when either column is constant. NULL categories are
     * excluded. Output: (chi2, dof, cramers_v, n_rows, n_cells).
+    *
+    * Exactness bound (the pearsonExact contract style): the cleared
+    * denominator n·cx·cy is DECIMAL(38,0), so the audit is exact while
+    * n³ < 1e38 — n below ~4.6e12 rows; past it the multiply overflows
+    * (ANSI error, not a wrong answer). The scale path computes the
+    * marginal products in double (the mutualInformation recipe) at the
+    * cost of the bit-replayable term sum.
     */
   def chiSquared(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df
@@ -889,6 +940,13 @@ object Profile {
   def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val scaled = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      // NaN/Infinity would kill the DECIMAL(38,0) cast under ANSI and
+      // |x| >= 1e36 overflows it after *100 (the rollingCorr/benford
+      // hazard) — a trend fit over an untrusted feed drops them
+      .filter(!isnan(col(xCol).cast("double")) &&
+        !isnan(col(yCol).cast("double")) &&
+        abs(col(xCol).cast("double")) < lit(1e36) &&
+        abs(col(yCol).cast("double")) < lit(1e36))
       .select(
         round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
           .as("__x"),
@@ -942,6 +1000,10 @@ object Profile {
     require(cols.distinct.size == cols.size, "duplicate columns")
     val scaled = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      // same finite-value guard as linearFit: NaN kills the decimal
+      // cast under ANSI, |x| >= 1e36 overflows it after *100
+      .filter(cols.map(c => !isnan(col(c).cast("double")) &&
+        abs(col(c).cast("double")) < lit(1e36)).reduce(_ && _))
       .select(cols.map(c =>
         round(col(c).cast("double") * 100, 0).cast(DecimalType(38, 0))
           .as(s"__$c")): _*)

@@ -161,7 +161,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.filter(col(scoreCol).isNotNull && col(sizeCol).isNotNull)
+    // NaN desc-sorts FIRST (before every real score), so NaN-scored
+    // rows would be selected ahead of the genuine best docs and eat
+    // the budget — the weightedReservoir NaN-weight hazard
+    df.filter(col(scoreCol).isNotNull && col(sizeCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .withColumn("cum_before",
         coalesce(sum(col(sizeCol)).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
@@ -192,7 +196,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(Text.md5Long63(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("sample_rank", row_number().over(w))
+    // NULL keys hash to NULL, which ascending order sorts FIRST — they
+    // would deterministically fill the quota prefix and evict real
+    // rows; the keyless-rows-never-leak policy (sampleByHash) applies
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= quota)
   }
 
@@ -226,7 +234,10 @@ object Sampling {
       .orderBy(Text.md5Long63(col(keyCol).cast("string")), col(keyCol))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-    df.withColumn("sample_rank", row_number().over(w))
+    // NULL keys would rank first and always land in the kept prefix
+    // (the capPerGroup hazard) — keyless rows never leak
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("sample_rank", row_number().over(w))
       .withColumn("stratum_n", count(lit(1)).over(wc))
       // rank is a 32-bit row_number: the product must widen to LONG or
       // a ~21M-row stratum at den=100 wraps negative and keeps
@@ -310,7 +321,12 @@ object Sampling {
       require(!df.columns.contains(c),
         s"input column '$c' collides with temperatureResample's columns")
     }
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
+    // NULL groups are excluded BEFORE the min: groupBy keeps the NULL
+    // key, but the inner rate join below drops those rows — so a small
+    // NULL-group sliver would otherwise set __n_min and silently
+    // deflate every REAL group's keep_rate while contributing nothing.
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
     // Global min as a broadcast 1-row frame (the TfIdf.nDocs idiom):
     // keeps the operator lazy — no driver-side action — and avoids a
     // single-partition window.

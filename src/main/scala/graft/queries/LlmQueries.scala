@@ -3372,7 +3372,8 @@ object LlmQueries {
         |FROM c WHERE k > 0 ORDER BY doc_id, epoch""".stripMargin,
     "q_sample_temp" ->
       """WITH c AS (
-        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |  SELECT lang, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang
         |), m AS (
         |  SELECT MIN(n) AS nmin FROM c
         |), r AS (
@@ -3562,7 +3563,7 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
         |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
         |        & 9223372036854775807::UBIGINT), doc_id) AS rk
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
@@ -3578,7 +3579,7 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
         |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
         |        & 9223372036854775807::UBIGINT), doc_id) AS rk
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |)
         |SELECT doc_id, source, CAST(sn AS BIGINT) AS stratum_n,
         |  CAST(rk AS INT) AS sample_rank
