@@ -20,9 +20,15 @@ object Text {
   def nonEmptyTokens(text: Column): Column =
     filter(tokens(text), t => t =!= "")
 
-  /** Whitespace-robust token split (multiple spaces / tabs collapse). */
+  /** Whitespace-robust token split (multiple spaces / tabs collapse).
+    * The empty-token filter covers the edges Spark's primitives leak:
+    * trim strips only the SPACE character (a tab/newline-edged string
+    * still splits to a leading ''), and split keeps trailing empties
+    * (limit -1) — both would reintroduce the ''-artifact this function
+    * exists to eliminate.
+    */
   def tokensWs(text: Column): Column =
-    split(trim(text), "\\s+")
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** BPE-ish subword count: word-boundary pieces plus punctuation as
     * separate tokens (a cheap, deterministic proxy for tokenizer cost).
@@ -149,7 +155,11 @@ object Text {
     * NULL for wordless input via try_divide.
     */
   def fleschReadingEase(text: Column): Column = {
-    val words = tokenCount(text).cast("double")
+    // word count via nonEmptyTokens: tokenCount('') is 1 (the
+    // ['']-split artifact), which made the wordless try_divide guard
+    // dead code — an empty/blank doc scored ~205.8, far above the real
+    // scale max, instead of the documented NULL
+    val words = size(nonEmptyTokens(text)).cast("double")
     val sents = sentenceCount(text).cast("double")
     val sylls = syllableCountApprox(text).cast("double")
     lit(206.835) - lit(1.015) * try_divide(words, sents) -
@@ -304,10 +314,15 @@ object Text {
     "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
 
   def stripHtml(html: Column): Column = {
-    val noBlocks = HtmlSubtreePatterns.foldLeft(html)(
+    // comments strip FIRST: a commented-out <script> opener
+    // ("<!-- <script> -->" — IE conditional comments are routine)
+    // would otherwise pair with a later REAL </script> and delete the
+    // prose in between, and the orphaned "<!--" (no ">") survives the
+    // tag pattern and leaks into the text
+    val noComments = regexp_replace(html, HtmlCommentPattern, " ")
+    val noBlocks = HtmlSubtreePatterns.foldLeft(noComments)(
       (c, p) => regexp_replace(c, p, " "))
-    val noComments = regexp_replace(noBlocks, HtmlCommentPattern, " ")
-    val noTags = regexp_replace(noComments, HtmlTagPattern, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagPattern, " ")
     val decoded = HtmlEntities.foldLeft(noTags) {
       case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
     }

@@ -110,9 +110,14 @@ object Bloom {
         s"${dim.schema(dimKey).dataType.simpleString}")
     val bits = buildBits(dim, dimKey, mBits, k)
     // child-qualified join keys: with factKey == dimKey (the common
-    // shared-name schema) a bare col(...) === col(...) is ambiguous
-    val dimD = dim.select(col(dimKey)).distinct()
+    // shared-name schema) a bare col(...) === col(...) is ambiguous.
+    // No distinct() on the dim side: LEFT SEMI already emits each
+    // pruned fact row at most once whatever the dim's duplication — a
+    // pre-distinct would add a full exchange+aggregate over the dim
+    // key for nothing, in the operator whose purpose is shuffle
+    // minimization.
+    val dimK = dim.select(col(dimKey))
     val pruned = fact.filter(mightContain(col(factKey), bits, k))
-    pruned.join(dimD, pruned.col(factKey) === dimD.col(dimKey), "left_semi")
+    pruned.join(dimK, pruned.col(factKey) === dimK.col(dimKey), "left_semi")
   }
 }

@@ -55,7 +55,11 @@ object GapFill {
     // held only NULLs would void the never-null fill contract (the
     // spine extent now starts at the first REAL observation)
     val obs = df
-      .filter(col(valCol).isNotNull)
+      // a NULL series key would build spine rows the using-columns
+      // joins below can never match (NULL != NULL), emitting
+      // spine rows whose filled column is NULL against the never-null
+      // contract — keyless series are excluded, like NULL measurements
+      .filter(col(key).isNotNull && col(valCol).isNotNull)
       .withColumn("__gf_bucket", bucket)
       .withColumn("__gf_rn", row_number().over(perBucket))
       .filter(col("__gf_rn") === 1)

@@ -91,9 +91,15 @@ object IncrementalAgg {
         min(col(valueCol)).as("__d_min"),
         max(col(valueCol)).as("__d_max"))
     val newN = col("n_v") - coalesce(col("__d_n"), lit(0L))
-    state.join(del, groupCols, "left")
+    // null-safe group join (<=>): groupBy kept a NULL group in the
+    // state, and deletes against it aggregate under a NULL key — a
+    // plain equi-join never matches them, so the NULL group's state
+    // would go permanently, silently stale (the heavyHittersPerGroup
+    // hazard)
+    val joinCond = groupCols.map(c => state(c) <=> del(c)).reduce(_ && _)
+    state.join(del, joinCond, "left")
       .select(
-        groupCols.map(col) ++ Seq(
+        groupCols.map(state(_)) ++ Seq(
           (col("sum_v") - coalesce(col("__d_sum"), lit(0))).as("sum_v"),
           newN.as("n_v"),
           when(newN === 0, lit(null)).otherwise(col("min_v")).as("min_v"),

@@ -172,6 +172,7 @@ object Repetition {
   }
 
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val counts = docs
       .select(col("doc_id"), explode(Text.ngrams(col("text"), n)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))

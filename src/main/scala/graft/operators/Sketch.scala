@@ -88,12 +88,22 @@ object Sketch {
     */
   def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
     require(depth > 0, s"depth must be positive, got $depth")
+    // DECIMAL(38,0) products: at the ~1e12-row regime this estimator
+    // exists for, per-cell counts reach ~N/width and the inner product
+    // passes Long.MaxValue (65536 cells x (1.5e7)^2 ~ 1.5e19) — raw
+    // Long arithmetic is an ANSI ARITHMETIC_OVERFLOW, or a silently
+    // negative estimate that inverts the broadcast-vs-salt decision.
+    // The estimate itself is served as DOUBLE (it is a planning
+    // number; exact below 2^53, approximate past it).
     val prod = cmsA.as("a").join(cmsB.as("b"), Seq("cms_row", "cms_col"))
       .groupBy(col("cms_row"))
-      .agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
+      .agg(sum(col("a.cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("b.cnt")).as("ip"))
     cmsA.sparkSession.range(depth).select(col("id").as("cms_row"))
       .join(prod, Seq("cms_row"), "left")
-      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+      .agg(min(coalesce(col("ip"),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .cast("double").as("est_join_size"))
   }
 
   /** Point estimates for the distinct keys of `probes`: min over the
@@ -102,6 +112,13 @@ object Sketch {
     * every one of its cells collides with counted keys. The sketch side
     * is ≤ depth×width rows — broadcast it; the probe side is never
     * shuffled beyond its own distinct.
+    *
+    * CONTRACT (the [[cmsJoinSize]] one): probe keys must have the SAME
+    * data type the sketch was built over — cells key on the string
+    * rendering, so a DOUBLE probe "5.0" never finds a BIGINT build's
+    * "5" cells and a genuinely heavy key silently estimates 0, voiding
+    * the one-sided >= guarantee. The sketch frame carries no type
+    * metadata to enforce this; align types before probing.
     */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {

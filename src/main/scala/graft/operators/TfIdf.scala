@@ -130,7 +130,15 @@ object TfIdf {
     require(every >= 1, s"every must be >= 1, got $every")
     val tok = docs.select(col("doc_id").as("__id"),
       explode(Text.nonEmptyTokens(col("text"))).as("__tok"))
-    val perDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("__ntok"))
+    // the doc SPINE comes from the docs table, not the exploded
+    // tokens: a tokenless (empty/blank) document contributes 0 tokens
+    // but still occupies a position in the corpus sequence — deriving
+    // the spine from tokens silently dropped such docs, so n_docs and
+    // the every-th checkpoints misaligned with the actual corpus
+    val perDoc = docs.select(col("doc_id").as("__id")).distinct()
+      .join(tok.groupBy(col("__id")).agg(count(lit(1)).as("__ntok0")),
+        Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__ntok0"), lit(0L)).as("__ntok"))
     val firstDoc = tok.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
     val newPerDoc = firstDoc.groupBy(col("__fd").as("__id"))
       .agg(count(lit(1)).as("__nnew"))

@@ -916,7 +916,9 @@ object LlmQueries {
     // quality channel beside the Gopher gate and the bigram LM.
     "q_text_readability" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_words"),
+        // nonEmptyTokens, matching fleschReadingEase's internal word
+        // count: tokenCount('') reads 1 (the ['']-split artifact)
+        size(Text.nonEmptyTokens(col("text"))).as("n_words"),
         Text.sentenceCount(col("text")).as("n_sentences"),
         Text.syllableCountApprox(col("text")).as("n_syllables"),
         round(Text.fleschReadingEase(col("text")), 6).as("flesch"))
@@ -1965,13 +1967,16 @@ object LlmQueries {
         |)
         |SELECT doc_id,
         |  trim(regexp_replace(
+        |    -- comments strip FIRST (the stripHtml order): a
+        |    -- commented-out <script> opener must not pair with a
+        |    -- later real closer
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_replace(regexp_replace(
         |        regexp_replace(regexp_replace(html,
+        |        '(?s)<!--.*?-->', ' ', 'g'),
         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
-        |        '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
@@ -3432,7 +3437,13 @@ object LlmQueries {
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |    w -> w <> '')) AS tok FROM documents
         |), pd AS (
-        |  SELECT doc_id, COUNT(*) AS ntok FROM tok GROUP BY doc_id
+        |  -- spine from the documents table: a tokenless doc still
+        |  -- occupies a corpus position (0 tokens), so the every-th
+        |  -- checkpoints stay aligned with the actual doc sequence
+        |  SELECT d.doc_id, COALESCE(tc.ntok, 0) AS ntok
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN (SELECT doc_id, COUNT(*) AS ntok FROM tok
+        |    GROUP BY doc_id) tc USING (doc_id)
         |), fd AS (
         |  SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok
         |), np AS (
@@ -3528,7 +3539,8 @@ object LlmQueries {
     "q_text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w <> '')) AS INT) AS n_words,
         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
         |      AS n_sentences,
         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)

@@ -2793,21 +2793,26 @@ object RelationalQueries {
         |  FROM orders CROSS JOIN i GROUP BY 1, 2
         |),
         |ip1 AS (
-        |  SELECT a.cms_row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+        |  -- HUGEINT products + DOUBLE estimate mirror the engine's
+        |  -- DECIMAL(38,0)-then-double form (raw 64-bit products
+        |  -- overflow at the 1e12-row regime)
+        |  SELECT a.cms_row, CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ip
         |  FROM co a JOIN cl b USING (cms_row, cms_col) GROUP BY 1
         |),
         |est1 AS (
-        |  SELECT MIN(COALESCE(ip, 0)) AS est_size FROM i LEFT JOIN ip1 USING (cms_row)
+        |  SELECT CAST(MIN(COALESCE(ip, 0)) AS DOUBLE) AS est_size
+        |  FROM i LEFT JOIN ip1 USING (cms_row)
         |),
         |ex1 AS (
         |  SELECT COUNT(*) AS exact_size FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |),
         |ip2 AS (
-        |  SELECT a.cms_row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+        |  SELECT a.cms_row, CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ip
         |  FROM cc a JOIN cc b USING (cms_row, cms_col) GROUP BY 1
         |),
         |est2 AS (
-        |  SELECT MIN(COALESCE(ip, 0)) AS est_size FROM i LEFT JOIN ip2 USING (cms_row)
+        |  SELECT CAST(MIN(COALESCE(ip, 0)) AS DOUBLE) AS est_size
+        |  FROM i LEFT JOIN ip2 USING (cms_row)
         |),
         |ex2 AS (
         |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
@@ -3471,7 +3476,8 @@ object RelationalQueries {
         |ORDER BY key_a, key_b""".stripMargin,
     "q_ts_gapfill" ->
       """WITH src AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
         |), obs AS (
         |  SELECT user_id,
         |    -- make_timestamp(micros) builds a NAIVE timestamp: the old
