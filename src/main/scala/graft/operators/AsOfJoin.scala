@@ -136,7 +136,13 @@ object AsOfJoin {
           leftValueCols.map(col) :+
           lit(null).as("__r"): _*)
 
+    // NULL join fields follow SQL ASOF semantics — the comparison is
+    // UNKNOWN, so never a match. A right row with NULL key/ts is
+    // filtered (unguarded, ascending NULLS-FIRST order would carry a
+    // NULL-ts right row to EVERY later left row); a left row with NULL
+    // ts/key reads unmatched via the post-fill guard below.
     val rTagged = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
       .select(
@@ -164,6 +170,11 @@ object AsOfJoin {
         (Seq(col(key), col("__ts"), col("__tag")) ++ leftValueCols.map(col) :+
           last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__tag") === 1)
+      // a NULL left ts makes the predicate UNKNOWN — never a match.
+      // This matters in FORWARD mode, where desc NULLS-LAST ordering
+      // would otherwise hand a NULL-ts left row the minimum-ts right
+      // row's carry (backward's NULLS-FIRST already leaves it empty)
+      .withColumn("__r", when(col("__ts").isNotNull, col("__r")))
 
     // A stale match (older than tolerance) becomes NO match before the
     // inner/outer decision, so both modes see one consistent contract.

@@ -121,10 +121,17 @@ object ProductQuant {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks, passthrough: Seq[String] = Nil): DataFrame = {
     requireDim(corpus, vecCol, cb.m * cb.subDim, "ProductQuant.encode")
-    val reserved = (0 until cb.m).map(s => s"__pq_sub$s") ++
-      (0 until cb.m).map(s => s"__pq_n$s")
+    val reserved = (0 until cb.m).flatMap(s =>
+      Seq(s"__pq_sub$s", s"__pq_n$s", s"__pq_code$s"))
     reserved.foreach(c => require(!corpus.columns.contains(c),
       s"input already has a column named $c (reserved)"))
+    // passthrough names must not collide with the output schema or the
+    // scratch aliases — a collision would otherwise die far downstream
+    // in AMBIGUOUS_REFERENCE instead of here
+    val outNames = Seq("id", "vec_norm", "subspace", "code")
+    passthrough.foreach(p => require(
+      !outNames.contains(p) && !reserved.contains(p),
+      s"passthrough column '$p' collides with encode's output/scratch names"))
     val carry = passthrough.map(col)
     // Two projection boundaries so each subvector and its norm evaluate
     // ONCE (Catalyst substitutes, it does not let-bind — referencing
@@ -245,31 +252,35 @@ object ProductQuant {
           VectorOps.dot(col("__pv"), typedlit(cv)),
           col("__pq_pnorm") * lit(cn))).as("cscore"))
     }
-    val lists = subs
-      .select(Seq(col("probe_id"), col("__pq_pnorm")) ++
-        (0 until cb.m).map(s => col(s"__pq_sub$s")) :+
-          explode(array(listEntries: _*)).as("le"): _*)
+    // Routing frame: nProbe rows per probe — (list_id, coarse dot,
+    // probe norm). Kept SEPARATE from the residual LUT: the old fused
+    // form exploded the m·k pdot entries once per VISITED LIST even
+    // though pdot is independent of list_id, inflating the broadcast
+    // nProbe-fold (nProbe=32 × m·k=2048 = 65k rows per probe where
+    // 2048 + 32 suffice).
+    val route = subs
+      .select(col("probe_id"), col("__pq_pnorm"),
+        explode(array(listEntries: _*)).as("le"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
           .orderBy(col("le.cscore").desc, col("le.list_id"))))
       .filter(col("__rk") <= nProbe)
-      .select(Seq(col("probe_id"), col("__pq_pnorm"),
-        col("le.list_id").as("list_id"), col("le.cdot").as("cdot")) ++
-          (0 until cb.m).map(s => col(s"__pq_sub$s")): _*)
-    // Residual LUT per (probe, visited list): m*k rounded dots.
+      .select(col("probe_id"), col("__pq_pnorm"),
+        col("le.list_id").as("list_id"), col("le.cdot").as("cdot"))
+    // Residual LUT per probe: m*k rounded dots, once per probe.
     val entries = (0 until cb.m).flatMap { s =>
       cb.books(s).map { case (cid, cv) =>
         struct(lit(s).as("subspace"), lit(cid).as("code"),
           round(VectorOps.dot(col(s"__pq_sub$s"), typedlit(cv)), 6).as("pdot"))
       }
     }
-    val lut = lists.select(col("probe_id"), col("__pq_pnorm"),
-        col("list_id"), col("cdot"), explode(array(entries: _*)).as("e"))
-      .select(col("probe_id"), col("__pq_pnorm"), col("list_id"), col("cdot"),
-        col("e.subspace").as("subspace"), col("e.code").as("code"),
-        col("e.pdot").as("pdot"))
+    val plut = subs
+      .select(col("probe_id"), explode(array(entries: _*)).as("e"))
+      .select(col("probe_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.pdot").as("pdot"))
     encoded
-      .join(broadcast(lut), Seq("list_id", "subspace", "code"))
+      .join(broadcast(route), Seq("list_id"))
+      .join(broadcast(plut), Seq("probe_id", "subspace", "code"))
       .groupBy(col("probe_id"), col("id"))
       .agg(
         (sum(col("pdot").cast(DecimalType(38, 12)))

@@ -35,12 +35,24 @@ object RangeJoin {
   private val BinCol = "__rj_bin"
 
   /** Floor-division bin id as a long. `pmod` keeps floor semantics on
-    * negative domains (plain `div` truncates toward zero). The numerator
-    * is exactly divisible by `w`, so the double division is exact for
-    * |value| < 2^53 — any epoch-seconds/days/millis domain.
+    * negative domains (plain `div` truncates toward zero). The division
+    * is the EXACT IntegralDivide (`div`), not `Column./` — the latter
+    * coerces longs to double, which silently mis-bins any |value| past
+    * 2^53 (snowflake ids, epoch nanos) and drops matches near bin
+    * boundaries; the numerator is exactly divisible by `w`, so `div`
+    * is exact on the full long domain. Same primitive as
+    * [[graft.plans.BandJoinRewrite]]'s bin, so the DataFrame and SQL
+    * paths agree everywhere.
     */
-  private def bin(v: Column, w: Long): Column =
-    ((v - pmod(v, lit(w))) / lit(w)).cast("long")
+  private def bin(v: Column, w: Long): Column = {
+    val vl = v.cast("long")
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.catalyst.expressions.Subtract(
+          org.apache.spark.sql.graft.Bridge.expression(vl),
+          org.apache.spark.sql.graft.Bridge.expression(pmod(vl, lit(w)))),
+        org.apache.spark.sql.catalyst.expressions.Literal(w)))
+  }
 
   /** Join each point row to every interval row whose CLOSED interval
     * [startCol, endCol] contains it. Half-open semantics: pass

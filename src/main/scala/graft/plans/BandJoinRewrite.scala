@@ -35,6 +35,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * interval length; the optimizer has no statistic for it). Read per
   * invocation, so it can be toggled mid-session.
   *
+  * The width is SESSION-GLOBAL while set: it applies to EVERY band-only
+  * inner join the optimizer sees, so a width tuned for one domain can
+  * explode another (a day-long millis interval at width=3600 generates
+  * 24k bin rows per interval, and an extreme-but-valid span can
+  * exceed sequence()'s length cap at runtime). The usage contract is
+  * the conf BRACKET: set the width, run the one band join it was
+  * picked for, unset it — never leave it on across unrelated queries,
+  * and a query mixing band joins of different domains needs the
+  * DataFrame-level [[graft.operators.RangeJoin]] operator (per-call
+  * width) instead of this rule.
+  *
   * Conservative matching: inner joins only, batch only, exactly the
   * two bracketing conjuncts (an extra equality conjunct already makes
   * the join an equi-join Spark plans well), integral types only. The

@@ -167,4 +167,33 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.map(r => (r.getAs[String]("user_id"), r.getAs[Long]("ts"),
       r.getAs[Long]("r_ts"))) === Seq(("u1", 100L, 150L)))
   }
+
+  test("NULL join fields never match (SQL ASOF semantics)") {
+    // a NULL-ts right row must not be carried to every later left row
+    val nullTsRight = Seq(("u1", Option.empty[Long], 7.0), ("u1", Option(90L), 1.0))
+      .toDF("user_id", "ts", "v")
+    val back = rows(AsOfJoin.asof(left, nullTsRight, "user_id", "ts", "ts",
+      Map("v" -> "rv")))
+    assert(back.forall(_.getAs[Double]("rv") == 1.0),
+      "NULL-ts right row leaked into a match")
+    // forward mode: a NULL-ts LEFT row reads unmatched, not the
+    // minimum-ts right row (desc NULLS-LAST would otherwise carry it)
+    val nullTsLeft = Seq(("u1", Option(100L), "a"), ("u1", Option.empty[Long], "b"))
+      .toDF("user_id", "ts", "payload")
+    val fwd = rows(AsOfJoin.asofForward(nullTsLeft,
+      Seq(("u1", 150L, 2.0)).toDF("user_id", "ts", "v"),
+      "user_id", "ts", "ts", Map("v" -> "rv"), inner = false))
+    val byPayload = fwd.map(r => r.getAs[String]("payload") ->
+      Option(r.getAs[java.lang.Double]("rv"))).toMap
+    assert(byPayload("a") === Some(2.0))
+    assert(byPayload("b") === None, "NULL-ts left row matched a right row")
+    // a NULL-key right row must not meet a NULL-key left row
+    val nullKeyRight = Seq((Option.empty[String], 90L, 5.0))
+      .toDF("user_id", "ts", "v")
+    val nullKeyLeft = Seq((Option.empty[String], 100L, "x"))
+      .toDF("user_id", "ts", "payload")
+    val nk = rows(AsOfJoin.asof(nullKeyLeft, nullKeyRight,
+      "user_id", "ts", "ts", Map("v" -> "rv"), inner = false))
+    assert(nk.size === 1 && nk.head.isNullAt(nk.head.fieldIndex("rv")))
+  }
 }
