@@ -169,6 +169,20 @@ object Dedup {
     */
   def minhashNearDuplicatesReleasable(
       docs: DataFrame, threshold: Double): (DataFrame, () => Unit) = {
+    val (pairs, _, release) = minhashNearDuplicatesWithBands(docs, threshold)
+    (pairs, release)
+  }
+
+  /** [[minhashNearDuplicatesReleasable]] that ALSO hands back the
+    * persisted banded-signature frame (doc_id, bk): a caller that
+    * needs the same docs' signatures afterwards (the streaming
+    * admission loop writes survivors' signatures to its sidecar
+    * table) reads them from this cache instead of paying the
+    * shingle + 128-minimum aggregation a second time per batch.
+    * Valid until `release()`.
+    */
+  def minhashNearDuplicatesWithBands(
+      docs: DataFrame, threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val withShingles = docs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
 
@@ -181,6 +195,7 @@ object Dedup {
       .distinct()
 
     (verifyJaccard(candidates, withShingles, withShingles, threshold),
+      banded,
       () => { banded.unpersist(); () })
   }
 

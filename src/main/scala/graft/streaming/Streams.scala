@@ -631,8 +631,11 @@ object Streams {
         // (1) near-dup within the batch. Releasable variant: this loop
         // runs EVERY micro-batch, and the plain form would pin one
         // banded-signature cache per batch for the life of the stream.
-        val (withinPairs, releaseBands) =
-          Dedup.minhashNearDuplicatesReleasable(exactSurvivors, threshold)
+        // The banded frame comes back too — the sidecar write below
+        // reads survivors' signatures from this cache instead of
+        // re-paying the shingle + 128-minimum pass per batch.
+        val (withinPairs, batchBands, releaseBands) =
+          Dedup.minhashNearDuplicatesWithBands(exactSurvivors, threshold)
         try {
           val withinDupes = withinPairs
             .select(col("doc_b").as("doc_id")).distinct()
@@ -662,11 +665,22 @@ object Streams {
                 .select(col("doc_b").as("doc_id")).distinct()
               afterExact.join(corpusDupes, Seq("doc_id"), "left_anti")
             }
-          // (3) append docs (original schema) + their sidecar rows
-          survivors.drop("__fp").write
-            .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
-          sidecarRows(survivors.drop("__fp")).write
-            .mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+          // (3) append docs (original schema) + their sidecar rows —
+          // signatures come from the ALREADY-CACHED batch bands (a
+          // survivors-filtered view), never a second signature pass.
+          // Survivors are PERSISTED across the two writes: both sinks
+          // consume the same admission pipeline, which would otherwise
+          // execute twice per batch (exact dedup, within-batch pairs,
+          // both corpus channels).
+          val surv = survivors
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            surv.drop("__fp").write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
+            surv.select(col("doc_id"), col("__fp").as("fp"))
+              .join(batchBands, Seq("doc_id"), "left")
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+          } finally surv.unpersist()
         } finally releaseBands()
       } finally b.unpersist()
     }
@@ -674,7 +688,9 @@ object Streams {
   /** (doc_id, fp, bk) sidecar rows for the admission store: one row
     * per doc per LSH band, fp on every row; a doc with NO bands (below
     * the shingle width) keeps one bk-NULL row so its fingerprint still
-    * lands in the exact channel.
+    * lands in the exact channel. Used for the one-time migration of a
+    * pre-sidecar store; the per-batch path reuses the batch's cached
+    * bands instead.
     */
   private def sidecarRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
