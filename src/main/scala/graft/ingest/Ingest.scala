@@ -66,16 +66,26 @@ object Ingest {
     spark.read.schema(schema).option("mode", "FAILFAST").json(ds)
   }
 
-  /** S2: fetch one vélib snapshot -> raw DataFrame (velibRaw schema). */
+  /** S2: fetch one vélib snapshot -> raw DataFrame (velibRaw schema).
+    * The top-level `data` field is REQUIRED after parse: FAILFAST only
+    * catches malformed JSON — a well-formed body missing the field
+    * (producer schema rename) parses NULL and would land a silently
+    * empty payload; the check replays the reference's pandas
+    * KeyError crash on the one-row snapshot.
+    */
   def fetchVelibSnapshot(
       spark: SparkSession, transport: Transport,
       url: String = VelibStatusUrl): DataFrame =
-    parse(spark, transport(url), Schemas.velibRaw)
+    graft.sources.Sources.requireTopField(
+      parse(spark, transport(url), Schemas.velibRaw), "data")
 
-  /** S1: fetch one weather snapshot -> raw DataFrame (weatherRaw schema). */
+  /** S1: fetch one weather snapshot -> raw DataFrame (weatherRaw
+    * schema). `current` required after parse, like the vélib branch.
+    */
   def fetchWeatherSnapshot(
       spark: SparkSession, transport: Transport, url: String): DataFrame =
-    parse(spark, transport(url), Schemas.weatherRaw)
+    graft.sources.Sources.requireTopField(
+      parse(spark, transport(url), Schemas.weatherRaw), "current")
 
   /** K1 raw-zone landing: non-replacing timestamped JSON write, the
     * replayable raw zone (`etl_dag.py:46-55` — upload without `replace`).

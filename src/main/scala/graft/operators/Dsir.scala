@@ -60,6 +60,15 @@ object Dsir {
       corpus: DataFrame, target: DataFrame,
       idCol: String, textCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // an EMPTY target (bad path, over-filtered upstream) would make
+    // every smoothed ratio NULL and a downstream selectByScore
+    // silently select NOTHING from a 100 TB corpus — the target is
+    // the small side by contract, so the eager probe is cheap.
+    // NULL-text rows on either side contribute no tokens (explode of
+    // a NULL token array emits nothing), like chunkByTokens.
+    require(!target.filter(col(textCol).isNotNull).isEmpty,
+      "DSIR target has no non-null text — importance ratios would all " +
+        "be NULL and selection would silently return nothing")
     Seq("n_tokens", "dsir_score", "__bkt", "__cnt", "__ratio").foreach { c =>
       require(!corpus.columns.contains(c),
         s"input column '$c' collides with importanceScores' columns")

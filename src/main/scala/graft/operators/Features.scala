@@ -35,7 +35,13 @@ object Features {
     require(featureCols.nonEmpty, "hashedFeatures needs feature columns")
     require(dim >= 2 && dim <= (1 << 20),
       s"dim must be in [2, 2^20], got $dim")
-    val feats = df.select(col(idCol).as("__id"),
+    // idCol must be UNIQUE (a duplicate id's rows would merge into one
+    // summed vector — a distinct-count check would double the
+    // operator's cost, so it is the documented contract, the
+    // packByTokenBudget convention); NULL ids never leak — groupBy
+    // would collate every keyless row into one garbage vector
+    val feats = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
       array(featureCols.map(c =>
         // NULL's missing-marker is the bare column name — no real
         // value can produce it, since every present value renders as
@@ -77,15 +83,19 @@ object Features {
     Seq(outCol, "was_imputed", "__g", "__gmean").foreach(c =>
       require(!df.columns.contains(c),
         s"input column '$c' collides with imputeWithGroupMean's columns"))
-    val stats = df.filter(col(valueCol).isNotNull)
+    // NaN is MISSING here, like NULL: unguarded, cast(NaN as decimal)
+    // kills the aggregate under ANSI (non-ANSI: a silently biased
+    // mean), and coalesce(NaN, mean) would keep NaN un-imputed — the
+    // one value the downstream models can eat even less than NULL
+    val missing = col(valueCol).isNull || isnan(col(valueCol).cast("double"))
+    val stats = df.filter(!missing)
       .groupBy(col(groupCol).as("__g"))
       .agg(round(sum(round(col(valueCol).cast("double"), 6)
           .cast(DecimalType(38, 12))).cast("double")
         / count(lit(1)), 6).as("__gmean"))
     df.join(broadcast(stats), col(groupCol) <=> col("__g"), "left")
-      .withColumn(outCol, coalesce(col(valueCol), col("__gmean")))
-      .withColumn("was_imputed",
-        col(valueCol).isNull && col("__gmean").isNotNull)
+      .withColumn(outCol, when(missing, col("__gmean")).otherwise(col(valueCol)))
+      .withColumn("was_imputed", missing && col("__gmean").isNotNull)
       .drop("__g", "__gmean")
   }
 }

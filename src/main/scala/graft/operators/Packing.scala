@@ -44,6 +44,10 @@ object Packing {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
+      // NULL-text docs drop (the chunkByTokens contract): a NULL token
+      // count would otherwise mint a phantom batch_id-NULL batch whose
+      // members array_join silently omits from the packed text
+      .filter(col("text").isNotNull)
       .withColumn("n_tokens", Text.tokenCount(col("text")))
       .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
       // integral `div`, not `/`: long division must stay exact

@@ -48,7 +48,11 @@ object Quality {
   }
 
   /** Duplicate-key violations: rows in excess of one per key. */
-  def checkUnique(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+  def checkUnique(df: DataFrame, keys: Seq[String], name: String): DataFrame = {
+    // zero key columns would be a GLOBAL aggregate: a valid table
+    // reads total_rows - 1 "violations" and any violations===0 gate
+    // hard-fails the load
+    require(keys.nonEmpty, "checkUnique needs at least one key column")
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__q_n"))
       // empty input: sums over zero groups are NULL, which a gate
       // comparing `violations > 0` / `=== 0` treats as neither —
@@ -56,6 +60,7 @@ object Quality {
       .agg(coalesce(sum(col("__q_n") - 1), lit(0L)).as("violations"),
         coalesce(sum(col("__q_n")), lit(0L)).as("total_rows"))
       .select(lit(name).as("rule"), col("violations"), col("total_rows"))
+  }
 
   /** Referential violations: non-null child keys absent from the parent
     * key set. The parent side is reduced to DISTINCT keys first, so a

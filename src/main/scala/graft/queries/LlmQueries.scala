@@ -2435,7 +2435,7 @@ object LlmQueries {
       """WITH t AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), c AS (
         |  SELECT doc_id, source, n_tokens,
         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -2449,7 +2449,7 @@ object LlmQueries {
       """WITH t AS (
         |  SELECT doc_id, lang, text,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), c AS (
         |  SELECT doc_id, lang, text, n_tokens,
         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

@@ -3990,14 +3990,18 @@ object RelationalQueries {
         |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
         |  FROM events
         |), m AS (
+        |  -- NaN is MISSING like NULL (the engine's contract): excluded
+        |  -- from the mean, imputed in the output
         |  SELECT event_type AS g,
         |    ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
         |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS gmean
-        |  FROM s WHERE value IS NOT NULL GROUP BY 1
+        |  FROM s WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
         |)
         |SELECT s.event_id, s.event_type, s.value,
-        |  COALESCE(s.value, m.gmean) AS value_filled,
-        |  (s.value IS NULL AND m.gmean IS NOT NULL) AS was_imputed
+        |  CASE WHEN s.value IS NULL OR isnan(s.value) THEN m.gmean
+        |    ELSE s.value END AS value_filled,
+        |  ((s.value IS NULL OR isnan(s.value)) AND m.gmean IS NOT NULL)
+        |    AS was_imputed
         |FROM s LEFT JOIN m ON s.event_type IS NOT DISTINCT FROM m.g
         |ORDER BY s.event_id""".stripMargin,
     "q_ts_cusum" ->
@@ -4384,12 +4388,12 @@ object RelationalQueries {
         |    CASE WHEN c_mktsegment IS NULL THEN 'c_mktsegment'
         |         ELSE 'c_mktsegment=' || CAST(c_mktsegment AS VARCHAR) END
         |      AS f
-        |  FROM customer
+        |  FROM customer WHERE c_custkey IS NOT NULL
         |  UNION ALL
         |  SELECT c_custkey,
         |    CASE WHEN c_nationkey IS NULL THEN 'c_nationkey'
         |         ELSE 'c_nationkey=' || CAST(c_nationkey AS VARCHAR) END
-        |  FROM customer
+        |  FROM customer WHERE c_custkey IS NOT NULL
         |), ix AS (
         |  SELECT id,
         |    CAST(((('0x' || substr(md5(f), 1, 16))::UBIGINT

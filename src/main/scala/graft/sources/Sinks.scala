@@ -160,15 +160,27 @@ object Sinks {
       "input already has a column named __z (reserved)")
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
+    // bounds over NON-NaN values only: max() returns NaN for a
+    // NaN-bearing double column (NaN orders largest), which poisons
+    // the scale to NaN and floor(NaN).cast(long) SILENTLY collapses
+    // every row's rank to 0 — the write "succeeds" with the promised
+    // 2D clustering gone on that dimension
+    def finiteOnly(c: Column) = when(!isnan(c.cast("double")), c)
     val Seq(minA, maxA, minB, maxB) =
-      df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-          min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      df.agg(
+          min(finiteOnly(col(colA))).cast("double"),
+          max(finiteOnly(col(colA))).cast("double"),
+          min(finiteOnly(col(colB))).cast("double"),
+          max(finiteOnly(col(colB))).cast("double"))
         .head().toSeq.map(_.asInstanceOf[Double])
 
     def rank16(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long")))
+      // NaN rows take rank 0 EXPLICITLY (they cluster at one end and
+      // keep the other dimension's clustering intact)
+      else when(isnan(c.cast("double")), lit(0L)).otherwise(
+        least(lit(65535L), greatest(lit(0L),
+          floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long"))))
 
     // spread the low 16 bits of x to the even bit positions of a long
     def spread(x: Column): Column = {
@@ -211,6 +223,17 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val p = new Path(inDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // Same/nested target is IRREVERSIBLE data loss: mode(Overwrite)
+    // deletes outDir's contents BEFORE the read job runs, and Spark's
+    // read-path overwrite guard covers only the InsertIntoStatement
+    // path, not DataFrameWriter.save() — a same-directory compaction
+    // would destroy the only copy of the table. Refuse it on the
+    // QUALIFIED paths.
+    val qIn = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    val qOut = fs.makeQualified(new Path(outDir)).toString.stripSuffix("/") + "/"
+    require(!qIn.startsWith(qOut) && !qOut.startsWith(qIn),
+      s"outDir must be disjoint from inDir (got in=$qIn out=$qOut): " +
+        "overwrite deletes the target before the read job runs")
     // a hive-partitioned layout would be read WITH partition inference
     // and written back FLAT — every later partition-pruned scan of the
     // compacted copy silently degrades to a full read. Refuse it:

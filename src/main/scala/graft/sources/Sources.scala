@@ -7,9 +7,17 @@ import org.apache.spark.sql.types.StructType
 import graft.model.Schemas
 
 /** Source readers. Every raw read declares its schema explicitly and
-  * fails fast on malformed input, mirroring the reference's
-  * crash-on-missing-field behavior (`airflow/dags/etl_dag.py:81`,
-  * retries at `:331-332`) instead of silently nulling.
+  * fails fast on MALFORMED input (FAILFAST aborts on any
+  * non-parseable line), mirroring the reference's crash-and-retry
+  * (`airflow/dags/etl_dag.py:81`, retries at `:331-332`).
+  *
+  * FAILFAST does NOT cover an ABSENT field: a well-formed record
+  * missing a schema field parses with that field NULL in every mode —
+  * a producer renaming `data.stations` would load rows whose payload
+  * is silently empty. The crash-on-missing-field half of the
+  * reference's behavior (pandas KeyError) therefore lives in
+  * [[requireTopField]], which the ingest path applies to the one-row
+  * API snapshot after parse.
   *
   * S3 note: the reference downloads objects to /tmp first
   * (`etl_dag.py:74-78`); Spark reads `s3a://` paths natively through the
@@ -24,6 +32,24 @@ object Sources {
   def readVelibRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.velibRaw)
       .option("mode", "FAILFAST").json(path)
+
+  /** Crash-on-missing-field check for a REQUIRED top-level field:
+    * counts rows where `field` parsed NULL and throws naming the
+    * field — the pandas-KeyError half of the reference's contract
+    * FAILFAST cannot express (absent fields parse NULL in every
+    * mode). Eager by design; callers apply it where the frame is
+    * small by construction (the one-row API snapshot in
+    * [[graft.ingest.Ingest]]) or where a validation pass is the
+    * point.
+    */
+  def requireTopField(df: DataFrame, field: String): DataFrame = {
+    val nNull = df.filter(col(field).isNull).count()
+    if (nNull > 0) throw new IllegalStateException(
+      s"required field '$field' is NULL in $nNull row(s) — the feed's " +
+        "schema changed (renamed/removed field); refusing to load " +
+        "silently empty payloads")
+    df
+  }
 
   /** Raw OpenWeatherMap snapshots. Mirrors `etl_dag.py:80-81`. */
   def readWeatherRaw(spark: SparkSession, path: String): DataFrame =
@@ -226,6 +252,13 @@ object Sources {
     * instead of running a 100 TB scan that looks like a metadata read.
     * Execution happens eagerly inside the conf bracket (a lazy frame
     * would plan under restored confs), returning the single stats row.
+    *
+    * CONTRACT: the bracket mutates SESSION confs (aggregate pushdown
+    * has no per-read option), so concurrent planning on the same
+    * SparkSession during the bracket may route through the DSv2 path
+    * — call from the session's single driving thread, as the harness
+    * does; two overlapping calls could restore each other's
+    * intermediate values.
     */
   def footerStats(
       spark: SparkSession, path: String, cols: Seq[String]): Row = {

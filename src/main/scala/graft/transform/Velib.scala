@@ -79,8 +79,21 @@ object Velib {
     * at 100 TB this is a hash-partitioned exchange on (station_id,
     * last_reported), no skew (keys are near-unique).
     */
-  def dedupSnapshots(df: DataFrame): DataFrame =
-    df.dropDuplicates("station_id", "last_reported")
+  def dedupSnapshots(df: DataFrame): DataFrame = {
+    // deterministic survivor, not dropDuplicates' partition-order
+    // pick: two re-reports sharing (station_id, last_reported) but
+    // differing in a non-key column (the backend updates dock counts
+    // without bumping the report time) must resolve to the SAME row
+    // on every run/partitioning — the greatest attribute tuple, the
+    // scd2Apply dedup convention
+    val attrs = df.columns.filterNot(c =>
+      c == "station_id" || c == "last_reported").toSeq
+    df.groupBy(col("station_id"), col("last_reported"))
+      .agg(max(struct(attrs.map(col): _*)).as("__best"))
+      .select(Seq(col("station_id"), col("last_reported")) ++
+        attrs.map(c => col(s"__best.$c").as(c)): _*)
+      .select(df.columns.toSeq.map(col): _*)
+  }
 
   /** Latest report per station — the window-dedup pattern replacing the
     * notebook's surrogate-key intent. Single shuffle on station_id.
