@@ -18,7 +18,7 @@ object Verify {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
     // Unset (the driver's invocation) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

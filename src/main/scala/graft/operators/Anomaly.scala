@@ -43,11 +43,16 @@ object Anomaly {
         s"input column '$c' collides with trailingZscores' output"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(-window.toLong, -1L)
+    // NULL values are filtered at ENTRY (the cusumChangePoints
+    // handling): kept, they would occupy slots in the rows-based frame
+    // and silently displace real history — 13 NULL buckets among the
+    // prior 24 rows starve __n below minPrior and a genuine spike
+    // never flags
     val x = col(valueCol).cast(DecimalType(38, 0))
     val n = count(col(valueCol)).over(w)
     val sx = sum(x).over(w)
     val sxx = sum(x * x).over(w)
-    val withStats = series
+    val withStats = series.filter(col(valueCol).isNotNull)
       .withColumn("__n", n).withColumn("__sx", sx).withColumn("__sxx", sxx)
     val nD = col("__n").cast(DecimalType(38, 0))
     val mean = col("__sx").cast("double") / col("__n").cast("double")
@@ -89,6 +94,11 @@ object Anomaly {
   def cusumChangePoints(
       series: DataFrame, partCols: Seq[String], orderCol: String,
       valueCol: String): DataFrame = {
+    // orderCol must be UNIQUE within the (partCols) scope: duplicate
+    // order values make row_number's t — and therefore the cusum and
+    // its peak — shuffle-order-dependent (a distinct-count check would
+    // double the operator's cost, so uniqueness is the documented
+    // contract, the packByTokenBudget convention).
     Seq("t", "cusum", "is_peak", "__cum", "__n", "__sx", "__best").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with cusumChangePoints' columns"))

@@ -182,6 +182,14 @@ object LangModel {
   def scoreDocs(
       docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel, alpha: Double = 0.4): DataFrame = {
+    // entry guard (the Analytics/Anomaly convention): an idCol or doc
+    // column named like the outputs would emit duplicate names or die
+    // downstream in AMBIGUOUS_REFERENCE
+    Seq("n_tokens", "avg_logprob", "__t").foreach { c =>
+      require(idCol != c, s"idCol '$c' collides with the scorer's outputs")
+      require(!docs.columns.contains(c),
+        s"input column '$c' collides with the scorer's output columns")
+    }
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     val uni = model.unigrams
     val big = model.bigrams
@@ -212,6 +220,14 @@ object LangModel {
   def scoreDocsBcast(
       docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel, alpha: Double = 0.4): DataFrame = {
+    // entry guard (the Analytics/Anomaly convention): an idCol or doc
+    // column named like the outputs would emit duplicate names or die
+    // downstream in AMBIGUOUS_REFERENCE
+    Seq("n_tokens", "avg_logprob", "__t").foreach { c =>
+      require(idCol != c, s"idCol '$c' collides with the scorer's outputs")
+      require(!docs.columns.contains(c),
+        s"input column '$c' collides with the scorer's output columns")
+    }
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     val bc = docs.sparkSession.sparkContext.broadcast(model)
     val n = model.totalTokens.toDouble
