@@ -303,11 +303,13 @@ object Multimodal {
     * `mapPartitions` batching as [[decodeMeta]].
     *
     * Payloads [[decodeFrames]] rejects (or whose frames are smaller
-    * than the 8x8 cell grid) emit ONE stub row — frame_idx 0,
-    * n_frames 1, and the same md5 brightness stand-in
-    * [[perceptualHash]] uses — so a mixed corpus degrades per-row,
-    * never aborts, and the stub stays bit-compatible with the
-    * whole-payload hash path.
+    * than the 8x8 cell grid) emit ONE stub row — frame_idx 0, the same
+    * md5 brightness stand-in [[perceptualHash]] uses, and n_frames
+    * from [[imageHeader]] when the container header is still readable
+    * (1 otherwise) so this operator and [[decodeMeta]] agree on frame
+    * counts for rejected-but-readable containers. A mixed corpus
+    * degrades per-row, never aborts, and the stub stays bit-compatible
+    * with the whole-payload hash path.
     */
   def frameHashes(
       spark: SparkSession, withPayload: DataFrame): Dataset[FrameHash] = {
@@ -330,7 +332,14 @@ object Multimodal {
                 digest.update(s"_p$j".getBytes("UTF-8"))
                 digest.digest()(0) & 0xff
               }
-              Seq(FrameHash(r.doc_id, 0, 1, dHash63(cells)))
+              // n_frames from the container header when it is readable
+              // (payload rejected for size/budget, not for parse):
+              // decodeMeta reports the REAL frame count for the same
+              // payload, and a hardcoded 1 here would re-introduce the
+              // cross-operator contradiction imageHeader's docstring
+              // records. frame_idx stays 0 with the md5 stub hash.
+              val nf = imageHeader(r.payload).map(_._3).getOrElse(1)
+              Seq(FrameHash(r.doc_id, 0, nf, dHash63(cells)))
           }
         }
       }
@@ -579,27 +588,41 @@ object Multimodal {
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
           val (nw, nh) =
             (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // stub kernel: keep bytes proportional to the area change
+          def stubResize(): ResizedMedia = {
+            val nBytes = math.max(1,
+              (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
+            ResizedMedia(r.doc_id, nw, nh, r.payload.take(nBytes))
+          }
           decoded match {
             case Some(img) =>
-              val out = new java.awt.image.BufferedImage(
-                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < nh) {
-                var x = 0
-                while (x < nw) {
-                  out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
-                  x += 1
+              // resample under the same degrade-per-row contract as
+              // decodeImage: a payload that decodes but trips the
+              // kernel (encoder failure, pathological geometry) falls
+              // back to the stub instead of aborting the scan
+              try {
+                val out = new java.awt.image.BufferedImage(
+                  nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < nh) {
+                  // source indices in Long: an extreme-aspect image
+                  // inside the total-pixel bound (e.g. 16777216x4 at
+                  // maxDim 256) overflows x*w in Int and getRGB throws
+                  val sy = (y.toLong * h / nh).toInt
+                  var x = 0
+                  while (x < nw) {
+                    out.setRGB(x, y, img.getRGB((x.toLong * w / nw).toInt, sy))
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "bmp", baos)
+                ResizedMedia(r.doc_id, nw, nh, baos.toByteArray)
+              } catch {
+                case scala.util.control.NonFatal(_) => stubResize()
               }
-              val baos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "bmp", baos)
-              ResizedMedia(r.doc_id, nw, nh, baos.toByteArray)
-            case None =>
-              // stub kernel: keep bytes proportional to the area change
-              val nBytes = math.max(1,
-                (r.payload.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
-              ResizedMedia(r.doc_id, nw, nh, r.payload.take(nBytes))
+            case None => stubResize()
           }
         }
       }

@@ -173,7 +173,15 @@ object Bpe {
     var round = 0
     try {
       var exhausted = false
-      while (nPicked < k && !exhausted) {
+      // the ceil(k/batch) <= 32 require above bounds only the IDEAL
+      // round count; exclusion-exhausted rounds (fewer than `batch`
+      // disjoint picks) add rounds beyond it — worst case 1 pick/round
+      // would run k persist+count barriers, the exact blowup the
+      // 32-round contract exists to prevent. Bound the loop itself at
+      // 2x the contract ceiling; hitting it ends training early with
+      // the merges learned so far (the same emit-what-you-found
+      // semantics an exhausted round already has).
+      while (nPicked < k && !exhausted && round < 64) {
         round += 1
         val counts = cur
           .select(col("cnt"),

@@ -62,6 +62,12 @@ object Dedup {
     * report as one "duplicate" group whose keep rule silently drops
     * all but one of them — rows with no content aren't duplicates of
     * anything; route them through a quality gate, not a deduper.
+    *
+    * Row-count contract for accounting-style callers: sum(n_copies)
+    * equals the count of NON-NULL-text input rows, not the input row
+    * count — a corpus with NULL-text rows shows that shortfall by
+    * design. Reconcile against `count(col("text"))`, or pre-filter
+    * NULLs through a quality gate so the two totals agree.
     */
   def exactDuplicateGroups(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)

@@ -1698,21 +1698,29 @@ object RelationalQueries {
     }),
 
     // S7+K3 driver-visible: the reference's terminal hop — explicit
-    // DDL on a REAL database, then the batched JDBC append loader
-    // (`etl_dag.py:122-136` DDL + `s3_to_postgres.py:76-82` insert),
-    // then the partitioned JDBC scan back out. The database is
-    // embedded Derby, which ships in the Spark distribution for its
-    // metastore (zero egress, same JVM — standing in for Postgres the
-    // way local parquet stands in for S3). The query creates the
-    // target table via plain JDBC DDL, lands the full slice, APPENDS a
-    // second slice (append must append — a truncate/replace regression
-    // halves every count below), reads back through the 4-way
+    // DDL on a REAL database, then the IDEMPOTENT JDBC loader
+    // (`etl_dag.py:122-136` DDL + `s3_to_postgres.py:76-82` insert —
+    // whose retry-after-partial double-insert flaw SURVEY §7.4-3 says
+    // the engine must fix), then the partitioned JDBC scan back out.
+    // The database is embedded Derby, which ships in the Spark
+    // distribution for its metastore (zero egress, same JVM —
+    // standing in for Postgres the way local parquet stands in for
+    // S3). The query creates the target table via plain JDBC DDL
+    // (with the loader's bookkeeping columns), lands the full slice
+    // as batch b1, lands a second slice as batch b2 (distinct batches
+    // must ADD — a truncate/replace regression halves every count
+    // below), then RE-LANDS b2 verbatim: the replay must net a no-op,
+    // so a loader that appends on retry inflates n_sup/sum_key and
+    // hash-mismatches — retry-safety is pinned into the oracle hash,
+    // not just unit-tested. Read-back goes through the 4-way
     // stride-partitioned scan (`Sources.readJdbc` — the
-    // executor-parallel path a real cluster uses), and aggregates.
-    // DECIMAL(12,2) end-to-end keeps the balance sums exact; the
-    // read-back schema surfaces Derby's uppercase identifiers, so the
-    // final projection re-aliases the group key. Filter pushdown into
-    // the JDBC source is plan-asserted in JdbcSpec.
+    // executor-parallel path a real cluster uses), projects out the
+    // bookkeeping columns, and aggregates. DECIMAL(12,2) end-to-end
+    // keeps the balance sums exact; the read-back schema surfaces
+    // Derby's uppercase identifiers, so the final projection
+    // re-aliases the group key. Filter pushdown into the JDBC source
+    // is plan-asserted in JdbcSpec; mid-write-failure recovery is
+    // pinned in JdbcSpec too.
     "q_sink_jdbc" -> ((s, dir) => {
       val dbHome = QueryUtil.scratchDir("graft_jdbc_")
       System.setProperty("derby.system.home", dbHome)
@@ -1721,17 +1729,22 @@ object RelationalQueries {
       val conn = java.sql.DriverManager.getConnection(url)
       try conn.createStatement().execute(
         "CREATE TABLE supplier_load (s_suppkey BIGINT, s_name VARCHAR(64)," +
-          " s_nationkey INT, s_acctbal DECIMAL(12,2))")
+          " s_nationkey INT, s_acctbal DECIMAL(12,2)," +
+          " load_batch_id VARCHAR(64), load_part_id INT)")
       finally conn.close()
       val src = table(s, dir, "supplier").select(
         col("s_suppkey"), col("s_name"), col("s_nationkey"),
         col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
       val cols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      Sinks.jdbcAppend(src, url, "supplier_load", cols, props)
-      Sinks.jdbcAppend(src.filter(col("s_nationkey") < 5),
-        url, "supplier_load", cols, props)
+      Sinks.jdbcIdempotentLoad(src, url, "supplier_load", cols, "b1", props)
+      val slice2 = src.filter(col("s_nationkey") < 5)
+      Sinks.jdbcIdempotentLoad(slice2, url, "supplier_load", cols, "b2", props)
+      // replay of b2: exactly-once means this changes NOTHING
+      Sinks.jdbcIdempotentLoad(slice2, url, "supplier_load", cols, "b2", props)
       Sources.readJdbc(s, url, "supplier_load",
           "s_suppkey", 0L, 1000000L, 4, props)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_sup"),
           sum(col("s_suppkey")).as("sum_key"),

@@ -64,6 +64,90 @@ class JdbcSpec extends SparkTestBase {
       === Seq((1, 4L), (2, 1L), (3, 1L)))
   }
 
+  private def createIdempotentTable(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE t_iload (k BIGINT, name VARCHAR(8), grp INT," +
+        " bal DECIMAL(12,2), load_batch_id VARCHAR(64), load_part_id INT)")
+    finally conn.close()
+  }
+
+  private def loadedKeys(url: String, props: java.util.Properties): Seq[Long] =
+    rows(Sources.readJdbc(spark, url, "t_iload", "k", 0L, 100L, 2, props)
+      .orderBy(col("K"))).map(_.getLong(0))
+
+  test("K3: idempotent load — replaying a batch is a no-op, new batches add") {
+    val (url, props) = freshDb()
+    createIdempotentTable(url)
+    val cols = Seq("k", "name", "grp", "bal")
+    Sinks.jdbcIdempotentLoad(sample, url, "t_iload", cols, "b1", props)
+    assert(loadedKeys(url, props) === Seq(1L, 2L, 3L, 4L))
+    // replay the SAME batch — the at-least-once failure mode of a plain
+    // append (retry lands a second copy) must net zero here
+    Sinks.jdbcIdempotentLoad(sample, url, "t_iload", cols, "b1", props)
+    assert(loadedKeys(url, props) === Seq(1L, 2L, 3L, 4L))
+    // a DIFFERENT batch id is a genuine append
+    Sinks.jdbcIdempotentLoad(sample.filter(col("grp") === 1),
+      url, "t_iload", cols, "b2", props)
+    assert(loadedKeys(url, props) === Seq(1L, 1L, 2L, 3L, 3L, 4L))
+    // replay of b2 under a COARSER partitioning (1 part vs the
+    // original 2+) must clear the stale high-numbered slices too
+    Sinks.jdbcIdempotentLoad(sample.filter(col("grp") === 1).coalesce(1),
+      url, "t_iload", cols, "b2", props)
+    assert(loadedKeys(url, props) === Seq(1L, 1L, 2L, 3L, 3L, 4L))
+  }
+
+  test("K3: idempotent load — a write killed mid-batch recovers on re-run") {
+    import spark.implicits._
+    val (url, props) = freshDb()
+    createIdempotentTable(url)
+    val cols = Seq("k", "name", "grp", "bal")
+    // name VARCHAR(8): a 40-char name aborts ITS partition's
+    // transaction mid-batch (Derby truncation error), after other
+    // partitions may already have committed — the reference's
+    // retry-after-partial scenario (`s3_to_postgres.py:76-82`)
+    val poisoned = sample.union(
+      Seq((9L, "x" * 40, 9, BigDecimal("1.00")))
+        .toDF("k", "name", "grp", "bal")
+        .select(col("k"), col("name"), col("grp"),
+          col("bal").cast("decimal(12,2)").as("bal")))
+      .repartition(4, col("k"))
+    intercept[Exception] {
+      Sinks.jdbcIdempotentLoad(poisoned, url, "t_iload", cols, "bX", props)
+    }
+    // the poisoned partition rolled back; others may have landed —
+    // re-running the SAME batch with fixed data must converge to the
+    // exact final state, no duplicates from the committed survivors
+    val fixed = poisoned.filter(col("k") =!= 9L)
+    Sinks.jdbcIdempotentLoad(fixed, url, "t_iload", cols, "bX", props)
+    assert(loadedKeys(url, props) === Seq(1L, 2L, 3L, 4L))
+    val bal = rows(Sources.readJdbc(spark, url, "t_iload", "k", 0L, 100L, 2, props)
+      .agg(sum(col("BAL")).cast("decimal(18,2)").as("s"))).head.getDecimal(0)
+    assert(bal.toPlainString === "14.25")
+  }
+
+  test("K3: idempotent load round-trips NULLs (typed setNull per column)") {
+    import spark.implicits._
+    val (url, props) = freshDb()
+    createIdempotentTable(url)
+    val withNulls = Seq(
+      (1L, Some("a"), Some(1), Some(BigDecimal("2.50"))),
+      (2L, None: Option[String], None: Option[Int], None: Option[BigDecimal]))
+      .toDF("k", "name", "grp", "bal")
+      .select(col("k"), col("name"), col("grp"),
+        col("bal").cast("decimal(12,2)").as("bal"))
+    Sinks.jdbcIdempotentLoad(withNulls, url, "t_iload",
+      Seq("k", "name", "grp", "bal"), "bn", props)
+    val got = rows(Sources.readJdbc(spark, url, "t_iload", "k", 0L, 100L, 2, props)
+      .orderBy(col("K")))
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        Option(r.getDecimal(3)).map(_.toPlainString)))
+    assert(got === Seq(
+      (1L, Some("a"), Some(1), Some("2.50")),
+      (2L, None, None, None)))
+  }
+
   test("S7: scan partitions by stride and pushes filters into the source") {
     val (url, props) = freshDb()
     createTable(url)
