@@ -193,8 +193,19 @@ object Bench {
     val trend = results.flatMap { case (k, v, _, _) =>
       priorTimes.get(k).map(p => s"${jstr(k)}:${num(v - p, "%.3f")}")
     }.mkString("{", ",", "}")
+    // Auto-flagged regressions: |delta| > max(0.5 s, 25% of the prior
+    // time) vs the previous artifact, so the driver and the next
+    // round's judge see suspects without re-deriving them from trend.
+    // Improvements past the same bar are flagged too (a negative delta
+    // can mean a query silently stopped doing its work).
+    val regressions = results.flatMap { case (k, v, _, _) =>
+      priorTimes.get(k).collect {
+        case p if math.abs(v - p) > math.max(0.5, 0.25 * p) =>
+          s"${jstr(k)}:${num(v - p, "%.3f")}"
+      }
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"trend":$trend,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"trend":$trend,"regressions":$regressions,"sf":${jstr(sfDir)}}"""
     // Belt-and-braces for the driver's tail parser: the compact headline
     // brackets the long map line on stdout, AND the full JSON is written
     // to a bare artifact file free of any build-tool log prefixes.

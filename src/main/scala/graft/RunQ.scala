@@ -3,6 +3,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Single-query profiler: runs one registered query with a noop-sink
   * evaluation, printing elapsed time and the formatted physical plan.
+  *
+  * The timer wraps query CONSTRUCTION plus the noop write — several
+  * registry queries (iterative graph ops, the streaming harnesses,
+  * anything ending in a driver-side re-wrap) do their real work
+  * eagerly while the frame is being built, and timing only the final
+  * write under-reports them to near zero (observed: q_graph_pagerank
+  * 0.4 s by write-only timer vs 9 s true cost). Two in-JVM passes:
+  * pass 1 carries the JIT/classload cold-start a fresh JVM pays
+  * (~2x on short queries), pass 2 approximates graft.Bench's warm-JVM
+  * conditions — compare pass 2 against bench trend numbers.
+  *
   * Usage: graft.RunQ <queryName> [sfDir] */
 object RunQ {
   def main(args: Array[String]): Unit = {
@@ -16,11 +27,16 @@ object RunQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"ELAPSED=${(System.nanoTime() - t0) / 1e9}%.3f sec")
+    (1 to 2).foreach { pass =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuilt = System.nanoTime()
+      if (pass == 1) df.explain("formatted")
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      println(f"ELAPSED p$pass ${(t1 - t0) / 1e9}%.3f sec " +
+        f"(construct ${(tBuilt - t0) / 1e9}%.3f + write ${(t1 - tBuilt) / 1e9}%.3f)")
+    }
     spark.stop()
   }
 }

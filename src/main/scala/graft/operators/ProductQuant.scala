@@ -257,14 +257,20 @@ object ProductQuant {
     // form exploded the m·k pdot entries once per VISITED LIST even
     // though pdot is independent of list_id, inflating the broadcast
     // nProbe-fold (nProbe=32 × m·k=2048 = 65k rows per probe where
-    // 2048 + 32 suffice).
+    // 2048 + 32 suffice). The nProbe pick is IN-EXPRESSION — ascending
+    // struct(-cscore, list) sort of the per-row list array, then
+    // slice — exactly `Similarity.routeProbes`' recipe, because a
+    // row_number window here costs a probe-side exchange + sort for an
+    // ordering already computable per row (cscore is guardCos-pinned
+    // finite, so struct ordering ≡ (cscore desc, list_id asc) with no
+    // NaN asymmetry between the two forms).
     val route = subs
       .select(col("probe_id"), col("__pq_pnorm"),
-        explode(array(listEntries: _*)).as("le"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
-          .orderBy(col("le.cscore").desc, col("le.list_id"))))
-      .filter(col("__rk") <= nProbe)
+        explode(slice(array_sort(array(listEntries.map(le =>
+            struct((-le.getField("cscore")).as("negs"),
+              le.getField("list_id").as("list_id"),
+              le.getField("cdot").as("cdot"))): _*)),
+          1, nProbe)).as("le"))
       .select(col("probe_id"), col("__pq_pnorm"),
         col("le.list_id").as("list_id"), col("le.cdot").as("cdot"))
     // Residual LUT per probe: m*k rounded dots, once per probe.

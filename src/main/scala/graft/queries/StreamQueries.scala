@@ -53,6 +53,14 @@ object StreamQueries {
     */
   private val DocsDedupDir = s"${QueryUtil.fixtureRoot}/stream/docs"
 
+  /** dropDuplicatesWithinWatermark fixtures (flat station_id +
+    * epoch-seconds last_reported rows): a within-watermark re-report
+    * of key 1 (drop 1, must be deduped), a far-future sentinel pushing
+    * the watermark past key 1's state expiry, then a fresh key-1
+    * report (drop 2, must be re-admitted once the state is evicted).
+    */
+  private val StationsDropdupDir = s"${QueryUtil.fixtureRoot}/stream/stations_dropdup"
+
   /** The stations fixtures plus a far-future sentinel report (05:00,
     * throwaway station 1): append-mode session windows only emit once
     * the watermark passes their end, and with the 2 h delay the real
@@ -127,6 +135,38 @@ object StreamQueries {
       }
   }
 
+  /** Land every .json fixture from `srcDir` into a fresh drops dir
+    * with STRICTLY INCREASING mtimes (2 s apart, fixture-name order).
+    * The file source batches pending files in mtime order, so ONE
+    * AvailableNow run with `maxFilesPerTrigger=1` then processes one
+    * fixture per micro-batch in name order — the same order
+    * [[perDropPasses]] pins, at a single stream-start's cost instead
+    * of one start per fixture (each start pays planning + offset-log +
+    * commit-log overhead; on the bench this was most of
+    * q_stream_dedup's 14 s line). Ordering verified empirically on
+    * this Spark: anti-sorted names with increasing mtimes batch in
+    * mtime order across repeated trials. [[perDropPasses]] remains the
+    * harness where the RESTART itself is under test (state/watermark
+    * resume across stream restarts, e.g. q_stream_timetravel).
+    */
+  private def mtimePinnedDropDir(
+      srcDir: String, base: java.nio.file.Path): String = {
+    val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
+    val listed = new java.io.File(srcDir).listFiles()
+    require(listed != null,
+      s"fixture directory not found or unreadable: $srcDir " +
+        "(set GRAFT_REPO_ROOT or -Dgraft.repo.root to the checkout root)")
+    val t0 = 1700000000000L
+    listed.filter(_.getName.endsWith(".json")).sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        val dst = dropDir.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      }
+    dropDir.toString
+  }
+
   /** One scoped streaming run: temp checkpoint dir + shuffle
     * partitions pinned to 2 for the duration (state stores commit per
     * shuffle partition per batch — see the [[runToBatch]] Scaladoc),
@@ -199,25 +239,66 @@ object StreamQueries {
     // copy), 3 (near-dup of accepted), 5 (exact dup of accepted) must
     // be rejected; 1, 2, 4, 6 admitted. Admission order matters, and
     // the file source breaks equal-mtime ties arbitrarily — so the
-    // harness lands each fixture file into the drop dir and runs an
-    // AvailableNow pass PER DROP (shared checkpoint skips processed
-    // files): deterministic, and exactly how drops land in production.
+    // fixtures land with strictly increasing mtimes and ONE
+    // AvailableNow run processes them one-per-batch in that order
+    // (`mtimePinnedDropDir`): same per-batch admission as landing the
+    // drops live, minus six redundant stream restarts the previous
+    // per-drop harness paid.
     "q_stream_dedup" -> ((s, _) => {
       import org.apache.spark.sql.types._
       val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_admit_"))
       val acceptedDir = base.resolve("accepted").toString
       withScopedStreamRun(s) { ckpt =>
-        perDropPasses(DocsDedupDir, base) { dropDir =>
-          val docs = s.readStream
-            .schema(StructType(Seq(
-              StructField("doc_id", LongType), StructField("text", StringType))))
-            .json(dropDir)
-          val q = Streams.streamingDedupAdmission(docs, acceptedDir, ckpt).start()
-          q.awaitTermination()
-        }
+        val docs = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1)
+          .json(mtimePinnedDropDir(DocsDedupDir, base))
+        val q = Streams.streamingDedupAdmission(docs, acceptedDir, ckpt).start()
+        q.awaitTermination()
       }
       s.read.parquet(acceptedDir).select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // §2.10 built-in `dropDuplicatesWithinWatermark`, pinned on its
+    // OWN semantics (the other streaming rows use it as plumbing):
+    // key 1 re-reports at 00:30 within the 2 h watermark of its 00:00
+    // admission — dropped (a plain dropDuplicates would drop it too);
+    // the 05:30 sentinel then pushes the watermark to 03:30, past the
+    // key's state expiry (00:30 + 2 h at the latest), and key 1's
+    // 03:45 report must be ADMITTED AGAIN — the state-eviction
+    // behavior that distinguishes the within-watermark variant from
+    // unbounded dropDuplicates, and the reason its state cannot grow
+    // with stream age. Batch order is pinned per-drop (shared
+    // checkpoint carries both the dedup state and the watermark
+    // across passes); the parquet sink accumulates across passes
+    // where a memory sink would reset.
+    "q_stream_dropdupwm" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val base = java.nio.file.Paths.get(QueryUtil.scratchDir("graft_ddwm_"))
+      val outDir = base.resolve("out").toString
+      withScopedStreamRun(s) { ckpt =>
+        perDropPasses(StationsDropdupDir, base) { dropDir =>
+          val deduped = s.readStream
+            .schema(StructType(Seq(
+              StructField("station_id", LongType),
+              StructField("last_reported", LongType))))
+            .json(dropDir)
+            .select(col("station_id"),
+              timestamp_seconds(col("last_reported")).as("last_reported"))
+            .withWatermark("last_reported", "2 hours")
+            .dropDuplicatesWithinWatermark("station_id")
+          val q = deduped.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      s.read.parquet(outDir)
+        .orderBy(col("station_id"), col("last_reported"))
     }),
 
     // ST3 streaming windowed aggregation, complete mode so every
@@ -456,6 +537,18 @@ object StreamQueries {
         | (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
         | (CAST(4 AS BIGINT)), (CAST(6 AS BIGINT))
         |) AS t(doc_id) ORDER BY doc_id""".stripMargin,
+    // key 1 admitted at 00:00, its 00:30 re-report deduped, and its
+    // 03:45 report RE-ADMITTED after the sentinel-driven watermark
+    // (03:30) evicts the key's state — both halves of the built-in's
+    // contract in one hash.
+    "q_stream_dropdupwm" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST('2024-02-01 00:00:00' AS TIMESTAMP)),
+        | (CAST(1 AS BIGINT), CAST('2024-02-01 03:45:00' AS TIMESTAMP)),
+        | (CAST(2 AS BIGINT), CAST('2024-02-01 00:10:00' AS TIMESTAMP)),
+        | (CAST(9 AS BIGINT), CAST('2024-02-01 05:30:00' AS TIMESTAMP))
+        |) AS t(station_id, last_reported)
+        |ORDER BY station_id, last_reported""".stripMargin,
     "q_stream_join_outer" ->
       """SELECT * FROM (VALUES
         | (CAST(101 AS BIGINT), 7, CAST('2024-02-01 00:10:00' AS TIMESTAMP), CAST('2024-02-01 00:00:00' AS TIMESTAMP), CAST(277.99 AS DOUBLE), 'light rain'),
