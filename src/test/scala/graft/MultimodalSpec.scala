@@ -161,6 +161,58 @@ class MultimodalSpec extends SparkTestBase {
         (orig.getRGB(x * 24 / 12, y * 16 / 8) & 0xffffff))
   }
 
+  test("resize: extreme-aspect image inside the pixel budget resamples for real") {
+    import spark.implicits._
+    // 8500000x4 = 34M px, admitted by the 64M MaxTotalPixels bound, but
+    // dst x=255 picks source column 255*8500000/256 — Int arithmetic
+    // wraps negative there (255*8500000 > Int.MaxValue), getRGB throws,
+    // and the NonFatal fallback would hand back the STUB slice instead
+    // of a decodable 256x1 BMP. Long source indices keep it real.
+    val w = 8500000; val h = 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.BLACK); g.fillRect(0, 0, w, h)
+      g.setColor(java.awt.Color.WHITE)
+      // dst col 255's source band — Long math (the very overflow under test)
+      g.fillRect((255L * w / 256).toInt, 0, w / 256 + 1, h)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val out = Multimodal.resize(spark,
+        Seq((1L, baos.toByteArray)).toDF("doc_id", "payload"), maxDim = 256)
+      .collect().head
+    assert(out.width === 256 && out.height === 1)
+    val back = Multimodal.decodeImage(out.payload)
+      .getOrElse(fail("resize fell back to the stub — real resample aborted"))
+    assert(back.getWidth === 256 && back.getHeight === 1)
+    assert((back.getRGB(255, 0) & 0xffffff) === 0xffffff) // marker survived
+    assert((back.getRGB(0, 0) & 0xffffff) === 0x000000)
+  }
+
+  test("frameHashes stub agrees with decodeMeta on rejected-but-readable frame counts") {
+    import spark.implicits._
+    // hand-built GIF89a declaring TWO 60000x60000 frames: the header is
+    // readable (n_frames=2 without allocating a raster) but decodeFrames
+    // refuses the pixel budget — the stub row must report the REAL frame
+    // count, not a hardcoded 1 contradicting decodeMeta on the same blob
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val frame = Array[Byte](0x2c) ++ u16(0) ++ u16(0) ++
+      u16(60000) ++ u16(60000) ++
+      Array[Byte](0x00, 0x02, 0x02, 0x4c, 0x01, 0x00)
+    val gif2 = "GIF89a".getBytes("US-ASCII") ++
+      u16(60000) ++ u16(60000) ++ Array[Byte](0x00, 0, 0) ++
+      frame ++ frame ++ Array[Byte](0x3b)
+    assert(Multimodal.imageHeader(gif2).map(_._3) === Some(2))
+    assert(Multimodal.decodeFrames(gif2).isEmpty)
+    val df = Seq((1L, gif2)).toDF("doc_id", "payload")
+    val fh = Multimodal.frameHashes(spark, df).collect()
+    assert(fh.length === 1 && fh.head.frame_idx === 0)
+    assert(fh.head.n_frames === 2)
+    assert(Multimodal.decodeMeta(spark, df).collect().head.n_frames === 2)
+  }
+
   test("non-image payloads still take the deterministic stub path") {
     // text bytes decode via no ImageIO reader -> md5 stub (unchanged
     // from the pre-image-path behavior pinned by q_media_phash)
