@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
@@ -38,16 +37,35 @@ object Bench {
     if (ok.size < 2) 1.0 else ok.max / ok.min
   }
 
-  private def newSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  private val RecycleEvery = 8
+
+  /** Time one list of queries, recycling the session every
+    * [[RecycleEvery]] queries (ThreadLocal pollution — see main's
+    * comment). ONE definition for the main passes and the targeted
+    * retry pass: a timing or error-truncation tweak edited in one arm
+    * would silently diverge the other.
+    */
+  private def timeChunk(
+      names: Seq[String], label: String, sfDir: String,
+      cpus: String): Map[String, (Double, Option[String])] =
+    names.grouped(RecycleEvery).flatMap { chunk =>
+      val spark = Harness.newSession(cpus)
+      val rs = chunk.map { name =>
+        System.err.println(s"[bench] $label start $name")
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] $label done  $name $dt%.2f s${err.fold("")(e => s" ERR $e")}")
+        (name, (dt, err))
+      }
+      Harness.recycle(spark)
+      rs
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,38 +94,14 @@ object Bench {
       "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
     catch { case _: ClassNotFoundException => () }
 
-    val RecycleEvery = 8
     val Passes = 2 // min-of-2: bursty environment noise (100 s windows
                    // observed on this host) otherwise lands on whichever
                    // queries run inside the window.
     // Iteration aid, mirroring Verify's filter: SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries. The driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = Harness.selectedNames("bench")
 
-    def onePass(pass: Int): Map[String, (Double, Option[String])] =
-      names.grouped(RecycleEvery).flatMap { chunk =>
-        val spark = newSession(cpus)
-        val rs = chunk.map { name =>
-          val fn = SparkEntry.queries(name)
-          System.err.println(s"[bench] p$pass start $name")
-          val t0 = System.nanoTime()
-          val err: Option[String] =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-            catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] p$pass done  $name $dt%.2f s${err.fold("")(e => s" ERR $e")}")
-          (name, (dt, err))
-        }
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        rs
-      }.toMap
-
-    val passes = (1 to Passes).map(onePass)
+    val passes = (1 to Passes).map(p => timeChunk(names, s"p$p", sfDir, cpus))
 
     // Targeted third pass for the queries whose two timings disagree by
     // more than 2x — min-of-2 is not enough when a pass sits inside one
@@ -119,29 +113,7 @@ object Bench {
       else {
         System.err.println(
           s"[bench] retrying high-spread queries: ${noisy.mkString(", ")}")
-        noisy.grouped(RecycleEvery).flatMap { chunk =>
-          val spark = newSession(cpus)
-          val rs = chunk.map { name =>
-            // same start/done logging as the main passes: retries fire
-            // exactly for stall-window queries, and a wedged retry with
-            // no per-query line would be unattributable
-            System.err.println(s"[bench] retry start $name")
-            val t0 = System.nanoTime()
-            val err: Option[String] =
-              try { SparkEntry.queries(name)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save(); None }
-              catch { case e: Throwable =>
-                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-            val dt = (System.nanoTime() - t0) / 1e9
-            System.err.println(
-              f"[bench] retry done  $name $dt%.2f s${err.fold("")(e => s" ERR $e")}")
-            (name, (dt, err))
-          }
-          spark.stop()
-          SparkSession.clearActiveSession()
-          SparkSession.clearDefaultSession()
-          rs
-        }.toMap
+        timeChunk(noisy, "retry", sfDir, cpus)
       }
 
     val results = names.map { name =>
@@ -212,7 +184,7 @@ object Bench {
     // FULL runs only: a SPARK_GRAFT_ONLY subset run is an iteration aid
     // and must not clobber the artifact the next full run's trend field
     // baselines against.
-    if (only.isEmpty) {
+    if (!Harness.isSubsetRun) {
       val out = new java.io.PrintWriter(
         new java.io.File("bench_total.json"), "UTF-8")
       try out.println(full) finally out.close()

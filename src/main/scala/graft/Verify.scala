@@ -1,43 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.newSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
-    // Unset (the driver's invocation) runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter {
-      case (name, _) => only.forall(_.contains(name))
-    }
-    // A filter that matches nothing (typo, empty string) must not look
-    // like a green run that verified everything.
-    only.foreach { o =>
-      val unknown = o.diff(SparkEntry.queries.keySet)
-      if (unknown.nonEmpty)
-        System.err.println(
-          s"[verify] WARNING: SPARK_GRAFT_ONLY names unknown queries: " +
-            unknown.mkString(", "))
-      if (selected.isEmpty)
-        System.err.println("[verify] WARNING: SPARK_GRAFT_ONLY selected 0 queries")
-    }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
+    // (unset — the driver's invocation — runs everything); typo'd /
+    // zero-match filters warn via Harness so they can't read as green.
+    Harness.selectedNames("verify").foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir must not present the previous run's parquet
+        // for this name as this run's result — the overwrite above
+        // never executed, so the stale dir would hash-compare GREEN
+        // for a query that just crashed; delete it so the checker
+        // reports it missing instead
+        deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     def q(s: String): String = Jsons.str(s)
@@ -46,4 +29,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+      finally walk.close()
+    }
 }

@@ -119,21 +119,30 @@ object StreamQueries {
     */
   private def perDropPasses(srcDir: String, base: java.nio.file.Path)(
       runOne: String => Unit): Unit = {
-    val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
-    // listFiles() returns null (not empty) for a missing/unreadable dir
-    // — fail with an actionable message instead of an NPE when the
-    // fixture root is misconfigured (see QueryUtil.repoRoot)
+    val dropDir = freshDropDir(base)
+    listedFixtures(srcDir).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
+      runOne(dropDir.toString)
+    }
+  }
+
+  /** The .json fixtures of `srcDir` in NAME order — the one listing
+    * contract [[perDropPasses]] and [[mtimePinnedDropDir]] share, so a
+    * listing fix cannot reach one harness and miss the other.
+    * listFiles() returns null (not empty) for a missing/unreadable dir
+    * — fail with an actionable message instead of an NPE when the
+    * fixture root is misconfigured (see QueryUtil.repoRoot).
+    */
+  private def listedFixtures(srcDir: String): Seq[java.io.File] = {
     val listed = new java.io.File(srcDir).listFiles()
     require(listed != null,
       s"fixture directory not found or unreadable: $srcDir " +
         "(set GRAFT_REPO_ROOT or -Dgraft.repo.root to the checkout root)")
-    listed
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-      .foreach { f =>
-        java.nio.file.Files.copy(f.toPath, dropDir.resolve(f.getName))
-        runOne(dropDir.toString)
-      }
+    listed.filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq
   }
+
+  private def freshDropDir(base: java.nio.file.Path): java.nio.file.Path =
+    java.nio.file.Files.createDirectory(base.resolve("drops"))
 
   /** Land every .json fixture from `srcDir` into a fresh drops dir
     * with STRICTLY INCREASING mtimes (2 s apart, fixture-name order).
@@ -151,19 +160,14 @@ object StreamQueries {
     */
   private def mtimePinnedDropDir(
       srcDir: String, base: java.nio.file.Path): String = {
-    val dropDir = java.nio.file.Files.createDirectory(base.resolve("drops"))
-    val listed = new java.io.File(srcDir).listFiles()
-    require(listed != null,
-      s"fixture directory not found or unreadable: $srcDir " +
-        "(set GRAFT_REPO_ROOT or -Dgraft.repo.root to the checkout root)")
+    val dropDir = freshDropDir(base)
     val t0 = 1700000000000L
-    listed.filter(_.getName.endsWith(".json")).sortBy(_.getName).zipWithIndex
-      .foreach { case (f, i) =>
-        val dst = dropDir.resolve(f.getName)
-        java.nio.file.Files.copy(f.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-      }
+    listedFixtures(srcDir).zipWithIndex.foreach { case (f, i) =>
+      val dst = dropDir.resolve(f.getName)
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
     dropDir.toString
   }
 
