@@ -37,18 +37,16 @@ object Bench {
     if (ok.size < 2) 1.0 else ok.max / ok.min
   }
 
-  private val RecycleEvery = 8
-
   /** Time one list of queries, recycling the session every
-    * [[RecycleEvery]] queries (ThreadLocal pollution — see main's
-    * comment). ONE definition for the main passes and the targeted
-    * retry pass: a timing or error-truncation tweak edited in one arm
-    * would silently diverge the other.
+    * [[Harness.RecycleEvery]] queries (ThreadLocal pollution — see
+    * main's comment). ONE definition for the main passes and the
+    * targeted retry pass: a timing or error-truncation tweak edited in
+    * one arm would silently diverge the other.
     */
   private def timeChunk(
       names: Seq[String], label: String, sfDir: String,
       cpus: String): Map[String, (Double, Option[String])] =
-    names.grouped(RecycleEvery).flatMap { chunk =>
+    names.grouped(Harness.RecycleEvery).flatMap { chunk =>
       val spark = Harness.newSession(cpus)
       val rs = chunk.map { name =>
         System.err.println(s"[bench] $label start $name")

@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Harness {
 
+  /** Session-recycle cadence for registry-sweeping mains (Bench,
+    * VerifyTwice): ONE constant, so retuning the ThreadLocal-pollution
+    * mitigation cannot reach one main and silently diverge the other's
+    * run conditions.
+    */
+  val RecycleEvery = 8
+
   def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

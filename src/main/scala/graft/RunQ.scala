@@ -19,11 +19,15 @@ object RunQ {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Harness.newSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    // plan printed from its OWN construction, outside any timer — an
+    // explain inside the timed window would bill plan formatting to
+    // the reported write component (and eager queries would run their
+    // work a third time)
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tBuilt = System.nanoTime()
-      if (pass == 1) df.explain("formatted")
       df.write.format("noop").mode("overwrite").save()
       val t1 = System.nanoTime()
       println(f"ELAPSED p$pass ${(t1 - t0) / 1e9}%.3f sec " +

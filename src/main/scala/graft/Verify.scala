@@ -19,8 +19,14 @@ object Verify {
         // for this name as this run's result — the overwrite above
         // never executed, so the stale dir would hash-compare GREEN
         // for a query that just crashed; delete it so the checker
-        // reports it missing instead
-        deleteRecursively(Paths.get(s"$outDir/$name"))
+        // reports it missing instead. Guarded: a cleanup failure (e.g.
+        // a still-draining task flushing one more _temporary file mid-
+        // walk) must cost THIS query, not abort the remaining sweep.
+        try deleteRecursively(Paths.get(s"$outDir/$name"))
+        catch { case e2: Throwable =>
+          System.err.println(
+            s"[verify] $name stale-output cleanup failed: ${e2.getMessage}")
+        }
       }
     }
     def q(s: String): String = Jsons.str(s)

@@ -318,9 +318,9 @@ object Multimodal {
       .mapPartitions { rows =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
-          decodeFrames(r.payload)
-            .filter(fs => fs.nonEmpty &&
-              fs.forall(f => f.getWidth >= 8 && f.getHeight >= 8)) match {
+          val decoded = decodeFrames(r.payload)
+          decoded.filter(fs => fs.nonEmpty &&
+            fs.forall(f => f.getWidth >= 8 && f.getHeight >= 8)) match {
             case Some(frames) =>
               frames.zipWithIndex.map { case (f, i) =>
                 FrameHash(r.doc_id, i, frames.length, dHash63(imageCells(f)))
@@ -332,13 +332,16 @@ object Multimodal {
                 digest.update(s"_p$j".getBytes("UTF-8"))
                 digest.digest()(0) & 0xff
               }
-              // n_frames from the container header when it is readable
-              // (payload rejected for size/budget, not for parse):
-              // decodeMeta reports the REAL frame count for the same
-              // payload, and a hardcoded 1 here would re-introduce the
+              // n_frames must agree with decodeMeta for rejected-but-
+              // readable containers (a hardcoded 1 re-created the
               // cross-operator contradiction imageHeader's docstring
-              // records. frame_idx stays 0 with the md5 stub hash.
-              val nf = imageHeader(r.payload).map(_._3).getOrElse(1)
+              // records). Decoded-but-sub-8x8 payloads already carry
+              // their count — reuse it; only budget-rejected ones
+              // (where decodeFrames stopped at the declared-size
+              // probe) pay imageHeader's block scan. frame_idx stays
+              // 0 with the md5 stub hash.
+              val nf = decoded.map(_.length).filter(_ > 0)
+                .orElse(imageHeader(r.payload).map(_._3)).getOrElse(1)
               Seq(FrameHash(r.doc_id, 0, nf, dHash63(cells)))
           }
         }

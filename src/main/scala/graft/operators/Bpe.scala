@@ -234,6 +234,14 @@ object Bpe {
           }
         } finally counts.unpersist()
       }
+      // the cap ending training is SILENT in the output (a truncated
+      // merge table looks exactly like corpus exhaustion to callers
+      // that don't count rows) — say so where a human will see it
+      if (nPicked < k && !exhausted && round >= 64)
+        System.err.println(
+          s"[bpe] WARNING: round cap (64) reached with $nPicked/$k merges " +
+            "picked — exclusion-exhausted rounds converged slowly and the " +
+            "merge table is truncated")
     } finally cur.unpersist()
     merges.result()
       .toDF("rank", "round", "left_sym", "right_sym", "merged", "pair_count")

@@ -1727,11 +1727,18 @@ object RelationalQueries {
       val url = s"jdbc:derby:$dbHome/wh;create=true"
       val props = new java.util.Properties()
       val conn = java.sql.DriverManager.getConnection(url)
-      try conn.createStatement().execute(
-        "CREATE TABLE supplier_load (s_suppkey BIGINT, s_name VARCHAR(64)," +
-          " s_nationkey INT, s_acctbal DECIMAL(12,2)," +
-          " load_batch_id VARCHAR(64), load_part_id INT)")
-      finally conn.close()
+      try {
+        val st = conn.createStatement()
+        st.execute(
+          "CREATE TABLE supplier_load (s_suppkey BIGINT, s_name VARCHAR(64)," +
+            " s_nationkey INT, s_acctbal DECIMAL(12,2)," +
+            " load_batch_id VARCHAR(64), load_part_id INT)")
+        // keeps the loader's serializable range locks on the slice, not
+        // the table (see Sinks.jdbcIdempotentLoad)
+        st.execute(
+          "CREATE INDEX supplier_load_batch ON supplier_load" +
+            " (load_batch_id, load_part_id)")
+      } finally conn.close()
       val src = table(s, dir, "supplier").select(
         col("s_suppkey"), col("s_name"), col("s_nationkey"),
         col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))

@@ -314,6 +314,15 @@ object Sinks {
     *     window a plain per-partition append cannot survive — first
     *     deletes the rows its previous attempt landed, so re-landing
     *     is exact, not additive;
+    *   - CONCURRENT duplicate attempts (speculative execution, a
+    *     zombie task on a presumed-dead executor) serialize: the
+    *     transaction runs SERIALIZABLE, so the later attempt's DELETE
+    *     waits on (or conflicts with) the earlier's still-open
+    *     transaction instead of reading an empty slice under
+    *     READ_COMMITTED and double-landing; whichever commits last
+    *     has deleted the other's rows first, leaving exactly one
+    *     copy. (An SSI engine like Postgres aborts one attempt
+    *     instead — Spark retries it, same fixed point.)
     *   - replaying the WHOLE load with the same `batchId` nets a
     *     no-op; the driver additionally clears this batch's parts at
     *     or beyond the current partition count, so a replay under a
@@ -321,13 +330,14 @@ object Sinks {
     *
     * Requirements: the target table carries `load_batch_id
     * VARCHAR` + `load_part_id INT` bookkeeping columns (readers
-    * project them out), and the input's partitions are deterministic
-    * under recompute — true for scans plus narrow transforms and for
-    * fixed-key shuffles, the standard Spark retry assumption.
-    * Batched statements (10k) keep the write executor-parallel like
-    * [[jdbcAppend]]; one transaction per partition means partitions
-    * should be sized to the database's transaction budget
-    * (repartition upstream for very large loads).
+    * project them out — index them so serializable range locks stay
+    * narrow instead of escalating to table locks), and the input's
+    * partitions are deterministic under recompute — true for scans
+    * plus narrow transforms and for fixed-key shuffles, the standard
+    * Spark retry assumption. Batched statements (10k) keep the write
+    * executor-parallel like [[jdbcAppend]]; one transaction per
+    * partition means partitions should be sized to the database's
+    * transaction budget (repartition upstream for very large loads).
     */
   def jdbcIdempotentLoad(
       df: DataFrame, url: String, table: String,
@@ -354,6 +364,13 @@ object Sinks {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
+        // SERIALIZABLE: concurrent duplicate attempts for the same
+        // (batch, part) must contend on the slice's key range — under
+        // READ_COMMITTED a second attempt's DELETE sees none of the
+        // first's uncommitted rows, both insert, both commit = two
+        // copies (the speculation/zombie window)
+        conn.setTransactionIsolation(
+          java.sql.Connection.TRANSACTION_SERIALIZABLE)
         val del = conn.prepareStatement(
           s"DELETE FROM $table WHERE load_batch_id = ? AND load_part_id = ?")
         del.setString(1, batchId); del.setInt(2, pid)

@@ -66,10 +66,14 @@ class JdbcSpec extends SparkTestBase {
 
   private def createIdempotentTable(url: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
-    try conn.createStatement().execute(
-      "CREATE TABLE t_iload (k BIGINT, name VARCHAR(8), grp INT," +
-        " bal DECIMAL(12,2), load_batch_id VARCHAR(64), load_part_id INT)")
-    finally conn.close()
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE t_iload (k BIGINT, name VARCHAR(8), grp INT," +
+          " bal DECIMAL(12,2), load_batch_id VARCHAR(64), load_part_id INT)")
+      st.execute(
+        "CREATE INDEX t_iload_batch ON t_iload (load_batch_id, load_part_id)")
+    } finally conn.close()
   }
 
   private def loadedKeys(url: String, props: java.util.Properties): Seq[Long] =
