@@ -224,10 +224,23 @@ object Text {
   /** Canonical content fingerprint: md5 of case-folded, punctuation-
     * stripped, whitespace-collapsed text. Exact-dedup key robust to
     * formatting noise.
+    *
+    * Text whose normalization comes out EMPTY — CJK/Cyrillic/Arabic,
+    * emoji- or punctuation-only content, anything outside [a-z0-9] —
+    * falls back to fingerprinting the RAW text: the naive form
+    * collapsed every such document to md5(''), so one admitted CJK doc
+    * made an exact-dedup gate reject every other non-Latin doc forever
+    * (silent, unbounded training-data loss in a multilingual corpus).
+    * The fallback keeps exact copies matching while distinct non-Latin
+    * docs stay distinct; formatting-noise robustness is Latin-only by
+    * construction of the alphabet. NULL stays NULL (md5(NULL)), as
+    * before.
     */
-  def normalizedFingerprint(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+  def normalizedFingerprint(text: Column): Column = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    md5(when(norm === "", text).otherwise(norm))
+  }
 
   /** PII-shaped patterns, written to the common subset of Java regex
     * (Spark) and RE2 (DuckDB, many scanners): no backrefs, no

@@ -496,7 +496,17 @@ object Dedup {
       corpus: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
     require(!corpus.columns.contains("__eval_fp"),
       "input column '__eval_fp' collides with decontaminate's scratch column")
-    val nearIds = minhashNearDuplicatesAgainst(corpus, evalSet, threshold)
+    // eval ids are remapped into the negative domain (-id - 1):
+    // minhashNearDuplicatesAgainst defensively skips same-id pairs, so
+    // corpus doc 17 near-duplicating an UNRELATED eval doc 17 (two
+    // independent datasets both numbering from 0) would ship as
+    // "clean" if ids collided. The bijection keeps eval ids distinct
+    // from any non-negative corpus id; corpus docs with negative ids
+    // are out of contract (and an eval id of Long.MinValue fails the
+    // ANSI negation loudly, not silently).
+    val evalTagged = evalSet.select(
+      (-col("doc_id") - 1).as("doc_id"), col("text"))
+    val nearIds = minhashNearDuplicatesAgainst(corpus, evalTagged, threshold)
       .select(col("doc_a").as("doc_id")).distinct()
     val fp = graft.functions.Text.normalizedFingerprint(col("text"))
     corpus

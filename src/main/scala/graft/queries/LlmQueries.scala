@@ -2274,22 +2274,27 @@ object LlmQueries {
           |  SELECT u FROM r GROUP BY u HAVING MIN(v) < u
           |)
           |ORDER BY doc_id""".stripMargin),
+    // norm-empty texts fingerprint the RAW text (the engine's
+    // non-Latin fallback — see Text.normalizedFingerprint)
     "q_decontaminate" ->
       (ShingleCte +
         """, leaked AS (
           |  SELECT DISTINCT doc_a FROM pairs
           |  WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
+          |), nfp AS (
+          |  SELECT doc_id, md5(CASE WHEN n = '' THEN text ELSE n END) AS fp
+          |  FROM (SELECT doc_id, text,
+          |          trim(regexp_replace(regexp_replace(lower(text),
+          |            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+          |        FROM documents)
           |), efp AS (
-          |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-          |  FROM documents WHERE doc_id >= 400
+          |  SELECT DISTINCT fp FROM nfp WHERE doc_id >= 400
           |)
-          |SELECT doc_id FROM documents
-          |WHERE doc_id < 400
-          |  AND doc_id NOT IN (SELECT doc_a FROM leaked)
-          |  AND md5(trim(regexp_replace(regexp_replace(lower(text),
-          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) NOT IN (SELECT fp FROM efp)
-          |ORDER BY doc_id""".stripMargin),
+          |SELECT d.doc_id FROM documents d JOIN nfp ON d.doc_id = nfp.doc_id
+          |WHERE d.doc_id < 400
+          |  AND d.doc_id NOT IN (SELECT doc_a FROM leaked)
+          |  AND nfp.fp NOT IN (SELECT fp FROM efp)
+          |ORDER BY d.doc_id""".stripMargin),
     "q_decon_overlap" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -3760,8 +3765,10 @@ object LlmQueries {
         |        WHEN s_de = best THEN 'de' WHEN s_es = best THEN 'es'
         |        ELSE 'zh' END
         | ELSE 'und' END AS lang_guess,
-        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |   ' +', ' ', 'g'))) AS fingerprint
+        | md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(text),
+        |       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = '' THEN text
+        |   ELSE trim(regexp_replace(regexp_replace(lower(text),
+        |       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END) AS fingerprint
         |FROM nb ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,

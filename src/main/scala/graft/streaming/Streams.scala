@@ -66,16 +66,17 @@ object Streams {
       .dropDuplicatesWithinWatermark("station_id", "last_reported")
 
   /** Hourly per-station availability aggregate with watermark — the
-    * streaming twin of `Velib.hourlyAvailability`.
+    * streaming twin of `Velib.hourlyAvailability`, consuming the SAME
+    * measure list (`Velib.hourlyMeasures`) so the schemas cannot
+    * drift.
     */
   def hourlyAvailabilityStream(raw: DataFrame): DataFrame =
     Velib.curateStations(Velib.flattenStations(raw))
       .withWatermark("last_reported", "2 hours")
       .groupBy(window(col("last_reported"), "1 hour"), col("station_id"))
-      .agg(max("num_bikes_available").as("max_bikes"),
-        count(lit(1)).as("n_reports"))
+      .agg(Velib.hourlyMeasures.head, Velib.hourlyMeasures.tail: _*)
       .select(col("window.start").as("hour_start"), col("station_id"),
-        col("max_bikes"), col("n_reports"))
+        col("max_bikes"), col("min_bikes"), col("n_reports"))
 
   /** Event-time SESSION windows over the deduped update stream: bursts
     * of station reports separated by less than `gap` collapse into one
@@ -275,7 +276,13 @@ object Streams {
       var cur = state.getOption
       rows.toSeq.sortBy(p => (p.last_reported.getTime, p.num_bikes_available))
         .foreach { p =>
-          val late = cur.exists(s => asOfOf(s).getTime > p.last_reported.getTime)
+          // AT-OR-BEFORE the state's asOf is stale: an at-least-once
+          // re-delivery of the already-folded ping (ts == asOf) must
+          // not re-fold — EWMA folding it twice shifts every later
+          // point and emits a second, conflicting value at the same
+          // instant. Equal-ts pings within one first batch fold once
+          // (the sort makes which one deterministic).
+          val late = cur.exists(s => asOfOf(s).getTime >= p.last_reported.getTime)
           if (!late) {
             val (next, emits) = step(cur, p)
             out ++= emits
@@ -284,9 +291,16 @@ object Streams {
         }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(math.max(
+        // BATCH execution (the documented in-tests input path) has no
+        // watermark: EliminateEventTimeWatermark strips the node, the
+        // GroupState is built watermark-less, and both calls below
+        // throw UnsupportedOperationException. Timeouts cannot fire in
+        // a single batch anyway, so skipping the registration there is
+        // exact; streaming keeps the watermark-clamped idle eviction.
+        try state.setTimeoutTimestamp(math.max(
           asOfOf(s).getTime + IdleRetentionMs,
           state.getCurrentWatermarkMs() + 1))
+        catch { case _: UnsupportedOperationException => () }
       }
       out.result().iterator
     }
@@ -417,10 +431,20 @@ object Streams {
                 "treats as already committed, silently dropping batches; " +
                 "resume with the original checkpoint or use a new target")
         } else {
-          val out = fs.create(lineagePath, false)
+          // same create-temp + atomic-rename recipe as the _LATEST
+          // pointer below: a plain create-then-write leaves an EMPTY
+          // lineage file if the writer dies between the two calls, and
+          // the replay of the legitimate checkpoint then fails the
+          // stamp check forever ('' != checkpoint) — wedged until
+          // manual file surgery
+          val tmp = new org.apache.hadoop.fs.Path(root, "_LINEAGE.tmp")
+          val out = fs.create(tmp, true)
           try out.write(
             checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          if (!fs.rename(tmp, lineagePath))
+            throw new java.io.IOException(
+              s"failed to commit lineage stamp $lineagePath")
         }
         // Replay of a FULLY-committed batch (pointer swung, stream
         // checkpoint didn't): the pointer only moves after a complete
@@ -618,7 +642,14 @@ object Streams {
       import graft.operators.Dedup
       val spark = batch.sparkSession
       val sigsDir = acceptedDir.stripSuffix("/") + "_sigs"
+      // NULL-text rows are excluded EXPLICITLY (same contract as
+      // Dedup.exactDuplicateGroups): md5(NULL) is NULL and the keepFp
+      // equi-join below never matches NULL keys, so such rows were
+      // silently neither admitted nor rejected — rows with no content
+      // belong in a quality gate, not an admission store, and the
+      // exclusion must be a stated rule, not a join accident
       val b = batch.select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
         .withColumn("__fp",
           graft.functions.Text.normalizedFingerprint(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -648,9 +679,20 @@ object Streams {
             if (!fs.exists(path)) withinSurvivors
             else {
               if (!fs.exists(sigsPath)) {
-                // migration: a store admitted before the sidecar existed
+                // migration: a store admitted before the sidecar
+                // existed. Staged write + atomic rename: a crash
+                // mid-migration would otherwise leave a PARTIAL
+                // sigsDir that fs.exists treats as completed, silently
+                // weakening both dedup channels for every future batch
+                // (missing docs' fp/bk rows absent forever)
+                val staging =
+                  new org.apache.hadoop.fs.Path(sigsDir + ".migrating")
+                if (fs.exists(staging)) fs.delete(staging, true)
                 val acc = spark.read.parquet(acceptedDir)
-                sidecarRows(acc).write.parquet(sigsDir)
+                sidecarRows(acc).write.parquet(staging.toString)
+                if (!fs.rename(staging, sigsPath))
+                  throw new java.io.IOException(
+                    s"failed to commit sidecar migration to $sigsDir")
               }
               val sigs = spark.read.parquet(sigsDir)
               // (2a) exact channel vs corpus

@@ -106,6 +106,17 @@ object Velib {
       .drop("rn")
   }
 
+  /** The hourly aggregate's measure list — ONE definition consumed by
+    * both [[hourlyAvailability]] (batch) and
+    * `Streams.hourlyAvailabilityStream`, so the declared twins cannot
+    * drift (they already had: the stream silently omitted `min_bikes`,
+    * breaking any consumer written against the batch schema).
+    */
+  def hourlyMeasures: Seq[Column] = Seq(
+    max(col("num_bikes_available")).as("max_bikes"),
+    min(col("num_bikes_available")).as("min_bikes"),
+    count(lit(1)).as("n_reports"))
+
   /** Hourly availability per station — the canonical query over this data
     * (SURVEY.md §2.5 A5): tumbling 1-hour buckets on the report time.
     */
@@ -114,8 +125,5 @@ object Velib {
       .groupBy(
         window(col("last_reported"), "1 hour").getField("start").as("hour_start"),
         col("station_id"))
-      .agg(
-        max(col("num_bikes_available")).as("max_bikes"),
-        min(col("num_bikes_available")).as("min_bikes"),
-        count(lit(1)).as("n_reports"))
+      .agg(hourlyMeasures.head, hourlyMeasures.tail: _*)
 }

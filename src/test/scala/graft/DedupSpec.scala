@@ -166,6 +166,23 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Seq(3L))
   }
 
+  test("decontaminate catches a leak whose corpus and eval ids collide") {
+    // two independent datasets both numbering from 0: the near-dup
+    // channel's defensive same-id guard (minhashNearDuplicatesAgainst)
+    // skipped the (17, 17) pair, shipping the contaminated doc as
+    // clean — eval ids are now remapped to the negative domain first
+    val corpus = Seq(
+      (17L, "the quick brown fox jumps over the sleepy dog"), // near-dup of eval 17
+      (18L, "completely different content about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (17L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val kept = rows(Dedup.decontaminate(corpus, eval_, 0.3)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_.getLong(0))
+    assert(kept === Seq(18L))
+  }
+
   test("decontaminateNgrams drops partial leaks whole-doc channels miss") {
     val corpus = Seq(
       // eval 5-gram embedded in an otherwise unrelated long page: a

@@ -286,6 +286,24 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("normalizedFingerprint: distinct non-Latin docs stay distinct (raw fallback)") {
+    // the naive normalize-then-md5 collapsed EVERY text outside
+    // [a-z0-9] to md5('') — one admitted CJK doc then rejected all
+    // others forever in any exact-dedup gate
+    val df = Seq(
+      (1L, "你好世界"),   // CJK A
+      (2L, "再见世界"),   // CJK B, different content
+      (3L, "你好世界"),   // exact copy of A
+      (4L, "!!!"),                        // punctuation-only
+      (5L, "???")                         // different punctuation-only
+    ).toDF("doc_id", "text")
+    val fp = rows(df.select(col("doc_id"), Text.normalizedFingerprint(col("text"))))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(3L), "exact non-Latin copies must match")
+    assert(fp(1L) !== fp(2L), "distinct CJK docs must not collide")
+    assert(fp(4L) !== fp(5L), "distinct punctuation-only docs must not collide")
+  }
+
   test("rollingMinFingerprint is stable under edits far from the minimizing window") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopqrstuvwxyz"
     val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")

@@ -143,6 +143,49 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST4b: a re-delivered ping at the state's exact asOf never re-folds") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val t0 = 1706745000L
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val out = Streams.availabilityEwma(
+      mem.toDF().toDF("station_id", "num_bikes_available", "last_reported"),
+      alpha = 0.5)
+    val q = out.writeStream.format("memory").queryName("ewma_rd_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 8, ts(t0))); q.processAllAvailable()
+      mem.addData((1L, 4, ts(t0 + 600))); q.processAllAvailable()
+      // at-least-once re-delivery of the ALREADY-FOLDED ping: with the
+      // old strictly-greater stale check this re-folded
+      // (0.5*4 + 0.5*6 = 5 != 6), emitting a second conflicting point
+      // at t0+600 and biasing every later value
+      mem.addData((1L, 4, ts(t0 + 600))); q.processAllAvailable()
+      mem.addData((1L, 2, ts(t0 + 1200))); q.processAllAvailable()
+      val got = rows(spark.table("ewma_rd_t"))
+        .map(r => (r.getAs[Timestamp]("at"), r.getAs[Double]("ewma"))).toSet
+      assert(got === Set((ts(t0), 8.0), (ts(t0 + 600), 6.0), (ts(t0 + 1200), 4.0)))
+    } finally q.stop()
+  }
+
+  test("ST4: stockoutTransitions runs on a plain BATCH frame (the documented test path)") {
+    // batch execution strips the watermark node, and the un-guarded
+    // getCurrentWatermarkMs/setTimeoutTimestamp pair threw
+    // UnsupportedOperationException on the first stateful group
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val t0 = 1706745000L
+    val batch = Seq(
+      (1L, 3, ts(t0)), (1L, 0, ts(t0 + 600)), (1L, 2, ts(t0 + 1200)),
+      (2L, 5, ts(t0 + 60))
+    ).toDF("station_id", "num_bikes_available", "last_reported")
+    val got = rows(Streams.stockoutTransitions(batch).toDF()
+      .orderBy(col("station_id"), col("at")))
+      .map(r => (r.getAs[Long]("station_id"), r.getAs[String]("event"),
+        r.getAs[Timestamp]("at")))
+    assert(got === Seq(
+      (1L, "stockout", ts(t0 + 600)), (1L, "restock", ts(t0 + 1200))))
+  }
+
   test("J7: stream-stream join matches station updates to same-hour weather at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val stMem = MemoryStream[String]
