@@ -38,7 +38,12 @@ object Analytics {
       require(!events.columns.contains(c),
         s"input column '$c' collides with funnelTimes' columns")
     }
-    var acc = events.filter(col(typeCol) === steps.head)
+    // NULL users excluded like cohortRetention/eventTransitions: the
+    // NULL groupBy key would collapse ALL anonymous step-1 events into
+    // one phantom user that can never chain (NULL === NULL joins to
+    // nothing), inflating the step-1 base and deflating conversion
+    var acc = events.filter(col(userCol).isNotNull)
+      .filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_1"))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
       val stepEvents = events.filter(col(typeCol) === st)

@@ -38,6 +38,9 @@ object Profile {
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in $cols — the per-column aliases collide and " +
+        "the reshape fails with an opaque ambiguous-reference error")
     // One shared row count — not one per column.
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val d = col(c).cast("double")
@@ -315,6 +318,9 @@ object Profile {
     */
   def categoricalProfile(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     require(cols.nonEmpty, "categoricalProfile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in $cols — a repeated column melts twice and " +
+        "silently doubles its cnt/n_null")
     require(k > 0, s"k must be positive, got $k")
     val pairs = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("p"))
@@ -430,10 +436,16 @@ object Profile {
     */
   def ksTwoSample(
       a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val tagged = a.filter(col(valueCol).isNotNull)
+    // NaN excluded like every other drift operator here (psi,
+    // jensenShannon, madOutliers): NaN rows inflate n and deflate the
+    // CDF, so a NaN-share DIFFERENCE between feeds reads as maximal
+    // drift over identical real-valued distributions
+    def clean(df: DataFrame) = df.filter(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
+    val tagged = clean(a)
       .select(col(valueCol).cast("double").as("__x"), lit(1L).as("__a"),
         lit(0L).as("__b"))
-      .unionByName(b.filter(col(valueCol).isNotNull)
+      .unionByName(clean(b)
         .select(col(valueCol).cast("double").as("__x"), lit(0L).as("__a"),
           lit(1L).as("__b")))
     val perValue = tagged.groupBy(col("__x"))
@@ -615,7 +627,10 @@ object Profile {
     * spine. All ranks and counts are exact integers; q, p, and the
     * interpolation are a fixed IEEE chain, rounded to 6. A single-row
     * slice on either side yields NULL (no span to interpolate —
-    * try_divide guards). Output: (value, n_rows, q, mapped).
+    * try_divide guards n_cur = 1; an explicit n_ref > 1 gate guards
+    * the reference side, which the raw chain would otherwise silently
+    * map onto the one reference value). Output: (value, n_rows, q,
+    * mapped).
     */
   def quantileMap(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
@@ -676,9 +691,13 @@ object Profile {
       .join(highs, Seq("__v"), "left")
       .select(col("__v").as("value"), col("n_rows"),
         round(col("__q"), 6).as("q"),
-        round(col("__alo")
+        // n_ref = 1 yields NULL like n_cur = 1 does (the documented
+        // "single-row slice on EITHER side" contract): with one
+        // reference value there is no span to interpolate, and the
+        // raw chain would silently map everything to that one value
+        when(col("__naT") > 1, round(col("__alo")
           + (col("__p") - col("__lo").cast("double"))
-            * (coalesce(col("__ahi"), col("__alo")) - col("__alo")), 6)
+            * (coalesce(col("__ahi"), col("__alo")) - col("__alo")), 6))
           .as("mapped"))
       .orderBy(col("value"))
   }
@@ -710,9 +729,14 @@ object Profile {
     // NaN in) either side contributes to no moment and no count — an
     // unguarded count(lit(1)) would mix an all-rows n with
     // paired-rows sums, emitting a wrong non-NULL correlation (and a
-    // NaN would kill the decimal cast under ANSI).
+    // NaN would kill the decimal cast under ANSI). The magnitude bound
+    // is the linearFit guard: |v| >= 1e36 (or Infinity) overflows the
+    // DECIMAL(38,0) cast below and kills the job under ANSI — on the
+    // untrusted feeds a profiler exists to examine.
     val paired = col(xCol).isNotNull && col(yCol).isNotNull &&
-      !isnan(col(xCol).cast("double")) && !isnan(col(yCol).cast("double"))
+      !isnan(col(xCol).cast("double")) && !isnan(col(yCol).cast("double")) &&
+      abs(col(xCol).cast("double")) < 1e36 &&
+      abs(col(yCol).cast("double")) < 1e36
     val x = when(paired,
       round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0)))
     val y = when(paired,

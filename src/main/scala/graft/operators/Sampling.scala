@@ -101,7 +101,13 @@ object Sampling {
     val key = when(weight > 0.0 && !isnan(weight.cast("double")),
       log(hashUnit(col(keyCol))) / weight.cast("double"))
       .otherwise(lit(Double.NegativeInfinity))
-    df.withColumn("es_key", key)
+    // invalid rows are FILTERED, not just sentinel-ranked: with fewer
+    // than k valid rows, -Infinity sentinels (zero/NULL/NaN weight) and
+    // NULL-key rows would otherwise fill the remaining reservoir slots,
+    // violating the "never win" contract
+    df.filter(col(keyCol).isNotNull &&
+        weight.cast("double") > 0.0 && !isnan(weight.cast("double")))
+      .withColumn("es_key", key)
       .orderBy(col("es_key").desc, col(keyCol).asc)
       .limit(k)
       .withColumn("es_key", round(col("es_key"), 6))
@@ -128,7 +134,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("es_key").desc, col(keyCol).asc)
-    df.withColumn("es_key", key)
+    // same pre-filter as weightedReservoir: a group with fewer than k
+    // valid rows must emit only its valid rows, not sentinel fill
+    df.filter(col(keyCol).isNotNull &&
+        weight.cast("double") > 0.0 && !isnan(weight.cast("double")))
+      .withColumn("es_key", key)
       .withColumn("es_rank", row_number().over(w))
       .filter(col("es_rank") <= k)
       .withColumn("es_key", round(col("es_key"), 6))
@@ -163,9 +173,14 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // NaN desc-sorts FIRST (before every real score), so NaN-scored
     // rows would be selected ahead of the genuine best docs and eat
-    // the budget — the weightedReservoir NaN-weight hazard
+    // the budget — the weightedReservoir NaN-weight hazard. Sizes get
+    // the same guard: ONE NaN size poisons the cumulative sum for
+    // every row after it (NaN < budget is false), silently dropping
+    // the whole ranked tail; an Infinite size does the same.
     df.filter(col(scoreCol).isNotNull && col(sizeCol).isNotNull &&
-        !isnan(col(scoreCol).cast("double")))
+        !isnan(col(scoreCol).cast("double")) &&
+        !isnan(col(sizeCol).cast("double")) &&
+        (abs(col(sizeCol).cast("double")) < Double.PositiveInfinity))
       .withColumn("cum_before",
         coalesce(sum(col(sizeCol)).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
@@ -258,8 +273,16 @@ object Sampling {
     require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
     require(!df.columns.contains("fold"),
       "input column 'fold' collides with kFolds' output")
+    // NULL keys hash a sentinel string instead of propagating NULL:
+    // a NULL fold fails BOTH `fold === i` and `fold =!= i`, so such
+    // rows silently vanished from every train AND validation split —
+    // the "every row lands in exactly one fold" contract must hold
+    // for keyless rows too (they all share one deterministic fold,
+    // which a caller can see and handle, unlike a silent drop)
     df.withColumn("fold",
-      pmod(Text.md5Long63(col(keyCol).cast("string")), lit(k.toLong)))
+      pmod(Text.md5Long63(
+        coalesce(col(keyCol).cast("string"), lit(" __null_key"))),
+        lit(k.toLong)))
   }
 
   /** Temporal per-key holdout: each key's LAST `holdoutLast` events
@@ -433,8 +456,14 @@ object Sampling {
       when(col(groupCol) === targetShares.head._1, lit(targetShares.head._2))) {
       case (acc, (g, w)) => acc.when(col(groupCol) === g, lit(w))
     }
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
-    val total = df.agg(count(lit(1)).as("__n_tot"))
+    // counts over the ELIGIBLE rows only (non-NULL group AND key):
+    // counting rows the join/filter below will drop distorts the
+    // realized mix — a group where half the keys are NULL would emit
+    // half its target share (temperatureResample excludes such rows
+    // from its counts for the same reason)
+    val eligible = df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+    val counts = eligible.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_grp"))
+    val total = eligible.agg(count(lit(1)).as("__n_tot"))
     val rates = counts.crossJoin(broadcast(total))
       .select(col(groupCol),
         (shareOf * col("__n_tot").cast("double") /
@@ -443,11 +472,7 @@ object Sampling {
     val extra = hashUnit(
       concat(col(keyCol).cast("string"), lit("#rep"))) <
       (col("__r") - floor(col("__r")))
-    // NULL keys make `extra` NULL, which the otherwise-branch would
-    // quietly turn into floor(r) copies — enforce the documented
-    // keyless-rows-never-leak policy explicitly (NULL groups already
-    // drop at the rates join)
-    df.filter(col(keyCol).isNotNull)
+    eligible
       .join(broadcast(rates), Seq(groupCol))
       .withColumn("__copies",
         floor(col("__r")).cast("long") + when(extra, 1L).otherwise(0L))
@@ -593,9 +618,14 @@ object Sampling {
         s"round; batch the selection past that), got $k")
     import graft.functions.VectorOps
     import org.apache.spark.storage.StorageLevel
+    // NULL ids sort FIRST ascending, so a NULL id (or a non-numeric
+    // id the cast nulls) would be picked as the seed and NPE on the
+    // driver's getLong; NULL vectors can't be selected or covered.
+    // Keyless/vectorless rows are excluded, not crashed on.
     val base = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         VectorOps.norm(col(vecCol)).as("__n"))
+      .filter(col("id").isNotNull && col("__v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRow = base.orderBy(col("id")).limit(1)
@@ -686,9 +716,14 @@ object Sampling {
         "raise batch so rounds stay <= 65")
     import graft.functions.VectorOps
     import org.apache.spark.storage.StorageLevel
+    // NULL ids sort FIRST ascending, so a NULL id (or a non-numeric
+    // id the cast nulls) would be picked as the seed and NPE on the
+    // driver's getLong; NULL vectors can't be selected or covered.
+    // Keyless/vectorless rows are excluded, not crashed on.
     val base = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         VectorOps.norm(col(vecCol)).as("__n"))
+      .filter(col("id").isNotNull && col("__v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRow = base.orderBy(col("id")).limit(1)

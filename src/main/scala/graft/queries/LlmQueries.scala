@@ -3584,9 +3584,12 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
+    // COALESCE mirrors the engine's NULL-key sentinel (kFolds:
+    // keyless rows share one deterministic fold instead of vanishing)
     "q_sample_folds" ->
       """SELECT doc_id,
-        |  CAST(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |  CAST(((('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+        |      ' __null_key')), 1, 16))::UBIGINT
         |    & 9223372036854775807::UBIGINT) % 5) AS BIGINT) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->

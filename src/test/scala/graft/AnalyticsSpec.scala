@@ -25,6 +25,20 @@ class AnalyticsSpec extends SparkTestBase {
   ).map { case (u, id, t, ty) => (u, id, ts(t), ty) }
     .toDF("user_id", "event_id", "ts", "event_type")
 
+  test("funnelTimes: anonymous (NULL-user) events never form a phantom funnel row") {
+    val anon = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), "a"),
+      (Some(1L), ts("2024-01-01 10:05:00"), "b"),
+      (None: Option[Long], ts("2024-01-01 11:00:00"), "a"),
+      (None: Option[Long], ts("2024-01-01 12:00:00"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val f = rows(Analytics.funnelTimes(anon, "user_id", "ts", "event_type",
+      Seq("a", "b")))
+    // the NULL group used to aggregate ALL anonymous step-1 events into
+    // one fabricated permanently-dropped-out user
+    assert(f.size === 1 && f.head.getLong(0) === 1L)
+  }
+
   test("funnelTimes: dropout stays dropped; out-of-order steps don't chain") {
     val f = rows(Analytics.funnelTimes(events, "user_id", "ts", "event_type",
         Seq("a", "b", "c")).orderBy("user_id"))

@@ -545,6 +545,37 @@ class ProfileSpec extends SparkTestBase {
     assert(out.last.getDouble(4) === 1.0)
   }
 
+  test("ksTwoSample: NaN rows never read as drift") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, Double.NaN, Double.NaN).toDF("v")
+    val b = Seq(1.0, 2.0).toDF("v")
+    val r = rows(Profile.ksTwoSample(a, b, "v")).head
+    assert(r.getDouble(0) === 0.0,
+      "identical real-valued distributions must read ks_stat 0 despite NaN share")
+  }
+
+  test("rollingCorr: an Infinity/1e37 row drops from the pair, never kills the job") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, Double.PositiveInfinity, 3.0),
+      (4L, 4.0, 4.0), (5L, 5.0, 5.0)
+    ).toDF("t", "x", "y")
+    // the unguarded DECIMAL(38,0) cast raised CAST_OVERFLOW under ANSI
+    val out = rows(Profile.rollingCorr(df, Nil, "t", "x", "y",
+      window = 5, minPeriods = 2))
+    assert(out.size === 5)
+    assert(out.last.getAs[Long]("n_window") === 4) // the Inf pair dropped
+  }
+
+  test("quantileMap: a single-row reference yields NULL mapped (documented contract)") {
+    import spark.implicits._
+    val ref = Seq(42.0).toDF("v")
+    val cur = Seq(1.0, 2.0, 3.0).toDF("v")
+    val out = rows(Profile.quantileMap(ref, cur, "v"))
+    assert(out.nonEmpty && out.forall(_.isNullAt(3)),
+      "no span to interpolate — mapped must be NULL, not the one ref value")
+  }
+
   test("quantileMap property: monotone, bounded by the reference range") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)

@@ -403,6 +403,72 @@ class SamplingSpec extends SparkTestBase {
     assert(out.filter(_.getInt(4) == 1).map(_.getLong(1)).toSet === Set(1L, 100L))
   }
 
+  test("weightedReservoir(PerGroup): a group with fewer than k valid rows emits ONLY them") {
+    import spark.implicits._
+    // group a: 2 valid rows + 3 zero-weight + 1 NULL-key — the contract
+    // says non-positive/NULL/NaN weights NEVER win, so k=4 must return 2
+    val df = (Seq(("a", Some(1L), 2.0), ("a", Some(2L), 3.0),
+      ("a", Some(3L), 0.0), ("a", Some(4L), 0.0), ("a", Some(5L), 0.0),
+      ("a", None: Option[Long], 9.0),
+      ("b", Some(10L), 1.0))).toDF("g", "id", "w")
+    val grp = rows(Sampling.weightedReservoirPerGroup(df, "g", "id", col("w"), 4))
+    assert(grp.count(_.getString(0) == "a") === 2)
+    assert(grp.filter(_.getString(0) == "a").map(_.getLong(1)).toSet === Set(1L, 2L))
+    val glob = rows(Sampling.weightedReservoir(
+      df.filter(col("g") === "a"), "id", col("w"), 4))
+    assert(glob.map(_.getLong(1)).toSet === Set(1L, 2L))
+  }
+
+  test("selectByBudget: one NaN size cannot poison the cumulative tail") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 9.0, Some(100.0)), (2L, 8.0, Some(Double.NaN)),
+      (3L, 7.0, Some(100.0)), (4L, 6.0, Some(100.0)),
+      (5L, 5.0, None: Option[Double])
+    ).toDF("id", "score", "n")
+    // the NaN-size row used to turn cum_before into NaN for every row
+    // after it (NaN < budget is false), silently dropping the tail
+    val kept = rows(Sampling.selectByBudget(df, "id", "score", "n", 1000L)
+      .orderBy(col("id"))).map(_.getLong(0))
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
+  test("kFolds: NULL keys land in exactly one (shared, deterministic) fold") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("k")
+    val folds = rows(Sampling.kFolds(df, "k", 5))
+    assert(folds.forall(!_.isNullAt(1)), "no row may get a NULL fold")
+    val nullFolds = folds.filter(_.isNullAt(0)).map(_.getLong(1)).distinct
+    assert(nullFolds.size === 1, "all NULL keys share one fold")
+  }
+
+  test("farthestPointSample: NULL ids/vectors are excluded, not crashed on") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(7L), Some(Array(1f, 0f))), (Some(8L), Some(Array(0f, 1f))),
+      (None: Option[Long], Some(Array(9f, 9f))),
+      (Some(9L), None: Option[Array[Float]])
+    ).toDF("id", "vec")
+    // NULL ids sort first ascending: the old seed pick NPE'd on getLong
+    val out = rows(Sampling.farthestPointSample(df, "id", "vec", 2))
+    assert(out.map(_.getLong(1)).toSet === Set(7L, 8L))
+  }
+
+  test("mixtureResample: NULL-key rows don't distort the realized mix") {
+    import spark.implicits._
+    // group a: 40 rows but half NULL-keyed; group b: 20 valid rows.
+    // Counting the NULL-keyed rows (old behavior) halves a's realized
+    // share; counting eligible rows keeps the requested 50/50 mix.
+    val df = ((1L to 20L).map(i => ("a", Some(i))) ++
+      (1 to 20).map(_ => ("a", None: Option[Long])) ++
+      (21L to 40L).map(i => ("b", Some(i)))).toDF("g", "id")
+    val out = rows(Sampling.mixtureResample(df, "g", "id",
+      Map("a" -> 0.5, "b" -> 0.5)))
+    val byG = out.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    // equal eligible counts + equal shares => r = 1.0 exactly for both
+    assert(byG("a") === 20 && byG("b") === 20, s"realized mix: $byG")
+  }
+
   test("selectByBudget: greedy by score, boundary doc kept, overshoot bounded by one doc") {
     import spark.implicits._
     val df = Seq(
