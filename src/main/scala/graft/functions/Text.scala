@@ -81,6 +81,18 @@ object Text {
       }),
       1)
 
+  /** REGISTRY CONVENTION: counts are over the raw single-space split,
+    * ''-artifacts included — tokenCount('') is 1, a double space mints
+    * a phantom token — and every oracle replays the same
+    * `string_split(text, ' ')`, so the convention is cross-engine
+    * consistent by construction (47 oracle sites; see the
+    * q_text_rolling comment). The artifacts also keep the ratio
+    * denominators nonzero under ANSI. Consequence: ratios and gates
+    * built on these counts assume whitespace-NORMALIZED input; run a
+    * messy corpus through the whitespace/HTML cleaners first, or use
+    * [[nonEmptyTokens]] where artifact-free counts matter
+    * (fleschReadingEase does).
+    */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
@@ -98,15 +110,27 @@ object Text {
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast("double") / tokenCount(text)
 
-  /** Punctuation density — fraction of non-alphanumeric-non-space chars.
-    * Empty text is defined as 0.0 (Spark's Divide would yield NULL for
-    * 0/0 where IEEE engines yield NaN — pinning the empty case keeps the
-    * column engine-portable and lets quality filters classify rather
-    * than drop empty docs).
+  /** ASCII punctuation, as an EXPLICIT class (the four printable-ASCII
+    * ranges around the alphanumerics): the previous complement class
+    * `[^A-Za-z0-9 ]` counted every non-ASCII LETTER — é, ü, all of
+    * CJK/Cyrillic/Arabic — and every tab/newline as "punctuation", so
+    * multilingual prose read punct-heavy and failed quality gates
+    * wholesale (the same silent multilingual-loss channel the
+    * fingerprint fix closed). Sits in the Java-regex ∩ RE2 subset.
+    */
+  val PunctClassPattern: String = "[!-/:-@\\[-`{-~]"
+
+  /** Punctuation density — fraction of ASCII-punctuation chars
+    * ([[PunctClassPattern]]; non-ASCII letters and whitespace are
+    * NEITHER alphanumeric nor punctuation). Empty text is defined as
+    * 0.0 (Spark's Divide would yield NULL for 0/0 where IEEE engines
+    * yield NaN — pinning the empty case keeps the column
+    * engine-portable and lets quality filters classify rather than
+    * drop empty docs).
     */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      (length(text) - length(regexp_replace(text, PunctClassPattern, "")))
         .cast("double") / length(text))
 
   /** Composite quality gate in the C4/Gopher style: enough tokens, sane
@@ -273,7 +297,11 @@ object Text {
     * extract the identical span.
     */
   def firstUrl(text: Column): Column =
-    regexp_extract(text, "https?://[^ ]+", 0)
+    // all whitespace terminates, not just the space character — a URL
+    // at end-of-line would otherwise run across the newline into the
+    // next line's first word (explicit class: RE2 and Java agree on
+    // \t\n\r; \s does not sit in the verified common subset)
+    regexp_extract(text, "https?://[^ \t\n\r]+", 0)
 
   /** Registrable host of a URL ('' for non-URLs): the authority up to
     * the first '/', ':' or '?'. Map-side regex — no UDF, no parser
@@ -281,7 +309,10 @@ object Text {
     * priors, licensing tiers) keys on at 100 TB.
     */
   def urlDomain(url: Column): Column =
-    regexp_extract(url, "https?://([^/:? ]+)", 1)
+    // same whitespace rule as firstUrl: a newline-corrupted input must
+    // not mint a fragmented "x.com\nnext" domain key for per-domain
+    // policy to cap against
+    regexp_extract(url, "https?://([^/:? \t\n\r]+)", 1)
 
   def longNumberCount(text: Column): Column =
     regexp_count(text, lit(LongNumberPattern))

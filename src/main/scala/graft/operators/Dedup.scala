@@ -30,27 +30,16 @@ object Dedup {
     */
   def tokens(text: Column): Column = graft.functions.Text.tokens(text)
 
-  /** Distinct n-word shingles. Documents shorter than n tokens yield an
-    * empty set.
-    *
-    * The token array is LET-BOUND through a single-element `transform` so
-    * every inner reference is a lambda variable. Referencing a computed
-    * Column directly would inline the `split` subtree into each of the n
-    * `element_at` calls inside the gram lambda (Catalyst substitutes, it
-    * does not let-bind), re-tokenizing the document n × #grams times per
-    * row — observed via a jstack dump as StringSplit dominating the
-    * n-gram dedup stage.
+  /** Distinct n-word shingles: `array_distinct` over
+    * [[graft.functions.Text.ngrams]] (which carries the let-binding
+    * and short-doc guards — documents shorter than n tokens yield an
+    * empty set). ONE gram-construction definition: this used to
+    * duplicate the whole sequence/transform/concat_ws machinery
+    * line-for-line, so a fix to the let-binding trap or the short-doc
+    * guard in one copy silently missed the other.
     */
   def shingles(text: Column, n: Int): Column =
-    element_at(
-      transform(array(tokens(text)), w => {
-        val grams = transform(
-          sequence(lit(1), size(w) - lit(n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))
-        array_distinct(
-          when(size(w) < n, array().cast("array<string>")).otherwise(grams))
-      }),
-      1)
+    array_distinct(graft.functions.Text.ngrams(text, n))
 
   /** Exact duplicate groups keyed on md5(text): one row per distinct
     * content, carrying the smallest doc_id (the canonical survivor) and

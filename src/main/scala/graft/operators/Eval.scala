@@ -96,11 +96,17 @@ object Eval {
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
     val desc = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val totalPos = scored.agg(sum(col("__y")).as("__total_pos"))
+    // total positives from the SAME ordered window, unbounded on both
+    // sides — a separate aggregate over `scored` re-scanned the source
+    // twice and paid a broadcast join for a value the window already
+    // holds (the per-distinct-score frame is tiny; the source scan is
+    // the corpus-scale cost)
+    val all = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perScore
       .withColumn("n_predicted", sum(col("__n")).over(desc))
       .withColumn("tp", sum(col("__np")).over(desc))
-      .crossJoin(broadcast(totalPos))
+      .withColumn("__total_pos", sum(col("__np")).over(all))
       .select(col("threshold"), col("n_predicted"), col("tp"),
         round(col("tp").cast("double") / col("n_predicted"), 6).as("precision"),
         round(try_divide(col("tp").cast("double"), col("__total_pos")), 6)
@@ -160,9 +166,12 @@ object Eval {
     */
   def brier(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
-      // a NaN residual kills the DECIMAL(38,12) cast under ANSI
+      // a NaN residual kills the DECIMAL(38,12) cast under ANSI — and
+      // so does an INFINITE score's infinite square; neither carries
+      // calibration signal, both are excluded
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
-        !isnan(col(scoreCol).cast("double")))
+        !isnan(col(scoreCol).cast("double")) &&
+        (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
       .select(col(scoreCol).cast("double").as("__p"),
         col(labelCol).cast("int").as("__y"))
     scored
@@ -191,9 +200,11 @@ object Eval {
     val scored = df
       // NaN scores pass isNotNull, land in quantileBucket's NULL bin,
       // and their decimal cast in the bin-mean sum dies under ANSI —
-      // a probability column's NaNs carry no calibration signal
+      // a probability column's NaNs carry no calibration signal.
+      // Infinite scores die on the same cast (brier's guard).
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
-        !isnan(col(scoreCol).cast("double")))
+        !isnan(col(scoreCol).cast("double")) &&
+        (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
       .select(col(scoreCol).cast("double").as("score"),
         col(labelCol).cast("int").as("__y"))
     val perBin = Profile.quantileBucket(scored, "score", bins)
@@ -227,7 +238,6 @@ object Eval {
     * (n_items, p_observed, p_chance, kappa).
     */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).cast("string").as("__a"),
@@ -239,8 +249,13 @@ object Eval {
       .agg(sum(col("__c")).as("__ra"))
     val bM = cells.groupBy(col("__b").as("__k"))
       .agg(sum(col("__c")).as("__cb"))
+    // DISJOINT label sets make the inner join empty and a bare sum()
+    // NULL — kappa/p_chance would read NULL where the correct values
+    // are 0.0 (p_o = 0, p_e = 0: total disagreement, zero chance
+    // agreement; NULL is reserved for the p_e = 1 constant-raters case)
     val prodSum = aM.join(bM, Seq("__k"))
-      .agg(sum(col("__ra") * col("__cb")).as("__rc"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")),
+        lit(0).cast(DecimalType(38, 0))).as("__rc"))
     val diagAndN = cells.agg(
       sum(when(col("__a") === col("__b"), col("__c"))
         .otherwise(lit(0).cast(DecimalType(38, 0)))).as("__diag"),

@@ -2130,8 +2130,9 @@ object LlmQueries {
         |    ELSE text END AS text
         |  FROM documents
         |), d AS (
-        |  SELECT regexp_extract(regexp_extract(text, 'https?://[^ ]+', 0),
-        |    'https?://([^/:? ]+)', 1) AS domain
+        |  SELECT regexp_extract(regexp_extract(text,
+        |      'https?://[^ \t\n\r]+', 0),
+        |    'https?://([^/:? \t\n\r]+)', 1) AS domain
         |  FROM planted
         |)
         |SELECT domain, COUNT(*) AS n_docs FROM d WHERE domain != ''
@@ -3636,7 +3637,7 @@ object LlmQueries {
         | CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 10
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
-        |   AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |   AND (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
         |     / length(text) < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
         |FROM documents""".stripMargin,
     "q_text_perplexity" ->
@@ -3704,7 +3705,7 @@ object LlmQueries {
         |      AS r_wordlen,
         |    (CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
         |      (length(d.text) - length(regexp_replace(d.text,
-        |        '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(d.text) END) < 0.2
+        |        '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / length(d.text) END) < 0.2
         |      AS r_symbol,
         |    len(list_filter(string_split(d.text, ' '),
         |      t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
@@ -3729,7 +3730,7 @@ object LlmQueries {
         | ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS ttr,
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |   (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |   (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
         |   / length(text) END, 6) AS punct_ratio,
         | ROUND(len(list_filter(string_split(text, ' '),
         |     t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
@@ -3737,7 +3738,7 @@ object LlmQueries {
         | (len(string_split(text, ' ')) >= 10
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
-        |   AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |   AND (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
         |     / length(text) < 0.2) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_lang" ->

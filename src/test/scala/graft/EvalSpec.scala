@@ -134,4 +134,25 @@ class EvalSpec extends SparkTestBase {
     assert(h.getDouble(3) === BigDecimal(0.4)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("cohensKappa: disjoint label sets read kappa 0, not NULL") {
+    import spark.implicits._
+    // rater a says only 'cat', rater b only 'dog': the empty marginal
+    // join used to NULL p_chance and kappa; correct is p_o=0, p_e=0,
+    // kappa = 0 (NULL is reserved for the p_e = 1 constant-raters case)
+    val disjoint = Seq(("cat", "dog"), ("cat", "dog")).toDF("a", "b")
+    val d = rows(Eval.cohensKappa(disjoint, "a", "b")).head
+    assert(d.getDouble(1) === 0.0 && d.getDouble(2) === 0.0)
+    assert(!d.isNullAt(3) && d.getDouble(3) === 0.0)
+  }
+
+  test("brier/ece: an Infinite score drops from the mean instead of killing the job") {
+    import spark.implicits._
+    val df = Seq((0.8, 1), (Double.PositiveInfinity, 0), (0.3, 0)).toDF("s", "y")
+    // the Inf row's infinite square used to die on the ANSI decimal cast
+    val b = rows(Eval.brier(df, "s", "y")).head
+    assert(b.getDouble(0) === 0.065 && b.getLong(1) === 2L)
+    val e = rows(Eval.ece(df, "s", "y", bins = 2)).head
+    assert(e.getAs[Long]("n_rows") === 2L)
+  }
 }

@@ -286,6 +286,22 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("firstUrl/urlDomain terminate at ANY whitespace; punctRatio doesn't count é as punct") {
+    val df = Seq(
+      (1L, "see https://x.com\nnext words"),
+      (2L, "café résumé naïve"),          // accented prose: near-zero punct
+      (3L, "!!!???;;;")                    // pure ASCII punctuation
+    ).toDF("doc_id", "text")
+    val out = rows(df.select(col("doc_id"),
+      Text.urlDomain(Text.firstUrl(col("text"))).as("dom"),
+      round(Text.punctRatio(col("text")), 2).as("pr")).orderBy(col("doc_id")))
+    // the [^ ]+ pattern ran the URL across the newline -> dom "x.com\nnext"
+    assert(out(0).getString(1) === "x.com")
+    // the complement class counted every é as punctuation
+    assert(out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(2) === 1.0)
+  }
+
   test("normalizedFingerprint: distinct non-Latin docs stay distinct (raw fallback)") {
     // the naive normalize-then-md5 collapsed EVERY text outside
     // [a-z0-9] to md5('') — one admitted CJK doc then rejected all
