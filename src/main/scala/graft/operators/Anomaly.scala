@@ -81,10 +81,14 @@ object Anomaly {
     * Scale shape: runs over the per-bucket aggregate spine (one row
     * per bucket, not data rows); one hash partitioning per key serves
     * the ordered window, one bounded window pass finds the peak.
-    * `cusum` is exact (DECIMAL(38,0) internally; emitted as long —
-    * callers with n·Σx beyond 2^63 keep the decimal column instead,
-    * the documented contract). Output: input columns +
-    * (t, cusum, is_peak).
+    * `cusum` is exact DECIMAL(38,0) internally END TO END: the peak
+    * comparison runs on the decimal, so `is_peak` stays correct at any
+    * magnitude; the emitted `cusum` column is a try_cast to long —
+    * NULL (never a crash, never a silently-missing peak) for the rare
+    * bucket whose n·Σx clears 2^63. (The previous doc claimed callers
+    * could "keep the decimal column instead" — no API path did, and
+    * the unconditional cast threw under ANSI right where the operator
+    * was needed most.) Output: input columns + (t, cusum, is_peak).
     *
     * NULL `valueCol` rows are filtered at entry: sum() skips a null
     * while row_number() would still count it, so a retained null row
@@ -99,35 +103,40 @@ object Anomaly {
     // its peak — shuffle-order-dependent (a distinct-count check would
     // double the operator's cost, so uniqueness is the documented
     // contract, the packByTokenBudget convention).
-    Seq("t", "cusum", "is_peak", "__cum", "__n", "__sx", "__best").foreach(c =>
+    Seq("t", "cusum", "is_peak", "__cum", "__n", "__sx", "__best",
+      "__cusum_d").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with cusumChangePoints' columns"))
     val series0 = series.filter(col(valueCol).isNotNull)
-    val base = if (partCols.isEmpty)
-      org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    else
-      org.apache.spark.sql.expressions.Window.partitionBy(partCols.map(col): _*)
+    // Window is imported at file scope (trailingZscores uses it bare)
+    val base = if (partCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(partCols.map(col): _*)
     val wOrd = base.orderBy(col(orderCol))
-    val wCum = wOrd.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     val wAll = base.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val x = col(valueCol).cast(DecimalType(38, 0))
     val stats = series0
       .withColumn("t", row_number().over(wOrd))
       .withColumn("__cum", sum(x).over(wCum))
       .withColumn("__n", count(x).over(wAll).cast(DecimalType(38, 0)))
       .withColumn("__sx", sum(x).over(wAll))
-      .withColumn("cusum",
-        (col("__n") * col("__cum")
-          - col("t").cast(DecimalType(38, 0)) * col("__sx")).cast("long"))
-    // earliest-bucket tie-break: max over (|cusum|, -t) structs
+      // exact decimal end to end; the long rendering happens LAST and
+      // via try_cast (see Scaladoc — the unconditional cast threw
+      // under ANSI past 2^63, or with ANSI off silently nulled every
+      // is_peak)
+      .withColumn("__cusum_d",
+        col("__n") * col("__cum")
+          - col("t").cast(DecimalType(38, 0)) * col("__sx"))
+    // earliest-bucket tie-break: max over (|cusum|, -t) structs,
+    // decided on the EXACT decimal
     val withBest = stats.withColumn("__best",
-      max(struct(abs(col("cusum")).as("a"), (-col("t")).as("nt"))).over(wAll))
+      max(struct(abs(col("__cusum_d")).as("a"), (-col("t")).as("nt"))).over(wAll))
     withBest
+      .withColumn("cusum", expr("try_cast(__cusum_d AS LONG)"))
       .withColumn("is_peak",
-        abs(col("cusum")) === col("__best.a") && -col("t") === col("__best.nt"))
-      .drop("__cum", "__n", "__sx", "__best")
+        abs(col("__cusum_d")) === col("__best.a") &&
+          -col("t") === col("__best.nt"))
+      .drop("__cum", "__n", "__sx", "__best", "__cusum_d")
   }
 }

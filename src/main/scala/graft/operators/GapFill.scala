@@ -58,8 +58,12 @@ object GapFill {
       // a NULL series key would build spine rows the using-columns
       // joins below can never match (NULL != NULL), emitting
       // spine rows whose filled column is NULL against the never-null
-      // contract — keyless series are excluded, like NULL measurements
-      .filter(col(key).isNotNull && col(valCol).isNotNull)
+      // contract — keyless series are excluded, like NULL measurements.
+      // NULL timestamps bucket to NULL and can never meet the spine
+      // either — dropped HERE instead of riding the window/dedup pass
+      // before the join discards them anyway
+      .filter(col(key).isNotNull && col(valCol).isNotNull &&
+        col(tsCol).isNotNull)
       .withColumn("__gf_bucket", bucket)
       .withColumn("__gf_rn", row_number().over(perBucket))
       .filter(col("__gf_rn") === 1)
@@ -121,7 +125,12 @@ object GapFill {
       s"input already has a column named $c (reserved)"))
 
     val series = df
-      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      // NULL series keys excluded — the fillGaps policy in this same
+      // file: a keyless series is not a series, and the NULL groupBy
+      // key would otherwise emit a phantom smoothed stream mixing
+      // every keyless event
+      .filter(col(key).isNotNull &&
+        col(tsCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(key))
       .agg(sort_array(collect_list(struct(
         col(tsCol).cast("timestamp").as("ts"),

@@ -34,6 +34,18 @@ object Geo {
 
   /** Nearest `cand` point within `radius` of each `probe` point.
     *
+    * Rows with a NULL coordinate on either side are EXCLUDED before
+    * the cell join: struct join keys treat null fields as EQUAL, so
+    * every NULL-coord probe (x9 exploded cells) would meet every
+    * NULL-coord candidate on one hot (null, null) cell — an
+    * O(nullProbes·9·nullCands) blowup whose rows all evaluate dist_sq
+    * NULL and drop AFTER the join paid for them.
+    *
+    * CONTRACT: `probeId` values must be unique (and non-NULL) — the
+    * final per-probe argmin groups on it, so a duplicated id would
+    * silently mix two probe points' candidates into one wrong row
+    * (the Packing.packByTokenBudget uniqueness convention).
+    *
     * @param probes   (probeId, px, py) — column names given
     * @param cands    (candId, cx, cy)
     * @param radius   search radius in coordinate units (> 0)
@@ -65,7 +77,11 @@ object Geo {
         floor(y / radius).cast("long").as("gy"))
     // Probe side: 3x3 neighborhood of the home cell.
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
-    val p = probes.select(
+    val probesClean =
+      probes.filter(col(px).isNotNull && col(py).isNotNull)
+    val candsClean =
+      cands.filter(col(cx).isNotNull && col(cy).isNotNull)
+    val p = probesClean.select(
       col(probeId), col(px), col(py),
       explode(array(offsets.map { case (dx, dy) =>
         struct(
@@ -73,7 +89,7 @@ object Geo {
           (floor(col(py) / radius).cast("long") + lit(dy.toLong)).as("gy"))
       }: _*)).as("__geo_cell"))
     // Candidate side: home cell only — the big side never explodes.
-    val c = cands.select(
+    val c = candsClean.select(
       col(candId), col(cx), col(cy), cellOf(col(cx), col(cy)).as("__geo_cell"))
     val dx = col(px) - col(cx)
     val dy = col(py) - col(cy)

@@ -181,14 +181,21 @@ object HeavyHitters {
     // null-safe group joins: a NULL group is a real segment (untagged
     // tenant) that groupBy tracks but an equi-join would silently drop
     // between the candidate and totals passes — its heavy hitters
-    // would vanish with no error
+    // would vanish with no error.
+    // NO forced broadcast on cand/totals: they scale with GROUP
+    // cardinality (up to k rows per group / one row per group) — at
+    // the per-tenant/per-day telemetry scale this operator targets,
+    // 50M groups x k would blow the broadcast relation limit. Both
+    // joins are plain (null-safe) equi-joins; AQE broadcasts them
+    // exactly when they are actually small. The global heavyHitters
+    // keeps its k-bounded collect+isInCollection path.
     val counted = keyed.as("i")
-      .join(broadcast(cand).as("c"),
+      .join(cand.as("c"),
         col("i.grp") <=> col("c.grp") && col("i.key") === col("c.key"),
         "left_semi")
       .groupBy(col("grp"), col("key")).agg(count(lit(1)).as("cnt"))
     counted.as("x")
-      .join(broadcast(totals).as("t"), col("x.grp") <=> col("t.grp"))
+      .join(totals.as("t"), col("x.grp") <=> col("t.grp"))
       .filter(col("cnt") > col("total") * lit(minShare))
       .select(col("x.grp").as(groupCol), col("key"), col("cnt"),
         round(col("cnt").cast("double") / col("total"), 6).as("share"))

@@ -86,8 +86,7 @@ object Sketch {
     * this cannot be checked here; align the key types before
     * [[cmsBuild]].
     */
-  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
-    require(depth > 0, s"depth must be positive, got $depth")
+  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
     // DECIMAL(38,0) products: at the ~1e12-row regime this estimator
     // exists for, per-cell counts reach ~N/width and the inner product
     // passes Long.MaxValue (65536 cells x (1.5e7)^2 ~ 1.5e19) — raw
@@ -99,10 +98,22 @@ object Sketch {
       .groupBy(col("cms_row"))
       .agg(sum(col("a.cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
         * col("b.cnt")).as("ip"))
-    cmsA.sparkSession.range(depth).select(col("id").as("cms_row"))
+    // The row spine comes from the SKETCHES' own observed rows, not a
+    // trusted depth argument: a depth larger than the build depth used
+    // to inject phantom all-zero rows that won the min and estimated a
+    // huge join at 0 — inverting the one-sided guarantee with no
+    // error. A row present in one sketch but not the other has ip 0
+    // (disjoint/empty corpus at that row — a correct 0); both sketches
+    // empty means both corpora are empty, so the outer coalesce's 0 is
+    // exact.
+    val spine = cmsA.select(col("cms_row"))
+      .union(cmsB.select(col("cms_row"))).distinct()
+    spine
       .join(prod, Seq("cms_row"), "left")
-      .agg(min(coalesce(col("ip"),
-          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .agg(coalesce(
+          min(coalesce(col("ip"),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .cast("double").as("est_join_size"))
   }
 
@@ -123,6 +134,13 @@ object Sketch {
   def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0)
+    // the sketch join introduces these names; a probe keyCol that
+    // collides dies with AMBIGUOUS_REFERENCE deep in Catalyst instead
+    // of here (the fail-fast contract every sibling operator keeps)
+    Seq("cnt", "cms_row", "cms_col").foreach { c =>
+      require(keyCol != c,
+        s"probe key column '$c' collides with the sketch's columns")
+    }
     probes.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
       .select(col(keyCol),
         posexplode(array((0 until depth).map(i => position(col(keyCol), i, width)): _*))

@@ -694,11 +694,11 @@ object RelationalQueries {
       val selfExact = orders.groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("exact_size"))
-      val r1 = Sketch.cmsJoinSize(cmsO, cmsL, depth = 4)
+      val r1 = Sketch.cmsJoinSize(cmsO, cmsL)
         .crossJoin(broadcast(joinExact))
         .select(lit("orders_lineitem_orderkey").as("rel"),
           col("est_join_size").as("est_size"), col("exact_size"))
-      val r2 = Sketch.cmsJoinSize(cmsC, cmsC, depth = 4)
+      val r2 = Sketch.cmsJoinSize(cmsC, cmsC)
         .crossJoin(broadcast(selfExact))
         .select(lit("orders_self_custkey").as("rel"),
           col("est_join_size").as("est_size"), col("exact_size"))

@@ -63,6 +63,22 @@ class GeoSpec extends SparkTestBase {
     assert(got === Seq((2L, 5L, 0.5)))
   }
 
+  test("NULL coordinates are excluded, not hot-keyed onto one (null,null) cell") {
+    // struct join keys treat null fields as EQUAL: unfiltered, every
+    // NULL-coord probe (x9 cells) met every NULL-coord candidate on a
+    // single hot key — a silent O(nullP*9*nullC) blowup
+    val probes = Seq((1L, Some(0.0), Some(0.0)),
+      (2L, None: Option[Double], Some(1.0)), (3L, None: Option[Double], None))
+      .toDF("pid", "px", "py")
+    val cands = Seq((5L, Some(0.1), Some(0.0)),
+      (6L, None: Option[Double], None: Option[Double]))
+      .toDF("cid", "cx", "cy")
+    val got = rows(Geo.nearestWithinRadius(
+      probes, "pid", "px", "py", cands, "cid", "cx", "cy", 1.0))
+      .map(x => (x.getLong(0), x.getLong(3)))
+    assert(got === Seq((1L, 5L)))
+  }
+
   test("fails fast when an input column is named dist_sq (reserved output)") {
     import spark.implicits._
     val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "px", "dist_sq")

@@ -59,7 +59,7 @@ class SketchSpec extends SparkTestBase {
     def est(width: Int): Long = {
       val a = Sketch.cmsBuild(corpus, "k", 4, width)
       val b = Sketch.cmsBuild(other, "k", 4, width)
-      Sketch.cmsJoinSize(a, b, 4).as[Double].collect().head.toLong
+      Sketch.cmsJoinSize(a, b).as[Double].collect().head.toLong
     }
     assert(est(8) >= exactJoin, "inner-product estimate went below the true join size")
     assert(est(1 << 14) === exactJoin, "collision-free estimate should be exact")
@@ -69,15 +69,15 @@ class SketchSpec extends SparkTestBase {
     val other = Seq("no1", "no2", "no3").toDF("k")
     val a = Sketch.cmsBuild(corpus, "k", 4, 1 << 14)
     val b = Sketch.cmsBuild(other, "k", 4, 1 << 14)
-    assert(Sketch.cmsJoinSize(a, b, 4).as[Double].collect().head === 0.0)
+    assert(Sketch.cmsJoinSize(a, b).as[Double].collect().head === 0.0)
   }
 
   test("self-join cmsJoinSize bounds sum of squared key counts") {
     val exactSelf = exact.values.map(c => c * c).sum
     val cms = Sketch.cmsBuild(corpus, "k", 4, 16)
-    assert(Sketch.cmsJoinSize(cms, cms, 4).as[Double].collect().head.toLong >= exactSelf)
+    assert(Sketch.cmsJoinSize(cms, cms).as[Double].collect().head.toLong >= exactSelf)
     val wide = Sketch.cmsBuild(corpus, "k", 4, 1 << 14)
-    assert(Sketch.cmsJoinSize(wide, wide, 4).as[Double].collect().head.toLong === exactSelf)
+    assert(Sketch.cmsJoinSize(wide, wide).as[Double].collect().head.toLong === exactSelf)
   }
 
   test("build is a single partial-combined aggregate; estimate broadcasts the sketch") {
