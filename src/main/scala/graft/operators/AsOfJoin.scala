@@ -121,6 +121,24 @@ object AsOfJoin {
     val dup = carried.intersect(left.columns)
     require(dup.isEmpty,
       s"carried destination names ${dup.mkString(", ")} already exist on the left side")
+    // key == leftTs passes every check above yet the final projection
+    // emits TWO columns with that name (the key plus the renamed __ts)
+    // — the exact unusable-by-name frame these requires exist to stop
+    require(key != leftTs,
+      s"key and leftTs must be distinct columns, both are '$key'")
+    // the union coerces both timestamps into one __ts column: a type
+    // mismatch (INT epoch vs STRING, DATE vs TIMESTAMP) would silently
+    // widen — e.g. to STRING, where the window sorts LEXICOGRAPHICALLY
+    // and carries right rows from the wrong side of the timeline.
+    // Same rule for the key: coercion there changes which rows meet.
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"leftTs/rightTs types differ (${left.schema(leftTs).dataType} vs " +
+        s"${right.schema(rightTs).dataType}) — the union would coerce " +
+        "and can reorder time itself (cast explicitly)")
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"key '$key' types differ between sides " +
+        s"(${left.schema(key).dataType} vs ${right.schema(key).dataType}) " +
+        "— cast explicitly")
 
     // The carried right values travel inside ONE struct through the
     // window fill. A left row is matched iff a right row preceded it in

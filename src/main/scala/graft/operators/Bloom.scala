@@ -96,6 +96,14 @@ object Bloom {
     * keys (map-side, pre-shuffle), then LEFT SEMI against the dim to
     * remove false positives. Result rows are EXACTLY the plain semi
     * join's — the bloom only shrinks what the shuffle carries.
+    *
+    * SIZE mBits to the dim: ~10 bits per distinct dim key (FPR ~1% at
+    * k=5). The default (2^16) suits dims up to a few thousand keys; a
+    * 10M-key dim saturates it to FPR ≈ 1.0 — every fact row passes,
+    * the full shuffle still happens, and each row paid 2k hash kernels
+    * for nothing (strictly worse than the plain semi join). The build
+    * measures the realized fill fraction for free and WARNS on stderr
+    * past 50% so a mis-sized filter is visible, not silent.
     */
   def prunedSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
@@ -109,6 +117,15 @@ object Bloom {
         s"rendering): ${fact.schema(factKey).dataType.simpleString} vs " +
         s"${dim.schema(dimKey).dataType.simpleString}")
     val bits = buildBits(dim, dimKey, mBits, k)
+    // realized fill fraction from the built words (driver-side
+    // popcount, no extra job): f ≈ 1 - e^(-kn/m), FPR ≈ f^k — past
+    // 50% fill the filter stops earning its hash kernels
+    val fill = bits.map(java.lang.Long.bitCount(_)).sum.toDouble / mBits
+    if (fill > 0.5)
+      System.err.println(
+        f"[bloom] WARNING: filter ${fill * 100}%.0f%% saturated " +
+          f"(approx FPR ${math.pow(fill, k) * 100}%.0f%%) — size mBits " +
+          "to ~10 bits per distinct dim key or skip the bloom")
     // child-qualified join keys: with factKey == dimKey (the common
     // shared-name schema) a bare col(...) === col(...) is ambiguous.
     // No distinct() on the dim side: LEFT SEMI already emits each

@@ -45,6 +45,16 @@ object IncrementalAgg {
   def mergeState(a: DataFrame, b: DataFrame): DataFrame = {
     val groupCols = a.columns.filterNot(
       Seq("sum_v", "n_v", "min_v", "max_v").contains(_)).toSeq
+    // group columns are INFERRED as "everything that isn't a measure",
+    // so a frame carrying extra columns — finish() output (avg_v),
+    // retractState output (needs_rebuild) — would silently treat them
+    // as group keys and emit two rows for one real group; fail fast
+    // with the actionable shape instead
+    Seq("avg_v", "needs_rebuild").foreach { c =>
+      require(!groupCols.contains(c),
+        s"mergeState takes buildState-shaped frames; '$c' would be " +
+          "inferred as a group key (drop derived columns before merging)")
+    }
     a.unionByName(b)
       .groupBy(groupCols.map(col): _*)
       .agg(
@@ -84,6 +94,16 @@ object IncrementalAgg {
       state: DataFrame, deletes: DataFrame,
       groupCols: Seq[String], valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "retractState needs at least one group column")
+    // chaining retracts without rebuilding in between would CLEAR a
+    // prior needs_rebuild flag: the new flag compares this batch's
+    // extremes against the STALE carried min/max, so a group already
+    // flagged would come back unflagged with untrusted extremes —
+    // silent wrong answers at finish(). Rebuild flagged groups first.
+    require(!state.columns.contains("needs_rebuild"),
+      "state already carries needs_rebuild — rebuild the flagged " +
+        "groups (re-run buildState on their base slice) before " +
+        "retracting again; chained retracts would silently un-flag " +
+        "stale min/max")
     val del = deletes.groupBy(groupCols.map(col): _*)
       .agg(
         sum(col(valueCol).cast(DecimalType(28, 2))).as("__d_sum"),

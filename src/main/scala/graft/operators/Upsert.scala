@@ -96,7 +96,13 @@ object Upsert {
     require(attrCols.nonEmpty, "changes carry no attribute columns")
 
     val keyTs = (keys :+ tsCol).map(col)
+    // a NULL change timestamp has no place on a validity timeline: it
+    // would mint a NULL valid_from version AND null the open row's
+    // valid_to (min(ts) = NULL), re-emitting it still open — TWO open
+    // rows per key, silent history corruption. Same quarantine rule
+    // as NULL keys: route them to a dead-letter, don't merge them.
     val deduped = changes
+      .filter(col(tsCol).isNotNull)
       .groupBy(keyTs: _*)
       .agg(max(struct(attrCols.map(col): _*)).as("__scd2_attrs"))
       .select(keyTs ++ attrCols.map(c => col(s"__scd2_attrs.$c").as(c)): _*)
@@ -142,8 +148,13 @@ object Upsert {
       base: DataFrame, changes: DataFrame, keys: Seq[String],
       tsCol: String, opCol: String): DataFrame = {
     require(keys.nonEmpty, "applyCdc needs at least one key column")
-    require(!base.columns.contains("__cdc_rn"),
-      "input column '__cdc_rn' collides with applyCdc's scratch column")
+    // BOTH inputs checked (the scd2Apply/AsOfJoin convention): a
+    // changes batch carrying __cdc_rn would have it silently clobbered
+    // by the row_number below and folded into the tie-break struct
+    Seq(base -> "base", changes -> "changes").foreach { case (df, side) =>
+      require(!df.columns.contains("__cdc_rn"),
+        s"$side column '__cdc_rn' collides with applyCdc's scratch column")
+    }
     // The ordering must be TOTAL or the winner is shuffle-order
     // dependent: after (ts, op), fully tied rows resolve by the
     // lexicographically greatest attribute tuple (the scd2Apply
@@ -234,6 +245,12 @@ object Upsert {
     require(fields.nonEmpty, "goldenRecord needs at least one field")
     require(!fields.contains("n_versions"),
       "field 'n_versions' collides with goldenRecord's output")
+    // the natural "all columns" call puts the key in fields — the
+    // output would then carry keyCol TWICE (group column + max_by
+    // alias) and die downstream with AMBIGUOUS_REFERENCE
+    require(!fields.contains(keyCol),
+      s"fields must not contain the key column '$keyCol' (it is " +
+        "already the group column)")
     val aggs = count(lit(1)).as("n_versions") +: fields.map(f =>
       max_by(col(f), when(col(f).isNotNull, col(ordCol))).as(f))
     df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)

@@ -168,6 +168,22 @@ class AsOfJoinSpec extends SparkTestBase {
       r.getAs[Long]("r_ts"))) === Seq(("u1", 100L, 150L)))
   }
 
+  test("cross-side type drift fails fast instead of coercing the timeline") {
+    // INT-epoch left vs STRING right: the union would widen __ts to
+    // STRING and sort time LEXICOGRAPHICALLY ("9999" > "19000")
+    val l = Seq(("u1", 100L, "p")).toDF("user_id", "ts", "payload")
+    val rStr = Seq(("u1", "50", 1.0)).toDF("user_id", "rts", "temp")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rStr, "user_id", "ts", "rts", Map("temp" -> "temp"))
+    }
+    assert(e.getMessage.contains("types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, Seq((1L, 50L, 1.0)).toDF("user_id", "rts", "temp"),
+        "user_id", "ts", "rts", Map("temp" -> "temp"))
+    }
+    assert(e2.getMessage.contains("user_id"))
+  }
+
   test("NULL join fields never match (SQL ASOF semantics)") {
     // a NULL-ts right row must not be carried to every later left row
     val nullTsRight = Seq(("u1", Option.empty[Long], 7.0), ("u1", Option(90L), 1.0))

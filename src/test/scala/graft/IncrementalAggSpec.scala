@@ -130,6 +130,26 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(b.getString(0) === "b" && !b.isNullAt(3) && !b.getBoolean(5))
   }
 
+  test("retractState/mergeState reject derived-state shapes instead of corrupting") {
+    import spark.implicits._
+    val base = Seq(("g1", 1.0), ("g1", 5.0)).toDF("g", "v")
+    val st = IncrementalAgg.buildState(base, Seq("g"), "v")
+    val deletes = Seq(("g1", 5.0)).toDF("g", "v")
+    val once = IncrementalAgg.retractState(st, deletes, Seq("g"), "v")
+    // chaining a second retract on an unrebuilt flagged state used to
+    // silently CLEAR needs_rebuild against the stale extremes
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalAgg.retractState(once, deletes, Seq("g"), "v")
+    }
+    assert(e1.getMessage.contains("needs_rebuild"))
+    // merging retractState output would infer needs_rebuild as a
+    // GROUP KEY and emit two rows for one real group
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeState(once, once)
+    }
+    assert(e2.getMessage.contains("needs_rebuild"))
+  }
+
   test("joinDelta fails fast on overlapping non-key columns or schema drift") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("k", "v")

@@ -178,6 +178,35 @@ class UpsertSpec extends SparkTestBase {
     assert(e.getMessage.contains("valid_to"))
   }
 
+  test("scd2Apply: NULL change timestamps are quarantined, never merged") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Seq((1L, "a", ts("2024-01-01 00:00:00"),
+      Option.empty[java.sql.Timestamp])).toDF("k", "attr", "valid_from", "valid_to")
+    // a NULL-ts change used to mint a NULL-valid_from version AND null
+    // the open row's valid_to — TWO open rows per key
+    val changes = Seq(
+      (1L, "b", Option.empty[java.sql.Timestamp]),
+      (2L, "c", Some(ts("2024-02-01 00:00:00"))))
+      .toDF("k", "attr", "ts")
+    val out = rows(Upsert.scd2Apply(hist, changes, Seq("k"), "ts")
+      .orderBy(col("k"), col("valid_from")))
+    assert(out.forall(!_.isNullAt(2)), "no NULL valid_from may appear")
+    val openK1 = out.filter(r => r.getLong(0) == 1L && r.isNullAt(3))
+    assert(openK1.size === 1 && openK1.head.getString(1) === "a",
+      "key 1's history must be untouched by its NULL-ts change")
+    assert(out.count(r => r.getLong(0) == 2L) === 1)
+  }
+
+  test("goldenRecord rejects the key column inside fields") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "a")).toDF("k", "ord", "f")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.goldenRecord(df, "k", "ord", Seq("k", "f"))
+    }
+    assert(e.getMessage.contains("group column"))
+  }
+
   test("goldenRecord: each field follows its own freshest non-null feed") {
     import spark.implicits._
     val feed = Seq(
