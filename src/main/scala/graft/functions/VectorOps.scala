@@ -66,9 +66,13 @@ object VectorOps {
   /** L2-normalized copy of the vector (as array<double>), so dot
     * products downstream ARE cosines — the standard pre-step before
     * writing an ANN index. A zero-norm vector normalizes to all-zero
-    * rather than raising DIVIDE_BY_ZERO under ANSI mode (consistent
-    * with [[DegenerateCos]]: degenerates stay representable and rank
-    * worst, they never kill the job).
+    * rather than raising DIVIDE_BY_ZERO under ANSI mode; a vector
+    * whose norm is NULL or NaN (a NULL or NaN ELEMENT — corrupted
+    * embedding) normalizes to NULL, the [[quantizeInt8]] verdict.
+    * The old coalesce rewrote such a vector to ALL-ZERO, which then
+    * dot-scored 0.0 against every query — ranking corrupted vectors
+    * ABOVE genuinely anti-correlated ones in top-k retrieval instead
+    * of surfacing them.
     */
   def l2Normalize(a: Column): Column =
     // The norm is LET-BOUND as a single-element array's lambda variable:
@@ -78,7 +82,9 @@ object VectorOps {
     // trap Text.ngrams documents. Bound this way it evaluates once.
     element_at(
       transform(array(norm(a)), nrm =>
-        transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0)))),
+        when(nrm.isNull || isnan(nrm), lit(null).cast("array<double>"))
+          .otherwise(
+            transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0))))),
       1)
 
   /** Symmetric int8 quantization: q_i = floor(x_i * 127 / max|x| + 0.5),

@@ -68,20 +68,32 @@ object KMeans {
       def scoreTo(cv: Array[Float], cn: Double): Column =
         VectorOps.guardCos(try_divide(
           VectorOps.dot(col("vec"), typedlit(cv)), col("_n") * lit(cn)))
+      // per-row dimension guard, free until it fires (codegen'd
+      // conditional): a stray vector of the wrong length would
+      // otherwise NULL its dots, guardCos-pin its score to -2, land in
+      // centroid 0, and SKEW that centroid's short positions silently
+      // — ProductQuant.requireDim calls the outcome
+      // "plausible-looking garbage"; here the corpus never collects,
+      // so the check rides the assignment scan instead of a probe
+      val dim = codebook.head._2.length
       val assigned = corpus
         .select(col("vec"), VectorOps.norm(col("vec")).as("_n"))
         .select(col("vec"),
-          array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
-            struct(scoreTo(cv, cn).as("s"), lit(-cid).as("negc"))
-          }: _*)).as("best"))
+          when(size(col("vec")) =!= dim,
+            raise_error(concat(lit("KMeans: vector of dimension "),
+              size(col("vec")).cast("string"),
+              lit(s" in a $dim-dimensional corpus"))))
+            .otherwise(
+              array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
+                struct(scoreTo(cv, cn).as("s"), lit(-cid).as("negc"))
+              }: _*))).as("best"))
         .select(col("vec"), (-col("best.negc")).as("cid"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(round(col("x").cast("double"), 6).cast(DecimalType(38, 12)))
-          .cast("double") / count(lit(1))).as("m"))
-        .select(col("cid"), col("pos"),
-          round(col("m"), 6).cast("float").as("comp"))
+      // the update step IS VectorAgg.meanVectors (its doc: "the KMeans
+      // update-step shape, exposed as a standalone operator") — one
+      // definition of the oracle-parity decimal-mean kernel, so a
+      // rounding fix cannot desync the two bit-for-bit replays
+      val means = VectorAgg.meanVectors(assigned, "cid", "vec")
+        .select(col("cid"), col("pos"), col("comp"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rs) =>

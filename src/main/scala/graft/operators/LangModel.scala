@@ -182,15 +182,7 @@ object LangModel {
   def scoreDocs(
       docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel, alpha: Double = 0.4): DataFrame = {
-    // entry guard (the Analytics/Anomaly convention): an idCol or doc
-    // column named like the outputs would emit duplicate names or die
-    // downstream in AMBIGUOUS_REFERENCE
-    Seq("n_tokens", "avg_logprob", "__t").foreach { c =>
-      require(idCol != c, s"idCol '$c' collides with the scorer's outputs")
-      require(!docs.columns.contains(c),
-        s"input column '$c' collides with the scorer's output columns")
-    }
-    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    validateScoreInputs(docs, idCol, alpha)
     val uni = model.unigrams
     val big = model.bigrams
     val n = model.totalTokens.toDouble
@@ -220,15 +212,7 @@ object LangModel {
   def scoreDocsBcast(
       docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel, alpha: Double = 0.4): DataFrame = {
-    // entry guard (the Analytics/Anomaly convention): an idCol or doc
-    // column named like the outputs would emit duplicate names or die
-    // downstream in AMBIGUOUS_REFERENCE
-    Seq("n_tokens", "avg_logprob", "__t").foreach { c =>
-      require(idCol != c, s"idCol '$c' collides with the scorer's outputs")
-      require(!docs.columns.contains(c),
-        s"input column '$c' collides with the scorer's output columns")
-    }
-    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    validateScoreInputs(docs, idCol, alpha)
     val bc = docs.sparkSession.sparkContext.broadcast(model)
     val n = model.totalTokens.toDouble
     val a = alpha
@@ -262,6 +246,22 @@ object LangModel {
       i += 1
     }
     s
+  }
+
+  /** Shared entry guard of [[scoreDocs]] and [[scoreDocsBcast]] (ONE
+    * definition — the two paths' whole design point is bit-identical
+    * behavior, and a guard edited in one arm would silently desync
+    * them): an idCol or doc column named like the outputs would emit
+    * duplicate names or die downstream in AMBIGUOUS_REFERENCE.
+    */
+  private def validateScoreInputs(
+      docs: DataFrame, idCol: String, alpha: Double): Unit = {
+    Seq("n_tokens", "avg_logprob", "__t").foreach { c =>
+      require(idCol != c, s"idCol '$c' collides with the scorer's outputs")
+      require(!docs.columns.contains(c),
+        s"input column '$c' collides with the scorer's output columns")
+    }
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
   }
 
   private def scoreWith(

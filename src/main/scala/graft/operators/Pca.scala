@@ -44,7 +44,14 @@ object Pca {
     require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
     // a vector longer than dim would die mid-job in element_at's ANSI
     // range check (and feed out-of-range d values to the driver fold)
-    // — one limit-1 probe turns that into a real message
+    // — one limit-1 probe turns the common uniformly-wrong-dim call
+    // into a real message. The probe inspects ONE arbitrary row: a
+    // MIXED-dimension corpus can still slip past it (a longer stray
+    // dies mid-iteration on the same ANSI error; a shorter one
+    // contributes zero-padded terms and silently biases the
+    // component) — pre-validate with filter(size(vec) =!= dim) when
+    // the corpus is untrusted; a per-row scan-time check here would
+    // add a full pass to every call for the trusted common case.
     embs.select(size(col("vec")).as("d")).limit(1).collect().foreach { r =>
       require(r.getInt(0) == dim,
         s"topComponent(dim = $dim) got vectors of dimension ${r.getInt(0)}")

@@ -21,19 +21,6 @@ import graft.functions.Text
   */
 object Repetition {
 
-  /** Per-document n-gram repetition stats:
-    *
-    *  - `n_grams`        total n-grams (with multiplicity)
-    *  - `n_unique_grams` distinct n-grams
-    *  - `top_gram_frac`  fraction consumed by the single most frequent
-    *                     n-gram
-    *  - `dup_gram_frac`  fraction consumed by n-grams occurring more
-    *                     than once (the Gopher "duplicate n-gram
-    *                     fraction")
-    *
-    * Documents shorter than n tokens keep a row with zeroed stats (a
-    * LEFT join back to the id set — the explode path drops them).
-    */
   /** Token-distribution diversity per document:
     *
     *  - `n_tokens` / `n_types`  total and distinct token counts
@@ -74,26 +61,6 @@ object Repetition {
           .as("entropy"))
   }
 
-  /** CROSS-document duplicated-span coverage — the diagnostic behind
-    * exact-substring dedup (the "dedup training data makes LMs better"
-    * screen): for each document, the fraction of its token positions
-    * covered by at least one word n-gram whose corpus document
-    * frequency is >= `minDf`. A doc scoring high is mostly made of
-    * text that recurs across the corpus (mirrors, boilerplate,
-    * templated spam) even when no single whole-doc or chunk hash
-    * matches. Positions (not gram counts) are what's measured: two
-    * overlapping hot n-grams cover n+1 positions, not 2n, so the score
-    * is a true "share of the text" in [0, 1].
-    *
-    * Scale shape: positional grams are a map-side generate; the
-    * document-frequency pass and the hot semi join both key on the
-    * 63-bit md5 gram hash ([[graft.functions.Text.md5Long63]]) — the
-    * gram strings never shuffle, and the df>=minDf filter bounds the
-    * hot side by the recurring vocabulary. Covered positions dedup in
-    * one partial-combined distinct before the per-doc count. Docs
-    * shorter than n tokens have no grams and score 0 via the left
-    * join, not by dropping out.
-    */
   /** Shared core of [[dupSpanStats]] and [[removeDupSpans]]: the
     * positional gram stream, the corpus-hot gram set (document
     * frequency >= minDf over DISTINCT (doc, gram)), and the distinct
@@ -118,6 +85,26 @@ object Repetition {
       .distinct()
   }
 
+  /** CROSS-document duplicated-span coverage — the diagnostic behind
+    * exact-substring dedup (the "dedup training data makes LMs better"
+    * screen): for each document, the fraction of its token positions
+    * covered by at least one word n-gram whose corpus document
+    * frequency is >= `minDf`. A doc scoring high is mostly made of
+    * text that recurs across the corpus (mirrors, boilerplate,
+    * templated spam) even when no single whole-doc or chunk hash
+    * matches. Positions (not gram counts) are what's measured: two
+    * overlapping hot n-grams cover n+1 positions, not 2n, so the score
+    * is a true "share of the text" in [0, 1].
+    *
+    * Scale shape: positional grams are a map-side generate; the
+    * document-frequency pass and the hot semi join both key on the
+    * 63-bit md5 gram hash ([[graft.functions.Text.md5Long63]]) — the
+    * gram strings never shuffle, and the df>=minDf filter bounds the
+    * hot side by the recurring vocabulary. Covered positions dedup in
+    * one partial-combined distinct before the per-doc count. Docs
+    * shorter than n tokens have no grams and score 0 via the left
+    * join, not by dropping out.
+    */
   def dupSpanStats(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
@@ -171,6 +158,19 @@ object Repetition {
         (col("nt") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_removed"))
   }
 
+  /** Per-document n-gram repetition stats:
+    *
+    *  - `n_grams`        total n-grams (with multiplicity)
+    *  - `n_unique_grams` distinct n-grams
+    *  - `top_gram_frac`  fraction consumed by the single most frequent
+    *                     n-gram
+    *  - `dup_gram_frac`  fraction consumed by n-grams occurring more
+    *                     than once (the Gopher "duplicate n-gram
+    *                     fraction")
+    *
+    * Documents shorter than n tokens keep a row with zeroed stats (a
+    * LEFT join back to the id set — the explode path drops them).
+    */
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val counts = docs

@@ -103,12 +103,23 @@ object TfIdf {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__in_vocab"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    val perDoc = toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    // left-join the DOC SPINE back (the vocabGrowth/repetitionStats
+    // convention): a tokenless (blank/NULL-text) doc explodes to no
+    // rows and would vanish from the output entirely — coverage
+    // accounting then undercounts the corpus. Such docs read
+    // (0, 0, NULL rate) instead of disappearing.
+    docs.select(col("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
       .withColumn("oov_rate",
-        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        round(try_divide(col("n_oov").cast("double"),
+          col("n_tokens").cast("double")), 6))
   }
   /** Heaps'-law vocabulary growth curve: cumulative token count vs
     * cumulative DISTINCT vocabulary size at every `every`-th document
@@ -153,8 +164,11 @@ object TfIdf {
       .filter(col("__rk") % every === 0)
       .select(col("__rk").as("n_docs"), col("__id").as("doc_id"),
         col("cum_tokens"), col("cum_vocab"),
-        round(col("cum_vocab").cast("double")
-          / col("cum_tokens").cast("double"), 6).as("vocab_rate"))
+        // try_divide: a checkpoint before the first real token
+        // (leading blank docs) is 0/0 — plain double division reads
+        // NaN, which poisons downstream sorts; the house rule is NULL
+        round(try_divide(col("cum_vocab").cast("double"),
+          col("cum_tokens").cast("double")), 6).as("vocab_rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -210,6 +224,13 @@ object TfIdf {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "bm25 needs a nonempty set of distinct query terms")
+    // out-of-range hyperparameters don't error downstream — they
+    // silently INVERT scores: a negative k1 flips the saturation
+    // denominator negative for small tf (or crosses zero into an
+    // IEEE Infinity), partially reversing the ranking
+    require(k1 >= 0.0, s"k1 must be >= 0 (BM25 saturation), got $k1")
+    require(b >= 0.0 && b <= 1.0,
+      s"b must be in [0, 1] (length-normalization mix), got $b")
     val tok = docs.select(col("doc_id").as("__id"),
       explode(Text.nonEmptyTokens(col("text"))).as("__tok"))
     val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("dl"))

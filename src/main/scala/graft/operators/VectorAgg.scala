@@ -26,7 +26,15 @@ object VectorAgg {
     * warehouse stores next to the corpus. NULL group keys form their
     * own group (engines agree on GROUP BY NULL).
     */
-  def meanVectors(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+  def meanVectors(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    // entry guard (the Analytics/Anomaly convention): a group column
+    // named like the explode/output columns would emit duplicate names
+    // (groupCol = "pos" produces TWO pos columns) or die downstream in
+    // AMBIGUOUS_REFERENCE
+    Seq("pos", "x", "n_vecs", "m", "comp").foreach { c =>
+      require(groupCol != c,
+        s"group column '$c' collides with meanVectors' columns")
+    }
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col(groupCol), col("pos"))
       .agg(
@@ -35,6 +43,7 @@ object VectorAgg {
           .cast("double") / count(lit(1))).as("m"))
       .select(col(groupCol), col("n_vecs"), col("pos"),
         round(col("m"), 6).cast("float").as("comp"))
+  }
 
   /** Per-dimension z-score standardization of the corpus — the feature
     * scaling step before distance-based methods (k-means, ANN) when
@@ -59,6 +68,13 @@ object VectorAgg {
     * is bounded by the 6-place input quantization).
     */
   def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // "vec_id" itself is fine — idCol is RENAMED to it (identity
+    // rename for the common vec_id input); only the explode/scratch/
+    // output names it must coexist with are reserved
+    Seq("pos", "x", "xr", "mean", "ex2", "std", "z").foreach { c =>
+      require(idCol != c,
+        s"id column '$c' collides with standardizeDims' columns")
+    }
     val ex = df
       .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"),
@@ -105,6 +121,10 @@ object VectorAgg {
   def clusterSeparation(
       df: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorOps
+    Seq("n_vecs", "mean_own_cos", "mean_other_cos", "separation").foreach { c =>
+      require(labelCol != c,
+        s"label column '$c' collides with clusterSeparation's outputs")
+    }
     val cent = meanVectors(df, labelCol, vecCol)
       .groupBy(col(labelCol).as("__clab"))
       .agg(transform(

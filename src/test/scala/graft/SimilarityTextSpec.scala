@@ -344,6 +344,13 @@ class SimilarityTextSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
     assert(out(0)._2 === Seq(0.6, 0.8))
     assert(out(1)._2 === Seq(0.0, 0.0))
+    // a corrupted vector (NULL element) must normalize to NULL — the
+    // quantizeInt8 verdict — not to the all-zero vector, which would
+    // dot-score 0.0 and rank ABOVE anti-correlated vectors in top-k
+    val bad = Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+    val badOut = rows(bad.select(
+      graft.functions.VectorOps.l2Normalize(col("v")).as("n")))
+    assert(badOut.head.isNullAt(0), "NULL-element vector must read NULL")
   }
 
   test("quantizeInt8: round-half-up symmetric quantization, zero-safe") {
