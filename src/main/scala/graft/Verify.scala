@@ -7,6 +7,11 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Harness.newSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // Side-channel for self-diagnosing queries (q_sink_jdbc): raw
+    // un-hashed evidence lands under <outDir>/_diag so a red driver row
+    // ships the state that produced it (the checker compares only the
+    // <name>/ dirs; the underscore-prefixed dir is inert to it).
+    System.setProperty("graft.diag.dir", s"$outDir/_diag")
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     // (unset — the driver's invocation — runs everything); typo'd /
     // zero-match filters warn via Harness so they can't read as green.

@@ -48,6 +48,38 @@ object Ingest {
     resp.body()
   }
 
+  /** App-level retry/backoff combinator over any [[Transport]] — the
+    * reference retries every task 3× with a 5-minute delay
+    * (`etl_dag.py:331-332`, the DAG-wide `retries`/`retry_delay`
+    * defaults); SURVEY §2.11 maps that orchestration behavior to an
+    * app-level retry wrapper on the one imperative edge. Composable
+    * (`withRetry(3, 1000)(httpTransport())`), exponential backoff
+    * (delay, 2·delay, 4·delay, …), and the sleeper is injectable so
+    * tests count attempts without wall-clock sleeps. Retries on any
+    * NonFatal throw — the transport already converts non-200 statuses
+    * to throws, so status retry falls out. The LAST failure propagates
+    * when attempts are exhausted (the reference marks the task failed
+    * after its final retry the same way).
+    */
+  def withRetry(
+      attempts: Int, backoffMs: Long,
+      sleeper: Long => Unit = Thread.sleep)(t: Transport): Transport = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    require(backoffMs >= 0, s"backoffMs must be >= 0, got $backoffMs")
+    url => {
+      var tryNo = 0
+      var result: Option[String] = None
+      var last: Throwable = null
+      while (result.isEmpty && tryNo < attempts) {
+        if (tryNo > 0) sleeper(backoffMs << (tryNo - 1))
+        try result = Some(t(url))
+        catch { case scala.util.control.NonFatal(e) => last = e }
+        tryNo += 1
+      }
+      result.getOrElse(throw last)
+    }
+  }
+
   /** OpenWeatherMap onecall URL (`etl_dag.py:43` — lat/lon fixed to
     * Paris at `:36-37`; key from config, never hardcoded).
     */

@@ -81,6 +81,15 @@ object Pipeline {
   /** Both branches, like start >> [weather, stations] >> end
     * (`etl_dag.py:409`). Sequential here — Spark schedules the stages;
     * concurrent submission via Futures adds nothing in local mode.
+    *
+    * Each transport is wrapped in [[Ingest.withRetry]] with the
+    * reference DAG's own task-retry policy — `retries=3` with a
+    * 5-minute delay (`etl_dag.py:331-332`), i.e. 4 attempts total —
+    * applied at the fetch edge, the only step here that talks to a
+    * flaky remote (withRetry backs off exponentially from the base
+    * delay where Airflow's default is fixed; same cap, kinder to a
+    * struggling upstream). `retryAttempts = 1` disables wrapping
+    * (tests that pin a transport's exact call count pass 1).
     */
   def runAll(
       spark: SparkSession,
@@ -88,9 +97,17 @@ object Pipeline {
       weatherTransport: Ingest.Transport,
       weatherUrl: String,
       ctx: RunContext,
-      baseDir: String): Map[String, BranchResult] = Map(
-    "station_status" -> runStationBranch(spark, velibTransport, ctx,
-      s"$baseDir/raw/velib", s"$baseDir/curated/station_status"),
-    "weather" -> runWeatherBranch(spark, weatherTransport, ctx,
-      s"$baseDir/raw/weather", s"$baseDir/curated/weather", weatherUrl))
+      baseDir: String,
+      retryAttempts: Int = 4,
+      retryDelayMs: Long = 300000L,
+      sleeper: Long => Unit = Thread.sleep): Map[String, BranchResult] = {
+    def wrapped(t: Ingest.Transport): Ingest.Transport =
+      if (retryAttempts <= 1) t
+      else Ingest.withRetry(retryAttempts, retryDelayMs, sleeper)(t)
+    Map(
+      "station_status" -> runStationBranch(spark, wrapped(velibTransport),
+        ctx, s"$baseDir/raw/velib", s"$baseDir/curated/station_status"),
+      "weather" -> runWeatherBranch(spark, wrapped(weatherTransport), ctx,
+        s"$baseDir/raw/weather", s"$baseDir/curated/weather", weatherUrl))
+  }
 }

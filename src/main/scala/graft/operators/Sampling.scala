@@ -273,16 +273,19 @@ object Sampling {
     require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
     require(!df.columns.contains("fold"),
       "input column 'fold' collides with kFolds' output")
-    // NULL keys hash a sentinel string instead of propagating NULL:
-    // a NULL fold fails BOTH `fold === i` and `fold =!= i`, so such
-    // rows silently vanished from every train AND validation split —
-    // the "every row lands in exactly one fold" contract must hold
-    // for keyless rows too (they all share one deterministic fold,
-    // which a caller can see and handle, unlike a silent drop)
+    // NULL keys land in fold 0 by an explicit branch instead of
+    // propagating NULL: a NULL fold fails BOTH `fold === i` and
+    // `fold =!= i`, so such rows silently vanished from every train
+    // AND validation split — the "every row lands in exactly one
+    // fold" contract must hold for keyless rows too (they all share
+    // one reserved fold a caller can see and handle, unlike a silent
+    // drop). A branch, not a sentinel string: any in-domain sentinel
+    // can collide with a genuine key of that exact value and
+    // silently co-fold it with the NULLs.
     df.withColumn("fold",
-      pmod(Text.md5Long63(
-        coalesce(col(keyCol).cast("string"), lit(" __null_key"))),
-        lit(k.toLong)))
+      when(col(keyCol).isNull, lit(0L))
+        .otherwise(pmod(Text.md5Long63(col(keyCol).cast("string")),
+          lit(k.toLong))))
   }
 
   /** Temporal per-key holdout: each key's LAST `holdoutLast` events

@@ -98,16 +98,21 @@ object Sketch {
       .groupBy(col("cms_row"))
       .agg(sum(col("a.cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
         * col("b.cnt")).as("ip"))
-    // The row spine comes from the SKETCHES' own observed rows, not a
-    // trusted depth argument: a depth larger than the build depth used
-    // to inject phantom all-zero rows that won the min and estimated a
-    // huge join at 0 — inverting the one-sided guarantee with no
-    // error. A row present in one sketch but not the other has ip 0
-    // (disjoint/empty corpus at that row — a correct 0); both sketches
-    // empty means both corpora are empty, so the outer coalesce's 0 is
-    // exact.
+    // The row spine is the INTERSECTION of the sketches' own observed
+    // rows, not a trusted depth argument and not their union: a depth
+    // argument larger than the build depth used to inject phantom
+    // all-zero rows that won the min and estimated a huge join at 0,
+    // and a UNION spine re-opened the same hole for two sketches
+    // BUILT at different depths (a row only the deeper sketch has
+    // contributed ip=0 and won the min) — both invert the one-sided
+    // guarantee with no error. Each shared row's inner product is
+    // independently a valid >= bound, so the min over the SHARED rows
+    // stays a valid (merely weaker) bound under any depth mismatch;
+    // same-depth builds intersect to exactly rows 0..depth-1, so the
+    // estimate is unchanged there. An empty intersection means at
+    // least one corpus was empty — the outer coalesce's 0 is exact.
     val spine = cmsA.select(col("cms_row"))
-      .union(cmsB.select(col("cms_row"))).distinct()
+      .intersect(cmsB.select(col("cms_row")))
     spine
       .join(prod, Seq("cms_row"), "left")
       .agg(coalesce(

@@ -3585,13 +3585,14 @@ object LlmQueries {
         |)
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
-    // COALESCE mirrors the engine's NULL-key sentinel (kFolds:
-    // keyless rows share one deterministic fold instead of vanishing)
+    // The CASE mirrors the engine's NULL-key branch (kFolds: keyless
+    // rows share reserved fold 0 instead of vanishing — a branch, not
+    // a sentinel string real data could collide with)
     "q_sample_folds" ->
       """SELECT doc_id,
-        |  CAST(((('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
-        |      ' __null_key')), 1, 16))::UBIGINT
-        |    & 9223372036854775807::UBIGINT) % 5) AS BIGINT) AS fold
+        |  CASE WHEN doc_id IS NULL THEN 0 ELSE
+        |    CAST(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 9223372036854775807::UBIGINT) % 5) AS BIGINT) END AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->
       """WITH r AS (

@@ -1739,15 +1739,47 @@ object RelationalQueries {
           "CREATE INDEX supplier_load_batch ON supplier_load" +
             " (load_batch_id, load_part_id)")
       } finally conn.close()
+      // Pinned load layout: hash-repartition by the key so the
+      // (batch, part) key space is IDENTICAL in every environment —
+      // scan-split partitioning varies with core count /
+      // maxPartitionBytes, and two rounds of driver-red/local-green
+      // (r6, r7) mean nothing environment-dependent may remain in the
+      // load path. 4 parts matches the read-back stride count.
       val src = table(s, dir, "supplier").select(
-        col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+          col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+        .repartition(4, col("s_suppkey"))
       val cols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       Sinks.jdbcIdempotentLoad(src, url, "supplier_load", cols, "b1", props)
       val slice2 = src.filter(col("s_nationkey") < 5)
+        .repartition(4, col("s_suppkey"))
       Sinks.jdbcIdempotentLoad(slice2, url, "supplier_load", cols, "b2", props)
       // replay of b2: exactly-once means this changes NOTHING
       Sinks.jdbcIdempotentLoad(slice2, url, "supplier_load", cols, "b2", props)
+      // Self-diagnosis (r7 verdict item 1): when the Verify harness set
+      // a diag dir, dump the RAW table — bookkeeping columns included —
+      // as an un-hashed side artifact, so a red driver row names the
+      // exact (batch, part) slice that double-landed or vanished
+      // instead of forcing another unreproducible-locally round trip.
+      sys.props.get("graft.diag.dir").foreach { diag =>
+        val raw = s.read.jdbc(url, "supplier_load", props)
+        raw.orderBy(col("s_suppkey"), col("load_batch_id"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$diag/q_sink_jdbc_raw")
+        // and a human-readable per-slice summary: one line per
+        // (batch, part) with its row count and key sum — the first
+        // thing to read when adjudicating a hash mismatch
+        val lines = raw
+          .groupBy(col("LOAD_BATCH_ID"), col("LOAD_PART_ID"))
+          .agg(count(lit(1)).as("n"), sum(col("S_SUPPKEY")).as("sum_key"))
+          .orderBy(col("LOAD_BATCH_ID"), col("LOAD_PART_ID"))
+          .collect() // bounded: one row per (batch, part), ≤ 8 slices
+          .map(_.mkString(" "))
+        new java.io.File(diag).mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$diag/q_sink_jdbc_slices.txt"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
       Sources.readJdbc(s, url, "supplier_load",
           "s_suppkey", 0L, 1000000L, 4, props)
         .select(col("s_suppkey"), col("s_name"),

@@ -281,7 +281,13 @@ object Streams {
           // not re-fold — EWMA folding it twice shifts every later
           // point and emits a second, conflicting value at the same
           // instant. Equal-ts pings within one first batch fold once
-          // (the sort makes which one deterministic).
+          // (the sort makes which one deterministic). Deliberate
+          // trade-off: a genuinely NEW reading carrying the exact
+          // already-folded timestamp in a LATER batch also drops —
+          // with second-granularity GBFS timestamps the two are
+          // indistinguishable, and re-delivery (the common case at
+          // at-least-once sources) must win over a same-second
+          // re-report (which the NEXT ping supersedes within seconds).
           val late = cur.exists(s => asOfOf(s).getTime >= p.last_reported.getTime)
           if (!late) {
             val (next, emits) = step(cur, p)

@@ -83,8 +83,16 @@ object VerifyTwice {
   private def fingerprint(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(df.schema.treeString.getBytes("UTF-8"))
+    // Length-prefixed rows, not newline-joined: string cells can
+    // themselves contain '\n', so a bare join makes row boundaries
+    // ambiguous (rows "a\nb" vs "a","b" hashed identically — a
+    // cross-run divergence could cancel out and read as stable).
     df.collect().map(r => canon(r)).sorted
-      .foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+      .foreach { r =>
+        val bytes = r.getBytes("UTF-8")
+        md.update(s"${bytes.length}:".getBytes("UTF-8"))
+        md.update(bytes)
+      }
     md.digest().map("%02x".format(_)).mkString
   }
 

@@ -50,6 +50,43 @@ class IngestSpec extends SparkTestBase {
     intercept[Exception] { t("http://127.0.0.1:1/none") }
   }
 
+  test("withRetry: fail-fail-succeed succeeds on attempt 3 with exponential backoff") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky: Ingest.Transport = { url =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"GET $url -> HTTP 503")
+      "body"
+    }
+    val t = Ingest.withRetry(4, 100, sleeps.append(_))(flaky)
+    assert(t("http://x") === "body")
+    assert(calls === 3, "succeeds on the third attempt, no extra call after")
+    assert(sleeps.toSeq === Seq(100L, 200L), "backoff doubles per retry, none before attempt 1")
+  }
+
+  test("withRetry: exhausted attempts propagate the LAST failure") {
+    var calls = 0
+    val alwaysDown: Ingest.Transport = { _ =>
+      calls += 1; throw new RuntimeException(s"boom $calls")
+    }
+    val e = intercept[RuntimeException] {
+      Ingest.withRetry(3, 10, _ => ())(alwaysDown)("http://x")
+    }
+    assert(calls === 3, "the attempt cap is respected")
+    assert(e.getMessage === "boom 3", "the final attempt's error surfaces")
+  }
+
+  test("withRetry: fatal errors are not retried") {
+    var calls = 0
+    val oom: Ingest.Transport = { _ =>
+      calls += 1; throw new OutOfMemoryError("fatal")
+    }
+    intercept[OutOfMemoryError] {
+      Ingest.withRetry(5, 10, _ => ())(oom)("http://x")
+    }
+    assert(calls === 1, "NonFatal gate: an Error escapes immediately")
+  }
+
   test("raw-zone landing is non-replacing (K1 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("rawzone").toString
     val transport: Ingest.Transport = _ => velibBody.linesIterator.next()

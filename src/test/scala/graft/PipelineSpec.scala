@@ -41,4 +41,29 @@ class PipelineSpec extends SparkTestBase {
         s"$base/raw/velib", s"$base/curated/station_status")
     }
   }
+
+  test("runAll retries a flaky fetch per the reference's task-retry policy") {
+    val base = java.nio.file.Files.createTempDirectory("piperetry").toString
+    val ctx = RunContext("2024-02-02 01:00:00", "velib_spark", "load")
+    var velibCalls, weatherCalls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // vélib fetch fails twice then recovers; weather succeeds at once —
+    // the run must complete with NO wall-clock sleeps (injected sleeper)
+    val res = Pipeline.runAll(spark,
+      velibTransport = { _ =>
+        velibCalls += 1
+        if (velibCalls < 3) throw new RuntimeException("HTTP 503")
+        firstLine(s"$FixtureDir/station_status.json")
+      },
+      weatherTransport = { _ =>
+        weatherCalls += 1; firstLine(s"$FixtureDir/weather.json")
+      },
+      weatherUrl = Ingest.weatherUrl(48.85, 2.35, "key"),
+      ctx = ctx, baseDir = base,
+      retryDelayMs = 300000L, sleeper = sleeps.append(_))
+    assert(res("station_status").curatedRows === 3)
+    assert(velibCalls === 3 && weatherCalls === 1)
+    assert(sleeps.toSeq === Seq(300000L, 600000L),
+      "reference 5-min base delay, exponential, only the failing branch sleeps")
+  }
 }

@@ -440,6 +440,26 @@ class SamplingSpec extends SparkTestBase {
     assert(folds.forall(!_.isNullAt(1)), "no row may get a NULL fold")
     val nullFolds = folds.filter(_.isNullAt(0)).map(_.getLong(1)).distinct
     assert(nullFolds.size === 1, "all NULL keys share one fold")
+    assert(nullFolds.head === 0L, "keyless rows land in the reserved fold 0")
+  }
+
+  test("kFolds: no in-domain sentinel — a crafted key cannot co-fold with NULLs") {
+    import spark.implicits._
+    // Under the old sentinel-string design, a genuine key equal to the
+    // sentinel hashed identically to NULL keys and silently co-folded
+    // with them. The branch design assigns real keys by hash only, so
+    // a crafted key agrees with the hash rule, not the NULL rule.
+    val crafted = "\u0000__null_key"
+    val df = Seq(Option(crafted), None).toDF("k")
+    val folds = rows(Sampling.kFolds(df, "k", 5))
+    val craftedFold = folds.find(!_.isNullAt(0)).get.getLong(1)
+    val hashFold = rows(
+      Seq(crafted).toDF("k").select(
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.Text.md5Long63(col("k").cast("string")),
+          org.apache.spark.sql.functions.lit(5L)))).head.getLong(0)
+    assert(craftedFold === hashFold,
+      "a real key must fold by hash, never by the NULL rule")
   }
 
   test("farthestPointSample: NULL ids/vectors are excluded, not crashed on") {

@@ -72,6 +72,19 @@ class SketchSpec extends SparkTestBase {
     assert(Sketch.cmsJoinSize(a, b).as[Double].collect().head === 0.0)
   }
 
+  test("cmsJoinSize under a DEPTH MISMATCH stays a one-sided bound (no phantom 0)") {
+    // Two sketches built at different depths share only rows 0..2; a
+    // union spine let the deeper sketch's rows 3..4 contribute ip=0
+    // and win the min, estimating a large real join at 0. The
+    // intersect spine's min over shared rows must stay >= the truth.
+    val other = (1 to 10).flatMap(k => Seq.fill(3)(s"key$k")).toDF("k")
+    val exactJoin = corpus.as("a").join(other.as("b"), Seq("k")).count()
+    val a = Sketch.cmsBuild(corpus, "k", 3, 1 << 14)
+    val b = Sketch.cmsBuild(other, "k", 5, 1 << 14)
+    val est = Sketch.cmsJoinSize(a, b).as[Double].collect().head.toLong
+    assert(est >= exactJoin, s"depth-mismatch estimate $est < true $exactJoin")
+  }
+
   test("self-join cmsJoinSize bounds sum of squared key counts") {
     val exactSelf = exact.values.map(c => c * c).sum
     val cms = Sketch.cmsBuild(corpus, "k", 4, 16)
