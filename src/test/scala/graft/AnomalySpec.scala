@@ -51,6 +51,24 @@ class AnomalySpec extends SparkTestBase {
         "k", "bucket", "cnt", 3, 3, 3.0)
     }
   }
+  test("NaN/Inf leaks in a double-typed count column drop like NULL, not ANSI-kill") {
+    // cast(NaN AS DECIMAL) aborts the job under ANSI — a corrupt
+    // reading must cost its own row (the no-measurement semantic NULL
+    // already gets), not the whole detector run
+    val series = (Seq(("a", ts(1), 10.0), ("a", ts(2), 12.0), ("a", ts(3), 8.0))
+      ++ Seq(("a", ts(4), Double.NaN), ("a", ts(5), Double.PositiveInfinity))
+      :+ (("a", ts(6), 50.0))).toDF("k", "bucket", "cnt")
+    val out = rows(Anomaly.trailingZscores(series, "k", "bucket", "cnt",
+      window = 3, minPrior = 3, threshold = 3.0).orderBy(col("bucket")))
+    assert(out.size === 4, "non-finite rows are excluded, finite ones kept")
+    assert(out.last.getDouble(3) === 10.0, "history = the three finite buckets")
+    assert(out.last.getBoolean(5), "the spike still flags")
+    val cus = rows(Anomaly.cusumChangePoints(
+      Seq(("a", 1, 10.0), ("a", 2, Double.NaN), ("a", 3, 50.0))
+        .toDF("k", "b", "v"), Seq("k"), "b", "v"))
+    assert(cus.size === 2 && cus.count(_.getBoolean(5)) === 1)
+  }
+
   test("cusumChangePoints pins the regime boundary; per-key peaks independent") {
     import spark.implicits._
     // 10 days at 10, then 10 days at 50: |cusum| maximal at the last

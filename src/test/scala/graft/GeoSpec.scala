@@ -79,6 +79,22 @@ class GeoSpec extends SparkTestBase {
     assert(got === Seq((1L, 5L)))
   }
 
+  test("NaN/Infinity coordinates are excluded like NULL, not cell (0,0) / ANSI-killed") {
+    // floor(NaN).cast(long) is SILENTLY 0: an unfiltered NaN-coord row
+    // on each side would meet on the (0,0) cell — the NULL hot-key
+    // blowup one cell over. And cast(Inf AS LONG) under ANSI ABORTS
+    // the job mid-scan; both must be excluded up front, with real
+    // probes near the origin cell still matching normally.
+    val probes = Seq((1L, 0.0, 0.0), (2L, Double.NaN, 0.0),
+      (3L, Double.PositiveInfinity, 1.0)).toDF("pid", "px", "py")
+    val cands = Seq((5L, 0.1, 0.0), (6L, Double.NaN, Double.NaN),
+      (7L, 0.2, Double.NegativeInfinity)).toDF("cid", "cx", "cy")
+    val got = rows(Geo.nearestWithinRadius(
+      probes, "pid", "px", "py", cands, "cid", "cx", "cy", 1.0))
+      .map(x => (x.getLong(0), x.getLong(3)))
+    assert(got === Seq((1L, 5L)))
+  }
+
   test("fails fast when an input column is named dist_sq (reserved output)") {
     import spark.implicits._
     val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "px", "dist_sq")
