@@ -11,6 +11,14 @@ object Verify {
     // un-hashed evidence lands under <outDir>/_diag so a red driver row
     // ships the state that produced it (the checker compares only the
     // <name>/ dirs; the underscore-prefixed dir is inert to it).
+    // Cleared up front for the same reason failed query outputs are
+    // deleted below: on a REUSED outDir, a query that crashes BEFORE
+    // its diag block would otherwise ship the previous run's healthy
+    // dump as this failure's evidence — worse than no evidence.
+    try deleteRecursively(Paths.get(s"$outDir/_diag"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stale _diag cleanup failed: ${e.getMessage}")
+    }
     System.setProperty("graft.diag.dir", s"$outDir/_diag")
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     // (unset — the driver's invocation — runs everything); typo'd /

@@ -59,19 +59,23 @@ object Ingest {
     * NonFatal throw — the transport already converts non-200 statuses
     * to throws, so status retry falls out. The LAST failure propagates
     * when attempts are exhausted (the reference marks the task failed
-    * after its final retry the same way).
+    * after its final retry the same way). The doubling is capped at
+    * 2^20 × the base delay: an uncapped shift overflows Long around
+    * attempt 46 and Thread.sleep(negative) would then throw an
+    * IllegalArgumentException that MASKS the transport's real error.
     */
   def withRetry(
       attempts: Int, backoffMs: Long,
       sleeper: Long => Unit = Thread.sleep)(t: Transport): Transport = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
-    require(backoffMs >= 0, s"backoffMs must be >= 0, got $backoffMs")
+    require(backoffMs >= 0 && backoffMs <= 86400000L,
+      s"backoffMs must be in [0, 1 day], got $backoffMs")
     url => {
       var tryNo = 0
       var result: Option[String] = None
       var last: Throwable = null
       while (result.isEmpty && tryNo < attempts) {
-        if (tryNo > 0) sleeper(backoffMs << (tryNo - 1))
+        if (tryNo > 0) sleeper(backoffMs << math.min(tryNo - 1, 20))
         try result = Some(t(url))
         catch { case scala.util.control.NonFatal(e) => last = e }
         tryNo += 1

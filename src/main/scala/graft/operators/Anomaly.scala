@@ -47,19 +47,17 @@ object Anomaly {
     // handling): kept, they would occupy slots in the rows-based frame
     // and silently displace real history — 13 NULL buckets among the
     // prior 24 rows starve __n below minPrior and a genuine spike
-    // never flags. Non-finite values (a NaN/Inf that leaked into a
-    // double-typed count column) are treated the same as NULL: cast
-    // to DECIMAL below is an ANSI job-kill on them, and between() is
-    // false for NaN (all NaN comparisons are) and ±Inf — while never
-    // excluding a legitimate count (DECIMAL(38,0)'s ceiling is far
-    // below Double.MaxValue).
+    // never flags. Values that cannot survive the DECIMAL(38,0) cast
+    // below (NaN, ±Inf, or a finite corrupt 1e40 — each an ANSI
+    // job-kill) are treated the same as NULL: the corrupt reading
+    // costs its own row, never the detector run (Num.finiteWithin at
+    // the decimal ceiling).
     val x = col(valueCol).cast(DecimalType(38, 0))
     val n = count(col(valueCol)).over(w)
     val sx = sum(x).over(w)
     val sxx = sum(x * x).over(w)
-    val withStats = series.filter(col(valueCol).isNotNull &&
-        col(valueCol).cast("double")
-          .between(-Double.MaxValue, Double.MaxValue))
+    val withStats = series.filter(
+      graft.functions.Num.finiteWithin(col(valueCol), graft.functions.Num.Decimal38Bound))
       .withColumn("__n", n).withColumn("__sx", sx).withColumn("__sxx", sxx)
     val nD = col("__n").cast(DecimalType(38, 0))
     val mean = col("__sx").cast("double") / col("__n").cast("double")
@@ -114,11 +112,11 @@ object Anomaly {
       "__cusum_d").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with cusumChangePoints' columns"))
-    // same non-finite guard as trailingZscores: the decimal cast below
-    // is an ANSI job-kill on a NaN/Inf leak, and a dropped corrupt row
-    // is the documented no-measurement semantic, not silent data change
-    val series0 = series.filter(col(valueCol).isNotNull &&
-      col(valueCol).cast("double").between(-Double.MaxValue, Double.MaxValue))
+    // same guard as trailingZscores: the decimal cast below is an ANSI
+    // job-kill on a NaN/Inf/over-magnitude leak, and a dropped corrupt
+    // row is the documented no-measurement semantic, not silent change
+    val series0 = series.filter(
+      graft.functions.Num.finiteWithin(col(valueCol), graft.functions.Num.Decimal38Bound))
     // Window is imported at file scope (trailingZscores uses it bare)
     val base = if (partCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(partCols.map(col): _*)

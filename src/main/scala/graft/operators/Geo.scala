@@ -34,17 +34,17 @@ object Geo {
 
   /** Nearest `cand` point within `radius` of each `probe` point.
     *
-    * Rows with a NULL or NaN coordinate on either side are EXCLUDED
-    * before the cell join: struct join keys treat null fields as
-    * EQUAL, so every NULL-coord probe (x9 exploded cells) would meet
-    * every NULL-coord candidate on one hot (null, null) cell — an
-    * O(nullProbes·9·nullCands) blowup whose rows all evaluate dist_sq
-    * NULL and drop AFTER the join paid for them. NaN re-opens the same
-    * hole one cell over: `floor(NaN).cast(long)` is silently 0 (not an
-    * error, not NULL — the Z-order rank-collapse class), so every
-    * NaN-coord row on both sides lands on the (0, 0) cell and meets
-    * every other one there, with dist_sq NaN failing the radius filter
-    * only after the hot cell paid the quadratic join.
+    * Rows with a coordinate that cannot survive the cell-id math —
+    * NULL, NaN, ±Inf, or a magnitude past Long range in cell units —
+    * are EXCLUDED before the cell join: struct join keys treat null
+    * fields as EQUAL, so every NULL-coord probe (x9 exploded cells)
+    * would meet every NULL-coord candidate on one hot (null, null)
+    * cell — an O(nullProbes·9·nullCands) blowup whose rows all
+    * evaluate dist_sq NULL and drop AFTER the join paid for them.
+    * NaN re-opens the same hole one cell over (`floor(NaN)
+    * .cast(long)` is silently 0 — the Z-order rank-collapse class, a
+    * hot (0, 0) cell), and an over-range coordinate ABORTS the whole
+    * job in the ANSI long cast of the cell id.
     *
     * CONTRACT: `probeId` values must be unique (and non-NULL) — the
     * final per-probe argmin groups on it, so a duplicated id would
@@ -82,17 +82,19 @@ object Geo {
         floor(y / radius).cast("long").as("gy"))
     // Probe side: 3x3 neighborhood of the home cell.
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
-    // between is false for NaN (all NaN comparisons are) and for ±Inf
-    // (outside ±MaxValue) — one predicate covers both: NaN would
-    // silently cell to (0,0) via floor-cast, ±Inf would ABORT the job
-    // in the ANSI long cast of the cell id
-    def finite(c: org.apache.spark.sql.Column) =
-      c.isNotNull &&
-        c.cast("double").between(-Double.MaxValue, Double.MaxValue)
+    // Coordinates must survive the cell-id cast: NaN would silently
+    // cell to (0,0) via floor-cast (hot-cell blowup, the NULL hole one
+    // cell over), and any |x/radius| past Long range — ±Inf or a
+    // finite corrupt 1e300 — ABORTS the job in the ANSI long cast.
+    // The bound is radius-scaled so it tracks the actual cast domain
+    // (9e18 ≈ Long.MaxValue with margin); Num.finiteWithin is false
+    // for NULL/NaN/over-bound alike.
+    def inDomain(c: org.apache.spark.sql.Column) =
+      graft.functions.Num.finiteWithin(c, 9.0e18 * radius)
     val probesClean =
-      probes.filter(finite(col(px)) && finite(col(py)))
+      probes.filter(inDomain(col(px)) && inDomain(col(py)))
     val candsClean =
-      cands.filter(finite(col(cx)) && finite(col(cy)))
+      cands.filter(inDomain(col(cx)) && inDomain(col(cy)))
     val p = probesClean.select(
       col(probeId), col(px), col(py),
       explode(array(offsets.map { case (dx, dy) =>

@@ -262,9 +262,11 @@ object Sampling {
   }
 
   /** Deterministic k-fold assignment for cross-validation: fold =
-    * md5(key) mod k — every row lands in exactly one of k folds,
-    * permanently (reruns, engines, partitionings all agree), and fold
-    * sizes are balanced in expectation. Train/validation for fold i =
+    * md5(key) mod k, NULL keys all to fold 0 (shared with hashed
+    * keys — isolate keyless rows by the key's nullness, not the
+    * fold) — every row lands in exactly one of k folds, permanently
+    * (reruns, engines, partitionings all agree), and fold sizes are
+    * balanced in expectation. Train/validation for fold i =
     * (fold != i, fold == i); the assignment is one map-side
     * projection, so materializing all k splits costs one scan each
     * with no shuffle anywhere. Adds `fold`.
@@ -277,11 +279,12 @@ object Sampling {
     // propagating NULL: a NULL fold fails BOTH `fold === i` and
     // `fold =!= i`, so such rows silently vanished from every train
     // AND validation split — the "every row lands in exactly one
-    // fold" contract must hold for keyless rows too (they all share
-    // one reserved fold a caller can see and handle, unlike a silent
-    // drop). A branch, not a sentinel string: any in-domain sentinel
-    // can collide with a genuine key of that exact value and
-    // silently co-fold it with the NULLs.
+    // fold" contract must hold for keyless rows too. Fold 0 is
+    // SHARED, not reserved: hashed keys land there too (~1/k of
+    // them), so `fold === 0` does NOT isolate keyless rows — filter
+    // on the key's nullness for that. A branch, not a sentinel
+    // string: any in-domain sentinel can collide with a genuine key
+    // of that exact value and silently co-fold it with the NULLs.
     df.withColumn("fold",
       when(col(keyCol).isNull, lit(0L))
         .otherwise(pmod(Text.md5Long63(col(keyCol).cast("string")),

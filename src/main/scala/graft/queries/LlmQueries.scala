@@ -3604,8 +3604,9 @@ object LlmQueries {
         |SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r
         |WHERE rk <= 20 ORDER BY source, sample_rank""".stripMargin,
     // The CASE mirrors the engine's NULL-key branch (kFolds: keyless
-    // rows share reserved fold 0 instead of vanishing — a branch, not
-    // a sentinel string real data could collide with)
+    // rows all land in fold 0 — shared with hashed keys, not reserved —
+    // instead of vanishing; a branch, not a sentinel string real data
+    // could collide with)
     "q_sample_folds" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id IS NULL THEN 0 ELSE

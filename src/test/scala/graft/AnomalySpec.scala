@@ -56,7 +56,10 @@ class AnomalySpec extends SparkTestBase {
     // reading must cost its own row (the no-measurement semantic NULL
     // already gets), not the whole detector run
     val series = (Seq(("a", ts(1), 10.0), ("a", ts(2), 12.0), ("a", ts(3), 8.0))
-      ++ Seq(("a", ts(4), Double.NaN), ("a", ts(5), Double.PositiveInfinity))
+      // 1e40 is FINITE but past DECIMAL(38,0)'s ceiling — the cast
+      // would CAST_OVERFLOW under ANSI just like NaN/Inf
+      ++ Seq(("a", ts(4), Double.NaN), ("a", ts(5), Double.PositiveInfinity),
+        ("a", ts(7), 1e40))
       :+ (("a", ts(6), 50.0))).toDF("k", "bucket", "cnt")
     val out = rows(Anomaly.trailingZscores(series, "k", "bucket", "cnt",
       window = 3, minPrior = 3, threshold = 3.0).orderBy(col("bucket")))

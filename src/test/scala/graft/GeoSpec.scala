@@ -86,9 +86,13 @@ class GeoSpec extends SparkTestBase {
     // the job mid-scan; both must be excluded up front, with real
     // probes near the origin cell still matching normally.
     val probes = Seq((1L, 0.0, 0.0), (2L, Double.NaN, 0.0),
-      (3L, Double.PositiveInfinity, 1.0)).toDF("pid", "px", "py")
+      (3L, Double.PositiveInfinity, 1.0),
+      // finite but past Long range in cell units: the ANSI long cast
+      // of floor(1e300 / radius) would abort the job unfiltered
+      (4L, 1e300, 1.0)).toDF("pid", "px", "py")
     val cands = Seq((5L, 0.1, 0.0), (6L, Double.NaN, Double.NaN),
-      (7L, 0.2, Double.NegativeInfinity)).toDF("cid", "cx", "cy")
+      (7L, 0.2, Double.NegativeInfinity),
+      (8L, -1e300, 0.3)).toDF("cid", "cx", "cy")
     val got = rows(Geo.nearestWithinRadius(
       probes, "pid", "px", "py", cands, "cid", "cx", "cy", 1.0))
       .map(x => (x.getLong(0), x.getLong(3)))

@@ -76,6 +76,22 @@ class IngestSpec extends SparkTestBase {
     assert(e.getMessage === "boom 3", "the final attempt's error surfaces")
   }
 
+  test("withRetry: backoff doubling caps instead of overflowing Long") {
+    // uncapped, 10 << 62 goes negative around attempt 63 and
+    // Thread.sleep(negative) throws IllegalArgumentException, MASKING
+    // the transport's real error; the shift is clamped at 2^20
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val e = intercept[RuntimeException] {
+      Ingest.withRetry(80, 10, sleeps.append(_))(
+        _ => throw new RuntimeException("down"))("http://x")
+    }
+    assert(e.getMessage === "down", "the transport error survives 80 attempts")
+    assert(sleeps.size === 79)
+    assert(sleeps.forall(d => d > 0 && d <= (10L << 20)),
+      s"delays stay positive and capped: max ${sleeps.max}")
+    assert(sleeps.last === (10L << 20), "tail delays sit at the cap")
+  }
+
   test("withRetry: fatal errors are not retried") {
     var calls = 0
     val oom: Ingest.Transport = { _ =>

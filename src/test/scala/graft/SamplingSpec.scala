@@ -440,7 +440,8 @@ class SamplingSpec extends SparkTestBase {
     assert(folds.forall(!_.isNullAt(1)), "no row may get a NULL fold")
     val nullFolds = folds.filter(_.isNullAt(0)).map(_.getLong(1)).distinct
     assert(nullFolds.size === 1, "all NULL keys share one fold")
-    assert(nullFolds.head === 0L, "keyless rows land in the reserved fold 0")
+    assert(nullFolds.head === 0L,
+      "keyless rows land in fold 0 (shared with ~1/k of hashed keys)")
   }
 
   test("kFolds: no in-domain sentinel — a crafted key cannot co-fold with NULLs") {
