@@ -32,7 +32,8 @@ object PlanAudit {
       "q_sink_csvtrip", "q_sink_rawjson", "q_sink_ddl",
       "q_media_phash_img", "q_media_neardup_img",
       "q_ts_rollunique_hll", "q_vocab_bpe_batched", "q_media_audio",
-      "q_media_frames_gif", "q_media_neardup_frames", "q_sink_jdbc",
+      "q_media_frames_gif", "q_media_neardup_frames", "q_media_frames_avi",
+      "q_sink_jdbc",
       // q_load_metrics / q_meta_stats return driver-local metric rows
       // (LocalTableScan) — auditing them would print the wrapper's
       // plan, not the real write/scan, while executing both as a side

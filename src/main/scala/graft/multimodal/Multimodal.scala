@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE kernel is real: payloads any `javax.imageio` reader claims
   * (PNG/BMP/GIF/JPEG — all ship with the JDK, zero-egress) decode to
   * real pixels, and [[decodeMeta]]/[[perceptualHash]]/[[resize]] run on
-  * actual dimensions and luminance. Payloads no reader claims (text,
-  * audio, video — codecs this container lacks) fall back to the
-  * documented deterministic stub, so those kernels stay honestly
-  * stubbed while schema, batching, and plan shape are shared with the
-  * real path. Swap the stub for an ffmpeg/ONNX call and nothing else
-  * changes.
+  * actual dimensions and luminance. AUDIO is real via
+  * `javax.sound.sampled` ([[decodeAudio]]), and VIDEO is real via the
+  * RIFF/AVI parser ([[decodeAviFrames]] — MJPEG through the JDK JPEG
+  * codec, uncompressed DIB decoded exactly). Payloads outside those
+  * codecs (text blobs, containers the JDK has no codec for — MP4/H.264
+  * etc.) fall back to the documented deterministic stub, so those
+  * kernels stay honestly stubbed while schema, batching, and plan
+  * shape are shared with the real path. Swap the stub for an
+  * ffmpeg/ONNX call and nothing else changes.
   */
 object Multimodal {
 
@@ -71,6 +74,20 @@ object Multimodal {
     */
   def imageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] =
     try {
+      if (isAvi(payload)) {
+        // AVI branch: dims from the main header, frame count from the
+        // located movi chunks (the header's dwTotalFrames word is
+        // advisory — a writer that leaves it 0 must not read as a
+        // 0-frame clip when real frame chunks exist). Header-only:
+        // parseAvi never allocates a raster.
+        parseAvi(payload).collect {
+          case i if i.width > 0 && i.height > 0 &&
+              (i.frameChunks.nonEmpty || i.declaredFrames > 0) =>
+            (i.width, i.height,
+              if (i.frameChunks.nonEmpty) i.frameChunks.length
+              else i.declaredFrames)
+        }
+      } else {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -85,6 +102,7 @@ object Multimodal {
           } finally reader.dispose()
         }
       } finally { try iis.close() catch { case _: java.io.IOException => () } }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 64 integer brightness cells over an 8x8 block grid (block
@@ -242,18 +260,20 @@ object Multimodal {
     h
   }
 
-  /** Real MULTI-frame decode through the ImageIO reader protocol —
-    * the [[decodeImage]] upgrade for animated containers. Animated
-    * GIF is the one multi-frame format whose codec ships with the
-    * JDK, so it stands in for video here the way BMP/PNG stand in for
-    * stills: frames come back as real decoded rasters (fixtures use
-    * full-size frames with no transparency, so per-frame reads need
-    * no compositing). Single-frame formats return one frame; payloads
-    * no reader claims, that any frame read trips on, or that declare
-    * more than [[MaxFrames]] frames (all frames materialize in memory
-    * here — a crafted 100k-frame blob must degrade to the stub, not
-    * OOM the executor) return None (NonFatal — the decodeImage
-    * robustness contract).
+  /** Real MULTI-frame decode — the [[decodeImage]] upgrade for
+    * animated/video containers. Two real paths: AVI (RIFF container
+    * parsed by [[decodeAviFrames]] — MJPEG chunks through the JDK's
+    * JPEG codec, uncompressed-DIB chunks decoded exactly; a true VIDEO
+    * container end to end) and the ImageIO reader protocol for
+    * everything ImageIO claims (animated GIF — the one multi-frame
+    * codec the JDK ships — plus single-frame formats returning one
+    * frame; GIF fixtures use full-size frames with no transparency, so
+    * per-frame reads need no compositing). Payloads neither path
+    * claims, that any frame read trips on, or that declare more than
+    * [[MaxFrames]] frames (all frames materialize in memory here — a
+    * crafted 100k-frame blob must degrade to the stub, not OOM the
+    * executor) return None (NonFatal — the decodeImage robustness
+    * contract).
     */
   val MaxFrames = 1024
 
@@ -269,6 +289,8 @@ object Multimodal {
   def decodeFrames(
       payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
     try {
+      if (isAvi(payload)) decodeAviFrames(payload)
+      else {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -289,7 +311,153 @@ object Multimodal {
           } finally reader.dispose()
         }
       } finally { try iis.close() catch { case _: java.io.IOException => () } }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** RIFF/AVI container magic: "RIFF" <size> "AVI ". */
+  private[multimodal] def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  private def leU32(p: Array[Byte], off: Int): Long =
+    if (off < 0 || off + 4 > p.length) -1L
+    else (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+
+  private def leU16(p: Array[Byte], off: Int): Int =
+    if (off < 0 || off + 2 > p.length) -1
+    else (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  private def fourcc(p: Array[Byte], off: Int): String =
+    if (off < 0 || off + 4 > p.length) ""
+    else new String(p, off, 4, "US-ASCII")
+
+  /** Everything the frame decoder needs from an AVI's headers plus the
+    * located frame chunks: (main-header dims + declared frame count,
+    * the FIRST video stream's BITMAPINFOHEADER compression/bit depth,
+    * and each `NNdc`/`NNdb` chunk's (offset, length) inside `movi`).
+    */
+  private case class AviInfo(
+      width: Int, height: Int, declaredFrames: Int,
+      biCompression: Long, biBitCount: Int,
+      frameChunks: Vector[(Int, Int)])
+
+  /** Defensive RIFF walk: every chunk size is bounds-checked against
+    * its enclosing list (a crafted size cannot index past the payload
+    * or loop forever — sizes strictly advance the cursor), list
+    * recursion is depth-capped, and a malformed structure returns None
+    * rather than throwing (the caller's NonFatal net stays a backstop,
+    * not the parser). Header-only by construction: nothing here
+    * allocates a raster, so [[imageHeader]] can share it.
+    */
+  private def parseAvi(p: Array[Byte]): Option[AviInfo] = {
+    if (!isAvi(p)) return None
+    var w = -1; var h = -1; var nf = -1
+    var comp = -1L; var bits = -1
+    var lastStrh = ""
+    val frames = Vector.newBuilder[(Int, Int)]
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(p, off)
+        val size = leU32(p, off + 4)
+        if (size < 0 || size > end - off - 8) return false
+        val ds = off + 8
+        val sz = size.toInt
+        id match {
+          case "LIST" if sz >= 4 =>
+            if (!walk(ds + 4, ds + sz, depth + 1)) return false
+          case "avih" if sz >= 40 =>
+            nf = leU32(p, ds + 16).toInt
+            w = leU32(p, ds + 32).toInt
+            h = leU32(p, ds + 36).toInt
+          case "strh" if sz >= 4 =>
+            lastStrh = fourcc(p, ds)
+          case "strf" if sz >= 20 && comp == -1L && lastStrh == "vids" =>
+            bits = leU16(p, ds + 14)
+            comp = leU32(p, ds + 16)
+          case other if other.length == 4 && other.take(2).forall(_.isDigit)
+              && (other.endsWith("dc") || other.endsWith("db")) =>
+            frames += ((ds, sz))
+          case _ => ()
+        }
+        off = ds + sz + (sz & 1) // chunks pad to even
+      }
+      true
+    }
+    if (!walk(12, p.length, 0)) None
+    else Some(AviInfo(w, h, nf, comp, bits, frames.result()))
+  }
+
+  /** Real VIDEO-container decode: MJPEG-in-AVI (each `00dc` chunk is a
+    * JFIF JPEG the JDK's ImageIO decodes — the JPEG codec ships with
+    * the JDK even though no AVI *reader* does) and uncompressed
+    * DIB-in-AVI (`00db` chunks of bottom-up, 4-byte-row-padded BGR24 —
+    * decoded here exactly, the BMP raster rule). This retires the
+    * video branch of the multimodal stub: a video pipeline's
+    * frame-sampling path now runs REAL container parsing + REAL frame
+    * decode end to end ([[frameHashes]], `q_media_frames_avi`).
+    *
+    * Budgets before any raster allocates, like [[decodeFrames]]'s
+    * ImageIO path: frame COUNT from the located chunks (never the
+    * header's word alone) against [[MaxFrames]], total declared pixels
+    * against [[MaxTotalPixels]]. Payloads outside the two supported
+    * codecs (e.g. table-less MJPEG variants ImageIO rejects, or any
+    * other fourcc) degrade to None — the stub fallback, never an
+    * error.
+    */
+  private[multimodal] def decodeAviFrames(
+      p: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    parseAvi(p).flatMap { info =>
+      val n = info.frameChunks.length
+      if (n < 1 || n > MaxFrames) None
+      else if (info.width <= 0 || info.height <= 0) None
+      else if (info.width.toLong * info.height * n > MaxTotalPixels) None
+      else {
+        val decoded = info.frameChunks.map { case (off, len) =>
+          decodeAviFrame(p, off, len, info)
+        }
+        // all-or-nothing: one undecodable frame degrades the PAYLOAD
+        // to the stub (a half-decoded clip would mislabel frame_idx)
+        if (decoded.forall(_.isDefined)) Some(decoded.flatten)
+        else None
+      }
+    }
+
+  private def decodeAviFrame(
+      p: Array[Byte], off: Int, len: Int,
+      info: AviInfo): Option[java.awt.image.BufferedImage] = {
+    val isJpeg = len >= 2 &&
+      (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
+    if (isJpeg)
+      // ImageIO path reuses decodeImage's own per-frame guards
+      decodeImage(java.util.Arrays.copyOfRange(p, off, off + len))
+    else if (info.biCompression == 0L && info.biBitCount == 24) {
+      val w = info.width; val h = info.height
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (stride.toLong * h > len) None
+      else {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val row = off + (h - 1 - y) * stride // DIB rows are bottom-up
+          var x = 0
+          while (x < w) {
+            val b = p(row + x * 3) & 0xff
+            val g = p(row + x * 3 + 1) & 0xff
+            val r = p(row + x * 3 + 2) & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        Some(img)
+      }
+    } else None
+  }
 
   /** One perceptual hash PER DECODED FRAME ([[frameHashes]]). */
   case class FrameHash(

@@ -1362,6 +1362,25 @@ object LlmQueries {
           col("phash"))
       Multimodal.nearDuplicatesFromHashes(fh, maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL video-container decode over the committed AVI fixtures: the
+    // RIFF/AVI parser locates the movi frame chunks and decodes each
+    // uncompressed-DIB raster exactly (MJPEG chunks take the JDK JPEG
+    // codec — MultimodalSpec pins that path bit-equal to decodeImage
+    // on the same JPEG bytes). This retires the last multimodal stub:
+    // video was the one §2.13 medium still faked. Fixture design
+    // mirrors the GIF set but in REAL RGB (the GIF fixtures were
+    // gray-only, so a luminance-weight bug was invisible there):
+    // avi_001 is avi_000 with every channel +16 — order-preserving, so
+    // all three frame hashes must equal avi_000's exactly; avi_002's
+    // rotating green/blue gradient gives 5 distinct hashes. The
+    // oracle's VALUES were computed by the fixture generator's
+    // independent replay (known pixel arrays through the same integer
+    // cell/bit math — no decoder in the loop).
+    "q_media_frames_avi" -> ((s, _) => {
+      Multimodal.frameHashes(s, mediaAvis(s)).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   /** The committed real-image fixtures as (doc_id, payload) — doc_id
@@ -1394,6 +1413,17 @@ object LlmQueries {
       .readBinaryFiles(s, s"$FixtureRoot/media_gif", glob = "*.gif")
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "vid_(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+
+  /** The committed AVI video fixtures as (doc_id, payload) — doc_id
+    * parsed from the avi_NNN.avi filename.
+    */
+  private def mediaAvis(s: SparkSession): DataFrame =
+    graft.sources.Sources
+      .readBinaryFiles(s, s"$FixtureRoot/media_avi", glob = "*.avi")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "avi_(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("content").as("payload"))
 
@@ -3943,7 +3973,27 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         |FROM fh a JOIN fh b ON a.id < b.id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // VALUES computed by fixtures/media_avi/_gen_avi_fixtures.py's
+    // independent replay of the cell/bit math over the known pixel
+    // arrays the raw-DIB AVI frames store verbatim. avi_001 (uniform
+    // +16 channel shift of avi_000) must reproduce avi_000's three
+    // hashes exactly; a stub fallback (md5 stand-in) hash-mismatches.
+    "q_media_frames_avi" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 0, 3, CAST(9223371484943056895 AS BIGINT)),
+        | (CAST(0 AS BIGINT), 1, 3, CAST(9223365413914148863 AS BIGINT)),
+        | (CAST(0 AS BIGINT), 2, 3, CAST(9223319053329760255 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 0, 3, CAST(9223371484943056895 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 1, 3, CAST(9223365413914148863 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 2, 3, CAST(9223319053329760255 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 0, 5, CAST(108937465002221760 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 1, 5, CAST(4648140352419016800 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 2, 5, CAST(3485997774066289688 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 3, 5, CAST(1742999435715216908 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 4, 5, CAST(435749860008821123 AS BIGINT))
+        |) AS t(doc_id, frame_idx, n_frames, phash)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
     // The broadcast scoring path claims BIT-identity with the literal
     // path, so it answers to the literal path's oracle verbatim — one
     // string, no copy to drift.

@@ -291,6 +291,104 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFrames("not media".getBytes("UTF-8")).isEmpty)
   }
 
+  // Minimal RIFF/AVI muxer mirroring fixtures/media_avi's python
+  // writer: raw-DIB ('00db', BGR24 bottom-up) or arbitrary codec
+  // chunks ('00dc'), so tests can assemble MJPEG and crafted-header
+  // containers without committing more fixtures.
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+    chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+  private def buildAvi(
+      w: Int, h: Int, declaredFrames: Int, handler: String,
+      biCompression: Long, biBitCount: Int,
+      frameChunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(declaredFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+      Array.fill(40)(0.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(biBitCount) ++ le32(biCompression) ++ Array.fill(20)(0.toByte)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frameChunks.flatMap { case (id, d) => chunk(id, d) }.toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  test("decodeFrames reads every raw-DIB AVI frame's REAL pixels") {
+    val payload = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media_avi/avi_000.avi"))
+    val frames = Multimodal.decodeFrames(payload).get
+    assert(frames.length === 3)
+    assert(frames.forall(f => f.getWidth === 16 && f.getHeight === 16))
+    // frame 0: bright block spans x 0-4, y 4-11 (r200 g220 b180) over
+    // dark red (r90 g10 b20) — the generator's arrays, read back
+    assert((frames(0).getRGB(0, 4) & 0xffffff) === 0xc8dcb4)
+    assert((frames(0).getRGB(15, 15) & 0xffffff) === 0x5a0a14)
+    // frame 2: block at the right edge
+    assert((frames(2).getRGB(15, 4) & 0xffffff) === 0xc8dcb4)
+    assert((frames(2).getRGB(0, 0) & 0xffffff) === 0x5a0a14)
+    // header probe agrees without decoding
+    assert(Multimodal.imageHeader(payload) === Some((16, 16, 3)))
+  }
+
+  test("MJPEG-in-AVI decodes through the JDK JPEG codec, bit-equal to the bare JPEG path") {
+    // Encode two real frames as JPEG with the JDK's own writer, mux
+    // them as 00dc chunks: decodeFrames must hand back frames whose
+    // cells equal decodeImage's on the same JPEG bytes — one codec,
+    // two container paths, no drift.
+    def jpegOf(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if ((x + seed) % 16 < 8) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (j0, j1) = (jpegOf(0), jpegOf(4))
+    val avi = buildAvi(16, 16, 2, "MJPG", 0x47504a4dL, 24,
+      Seq("00dc" -> j0, "00dc" -> j1))
+    val frames = Multimodal.decodeFrames(avi).get
+    assert(frames.length === 2)
+    val bare = Seq(j0, j1).map(b =>
+      Multimodal.imageCells(Multimodal.decodeImage(b).get).toSeq)
+    val inAvi = frames.map(f => Multimodal.imageCells(f).toSeq)
+    assert(inAvi === bare, "container path must not perturb decoded cells")
+  }
+
+  test("AVI guards: crafted-huge header, frame-count bomb, truncation all degrade") {
+    // declared 30000x30000 single frame: 9e8 pixels > MaxTotalPixels —
+    // must refuse BEFORE any raster allocates
+    val huge = buildAvi(30000, 30000, 1, "DIB ", 0L, 24,
+      Seq("00db" -> Array.fill(8)(0.toByte)))
+    assert(Multimodal.decodeFrames(huge).isEmpty)
+    // but the header probe still reads it (frameHashes' stub n_frames)
+    assert(Multimodal.imageHeader(huge) === Some((30000, 30000, 1)))
+    // MaxFrames+1 tiny chunks: refused by count, not decoded one by one
+    val bomb = buildAvi(4, 4, 0, "DIB ", 0L, 24,
+      (0 to Multimodal.MaxFrames).map(_ => "00db" -> Array.fill(2)(0.toByte)))
+    assert(Multimodal.decodeFrames(bomb).isEmpty)
+    // truncated mid-chunk and non-AVI RIFF: None, never a throw
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media_avi/avi_000.avi"))
+    assert(Multimodal.decodeFrames(good.take(good.length / 2)).isEmpty)
+    assert(Multimodal.decodeFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // a 00db chunk too short for the declared raster degrades the payload
+    val short = buildAvi(16, 16, 1, "DIB ", 0L, 24,
+      Seq("00db" -> Array.fill(10)(0.toByte)))
+    assert(Multimodal.decodeFrames(short).isEmpty)
+  }
+
   test("decode guards: declared-huge GIF and oversized audio degrade, never allocate") {
     // hand-built GIF89a declaring ONE 60000x60000 frame (3.6e9 pixels,
     // ~14 GB as ARGB) with only a few bytes of LZW data — the
