@@ -82,9 +82,9 @@ object Multimodal {
         // parseAvi never allocates a raster.
         parseAvi(payload).collect {
           case i if i.width > 0 && i.height > 0 &&
-              (i.frameChunks.nonEmpty || i.declaredFrames > 0) =>
+              (i.totalFrameChunks > 0 || i.declaredFrames > 0) =>
             (i.width, i.height,
-              if (i.frameChunks.nonEmpty) i.frameChunks.length
+              if (i.totalFrameChunks > 0) i.totalFrameChunks
               else i.declaredFrames)
         }
       } else {
@@ -334,29 +334,46 @@ object Multimodal {
     else new String(p, off, 4, "US-ASCII")
 
   /** Everything the frame decoder needs from an AVI's headers plus the
-    * located frame chunks: (main-header dims + declared frame count,
-    * the FIRST video stream's BITMAPINFOHEADER compression/bit depth,
-    * and each `NNdc`/`NNdb` chunk's (offset, length) inside `movi`).
+    * located frame chunks: main-header dims + declared frame count,
+    * the FIRST video stream's BITMAPINFOHEADER (compression, bit
+    * depth, and its OWN signed dims — the authoritative raster
+    * geometry; biHeight < 0 means top-down row order), that stream's
+    * `NNdc`/`NNdb` chunks as (offset, length) capped at
+    * [[MaxFrames]] + 1 entries, and the UNCAPPED chunk count (so the
+    * header probe reports a real number without materializing a
+    * tuple per chunk for a million-chunk bomb).
     */
   private case class AviInfo(
       width: Int, height: Int, declaredFrames: Int,
       biCompression: Long, biBitCount: Int,
-      frameChunks: Vector[(Int, Int)])
+      biWidth: Int, biHeight: Int,
+      frameChunks: Vector[(Int, Int)], totalFrameChunks: Int)
 
   /** Defensive RIFF walk: every chunk size is bounds-checked against
     * its enclosing list (a crafted size cannot index past the payload
     * or loop forever — sizes strictly advance the cursor), list
-    * recursion is depth-capped, and a malformed structure returns None
-    * rather than throwing (the caller's NonFatal net stays a backstop,
-    * not the parser). Header-only by construction: nothing here
-    * allocates a raster, so [[imageHeader]] can share it.
+    * recursion is depth-capped, the frame-chunk collection is capped
+    * at [[MaxFrames]] + 1 tuples (a payload packed with millions of
+    * tiny chunks must not allocate a boxed pair per chunk just to be
+    * rejected — the count still accumulates as one Int), and a
+    * malformed structure returns None rather than throwing (the
+    * caller's NonFatal net stays a backstop, not the parser). Frame
+    * chunks are pinned to the captured video stream's number — a
+    * second stream's `01db` chunks must not be decoded with stream
+    * 0's geometry nor counted into its frame sequence. Header-only by
+    * construction: nothing here allocates a raster, so [[imageHeader]]
+    * can share it.
     */
   private def parseAvi(p: Array[Byte]): Option[AviInfo] = {
     if (!isAvi(p)) return None
     var w = -1; var h = -1; var nf = -1
     var comp = -1L; var bits = -1
+    var bw = -1; var bh = 0
     var lastStrh = ""
-    val frames = Vector.newBuilder[(Int, Int)]
+    var strhSeen = 0
+    var vidStream = -1
+    var nChunks = 0
+    val frames = Vector.newBuilder[(Int, Int, Int)] // (stream, off, len)
     def walk(start: Int, end: Int, depth: Int): Boolean = {
       if (depth > 8) return false
       var off = start
@@ -375,12 +392,18 @@ object Multimodal {
             h = leU32(p, ds + 36).toInt
           case "strh" if sz >= 4 =>
             lastStrh = fourcc(p, ds)
+            strhSeen += 1
           case "strf" if sz >= 20 && comp == -1L && lastStrh == "vids" =>
+            bw = leU32(p, ds + 4).toInt  // signed i32 by truncation
+            bh = leU32(p, ds + 8).toInt
             bits = leU16(p, ds + 14)
             comp = leU32(p, ds + 16)
+            vidStream = strhSeen - 1
           case other if other.length == 4 && other.take(2).forall(_.isDigit)
               && (other.endsWith("dc") || other.endsWith("db")) =>
-            frames += ((ds, sz))
+            nChunks += 1
+            if (nChunks <= MaxFrames + 1)
+              frames += ((other.take(2).toInt, ds, sz))
           case _ => ()
         }
         off = ds + sz + (sz & 1) // chunks pad to even
@@ -388,7 +411,18 @@ object Multimodal {
       true
     }
     if (!walk(12, p.length, 0)) None
-    else Some(AviInfo(w, h, nf, comp, bits, frames.result()))
+    else {
+      // no vids strf captured (headerless MJPEG-style writers): default
+      // to stream 0's chunks — the JPEG-magic branch needs no geometry
+      val sNo = if (vidStream >= 0) vidStream else 0
+      val mine = frames.result().collect { case (s, o, l) if s == sNo => (o, l) }
+      // nChunks counted ALL streams; past the collection cap the
+      // per-stream split is unknowable without the tuples, so report
+      // the conservative total (only ever used to REJECT at > MaxFrames
+      // and as the header probe's count)
+      val total = if (nChunks <= MaxFrames + 1) mine.length else nChunks
+      Some(AviInfo(w, h, nf, comp, bits, bw, bh, mine, total))
+    }
   }
 
   /** Real VIDEO-container decode: MJPEG-in-AVI (each `00dc` chunk is a
@@ -412,19 +446,69 @@ object Multimodal {
       p: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
     parseAvi(p).flatMap { info =>
       val n = info.frameChunks.length
-      if (n < 1 || n > MaxFrames) None
+      if (n < 1 || info.totalFrameChunks > MaxFrames) None
       else if (info.width <= 0 || info.height <= 0) None
-      else if (info.width.toLong * info.height * n > MaxTotalPixels) None
       else {
-        val decoded = info.frameChunks.map { case (off, len) =>
-          decodeAviFrame(p, off, len, info)
+        // Cumulative declared-pixel budget summed from each FRAME's own
+        // authoritative header — the strf geometry for DIB rasters, the
+        // JPEG chunk's header for MJPEG. Trusting avih alone let a
+        // 16x16 container smuggle 1024 JPEGs each declaring 64M pixels:
+        // every chunk passed decodeImage's PER-frame cap exactly while
+        // the vector accumulated ~256 GB of rasters — the OOM class
+        // this budget exists to refuse before anything allocates.
+        var declared = 0L
+        var ok = true
+        val it0 = info.frameChunks.iterator
+        while (ok && it0.hasNext) {
+          val (off, len) = it0.next()
+          declaredFrameDims(p, off, len, info) match {
+            case Some((fw, fh)) if fw > 0 && fh > 0 =>
+              declared += fw.toLong * fh
+            case _ => ok = false
+          }
         }
-        // all-or-nothing: one undecodable frame degrades the PAYLOAD
-        // to the stub (a half-decoded clip would mislabel frame_idx)
-        if (decoded.forall(_.isDefined)) Some(decoded.flatten)
-        else None
+        if (!ok || declared > MaxTotalPixels) None
+        else {
+          // short-circuit: the first undecodable frame abandons the
+          // payload (all-or-nothing — a half-decoded clip would
+          // mislabel frame_idx — but the remaining 1023 frames must
+          // not pay full decode just to be thrown away)
+          val out = Vector.newBuilder[java.awt.image.BufferedImage]
+          var good = true
+          val it = info.frameChunks.iterator
+          while (good && it.hasNext) {
+            val (off, len) = it.next()
+            decodeAviFrame(p, off, len, info) match {
+              case Some(img) => out += img
+              case None => good = false
+            }
+          }
+          if (good) Some(out.result()) else None
+        }
       }
     }
+
+  /** Header-declared (width, height) of one frame chunk — no raster
+    * allocates. JPEG chunks answer from their own JFIF header via the
+    * ImageIO reader protocol; raw-DIB chunks answer from the stream's
+    * strf geometry, REQUIRED to agree with the container's avih dims
+    * (a mismatch means one of the two headers lies — degrade, don't
+    * pick one and silently hash misaligned rows).
+    */
+  private def declaredFrameDims(
+      p: Array[Byte], off: Int, len: Int,
+      info: AviInfo): Option[(Int, Int)] = {
+    val isJpeg = len >= 2 &&
+      (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
+    if (isJpeg)
+      imageHeader(java.util.Arrays.copyOfRange(p, off, off + len))
+        .map { case (w, h, _) => (w, h) }
+    else if (info.biCompression == 0L && info.biBitCount == 24 &&
+        info.biWidth == info.width &&
+        math.abs(info.biHeight) == info.height)
+      Some((info.biWidth, math.abs(info.biHeight)))
+    else None
+  }
 
   private def decodeAviFrame(
       p: Array[Byte], off: Int, len: Int,
@@ -434,8 +518,16 @@ object Multimodal {
     if (isJpeg)
       // ImageIO path reuses decodeImage's own per-frame guards
       decodeImage(java.util.Arrays.copyOfRange(p, off, off + len))
-    else if (info.biCompression == 0L && info.biBitCount == 24) {
-      val w = info.width; val h = info.height
+    else if (info.biCompression == 0L && info.biBitCount == 24 &&
+        info.biWidth == info.width &&
+        math.abs(info.biHeight) == info.height) {
+      // raster geometry from the stream's OWN BITMAPINFOHEADER:
+      // biHeight < 0 is the standard top-down convention (capture
+      // tools write it) — rows then run first-to-last instead of the
+      // default bottom-up order
+      val w = info.biWidth
+      val h = math.abs(info.biHeight)
+      val topDown = info.biHeight < 0
       val stride = ((w * 3 + 3) / 4) * 4
       if (stride.toLong * h > len) None
       else {
@@ -443,7 +535,8 @@ object Multimodal {
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
-          val row = off + (h - 1 - y) * stride // DIB rows are bottom-up
+          val srcRow = if (topDown) y else h - 1 - y
+          val row = off + srcRow * stride
           var x = 0
           while (x < w) {
             val b = p(row + x * 3) & 0xff

@@ -1383,49 +1383,28 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
-  /** The committed real-image fixtures as (doc_id, payload) — doc_id
-    * parsed from the img_NNN.bmp filename.
+  /** Committed media fixtures as (doc_id, payload): doc_id parsed
+    * from the `<prefix>_NNN.<ext>` basename. ONE definition for all
+    * four fixture families — a doc_id-parsing fix (the split-on-'/'
+    * basename recipe) must not have to land in four copies.
     */
+  private def mediaFixtures(
+      s: SparkSession, dir: String, glob: String, prefix: String): DataFrame =
+    graft.sources.Sources
+      .readBinaryFiles(s, s"$FixtureRoot/$dir", glob = glob)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1),
+          prefix + "_(\\d+)", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+
   private def mediaImages(s: SparkSession): DataFrame =
-    graft.sources.Sources
-      .readBinaryFiles(s, s"$FixtureRoot/media_img", glob = "*.bmp")
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "img_(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content").as("payload"))
-
-  /** The committed real-audio fixtures as (doc_id, payload) — doc_id
-    * parsed from the au_NNN.wav filename.
-    */
+    mediaFixtures(s, "media_img", "*.bmp", "img")
   private def mediaAudio(s: SparkSession): DataFrame =
-    graft.sources.Sources
-      .readBinaryFiles(s, s"$FixtureRoot/media_audio", glob = "*.wav")
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "au_(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content").as("payload"))
-
-  /** The committed animated-GIF fixtures as (doc_id, payload) —
-    * doc_id parsed from the vid_NNN.gif filename.
-    */
+    mediaFixtures(s, "media_audio", "*.wav", "au")
   private def mediaGifs(s: SparkSession): DataFrame =
-    graft.sources.Sources
-      .readBinaryFiles(s, s"$FixtureRoot/media_gif", glob = "*.gif")
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "vid_(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content").as("payload"))
-
-  /** The committed AVI video fixtures as (doc_id, payload) — doc_id
-    * parsed from the avi_NNN.avi filename.
-    */
+    mediaFixtures(s, "media_gif", "*.gif", "vid")
   private def mediaAvis(s: SparkSession): DataFrame =
-    graft.sources.Sources
-      .readBinaryFiles(s, s"$FixtureRoot/media_avi", glob = "*.avi")
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "avi_(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content").as("payload"))
+    mediaFixtures(s, "media_avi", "*.avi", "avi")
 
   /** Exactly 20 whitespace tokens — chunk 0 of a planted doc is the
     * whole disclaimer, so boilerplate detection has deterministic hits.

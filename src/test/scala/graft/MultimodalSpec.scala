@@ -308,16 +308,27 @@ class MultimodalSpec extends SparkTestBase {
   private def buildAvi(
       w: Int, h: Int, declaredFrames: Int, handler: String,
       biCompression: Long, biBitCount: Int,
-      frameChunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+      frameChunks: Seq[(String, Array[Byte])],
+      strfDims: Option[(Int, Int)] = None,
+      secondVideoStream: Boolean = false): Array[Byte] = {
     val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(declaredFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
-    val strh = "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
-      Array.fill(40)(0.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
-    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+    def strhOf(hd: String) =
+      "vids".getBytes("US-ASCII") ++ hd.getBytes("US-ASCII") ++
+        Array.fill(40)(0.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val (bw, bh) = strfDims.getOrElse((w, h))
+    val strf = le32(40) ++ le32(bw.toLong) ++ le32(bh.toLong) ++ le16(1) ++
       le16(biBitCount) ++ le32(biCompression) ++ Array.fill(20)(0.toByte)
-    val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val strl0 = list("strl", chunk("strh", strhOf(handler)) ++ chunk("strf", strf))
+    val strl1 =
+      if (!secondVideoStream) Array.empty[Byte]
+      else {
+        val strf1 = le32(40) ++ le32(8L) ++ le32(8L) ++ le16(1) ++
+          le16(24) ++ le32(0L) ++ Array.fill(20)(0.toByte)
+        list("strl", chunk("strh", strhOf("DIB ")) ++ chunk("strf", strf1))
+      }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl0 ++ strl1)
     val movi = list("movi",
       frameChunks.flatMap { case (id, d) => chunk(id, d) }.toArray)
     val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
@@ -387,6 +398,63 @@ class MultimodalSpec extends SparkTestBase {
     val short = buildAvi(16, 16, 1, "DIB ", 0L, 24,
       Seq("00db" -> Array.fill(10)(0.toByte)))
     assert(Multimodal.decodeFrames(short).isEmpty)
+  }
+
+  test("MJPEG cumulative budget: small container cannot smuggle huge per-frame JPEGs") {
+    // each JPEG declares 4000x4000 = 16M px — under decodeImage's
+    // PER-frame cap, but five of them total 80M > MaxTotalPixels; the
+    // per-chunk header probe must reject BEFORE any raster allocates
+    // (trusting the 16x16 avih header read 1280 px and decoded ~1.2 GB)
+    val big = new java.awt.image.BufferedImage(
+      4000, 4000, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val bomb = buildAvi(16, 16, 5, "MJPG", 0x47504a4dL, 24,
+      Seq.fill(5)("00dc" -> jpeg))
+    assert(Multimodal.decodeFrames(bomb).isEmpty)
+    // three of them (48M px) fit the budget and decode for real
+    val okAvi = buildAvi(16, 16, 3, "MJPG", 0x47504a4dL, 24,
+      Seq.fill(3)("00dc" -> jpeg))
+    assert(Multimodal.decodeFrames(okAvi).map(_.length) === Some(3))
+  }
+
+  test("top-down DIB (negative strf biHeight) decodes rows first-to-last") {
+    // white top row, black rest, stored in TOP-DOWN chunk order: the
+    // bottom-up default would land the white row at y=15
+    val stride = (16 * 3 + 3) / 4 * 4
+    val frame = Array.tabulate(16 * stride) { i =>
+      if (i < 16 * 3) 0xff.toByte else 0x00.toByte
+    }
+    val avi = buildAvi(16, 16, 1, "DIB ", 0L, 24,
+      Seq("00db" -> frame), strfDims = Some((16, -16)))
+    val f = Multimodal.decodeFrames(avi).get.head
+    assert((f.getRGB(0, 0) & 0xffffff) === 0xffffff, "top row is white")
+    assert((f.getRGB(0, 15) & 0xffffff) === 0x000000, "bottom row is black")
+    // same bytes as BOTTOM-up (positive biHeight): white lands at y=15
+    val up = buildAvi(16, 16, 1, "DIB ", 0L, 24, Seq("00db" -> frame))
+    val g = Multimodal.decodeFrames(up).get.head
+    assert((g.getRGB(0, 15) & 0xffffff) === 0xffffff)
+  }
+
+  test("avih/strf geometry disagreement degrades instead of hashing misaligned rows") {
+    val frame = Array.fill(16 * ((16 * 3 + 3) / 4 * 4))(0.toByte)
+    val lied = buildAvi(16, 16, 1, "DIB ", 0L, 24,
+      Seq("00db" -> frame), strfDims = Some((8, 8)))
+    assert(Multimodal.decodeFrames(lied).isEmpty,
+      "one of the two headers lies — do not pick a side")
+  }
+
+  test("frame chunks are pinned to the captured video stream, not pooled across streams") {
+    val stride = (16 * 3 + 3) / 4 * 4
+    val f0 = Array.fill(16 * stride)(0x40.toByte)
+    val other = Array.fill(32)(0x7f.toByte) // stream 1's 8x8-ish junk
+    val avi = buildAvi(16, 16, 1, "DIB ", 0L, 24,
+      Seq("00db" -> f0, "01db" -> other, "01db" -> other),
+      secondVideoStream = true)
+    val frames = Multimodal.decodeFrames(avi).get
+    assert(frames.length === 1, "stream 1's chunks must not join stream 0's sequence")
+    assert(Multimodal.imageHeader(avi) === Some((16, 16, 1)))
   }
 
   test("decode guards: declared-huge GIF and oversized audio degrade, never allocate") {
