@@ -37,4 +37,40 @@ object Num {
     */
   def finite(c: Column): Column =
     finiteWithin(c, Double.MaxValue)
+
+  /** Exact floor-division bin id `floor(v / w)` over a LONG-typed
+    * expression — ONE definition for the DataFrame range join
+    * ([[graft.operators.RangeJoin]]) and the SQL optimizer rewrite
+    * ([[graft.plans.BandJoinRewrite]]), which previously hand-built
+    * the same tree in two files with only comments keeping them
+    * aligned.
+    *
+    * Semantics and why each piece: `pmod` keeps FLOOR behavior on
+    * negative values (plain `div` truncates toward zero);
+    * `IntegralDivide` (`div`) is exact where `Column./` coerces longs
+    * to double and silently mis-bins past 2^53; and the subtraction
+    * runs in DECIMAL(21, 0) because `v - pmod(v, w)` in LONG
+    * underflows for v within `pmod(v, w)` of Long.MinValue — an ANSI
+    * ARITHMETIC_OVERFLOW that killed the whole join when a
+    * missing-timestamp sentinel used Long.MinValue (decimal at 21
+    * digits holds every long exactly, and `div` on decimals still
+    * returns an exact LONG).
+    */
+  def floorBinExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      w: Long): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal, Pmod, Subtract}
+    import org.apache.spark.sql.types.{Decimal, DecimalType, LongType}
+    require(w > 0, s"bin width must be positive, got $w")
+    val dec = DecimalType(21, 0)
+    val el = Cast(
+      if (e.dataType == LongType) e else Cast(e, LongType), dec)
+    val wl = Literal(Decimal(w), dec)
+    IntegralDivide(Subtract(el, Pmod(el, wl)), wl)
+  }
+
+  /** Column form of [[floorBinExpr]]. */
+  def floorBin(c: Column, w: Long): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      floorBinExpr(org.apache.spark.sql.graft.Bridge.expression(c), w))
 }

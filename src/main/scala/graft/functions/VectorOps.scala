@@ -82,7 +82,15 @@ object VectorOps {
     // trap Text.ngrams documents. Bound this way it evaluates once.
     element_at(
       transform(array(norm(a)), nrm =>
-        when(nrm.isNull || isnan(nrm), lit(null).cast("array<double>"))
+        // a non-FINITE norm is degenerate too: an Inf element gives
+        // norm = Inf (neither NULL nor NaN), and Inf/Inf = NaN slipped
+        // a NaN component into the "unit" vector — whose dot score
+        // then sorts ABOVE every real cosine (NaN ranks first desc),
+        // putting the corrupted embedding at the top of retrieval
+        // while quantizeInt8 correctly NULLed the same vector
+        when(nrm.isNull || isnan(nrm) ||
+            !nrm.between(-Double.MaxValue, Double.MaxValue),
+          lit(null).cast("array<double>"))
           .otherwise(
             transform(a, x => coalesce(try_divide(d(x), nrm), lit(0.0))))),
       1)

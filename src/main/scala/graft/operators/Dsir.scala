@@ -75,7 +75,14 @@ object Dsir {
     }
     def bucketed(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(Text.tokens(col(textCol))).as("__tok"))
+        // nonEmptyTokens, not tokens: a ''-artifact from consecutive
+        // spaces must never become a scored hash bucket or count into
+        // n_tokens (Text.scala's own term-level contract; TfIdf and
+        // LangModel already follow it) — whitespace messiness differs
+        // sharply between web corpora and curated targets, so the ''
+        // bucket systematically distorted exactly the affinity signal
+        // this operator scores
+        explode(Text.nonEmptyTokens(col(textCol))).as("__tok"))
         .select(col(idCol),
           pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
 
@@ -84,7 +91,7 @@ object Dsir {
     // would both crash an id-less curated target (the documented
     // "needs only a text column" contract) and be dead weight
     val targetBuckets = target
-      .select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(explode(Text.nonEmptyTokens(col(textCol))).as("__tok"))
       .select(pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
 
     // ONE corpus-side aggregate: the per-(doc, bucket) counts. The

@@ -68,13 +68,21 @@ object KMeans {
       def scoreTo(cv: Array[Float], cn: Double): Column =
         VectorOps.guardCos(try_divide(
           VectorOps.dot(col("vec"), typedlit(cv)), col("_n") * lit(cn)))
-      // per-row dimension guard, free until it fires (codegen'd
+      // per-row corruption guard, free until it fires (codegen'd
       // conditional): a stray vector of the wrong length would
       // otherwise NULL its dots, guardCos-pin its score to -2, land in
       // centroid 0, and SKEW that centroid's short positions silently
       // — ProductQuant.requireDim calls the outcome
       // "plausible-looking garbage"; here the corpus never collects,
-      // so the check rides the assignment scan instead of a probe
+      // so the check rides the assignment scan instead of a probe.
+      // NULL/NaN/Inf ELEMENTS are the same class one level down: a
+      // null element NULLs every dot (score -2, centroid 0) and then
+      // inflates meanVectors' count while its sum skips the null —
+      // silent codebook bias — and a NaN/Inf element reaches
+      // meanVectors' decimal cast, which ANSI-kills the whole training
+      // job at the UPDATE step instead of naming the corrupt row here.
+      // (All-ZERO vectors stay legal: they deterministically join the
+      // tie-break centroid — filter upstream if unwanted.)
       val dim = codebook.head._2.length
       val assigned = corpus
         .select(col("vec"), VectorOps.norm(col("vec")).as("_n"))
@@ -83,6 +91,10 @@ object KMeans {
             raise_error(concat(lit("KMeans: vector of dimension "),
               size(col("vec")).cast("string"),
               lit(s" in a $dim-dimensional corpus"))))
+            .when(exists(col("vec"), x =>
+                x.isNull || !x.between(-Float.MaxValue, Float.MaxValue)),
+              raise_error(lit(
+                "KMeans: vector with null/NaN/Inf element in training corpus")))
             .otherwise(
               array_max(array(code.toIndexedSeq.map { case (cid, cv, cn) =>
                 struct(scoreTo(cv, cn).as("s"), lit(-cid).as("negc"))

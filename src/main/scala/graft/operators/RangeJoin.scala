@@ -34,25 +34,13 @@ object RangeJoin {
 
   private val BinCol = "__rj_bin"
 
-  /** Floor-division bin id as a long. `pmod` keeps floor semantics on
-    * negative domains (plain `div` truncates toward zero). The division
-    * is the EXACT IntegralDivide (`div`), not `Column./` — the latter
-    * coerces longs to double, which silently mis-bins any |value| past
-    * 2^53 (snowflake ids, epoch nanos) and drops matches near bin
-    * boundaries; the numerator is exactly divisible by `w`, so `div`
-    * is exact on the full long domain. Same primitive as
-    * [[graft.plans.BandJoinRewrite]]'s bin, so the DataFrame and SQL
-    * paths agree everywhere.
+  /** Floor-division bin id as a long — the SHARED primitive
+    * [[graft.functions.Num.floorBin]], one definition for this
+    * DataFrame path and [[graft.plans.BandJoinRewrite]]'s SQL rewrite
+    * (exactness/overflow rationale lives there).
     */
-  private def bin(v: Column, w: Long): Column = {
-    val vl = v.cast("long")
-    org.apache.spark.sql.graft.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.catalyst.expressions.Subtract(
-          org.apache.spark.sql.graft.Bridge.expression(vl),
-          org.apache.spark.sql.graft.Bridge.expression(pmod(vl, lit(w)))),
-        org.apache.spark.sql.catalyst.expressions.Literal(w)))
-  }
+  private def bin(v: Column, w: Long): Column =
+    graft.functions.Num.floorBin(v.cast("long"), w)
 
   /** Join each point row to every interval row whose CLOSED interval
     * [startCol, endCol] contains it. Half-open semantics: pass
@@ -149,7 +137,12 @@ object RangeJoin {
     */
   def mergeIntervals(
       df: DataFrame, key: String, startCol: String, endCol: String): DataFrame = {
-    val reserved = Seq("__mi_prev_max", "__mi_island")
+    // OUTPUT names guarded like the scratch names: chaining a second
+    // merge pass over a prior output (key = "island_start") would
+    // otherwise emit TWO same-named columns and die far away in
+    // AMBIGUOUS_REFERENCE instead of failing fast here
+    val reserved = Seq("__mi_prev_max", "__mi_island",
+      "island_start", "island_end", "n_merged")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input already has a column named $c (reserved)"))
     import org.apache.spark.sql.expressions.Window

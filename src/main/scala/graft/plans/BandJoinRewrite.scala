@@ -67,12 +67,13 @@ case class BandJoinRewrite(session: SparkSession)
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** Floor-division bin (pmod keeps floor semantics on negatives). */
-  private def bin(e: Expression, w: Long): Expression = {
-    val el = asLong(e)
-    val wl = Literal(w)
-    IntegralDivide(Subtract(el, Pmod(el, wl)), wl)
-  }
+  /** Floor-division bin — the SHARED primitive
+    * [[graft.functions.Num.floorBinExpr]], one definition for this SQL
+    * rewrite and [[graft.operators.RangeJoin]]'s DataFrame path
+    * (exactness/overflow rationale lives there).
+    */
+  private def bin(e: Expression, w: Long): Expression =
+    graft.functions.Num.floorBinExpr(e, w)
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType

@@ -3353,9 +3353,13 @@ object LlmQueries {
         |  < len(list_distinct(string_split(text, ' ')))::DOUBLE
         |    / len(string_split(text, ' '))
         |ORDER BY doc_id""".stripMargin,
+    // tok filters ''-artifacts in lockstep with Dsir's nonEmptyTokens
+    // (the term-level tokenizer contract)
     "q_sample_dsir" ->
-      """WITH tok AS (
+      """WITH tok0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), tok AS (
+        |  SELECT * FROM tok0 WHERE t <> ''
         |), bk AS (
         |  SELECT doc_id, CAST((('0x' || substr(md5(t), 1, 16))::UBIGINT
         |    & 9223372036854775807::UBIGINT) % 256 AS BIGINT) AS bkt

@@ -22,6 +22,27 @@ class DsirSpec extends SparkTestBase {
       s"fr mean ${means(true)} should exceed non-fr mean ${means(false)}")
   }
 
+  test("''-artifacts from messy whitespace never become scored buckets or counts") {
+    import spark.implicits._
+    // 'alpha  beta' used to count 3 tokens with a third of its score
+    // from the ''-bucket ratio — pure formatting noise in a
+    // vocabulary-affinity score; a whitespace-only doc got a REAL
+    // score derived solely from '' and could clear a selection cutoff
+    val corpus = Seq(
+      (1L, "alpha  beta"), (2L, "   "), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta")).toDF("text")
+    val out = rows(Dsir.importanceScores(corpus, target, "doc_id", "text")
+      .orderBy(col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1) === Seq(1L, 3L),
+      "the whitespace-only doc carries no tokens, so no score at all")
+    assert(out(0)._2 === 2L && out(1)._2 === 2L,
+      "double spaces add no phantom token")
+    assert(out(0)._3 === out(1)._3,
+      "formatting noise must not move the affinity score")
+  }
+
   test("importanceScores: n_tokens matches the tokenizer and scores are partitioning-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
       rows(Dsir.importanceScores(df, df.filter(col("lang") === "fr"),

@@ -25,6 +25,26 @@ class KMeansSpec extends SparkTestBase {
     assert(cb(1)._2.toSeq === Seq(0.1f, 1.0f))
   }
 
+  test("corrupt elements (null/NaN/Inf) fail fast at the assignment scan, by name") {
+    import spark.implicits._
+    // unguarded, a null element NULLed every dot (score -2, centroid
+    // 0) then biased meanVectors' count-vs-sum; a NaN/Inf element
+    // reached the update step's decimal cast and ANSI-killed the JOB
+    // there, far from the corrupt row
+    for (bad <- Seq(
+        Seq[java.lang.Float](1.0f, null),
+        Seq[java.lang.Float](Float.NaN, 0.5f),
+        Seq[java.lang.Float](0.5f, Float.PositiveInfinity))) {
+      val corpus = toDf(Seq(0L -> Array(1.0f, 0.1f), 1L -> Array(0.1f, 1.0f)))
+        .unionByName(Seq((9L, bad)).toDF("id", "vec"))
+      val e = intercept[Exception] { KMeans.fit(corpus, k = 2, iters = 1) }
+      assert(e.getMessage != null &&
+        (e.getMessage.contains("null/NaN/Inf") ||
+          Option(e.getCause).exists(_.getMessage.contains("null/NaN/Inf"))),
+        s"expected the corrupt-element message, got: ${e.getMessage}")
+    }
+  }
+
   test("Lloyd iterations move centroids to their cluster means") {
     val cb = KMeans.fit(twoClusters, k = 2, iters = 2).toMap
     // cluster of centroid 0 = {0, 2, 4}: mean (1.0, 0.1)

@@ -34,6 +34,20 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("Long.MinValue sentinel points bin without overflow and match nothing") {
+    import spark.implicits._
+    // v - pmod(v, w) in LONG underflowed for v near Long.MinValue —
+    // an ANSI ARITHMETIC_OVERFLOW that killed the whole join where the
+    // predicate join would simply not match the sentinel row
+    val pts = Seq(1L -> 3L, 2L -> Long.MinValue, 3L -> Long.MaxValue)
+      .toDF("pid", "p")
+    val ivs = Seq(10L -> (0L, 5L)).map { case (i, (s, e)) => (i, s, e) }
+      .toDF("iid", "s", "e")
+    val got = rows(RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", 86400L)
+      .select("pid", "iid")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((1L, 10L)), "sentinel extremes match nothing, job survives")
+  }
+
   test("closed-interval boundaries are inclusive on both ends") {
     val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 7L)
     val pairs = rows(got.select("pid", "iid")).map(r => (r.getLong(0), r.getLong(1)))
@@ -117,6 +131,18 @@ class RangeJoinSpec extends SparkTestBase {
     val out = rows(RangeJoin.mergeIntervals(df, "k", "s", "e"))
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out === Seq((1L, 12L, 3L)))
+  }
+
+  test("mergeIntervals fails fast when an input column collides with an OUTPUT name") {
+    import spark.implicits._
+    // chaining a second merge over a prior output (key = island_start)
+    // would otherwise emit two same-named columns and die downstream
+    // in AMBIGUOUS_REFERENCE
+    val prior = Seq(("a", 1L, 5L)).toDF("island_start", "s", "e")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.mergeIntervals(prior, "island_start", "s", "e")
+    }
+    assert(ex.getMessage.contains("island_start"))
   }
 
   test("mergeIntervals drops inverted intervals and fails fast on reserved names") {

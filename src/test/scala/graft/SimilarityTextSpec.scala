@@ -351,6 +351,16 @@ class SimilarityTextSpec extends SparkTestBase {
     val badOut = rows(bad.select(
       graft.functions.VectorOps.l2Normalize(col("v")).as("n")))
     assert(badOut.head.isNullAt(0), "NULL-element vector must read NULL")
+    // an Inf element is the same corruption class: norm = Inf is
+    // neither NULL nor NaN, and Inf/Inf = NaN used to slip a NaN
+    // component into the "unit" vector — which then dot-scored NaN and
+    // ranked FIRST in descending top-k (NaN sorts above +Inf)
+    val inf = Seq(
+      Tuple1(Array(1.0f, Float.PositiveInfinity)),
+      Tuple1(Array(Float.NegativeInfinity, 2.0f))).toDF("v")
+    val infOut = rows(inf.select(
+      graft.functions.VectorOps.l2Normalize(col("v")).as("n")))
+    assert(infOut.forall(_.isNullAt(0)), "Inf-element vectors must read NULL")
   }
 
   test("quantizeInt8: round-half-up symmetric quantization, zero-safe") {
