@@ -35,6 +35,11 @@ object Features {
     require(featureCols.nonEmpty, "hashedFeatures needs feature columns")
     require(dim >= 2 && dim <= (1 << 20),
       s"dim must be in [2, 2^20], got $dim")
+    // an idCol named like an OUTPUT column would emit two same-named
+    // columns and die downstream in AMBIGUOUS_REFERENCE — the
+    // imputeWithGroupMean/goldenRecord fail-fast convention
+    Seq("n_features", "features").foreach(c => require(idCol != c,
+      s"idCol '$c' collides with hashedFeatures' output columns"))
     // idCol must be UNIQUE (a duplicate id's rows would merge into one
     // summed vector — a distinct-count check would double the
     // operator's cost, so it is the documented contract, the

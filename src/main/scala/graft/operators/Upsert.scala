@@ -99,10 +99,16 @@ object Upsert {
     // a NULL change timestamp has no place on a validity timeline: it
     // would mint a NULL valid_from version AND null the open row's
     // valid_to (min(ts) = NULL), re-emitting it still open — TWO open
-    // rows per key, silent history corruption. Same quarantine rule
-    // as NULL keys: route them to a dead-letter, don't merge them.
+    // rows per key, silent history corruption. NULL KEYS are filtered
+    // under the same quarantine rule — and actually filtered, not just
+    // name-checked in a comment: the equi-joins below never match a
+    // NULL key, so a NULL-key change minted a NEW open version while
+    // the existing NULL-key open row stayed open, compounding one
+    // extra open row per merge run. Route both to a dead-letter
+    // upstream; don't merge them.
     val deduped = changes
-      .filter(col(tsCol).isNotNull)
+      .filter((col(tsCol).isNotNull +: keys.map(k => col(k).isNotNull))
+        .reduce(_ && _))
       .groupBy(keyTs: _*)
       .agg(max(struct(attrCols.map(col): _*)).as("__scd2_attrs"))
       .select(keyTs ++ attrCols.map(c => col(s"__scd2_attrs.$c").as(c)): _*)
@@ -155,6 +161,14 @@ object Upsert {
       require(!df.columns.contains("__cdc_rn"),
         s"$side column '__cdc_rn' collides with applyCdc's scratch column")
     }
+    // A NULL op or NULL ts is a malformed change row, quarantined like
+    // scd2Apply's NULL keys/timestamps: a NULL op used to DELETE the
+    // base row silently (its key entered the anti-join set while
+    // `op =!= 'D'` read NULL and excluded it from survivors too), and
+    // a NULL ts has no place in a latest-wins ordering. Route them to
+    // a dead-letter upstream; don't apply them.
+    val wellFormed = changes.filter(
+      col(opCol).isNotNull && col(tsCol).isNotNull)
     // The ordering must be TOTAL or the winner is shuffle-order
     // dependent: after (ts, op), fully tied rows resolve by the
     // lexicographically greatest attribute tuple (the scd2Apply
@@ -166,7 +180,7 @@ object Upsert {
       else Seq(struct(attrCols.map(col): _*).desc)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(Seq(col(tsCol).desc, col(opCol).desc) ++ tieBreak: _*)
-    val latest = changes
+    val latest = wellFormed
       .withColumn("__cdc_rn", row_number().over(w))
       .filter(col("__cdc_rn") === 1)
       .drop("__cdc_rn")

@@ -67,10 +67,17 @@ object Velib {
 
   /** Surrogate key the reference prototyped but never used
     * (`research/research.ipynb` cell 4): station_id + "_" + last_reported.
+    * Plain `concat`, NOT `concat_ws`: concat_ws silently SKIPS null
+    * parts, so a NULL-ts re-report of station 1 keyed "1" — colliding
+    * with a NULL-station row reported at epoch 1 — exactly the
+    * malformed rows a surrogate key must keep apart. With concat a
+    * missing part propagates NULL: visibly incomplete, never colliding
+    * with a real key.
     */
   def withSurrogateKey(df: DataFrame): DataFrame =
     df.withColumn("id",
-      concat_ws("_", col("station_id"), unix_timestamp(col("last_reported"))))
+      concat(col("station_id").cast("string"), lit("_"),
+        unix_timestamp(col("last_reported")).cast("string")))
 
   /** Drop exact re-reports: hourly snapshots re-deliver stations whose
     * `last_reported` did not change; the reference appends them as
@@ -97,13 +104,23 @@ object Velib {
 
   /** Latest report per station — the window-dedup pattern replacing the
     * notebook's surrogate-key intent. Single shuffle on station_id.
+    * The ordering is TOTAL (the [[dedupSnapshots]] convention): two
+    * rows tying on last_reported — the backend's update-without-bump
+    * behavior — resolve to the greatest attribute tuple on every
+    * run/partitioning, never to whichever partition arrived first.
     */
   def latestPerStation(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("__v_rn"),
+      "input column '__v_rn' collides with latestPerStation's scratch column")
+    val attrs = df.columns.filterNot(c =>
+      c == "station_id" || c == "last_reported").toSeq
+    val tieBreak =
+      if (attrs.isEmpty) Nil else Seq(struct(attrs.map(col): _*).desc)
     val w = Window.partitionBy(col("station_id"))
-      .orderBy(col("last_reported").desc)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .orderBy(col("last_reported").desc +: tieBreak: _*)
+    df.withColumn("__v_rn", row_number().over(w))
+      .filter(col("__v_rn") === 1)
+      .drop("__v_rn")
   }
 
   /** The hourly aggregate's measure list — ONE definition consumed by

@@ -46,6 +46,37 @@ class UpsertSpec extends SparkTestBase {
       (2L, "bob", 22.0), (3L, "carol", 30.0), (4L, "dave", 5.0)))
   }
 
+  test("applyCdc quarantines NULL-op/NULL-ts changes instead of silently deleting") {
+    // a NULL op used to DELETE the base row: the key entered the
+    // anti-join set while op =!= 'D' read NULL and dropped it from
+    // survivors too — the row vanished with no error
+    val base = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val changes = Seq(
+      (1L, Some(5L), None: Option[String], "z"),      // NULL op
+      (2L, None: Option[Long], Some("U"), "w"))       // NULL ts
+      .toDF("k", "ts", "op", "v")
+    val out = rows(Upsert.applyCdc(base, changes, Seq("k"), "ts", "op")
+      .orderBy(col("k"))).map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Seq((1L, "x"), (2L, "y")),
+      "malformed change rows must leave the base untouched")
+  }
+
+  test("scd2Apply: a NULL-key change cannot mint a second open version") {
+    // the equi-joins never match a NULL key, so an unfiltered NULL-key
+    // change appended a NEW open row while the existing NULL-key open
+    // row stayed open — one extra open row per merge, compounding
+    val history = Seq(
+      (Option.empty[Long], "a", Some(1L), Option.empty[Long]),
+      (Some(7L), "b", Some(1L), Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq((Option.empty[Long], 5L, "a2"))
+      .toDF("k", "ts", "v")
+    val out = Upsert.scd2Apply(history, changes, Seq("k"), "ts")
+    val openNull = rows(out.filter(col("valid_to").isNull && col("k").isNull))
+    assert(openNull.size === 1, "exactly the original open NULL-key row survives")
+    assert(out.count() === 2, "the quarantined change adds nothing")
+  }
+
   test("applyCdc same-instant tie: the upsert beats the delete deterministically") {
     val changes = Seq(
       (1L, "alice", 11.0, 5L, "D"),

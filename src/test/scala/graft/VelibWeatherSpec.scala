@@ -68,6 +68,35 @@ class VelibWeatherSpec extends SparkTestBase {
     assert(m(19179944124L) === Timestamp.valueOf("2024-02-01 00:55:00"))
   }
 
+  test("latestPerStation tie on last_reported resolves deterministically, not by partition order") {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2024-02-01 00:00:00")
+    val tied = Seq(
+      (1L, 3, ts), (1L, 9, ts), // same station, same report time, differing bikes
+      (2L, 5, ts))
+      .toDF("station_id", "num_bikes_available", "last_reported")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      rows(Velib.latestPerStation(df).orderBy(col("station_id")))
+        .map(r => r.getLong(0) -> r.getInt(1))
+    val a = pick(tied)
+    assert(a === pick(tied.repartition(7)), "survivor must not depend on partitioning")
+    assert(a === Seq(1L -> 9, 2L -> 5), "greatest attribute tuple wins the tie")
+  }
+
+  test("withSurrogateKey: a NULL part yields a NULL id, never a colliding short key") {
+    import spark.implicits._
+    // concat_ws silently skipped NULL parts: station 1 with a NULL ts
+    // keyed "1", colliding with a NULL-station row reported at epoch 1
+    val df = Seq(
+      (Some(1L), Option.empty[Timestamp]),
+      (Some(2L), Some(Timestamp.valueOf("2024-02-01 00:00:00"))))
+      .toDF("station_id", "last_reported")
+    val out = rows(Velib.withSurrogateKey(df).orderBy(col("station_id")))
+    assert(out.head.isNullAt(out.head.fieldIndex("id")),
+      "incomplete parts must read NULL, not a truncated key")
+    assert(out(1).getAs[String]("id") === "2_1706745600")
+  }
+
   test("withRunMetadata appends loader columns as constants") {
     val ctx = RunContext("2024-02-01 01:00:00", "dag", "task")
     val df = Velib.withRunMetadata(
