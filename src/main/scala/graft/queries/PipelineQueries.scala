@@ -25,6 +25,18 @@ object PipelineQueries {
   private val FixtureDir = QueryUtil.fixtureRoot
   private val Ctx = RunContext("2024-02-01 01:00:00", "velib_spark", "transform_station_data")
 
+  /** (file_name, length, sha256) over a binary-rows frame — ONE
+    * projection for q_source_binary and q_source_manifest, which exist
+    * to pin the SAME payload truth over two ingest routes: shared
+    * code makes the sameness structural, not a copy-paste invariant.
+    */
+  private def binaryDigest(df: DataFrame): DataFrame =
+    df.select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"),
+        sha2(col("content"), 256).as("sha256"))
+      .orderBy(col("file_name"))
+
   private def velibCurated(s: SparkSession): DataFrame =
     Velib.curateStations(Velib.flattenStations(
       Sources.readVelibRaw(s, s"$FixtureDir/station_status.json")))
@@ -167,12 +179,8 @@ object PipelineQueries {
         s"$FixtureDir/media/clip_001.bin",
         s"$FixtureDir/media/frame_007.bin",
         s"$FixtureDir/media/absent_999.bin").toDF("path")
-      Sources.readBinaryManifest(s, manifest, "path", skipMissing = true)
-        .select(
-          element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("length"),
-          sha2(col("content"), 256).as("sha256"))
-        .orderBy(col("file_name"))
+      binaryDigest(Sources.readBinaryManifest(s, manifest, "path",
+        skipMissing = true))
     }),
 
     // Raw media directory ingestion (binaryFile source): whole files as
@@ -180,12 +188,8 @@ object PipelineQueries {
     // the payload bytes arrived intact; the VALUES oracle carries the
     // fixture files' known sha256/size.
     "q_source_binary" -> ((s, _) => {
-      Sources.readBinaryFiles(s, s"$FixtureDir/media", glob = "*.bin")
-        .select(
-          element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("length"),
-          sha2(col("content"), 256).as("sha256"))
-        .orderBy(col("file_name"))
+      binaryDigest(Sources.readBinaryFiles(s, s"$FixtureDir/media",
+        glob = "*.bin"))
     }),
 
     // S3b PERMISSIVE quarantine tier: a fixture with 2 good and 2

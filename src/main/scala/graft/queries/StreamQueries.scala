@@ -220,7 +220,7 @@ object StreamQueries {
       runToBatch(s,
         Streams.stationWeatherJoin(
           Streams.velibStream(s, StationsDir),
-          s.readStream.schema(Schemas.weatherRaw).json(WeatherDir)))
+          Streams.weatherStream(s, WeatherDir)))
         .orderBy(col("station_id"), col("last_reported"))
     }),
 
@@ -233,7 +233,7 @@ object StreamQueries {
       runToBatch(s,
         Streams.stationWeatherLeftJoin(
           Streams.velibStream(s, StationsOuterDir),
-          s.readStream.schema(Schemas.weatherRaw).json(WeatherOuterDir)))
+          Streams.weatherStream(s, WeatherOuterDir)))
         .orderBy(col("station_id"), col("last_reported"))
     }),
 
@@ -398,6 +398,13 @@ object StreamQueries {
       // time-travel coordinate.
       val versions = Streams.mergeTargetVersions(s, outDir)
         .sortBy(_.drop(1).toLong)
+      // actionable, not 'empty.reduceLeft': zero committed snapshots
+      // means the merge never landed (all-empty micro-batches, a
+      // failed _LATEST write) — name the target instead of throwing
+      // from a list fold three frames away
+      require(versions.nonEmpty,
+        s"q_stream_timetravel: no committed snapshots under $outDir — " +
+          "the merge stream landed nothing")
       versions.zipWithIndex.map { case (v, i) =>
         Streams.readMergeTargetVersion(s, outDir, v)
           .select(lit(i).as("snap_rank"), col("station_id"),

@@ -64,10 +64,23 @@ object Sources {
     * can split good rows from quarantine rows in one pass and land
     * the quarantine for replay — the standard dead-letter pattern.
     */
+  /** The dead-letter schema shared by the batch and streaming
+    * permissive readers — ONE definition so the quarantine column's
+    * name/type cannot drift between the two tiers, with the
+    * caller-schema collision caught here (a schema already carrying
+    * `_corrupt` would otherwise produce a duplicate-column frame).
+    */
+  private def corruptSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "caller schema already has a '_corrupt' column — the permissive " +
+        "readers reserve that name for the quarantine channel")
+    schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+  }
+
   def readJsonPermissive(
       spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
-      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .schema(corruptSchema(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
@@ -96,7 +109,7 @@ object Sources {
   def readJsonPermissiveStream(
       spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream
-      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .schema(corruptSchema(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
@@ -185,36 +198,41 @@ object Sources {
           val fs = hp.getFileSystem(conf) // per-JVM cached handle
           // ONE metadata call (existence + length together): an
           // exists()-then-open() probe would pay extra object-store
-          // HEADs per file AND race the compactor this flag exists
-          // for — a file deleted between the two calls would still
-          // fail the task. Catching FNF on the status call is both
-          // the cheap path and the race-free one.
-          val status =
-            try Some(fs.getFileStatus(hp))
-            catch {
-              case _: java.io.FileNotFoundException if skip => None
-            }
-          status match {
-            case None => Iterator.empty
-            case Some(st) =>
-              val len = st.getLen
-              // whole-payload rows stop at the JVM array limit — a
-              // silent toInt wrap would truncate content while
-              // reporting the full length (corruption, not an error)
-              // Int.MaxValue - 8: HotSpot's real array ceiling sits a
-              // few elements under Int.MaxValue — admitting the edge
-              // would trade this message for an opaque
-              // "Requested array size exceeds VM limit" OOM
-              require(len <= Int.MaxValue - 8,
-                s"$p is $len bytes; single-row payloads are capped at " +
-                  "2 GiB — chunk oversized media at write time")
-              val in = fs.open(hp)
-              try {
-                val buf = new Array[Byte](len.toInt)
-                in.readFully(0, buf)
-                Iterator.single((p, len, buf))
-              } finally in.close()
+          // HEADs per file. Under skipMissing the FNF catch covers the
+          // WHOLE status+open+read sequence, not just the status call:
+          // the compactor this flag exists for can delete the object
+          // between getFileStatus and open (or mid-read on a lazy-open
+          // store) — a guard on the status call alone still failed the
+          // task in exactly the mid-compaction window it documents.
+          def readOne(): Option[(String, Long, Array[Byte])] = {
+            val st = fs.getFileStatus(hp)
+            val len = st.getLen
+            // whole-payload rows stop at the JVM array limit — a
+            // silent toInt wrap would truncate content while
+            // reporting the full length (corruption, not an error)
+            // Int.MaxValue - 8: HotSpot's real array ceiling sits a
+            // few elements under Int.MaxValue — admitting the edge
+            // would trade this message for an opaque
+            // "Requested array size exceeds VM limit" OOM
+            require(len <= Int.MaxValue - 8,
+              s"$p is $len bytes; single-row payloads are capped at " +
+                "2 GiB — chunk oversized media at write time")
+            val in = fs.open(hp)
+            try {
+              val buf = new Array[Byte](len.toInt)
+              in.readFully(0, buf)
+              Some((p, len, buf))
+            } finally in.close()
           }
+          val row =
+            try readOne()
+            catch {
+              // EOF covers truncate-during-read on stores that shrink
+              // in place rather than delete-then-replace
+              case _: java.io.FileNotFoundException if skip => None
+              case _: java.io.EOFException if skip => None
+            }
+          row.iterator
         }
       }.toDF("path", "length", "content")
   }

@@ -53,6 +53,15 @@ object Streams {
   def velibStream(spark: SparkSession, dropDir: String): DataFrame =
     spark.readStream.schema(Schemas.velibRaw).json(dropDir)
 
+  /** File-drop source of raw weather snapshots — the vélib twin. One
+    * definition: the two stream-stream join harnesses used to inline
+    * this read separately, so a source-option fix could reach one J7
+    * query and silently miss the other (the listedFixtures /
+    * perDropPasses rule).
+    */
+  def weatherStream(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream.schema(Schemas.weatherRaw).json(dropDir)
+
   /** Flatten + curate + watermarked stateful dedup on the report key.
     * State is bounded by the watermark (2 hours of event time —
     * stations report minutes-to-hours late, `research.ipynb` cell 3

@@ -189,5 +189,14 @@ class VelibWeatherSpec extends SparkTestBase {
     assert(bad.exists(_.getAs[String]("_corrupt").startsWith("not json")))
     // good rows parse fully
     assert(good.map(_.getAs[Long]("ttl")).sorted === Seq(3600L, 7200L))
+    // a caller schema already carrying _corrupt fails fast instead of
+    // producing a duplicate-column frame (same rule on the stream twin)
+    val clashing = graft.model.Schemas.velibRaw
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sources.readJsonPermissive(spark,
+        "/root/repo/fixtures/station_status_mixed.json", clashing)
+    }
+    assert(e.getMessage.contains("_corrupt"))
   }
 }
