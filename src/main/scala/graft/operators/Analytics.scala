@@ -41,8 +41,13 @@ object Analytics {
     // NULL users excluded like cohortRetention/eventTransitions: the
     // NULL groupBy key would collapse ALL anonymous step-1 events into
     // one phantom user that can never chain (NULL === NULL joins to
-    // nothing), inflating the step-1 base and deflating conversion
-    var acc = events.filter(col(userCol).isNotNull)
+    // nothing), inflating the step-1 base and deflating conversion.
+    // NULL TIMESTAMPS too: a user whose only step-1 events are
+    // untimed entered the base with t_1 = NULL — a step-1 row that
+    // can never chain (NULL > compares to nothing), deflating every
+    // conversion ratio computed against count(*), and violating the
+    // "row per user who performed step 1" contract with a NULL t_1
+    var acc = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_1"))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
@@ -122,8 +127,12 @@ object Analytics {
     // NULL users form ONE window partition: anonymous events from
     // unrelated people would chain into fabricated transitions (and a
     // large NULL share makes that partition a skew hazard) — drop
-    // them, as rollingUniques does
-    val pairs = events.filter(col(userCol).isNotNull)
+    // them, as rollingUniques does. NULL TIMESTAMPS sort FIRST in the
+    // ascending window, so an untimed event minted a fabricated
+    // "NULL-ts -> first real event" transition (and untimed events
+    // chained among themselves in tiebreak order) — no known ordering,
+    // no transition; drop them like the user key
+    val pairs = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))

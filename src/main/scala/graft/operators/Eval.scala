@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Num
+
 /** Classifier-evaluation metrics over (score, label) columns — the
   * eval side of a data pipeline (quality-filter calibration, dedup
   * classifier tuning, retrieval relevance): exact, engine-portable
@@ -38,7 +40,7 @@ object Eval {
       // NaN passes isNotNull and sorts LARGEST: a NaN-scored positive
       // would take the top average rank and silently inflate AUC (the
       // ece guard, applied to its siblings)
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
         !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
@@ -88,7 +90,7 @@ object Eval {
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
       // NaN would form a bogus first threshold point (desc-sorts first)
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
         !isnan(col(scoreCol).cast("double")))
       .select(col(scoreCol).cast("double").as("threshold"),
         col(labelCol).cast("int").as("__y"))
@@ -128,7 +130,7 @@ object Eval {
       scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
       .filter(col(groupCol).isNotNull &&
-        col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
         !isnan(col(scoreCol).cast("double")))
       .select(col(groupCol).as("__g"),
         col(scoreCol).cast("double").as("__s"),
@@ -169,7 +171,7 @@ object Eval {
       // a NaN residual kills the DECIMAL(38,12) cast under ANSI — and
       // so does an INFINITE score's infinite square; neither carries
       // calibration signal, both are excluded
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
         !isnan(col(scoreCol).cast("double")) &&
         (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
       .select(col(scoreCol).cast("double").as("__p"),
@@ -202,7 +204,7 @@ object Eval {
       // and their decimal cast in the bin-mean sum dies under ANSI —
       // a probability column's NaNs carry no calibration signal.
       // Infinite scores die on the same cast (brier's guard).
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
         !isnan(col(scoreCol).cast("double")) &&
         (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
       .select(col(scoreCol).cast("double").as("score"),

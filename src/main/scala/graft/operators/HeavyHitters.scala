@@ -134,6 +134,16 @@ object HeavyHitters {
       s"minShare must be in (0,1), got $minShare")
     require(slack >= 1.0, s"slack must be >= 1, got $slack")
     val k = math.ceil(slack / minShare).toInt
+    // k bounds EVERYTHING driver-side here: each task's Misra-Gries
+    // buffer holds up to k entries, the collect pulls up to k
+    // candidate strings into ONE driver row, and the verify filter
+    // inlines them as an IN set. minShare = 1e-7 is not a heavy-hitter
+    // question (k = 2e7 → driver OOM with no actionable error) — the
+    // rollingUniques/markovStationary bounded-blowup convention.
+    require(k <= 1000000,
+      s"ceil(slack/minShare) = $k candidate keys exceed the 1e6 bound; " +
+        "heavy-hitter screens need minShare >= ~2e-6 — use a plain " +
+        "groupBy count for full-dictionary questions")
     val mg = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
     val keyed = df.filter(col(keyCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"))
@@ -171,6 +181,12 @@ object HeavyHitters {
       s"minShare must be in (0,1), got $minShare")
     require(slack >= 1.0, s"slack must be >= 1, got $slack")
     val k = math.ceil(slack / minShare).toInt
+    // same bound as heavyHitters, with more reason: per-TASK state is
+    // one k-entry buffer per group in flight, and cand carries up to
+    // k rows per group into the semi join
+    require(k <= 1000000,
+      s"ceil(slack/minShare) = $k candidate keys per group exceed the " +
+        "1e6 bound; heavy-hitter screens need minShare >= ~2e-6")
     val mg = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
     val keyed = df.filter(col(keyCol).isNotNull)
       .select(col(groupCol).as("grp"), col(keyCol).cast("string").as("key"))

@@ -168,9 +168,14 @@ object IncrementalAgg {
 
   /** Read-time view over a state table: exposes the algebraic measures
     * plus the derived average (decimal sum cast to double, divided by
-    * the count — the project-wide portable-average shape).
+    * the count — the project-wide portable-average shape). try_divide,
+    * not `/`: n_v = 0 rows are a state shape this file's own operators
+    * produce (retractState's doc surfaces fully-deleted groups with
+    * n_v = 0; buildState emits 0 for all-NULL-value groups), and a
+    * plain division there is a whole-job ANSI DIVIDE_BY_ZERO — the
+    * NULL average is the honest "no values" answer.
     */
   def finish(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
-      col("sum_v").cast("double") / col("n_v").cast("double"))
+      try_divide(col("sum_v").cast("double"), col("n_v").cast("double")))
 }

@@ -140,8 +140,14 @@ object Repetition {
   def removeDupSpans(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val covered = hotCoveredPositions(docs, n, minDf)
-    val kept = docs
+    // NULL-text docs are EXCLUDED, not rewritten: the left-join
+    // coalesce below would emit clean_text = '' with n_removed = NULL
+    // for them — indistinguishable from a genuinely fully-covered doc
+    // (silent NULL→'' coercion) and NULL arithmetic downstream. The
+    // tokenDiversity convention: no text, no row.
+    val present = docs.filter(col("text").isNotNull)
+    val covered = hotCoveredPositions(present, n, minDf)
+    val kept = present
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
       .join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -151,7 +157,7 @@ object Repetition {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs.select(col("doc_id"), Text.tokenCount(col("text")).as("nt"))
+    present.select(col("doc_id"), Text.tokenCount(col("text")).as("nt"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
