@@ -99,7 +99,13 @@ object Bench {
     // times just those queries. The driver never sets it.
     val names = Harness.selectedNames("bench")
 
-    val passes = (1 to Passes).map(p => timeChunk(names, s"p$p", sfDir, cpus))
+    val passes = (1 to Passes).map { p =>
+      // Each pass re-mines the shared near-dup pair set once: carrying
+      // the cache across passes would let min-of-passes erase mining
+      // from the totals (see LlmQueries.resetMinedPairsCache).
+      graft.queries.LlmQueries.resetMinedPairsCache()
+      timeChunk(names, s"p$p", sfDir, cpus)
+    }
 
     // Targeted third pass for the queries whose two timings disagree by
     // more than 2x — min-of-2 is not enough when a pass sits inside one
@@ -111,6 +117,19 @@ object Bench {
       else {
         System.err.println(
           s"[bench] retrying high-spread queries: ${noisy.mkString(", ")}")
+        // Cache policy for the retry: non-first pair consumers were
+        // WARM in the main passes, so the retry stays warm for them
+        // (a reset would charge them mining they never paid, inflating
+        // the retry time and the reported spread). Only when the
+        // retried set contains the FIRST consumer — the query mining
+        // is attributed to — must the retry re-mine, or its warm
+        // re-time would beat the honest main-pass minimum and drop
+        // mining from the total. `noisy` preserves `names` order, so
+        // that consumer also runs first within the retry.
+        val firstConsumer =
+          names.find(graft.queries.LlmQueries.minedPairConsumers)
+        if (firstConsumer.exists(noisy.contains))
+          graft.queries.LlmQueries.resetMinedPairsCache()
         timeChunk(noisy, "retry", sfDir, cpus)
       }
 
@@ -144,8 +163,8 @@ object Bench {
     // bench_total.json's "queries" map (extracted with a regex — the
     // artifact is machine-written, flat, and number-valued by
     // construction). Missing file / new query => no entry.
-    val priorTimes: Map[String, Double] = {
-      val f = new java.io.File("bench_total.json")
+    def readQueryTimes(path: String): Map[String, Double] = {
+      val f = new java.io.File(path)
       if (!f.isFile) Map.empty
       else try {
         val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
@@ -160,6 +179,29 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
+    val priorTimes = readQueryTimes("bench_total.json")
+    // Best-ever per-query times, accumulated across full runs: the
+    // last-run trend alone lets a two-round A-B-A wobble hide a real
+    // regression (slow in r(N-1), slow again in r(N) reads as ±0 vs
+    // last). bench_best.json keeps the per-query MIN over every full
+    // run; regressions_vs_best flags drift from the best this code has
+    // ever measured, noise-banded at 2x the last-run bar because best-
+    // of-many sits at the favorable tail of the ~8% host noise band.
+    // SF-keyed: a best file recorded at a different scale factor is
+    // incomparable (one sf0.01 run would otherwise poison the min-fold
+    // forever) — ignored on mismatch and overwritten by this run.
+    def fileSf(path: String): Option[String] = {
+      val f = new java.io.File(path)
+      if (!f.isFile) None
+      else try "\"sf\":\"([^\"]*)\"".r
+        .findFirstMatchIn(scala.io.Source.fromFile(f, "UTF-8").mkString)
+        .map(_.group(1))
+      catch { case _: Throwable => None }
+    }
+    val bestTimes =
+      if (fileSf("bench_best.json").contains(sfDir))
+        readQueryTimes("bench_best.json")
+      else Map.empty[String, Double]
     val trend = results.flatMap { case (k, v, _, _) =>
       priorTimes.get(k).map(p => s"${jstr(k)}:${num(v - p, "%.3f")}")
     }.mkString("{", ",", "}")
@@ -174,8 +216,21 @@ object Bench {
           s"${jstr(k)}:${num(v - p, "%.3f")}"
       }
     }.mkString("{", ",", "}")
+    // Only true slowdowns vs the all-time best (improvements on best
+    // are impossible by construction; the best file absorbs them).
+    // Errored queries are excluded: their elapsed-until-throw is not a
+    // timing, and "errors" already reports them — a phantom vs-best
+    // entry would send the grader chasing a speed regression instead
+    // of the breakage.
+    val vsBest = results.flatMap { case (k, v, None, _) =>
+      bestTimes.get(k).collect {
+        case b if v - b > math.max(1.0, 0.5 * b) =>
+          s"${jstr(k)}:${num(v - b, "%.3f")}"
+      }
+    case _ => None
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"trend":$trend,"regressions":$regressions,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreads,"trend":$trend,"regressions":$regressions,"regressions_vs_best":$vsBest,"sf":${jstr(sfDir)}}"""
     // Belt-and-braces for the driver's tail parser: the compact headline
     // brackets the long map line on stdout, AND the full JSON is written
     // to a bare artifact file free of any build-tool log prefixes.
@@ -188,6 +243,23 @@ object Bench {
       try out.println(full) finally out.close()
       System.err.println(
         s"[bench] wrote ${new java.io.File("bench_total.json").getAbsolutePath}")
+      // Fold this run into the all-time-best file: per-query min of
+      // (prior best, this run), SUCCESSFUL queries only — an errored
+      // pass's elapsed-until-throw must never become the bar future
+      // runs are graded against. MERGED over the prior map, not
+      // rewritten from this run alone: a query that errored (or was
+      // skipped) this run keeps its recorded best instead of having
+      // its bar silently erased and re-seeded by the next slow run.
+      val newBest = bestTimes ++ results.collect { case (k, v, None, _) =>
+        k -> math.min(v, bestTimes.getOrElse(k, Double.MaxValue))
+      }
+      val bestJson = newBest.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jstr(k)}:${num(v, "%.3f")}" }.mkString("{", ",", "}")
+      val bout = new java.io.PrintWriter(
+        new java.io.File("bench_best.json"), "UTF-8")
+      try bout.println(
+        s"""{"metric":"best","sf":${jstr(sfDir)},"queries":$bestJson}""")
+      finally bout.close()
     }
     println(compact)
     println(full)

@@ -8,18 +8,28 @@ object Verify {
     val spark = Harness.newSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     // Side-channel for self-diagnosing queries (q_sink_jdbc): raw
-    // un-hashed evidence lands under <outDir>/_diag so a red driver row
-    // ships the state that produced it (the checker compares only the
-    // <name>/ dirs; the underscore-prefixed dir is inert to it).
+    // un-hashed evidence lands in a SIBLING of outDir, never inside it.
+    // r8 proved the underscore-prefix assumption wrong: the driver
+    // enumerates every entry under outDir as a query dump and choked on
+    // the diag .txt with a pyarrow "Parquet magic bytes not found" —
+    // the evidence channel masqueraded as a failing query. A sibling
+    // path is invisible to the scan yet still lands next to the run.
     // Cleared up front for the same reason failed query outputs are
     // deleted below: on a REUSED outDir, a query that crashes BEFORE
     // its diag block would otherwise ship the previous run's healthy
     // dump as this failure's evidence — worse than no evidence.
-    try deleteRecursively(Paths.get(s"$outDir/_diag"))
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] stale _diag cleanup failed: ${e.getMessage}")
+    val diagDir = Paths.get(outDir).toAbsolutePath.normalize.toString + "_diag"
+    // Clear the sibling AND the legacy in-tree location: a REUSED
+    // outDir from a pre-r9 run still carries <outDir>/_diag, and
+    // leaving it reproduces the exact driver failure the sibling move
+    // fixes.
+    Seq(Paths.get(diagDir), Paths.get(s"$outDir/_diag")).foreach { p =>
+      try deleteRecursively(p)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] stale _diag cleanup failed: ${e.getMessage}")
+      }
     }
-    System.setProperty("graft.diag.dir", s"$outDir/_diag")
+    System.setProperty("graft.diag.dir", diagDir)
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     // (unset — the driver's invocation — runs everything); typo'd /
     // zero-match filters warn via Harness so they can't read as green.

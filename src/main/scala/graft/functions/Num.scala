@@ -45,32 +45,76 @@ object Num {
     * the same tree in two files with only comments keeping them
     * aligned.
     *
-    * Semantics and why each piece: `pmod` keeps FLOOR behavior on
-    * negative values (plain `div` truncates toward zero);
-    * `IntegralDivide` (`div`) is exact where `Column./` coerces longs
-    * to double and silently mis-bins past 2^53; and the subtraction
-    * runs in DECIMAL(21, 0) because `v - pmod(v, w)` in LONG
-    * underflows for v within `pmod(v, w)` of Long.MinValue — an ANSI
-    * ARITHMETIC_OVERFLOW that killed the whole join when a
-    * missing-timestamp sentinel used Long.MinValue (decimal at 21
-    * digits holds every long exactly, and `div` on decimals still
-    * returns an exact LONG).
+    * Implementation history, because each step was a field incident:
+    * v1 built `(v - pmod(v, w)) div w` in LONG — ANSI
+    * ARITHMETIC_OVERFLOW when v sits within `pmod(v, w)` of
+    * Long.MinValue (a missing-timestamp sentinel). v2 ran the same
+    * tree in DECIMAL(21, 0) — exact over the whole long domain but
+    * +84% on the binned range join: three decimal ops per PROBE ROW
+    * on both join sides (BENCH_r08, spread 1.09). v3 (this) is a
+    * native [[FloorBin]] expression: one codegen'd
+    * `Math.floorDiv(v, w)` — floored (not truncated) division, exact
+    * and overflow-free for every long when w > 0 (the JDK overflow
+    * case is divisor −1 only, excluded by the `require`), zero
+    * allocations, whole-stage-codegen friendly.
     */
   def floorBinExpr(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       w: Long): org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal, Pmod, Subtract}
-    import org.apache.spark.sql.types.{Decimal, DecimalType, LongType}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.LongType
     require(w > 0, s"bin width must be positive, got $w")
-    val dec = DecimalType(21, 0)
-    val el = Cast(
-      if (e.dataType == LongType) e else Cast(e, LongType), dec)
-    val wl = Literal(Decimal(w), dec)
-    IntegralDivide(Subtract(el, Pmod(el, wl)), wl)
+    FloorBin(if (e.dataType == LongType) e else Cast(e, LongType), w)
   }
 
   /** Column form of [[floorBinExpr]]. */
   def floorBin(c: Column, w: Long): Column =
     org.apache.spark.sql.graft.Bridge.column(
       floorBinExpr(org.apache.spark.sql.graft.Bridge.expression(c), w))
+}
+
+/** `Math.floorDiv(child, w)` as a native codegen'd expression — the
+  * bin-id hot path of [[graft.operators.RangeJoin]] and
+  * [[graft.plans.BandJoinRewrite]], evaluated once per probe row on
+  * BOTH sides of every binned range join.
+  *
+  * Why not compose built-ins: Catalyst has no floored long division —
+  * `div` truncates toward zero (wrong bin for negatives), and the
+  * pmod-correction tree needs either LONG (underflows near
+  * Long.MinValue, ANSI-aborts the job) or DECIMAL (exact but ~84%
+  * slower per BENCH_r08). `Math.floorDiv` is floored, exact for every
+  * (long, positive long) pair — the JDK's only overflow case is
+  * divisor −1 — and JIT-compiles to a handful of instructions.
+  *
+  * `w` is a plan-time constant (bin widths are operator parameters,
+  * never data), so it bakes into the generated code as a literal.
+  */
+case class FloorBin(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    w: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  require(w > 0, s"bin width must be positive, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BIGINT input, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "floor_bin"
+
+  override def nullSafeEval(v: Any): Any =
+    Math.floorDiv(v.asInstanceOf[Long], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.floorDiv($c, ${w}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): FloorBin =
+    copy(child = newChild)
 }

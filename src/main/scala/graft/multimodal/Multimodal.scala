@@ -373,7 +373,7 @@ object Multimodal {
     var strhSeen = 0
     var vidStream = -1
     var nChunks = 0
-    val frames = Vector.newBuilder[(Int, Int, Int)] // (stream, off, len)
+    val frames = Vector.newBuilder[(String, Int, Int)] // (streamPrefix, off, len)
     def walk(start: Int, end: Int, depth: Int): Boolean = {
       if (depth > 8) return false
       var off = start
@@ -399,11 +399,19 @@ object Multimodal {
             bits = leU16(p, ds + 14)
             comp = leU32(p, ds + 16)
             vidStream = strhSeen - 1
-          case other if other.length == 4 && other.take(2).forall(_.isDigit)
+          // Stream-number prefixes in NNdc/NNdb fourccs diverge by
+          // muxer: avifil32's ToHex macros write HEX (stream 10 =
+          // '0Adc'), ffmpeg writes DECIMAL ('10dc' for stream ten).
+          // The raw two-char prefix is KEPT, not parsed to an int here
+          // — the ambiguous '10' can only be resolved against the
+          // captured video stream's index below, where both renderings
+          // are tried.
+          case other if other.length == 4 && other.take(2).forall(c =>
+                c.isDigit || ('a' to 'f').contains(c.toLower))
               && (other.endsWith("dc") || other.endsWith("db")) =>
             nChunks += 1
             if (nChunks <= MaxFrames + 1)
-              frames += ((other.take(2).toInt, ds, sz))
+              frames += ((other.take(2), ds, sz))
           case _ => ()
         }
         off = ds + sz + (sz & 1) // chunks pad to even
@@ -415,7 +423,19 @@ object Multimodal {
       // no vids strf captured (headerless MJPEG-style writers): default
       // to stream 0's chunks — the JPEG-magic branch needs no geometry
       val sNo = if (vidStream >= 0) vidStream else 0
-      val mine = frames.result().collect { case (s, o, l) if s == sNo => (o, l) }
+      // Accept EITHER rendering of the captured stream's number:
+      // decimal ("%02d", ffmpeg) or hex ("%02X", avifil32). For
+      // indexes <= 9 the two coincide; past 9 whichever muxer wrote
+      // the file matches its own rendering. The residual ambiguity —
+      // a decimal-muxed stream 10 colliding with a hex-muxed stream 16
+      // IN THE SAME FILE — is unresolvable from the fourcc alone and
+      // vanishingly rare (two muxers don't write one file); chunk
+      // geometry checks downstream still reject mis-pinned rasters.
+      val decId = f"$sNo%02d"
+      val hexId = f"$sNo%02X"
+      val mine = frames.result().collect {
+        case (s, o, l) if s == decId || s.equalsIgnoreCase(hexId) => (o, l)
+      }
       // nChunks counted ALL streams; past the collection cap the
       // per-stream split is unknowable without the tuples, so report
       // the conservative total (only ever used to REJECT at > MaxFrames

@@ -47,28 +47,79 @@ object LlmQueries {
     embs(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("vec"))
 
-  /** MinHash near-dup pairs (doc_a, doc_b) MATERIALIZED once, for the
-    * graph/cluster queries that consume the pair set through operators
-    * referencing it several times (symmetrize's two union branches,
-    * duplicateClusters' bidirectional edge union, triangleStats' degree
-    * + orientation + edge-count passes). Those references are DISTINCT
-    * subtrees — Catalyst's exchange reuse cannot dedup them — so a lazy
-    * frame re-runs the whole LSH + exact-verify mining pipeline per
-    * reference (measured: q_graph_pagerank paid mining twice, ~2.5 s of
-    * its 5-6 s warm cost). localCheckpoint(eager) runs mining ONCE and
-    * hands every consumer cheap block reads; the banded-signature cache
-    * is released immediately after (the pairs no longer need lineage).
-    * This is also the 100 TB shape: a deployment WRITES the pair set
-    * once and feeds downstream graph ops from storage, never re-mining
-    * per consumer.
+  /** MinHash near-dup pairs (doc_a, doc_b) mined ONCE PER RUN and
+    * persisted to scratch parquet; every graph/cluster consumer reads
+    * the stored set.
+    *
+    * Two layers of reuse, each fixing a measured cost:
+    *  - WITHIN a query (r8): operators reference the pair set through
+    *    DISTINCT subtrees (symmetrize's two union branches,
+    *    duplicateClusters' bidirectional edge union, triangleStats'
+    *    degree + orientation + edge-count passes) — Catalyst's
+    *    exchange reuse cannot dedup them, so a lazy frame re-ran the
+    *    whole LSH + exact-verify mining pipeline per reference
+    *    (q_graph_pagerank paid mining twice, ~2.5 s of its 5-6 s).
+    *  - ACROSS queries (r9): four registered queries consume the SAME
+    *    (dir, threshold) pair set, and a per-query localCheckpoint
+    *    still re-mined it four times per Verify/bench run. A process-
+    *    wide path cache mines on first demand, writes the pairs to a
+    *    scratch parquet, and hands each consumer (and each later
+    *    query) a plain file read. Caching the PATH, not the frame,
+    *    keeps it valid across Harness.RecycleEvery session recycling —
+    *    a checkpointed frame dies with its session; files don't.
+    *
+    * This is exactly the 100 TB shape: a deployment writes the mined
+    * pair set to storage once and feeds every downstream graph op from
+    * it, never re-mining per consumer. The banded-signature cache is
+    * released as soon as the pairs are on disk (no lineage needed).
+    *
+    * Per-query bench attribution note (for anyone reading BENCH
+    * deltas): the FIRST consumer in a run pays the full mining cost;
+    * the five others read parquet. The mining work is still inside
+    * every full run's total — it just appears once, which is the
+    * point.
     */
-  private def minedPairs(s: SparkSession, dir: String, threshold: Double) = {
-    val (pairs, release) =
-      Dedup.minhashNearDuplicatesReleasable(docs(s, dir), threshold)
-    val out = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    release()
-    out
+  private val minedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+
+  /** Drop the cross-query pair cache. Bench calls this at the start of
+    * every timing pass so each pass pays mining exactly ONCE — without
+    * the reset, pass 2 reads pass 1's parquet and min-of-passes would
+    * erase the mining cost from the reported totals entirely (a
+    * phantom speed-up the artifact's trend would misread as real).
+    */
+  def resetMinedPairsCache(): Unit = minedPairsCache.clear()
+
+  /** Registry names that consume the shared mined pair set — the
+    * queries whose timings depend on cache state. Bench uses this to
+    * decide whether a targeted retry pass must re-mine (only when the
+    * retried set contains the FIRST consumer, the one mining is
+    * attributed to) or should stay warm like every non-first consumer
+    * was in the main passes.
+    */
+  val minedPairConsumers: Set[String] = Set(
+    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_canonical",
+    "q_graph_pagerank", "q_graph_triangles", "q_split_leakfree")
+
+  /** The full mined row set (doc_a, doc_b, jaccard) — what
+    * q_dedup_minhash ships; graph consumers use [[minedPairs]]'s
+    * two-column projection so an extra column can never ride into an
+    * operator's union/select-star path.
+    */
+  private def minedPairsFull(s: SparkSession, dir: String, threshold: Double) = {
+    val path = minedPairsCache.computeIfAbsent((dir, threshold), { key =>
+      val (pairs, release) =
+        Dedup.minhashNearDuplicatesReleasable(docs(s, key._1), key._2)
+      val out = QueryUtil.scratchDir("graft_pairs_") + "/pairs"
+      pairs.write.mode("overwrite").parquet(out) // (doc_a, doc_b, jaccard)
+      release()
+      out
+    })
+    s.read.parquet(path)
   }
+
+  private def minedPairs(s: SparkSession, dir: String, threshold: Double) =
+    minedPairsFull(s, dir, threshold).select(col("doc_a"), col("doc_b"))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: one uniform md5 shuffle (Dedup.exactDuplicateGroups).
@@ -116,9 +167,11 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
-    // MinHash 128-perm + 32-band LSH, exact-jaccard-verified.
+    // MinHash 128-perm + 32-band LSH, exact-jaccard-verified. Reads the
+    // run's shared mined-pair parquet (minedPairsFull) — same rows
+    // Dedup.minhashNearDuplicates produces, mined once per run.
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDuplicates(docs(s, dir), 0.8)
+      minedPairsFull(s, dir, 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -828,7 +881,7 @@ object LlmQueries {
     "q_split_leakfree" -> ((s, dir) => {
       val d = docs(s, dir)
       Sampling.leakageFreeSplit(
-        d, "doc_id", Dedup.minhashNearDuplicates(d, 0.8), trainPct = 90)
+        d, "doc_id", minedPairs(s, dir, 0.8), trainPct = 90)
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))
     }),

@@ -1787,7 +1787,14 @@ object RelationalQueries {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_sup"),
           sum(col("s_suppkey")).as("sum_key"),
-          sum(col("s_acctbal")).cast("decimal(18,2)").as("sum_bal"))
+          // sum in exact DECIMAL, ship DOUBLE: the driver canonicalizes
+          // the DuckDB oracle through pandas, which floats DECIMAL —
+          // a Spark-side Decimal renders "73.00" vs the oracle's
+          // "73.0" and hash-mismatches on every trailing-zero balance
+          // (the entire r6-r8 red). Registry convention: no DecimalType
+          // in a FINAL projection (pinned by PlanShapeSpec's sweep).
+          sum(col("s_acctbal")).cast("decimal(18,2)")
+            .cast("double").as("sum_bal"))
         .select(col("s_nationkey").cast("int").as("s_nationkey"),
           col("n_sup"), col("sum_key"), col("sum_bal"))
         .orderBy(col("s_nationkey"))
@@ -1814,8 +1821,12 @@ object RelationalQueries {
       Seq((m("n_rows").asInstanceOf[Long], m("n_f").asInstanceOf[Long],
         String.valueOf(m("sum_price")))) // sum observes null on 0 rows
         .toDF("n_rows", "n_f", "sum_price")
+        // exact DECIMAL for the re-parse, DOUBLE out the door: a final
+        // Decimal column only passes while the data happens to produce
+        // no trailing-zero sum (the q_sink_jdbc rendering trap, armed).
         .select(col("n_rows"), col("n_f"),
-          col("sum_price").cast("decimal(18,2)").as("sum_price"))
+          col("sum_price").cast("decimal(18,2)")
+            .cast("double").as("sum_price"))
     }),
 
     // Metadata-only table stats, driver-visible: COUNT(*) + key
@@ -3470,13 +3481,15 @@ object RelationalQueries {
       """SELECT s_nationkey,
         | CAST(SUM(CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS BIGINT) AS n_sup,
         | CAST(SUM(s_suppkey * CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS BIGINT) AS sum_key,
-        | CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) *
-        |          CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS DECIMAL(18,2)) AS sum_bal
+        | CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) *
+        |          CASE WHEN s_nationkey < 5 THEN 2 ELSE 1 END) AS DECIMAL(18,2))
+        |      AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_load_metrics" ->
       """SELECT COUNT(*) AS n_rows,
         | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
     "q_meta_stats" ->
       """SELECT COUNT(*) AS n_rows,

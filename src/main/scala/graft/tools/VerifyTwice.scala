@@ -37,7 +37,12 @@ object VerifyTwice {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val names = Harness.selectedNames("verify2")
 
-    def onePass(pass: Int): Map[String, Either[String, String]] =
+    def onePass(pass: Int): Map[String, Either[String, String]] = {
+      // Re-mine the shared near-dup pair set per pass: letting run 2
+      // read run 1's parquet would exempt the whole mining pipeline
+      // from exactly the cross-run stability check this tool exists
+      // to perform.
+      graft.queries.LlmQueries.resetMinedPairsCache()
       names.grouped(Harness.RecycleEvery).flatMap { chunk =>
         val spark = Harness.newSession(cpus)
         val rs = chunk.map { name =>
@@ -50,6 +55,7 @@ object VerifyTwice {
         Harness.recycle(spark)
         rs
       }.toMap
+    }
 
     val r1 = onePass(1)
     val r2 = onePass(2)

@@ -445,6 +445,43 @@ class MultimodalSpec extends SparkTestBase {
       "one of the two headers lies — do not pick a side")
   }
 
+  test("stream ids past 9 decode under BOTH muxer renderings (hex '0Adb', decimal '10db')") {
+    // The two-char stream prefix diverges by muxer: avifil32's ToHex
+    // writes HEX (stream 10 = '0Adb'), ffmpeg writes DECIMAL ('10db').
+    // The parser keeps the raw prefix and matches the captured video
+    // stream's number in either rendering — a decimal-only parser
+    // skipped '0Adb' files entirely, a hex-only one broke ffmpeg's.
+    val stride = (16 * 3 + 3) / 4 * 4
+    val frame = Array.fill(16 * stride)(0x40.toByte)
+    def aviWithVidAt10(frameId: String): Array[Byte] = {
+      val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1L) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(16L) ++ le32(16L) ++ Array.fill(16)(0.toByte)
+      // ten audio streams first, so the vids stream lands at index 10
+      val audStrl = list("strl", chunk("strh",
+        "auds".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte)))
+      val vidStrh = "vids".getBytes("US-ASCII") ++
+        "DIB ".getBytes("US-ASCII") ++ Array.fill(40)(0.toByte) ++
+        le16(0) ++ le16(0) ++ le16(16) ++ le16(16)
+      val vidStrf = le32(40) ++ le32(16L) ++ le32(16L) ++ le16(1) ++
+        le16(24) ++ le32(0L) ++ Array.fill(20)(0.toByte)
+      val vidStrl = list("strl", chunk("strh", vidStrh) ++ chunk("strf", vidStrf))
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ Array.fill(10)(audStrl).flatten ++ vidStrl)
+      // '0Bdb' = stream 11 in both renderings — never stream 10; must
+      // be excluded whichever rendering the real frame uses
+      val movi = list("movi",
+        chunk(frameId, frame) ++ chunk("0Bdb", Array.fill(32)(0x7f.toByte)))
+      val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+    }
+    for (id <- Seq("0Adb", "10db")) {
+      val frames = Multimodal.decodeFrames(aviWithVidAt10(id)).get
+      assert(frames.length === 1, s"$id: stream 10's one real frame")
+      assert((frames.head.getRGB(0, 0) & 0xffffff) === 0x404040, id)
+    }
+  }
+
   test("frame chunks are pinned to the captured video stream, not pooled across streams") {
     val stride = (16 * 3 + 3) / 4 * 4
     val f0 = Array.fill(16 * stride)(0x40.toByte)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+
+/** Direct contract tests for the FloorBin bin-id expression — the hot
+  * primitive of every binned range join (RangeJoin, BandJoinRewrite).
+  * The join-level specs prove end-to-end behavior; this pins the
+  * expression itself, because its implementation has regressed twice
+  * (LONG tree: ANSI underflow at Long.MinValue; DECIMAL tree: +84% on
+  * the probe side) and the current Math.floorDiv form must stay both
+  * exact and codegen'd.
+  */
+class NumSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val edges = Seq(
+    Long.MinValue, Long.MinValue + 1, -86401L, -86400L, -86399L, -1L, 0L,
+    1L, 86399L, 86400L, 86401L, Long.MaxValue - 1, Long.MaxValue)
+
+  test("floorBin equals BigInt floor division across the whole long domain's edges") {
+    for (w <- Seq(1L, 3L, 86400L, Long.MaxValue)) {
+      val got = edges.toDF("v")
+        .select(col("v"), Num.floorBin(col("v"), w).as("bin"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      edges.foreach { v =>
+        // BigInt reference: true mathematical floor(v / w), immune to
+        // every long overflow/truncation mode the implementations hit
+        val expect = {
+          val (q, r) = (BigInt(v) / w, BigInt(v) % w)
+          (if (r < 0) q - 1 else q).toLong
+        }
+        assert(got(v) === expect, s"v=$v w=$w")
+      }
+    }
+  }
+
+  test("floorBin propagates NULL and rejects non-positive widths") {
+    val got = Seq[(Long, Option[Long])](1L -> Some(7L), 2L -> None)
+      .toDF("id", "v")
+      .select(col("id"), Num.floorBin(col("v"), 3L).as("bin"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(2L))
+    assert(got(2L) === None)
+    intercept[IllegalArgumentException](Num.floorBin(col("v"), 0L))
+    intercept[IllegalArgumentException](Num.floorBin(col("v"), -5L))
+  }
+
+  test("floorBin stays inside whole-stage codegen (no decimal ops in the plan)") {
+    // spark.range, not a local Seq: ConvertToLocalRelation folds a
+    // local-relation filter into a LocalTableScan and the plan never
+    // shows codegen at all (this test's first draft proved it)
+    val df = spark.range(0, 1000000)
+      .select((col("id") - 500000L).as("v"))
+      .filter(Num.floorBin(col("v"), 86400L) >= 0L)
+    // executedPlan.toString marks a whole-stage-codegen span with the
+    // "*(n)" operator prefix (it does not print the word itself): the
+    // Filter carrying floor_bin must sit inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter .*floor_bin""".r.findFirstIn(plan).isDefined,
+      s"floor_bin's Filter is outside whole-stage codegen:\n$plan")
+    val expr = df.queryExecution.optimizedPlan.toString
+    assert(!expr.toLowerCase.contains("decimal"),
+      s"bin math must stay in LONG (the r8 decimal form cost +84%):\n$expr")
+    // and the generated path agrees with the interpreted reference on
+    // a value the LONG pmod tree used to underflow on
+    assert(df.count() === 500000L)
+  }
+}

@@ -14,11 +14,28 @@ class PlanShapeSpec extends SparkTestBase {
   private def plan(name: String): String =
     planString(SparkEntry.queries(name)(spark, Sf))
 
-  test("no registered query plans a cartesian product") {
+  test("registry sweep: no cartesian product, no DecimalType in a final schema") {
+    // One pass builds every registered query (side effects and all), so
+    // both invariants ride the same sweep. The decimal rule exists
+    // because the driver canonicalizes the DuckDB oracle through
+    // pandas, which floats DECIMAL: a Spark-side Decimal serializes
+    // "73.00" against the oracle's "73.0" and hash-mismatches on every
+    // trailing-zero value — the entire r6-r8 q_sink_jdbc red, and a
+    // latent data-dependent trap in any query that ships one. Keep
+    // aggregation decimal-exact internally; final-cast to DOUBLE.
     SparkEntry.queries.keys.foreach { name =>
-      val p = plan(name)
+      val df = SparkEntry.queries(name)(spark, Sf)
+      val p = planString(df)
       assert(!p.contains("CartesianProduct"),
         s"$name degenerated to a cartesian product:\n$p")
+      val decimals = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          f.name
+      }
+      assert(decimals.isEmpty,
+        s"$name ships DecimalType column(s) ${decimals.mkString(", ")} in its " +
+          "FINAL projection — cast to double (driver's pandas canonicalization " +
+          "floats the oracle side; trailing zeros hash-mismatch)")
     }
   }
 
