@@ -47,6 +47,26 @@ object Bloom {
   private def position(key: Column, i: Int, mBits: Int): Column =
     pmod(Text.md5Long63(concat(key.cast("string"), lit(":" + i))), lit(mBits.toLong))
 
+  /** Collapse IEEE negative zero onto positive zero BEFORE hashing:
+    * -0.0 and 0.0 compare EQUAL in joins (so the verify semi join
+    * matches them) but render DIFFERENTLY as strings ("-0.0" vs
+    * "0.0"), and the bloom hashes the rendering — an unnormalized
+    * -0.0 on either side misses the other side's bits and silently
+    * drops a row the plain semi join returns: a false NEGATIVE, the
+    * one failure the operator contract forbids. The zero literal is
+    * SAME-TYPE (a double coercion would change every float's
+    * rendering, not just zero's). NaN needs nothing: it renders
+    * "NaN" identically on both sides.
+    */
+  private def normZero(
+      c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.DoubleType =>
+      when(c === lit(0.0d), lit(0.0d)).otherwise(c)
+    case org.apache.spark.sql.types.FloatType =>
+      when(c === lit(0.0f), lit(0.0f)).otherwise(c)
+    case _ => c
+  }
+
   /** Build the filter: dense little-endian word array of `mBits` bits
     * with all k positions of every distinct non-null key set. One
     * distinct-free pass (duplicate keys set the same bits — `bit_or` is
@@ -56,8 +76,9 @@ object Bloom {
   def buildBits(dim: DataFrame, keyCol: String, mBits: Int, k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k > 0, s"k must be positive, got $k")
+    val key = normZero(col(keyCol), dim.schema(keyCol).dataType)
     val pos = dim.filter(col(keyCol).isNotNull)
-      .select(explode(array((0 until k).map(i => position(col(keyCol), i, mBits)): _*)).as("pos"))
+      .select(explode(array((0 until k).map(i => position(key, i, mBits)): _*)).as("pos"))
     val words = pos
       .select((col("pos") / 64).cast("int").as("word"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
@@ -134,7 +155,11 @@ object Bloom {
     // key for nothing, in the operator whose purpose is shuffle
     // minimization.
     val dimK = dim.select(col(dimKey))
-    val pruned = fact.filter(mightContain(col(factKey), bits, k))
+    // probe under the same -0.0 normalization the build used (see
+    // normZero) — callers using mightContain standalone on raw float/
+    // double keys must normalize the same way
+    val pruned = fact.filter(mightContain(
+      normZero(col(factKey), fact.schema(factKey).dataType), bits, k))
     pruned.join(dimK, pruned.col(factKey) === dimK.col(dimKey), "left_semi")
   }
 }

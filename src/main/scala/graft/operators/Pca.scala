@@ -52,7 +52,16 @@ object Pca {
     // component) — pre-validate with filter(size(vec) =!= dim) when
     // the corpus is untrusted; a per-row scan-time check here would
     // add a full pass to every call for the trusted common case.
+    // NULL-vec guard inside the probe itself: size(NULL) is NULL and a
+    // bare getInt would throw an opaque NullPointerException — and only
+    // WHEN limit(1) happened to sample the null row (a non-null sample
+    // passes the probe and the null rows then silently vanish through
+    // posexplode, biasing the component). Refuse nulls explicitly.
     embs.select(size(col("vec")).as("d")).limit(1).collect().foreach { r =>
+      require(!r.isNullAt(0),
+        "topComponent got a NULL vec — filter(col(\"vec\").isNotNull) " +
+          "upstream (null rows would otherwise be dropped silently and " +
+          "bias the component)")
       require(r.getInt(0) == dim,
         s"topComponent(dim = $dim) got vectors of dimension ${r.getInt(0)}")
     }

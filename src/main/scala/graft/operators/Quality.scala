@@ -47,17 +47,28 @@ object Quality {
       .select(col("e.rule"), col("e.violations"), col("total_rows"))
   }
 
-  /** Duplicate-key violations: rows in excess of one per key. */
+  /** Duplicate-key violations: rows in excess of one per key, under
+    * ANSI/Postgres UNIQUE semantics — rows with a NULL in ANY key
+    * component never conflict with anything (DISTINCT NULLs in SQL's
+    * UNIQUE constraint), so a table full of NULL-keyed rows that the
+    * target warehouse would accept does not read as duplicated here.
+    * Nullness itself is a separate rule: gate it with a checkRows
+    * `isNotNull` rule, not this one. NULL-keyed rows still count in
+    * `total_rows` (the report's denominator is the table, not the
+    * constraint's domain).
+    */
   def checkUnique(df: DataFrame, keys: Seq[String], name: String): DataFrame = {
     // zero key columns would be a GLOBAL aggregate: a valid table
     // reads total_rows - 1 "violations" and any violations===0 gate
     // hard-fails the load
     require(keys.nonEmpty, "checkUnique needs at least one key column")
+    val keyNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__q_n"))
       // empty input: sums over zero groups are NULL, which a gate
       // comparing `violations > 0` / `=== 0` treats as neither —
       // report the (0, 0) checkRows/checkRef report instead
-      .agg(coalesce(sum(col("__q_n") - 1), lit(0L)).as("violations"),
+      .agg(coalesce(sum(when(keyNonNull, col("__q_n") - 1).otherwise(0L)),
+          lit(0L)).as("violations"),
         coalesce(sum(col("__q_n")), lit(0L)).as("total_rows"))
       .select(lit(name).as("rule"), col("violations"), col("total_rows"))
   }

@@ -4218,6 +4218,9 @@ object RelationalQueries {
         | ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
         | label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // unique branch: NULL-keyed groups never violate UNIQUE (ANSI
+    // semantics, lockstep with Quality.checkUnique) but still count in
+    // total_rows; lineitem's keys are non-null, so values are unchanged
     "q_quality" ->
       """SELECT * FROM (
         |  SELECT 'order_date_not_null' AS rule,
@@ -4237,8 +4240,11 @@ object RelationalQueries {
         |    COUNT(*) FROM orders
         |  UNION ALL
         |  SELECT 'lineitem_pk_unique',
-        |    CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
-        |  FROM (SELECT COUNT(*) AS n FROM lineitem
+        |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+        |                   AND l_linenumber IS NOT NULL
+        |              THEN n - 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(n) AS BIGINT)
+        |  FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem
         |        GROUP BY l_orderkey, l_linenumber)
         |  UNION ALL
         |  SELECT 'orders_custkey_fk',

@@ -73,6 +73,25 @@ class BloomSpec extends SparkTestBase {
     assert(plan.contains("md5_long64"), s"expected md5 bit tests in plan:\n$plan")
   }
 
+  test("negative-zero double keys match positive zero, both directions") {
+    // -0.0 and 0.0 compare equal in the verify join but render
+    // differently as strings; unnormalized, the bloom would hash the
+    // renderings apart and silently DROP the row — a false negative,
+    // the one failure the contract forbids
+    val factNeg = spark.sql(
+      "SELECT * FROM VALUES (CAST(-0.0 AS DOUBLE), 'neg'), (1.5D, 'x') AS t(fk, payload)")
+    val dimPos = spark.sql("SELECT * FROM VALUES (CAST(0.0 AS DOUBLE)), (1.5D) AS t(dk)")
+    val out1 = Bloom.prunedSemiJoin(factNeg, "fk", dimPos, "dk", mBits = 1024, k = K)
+      .select("payload").as[String].collect().toSet
+    assert(out1 === Set("neg", "x"), "-0.0 fact key must match 0.0 dim key")
+    // and the mirror: 0.0 fact against a -0.0 dim
+    val factPos = spark.sql("SELECT * FROM VALUES (CAST(0.0 AS DOUBLE), 'pos') AS t(fk, payload)")
+    val dimNeg = spark.sql("SELECT * FROM VALUES (CAST(-0.0 AS DOUBLE)) AS t(dk)")
+    val out2 = Bloom.prunedSemiJoin(factPos, "fk", dimNeg, "dk", mBits = 1024, k = K)
+      .select("payload").as[String].collect().toSet
+    assert(out2 === Set("pos"), "0.0 fact key must match -0.0 dim key")
+  }
+
   test("null fact keys are dropped, matching semi join semantics") {
     val fact = spark.sql(
       "SELECT * FROM VALUES (1L, 'a'), (CAST(NULL AS LONG), 'b'), (2L, 'c') AS t(fk, payload)")

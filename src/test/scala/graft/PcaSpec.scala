@@ -41,6 +41,19 @@ class PcaSpec extends SparkTestBase {
     assert(a === b, "result must not depend on partitioning")
   }
 
+  test("topComponent's probe names a NULL vec instead of an opaque NPE") {
+    // all-null corpus forces limit(1) to sample the null row (with a
+    // mixed corpus the probe's outcome depended on which row the
+    // sample picked; the contract for slipped-past rows is documented
+    // at the probe, same as mixed dimensions)
+    val nulls = spark.sql(
+      "SELECT 1L AS id, CAST(NULL AS ARRAY<FLOAT>) AS vec")
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponent(nulls, 3, 2).collect()
+    }
+    assert(e.getMessage.contains("NULL vec"))
+  }
+
   test("topComponent fails fast when the iterate collapses to zero") {
     // corpus orthogonal to e_0 AND with zero Gram action on it:
     // all-zero first coordinate makes u = 0 for every row

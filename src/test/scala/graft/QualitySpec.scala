@@ -40,6 +40,21 @@ class QualitySpec extends SparkTestBase {
     assert(m("pk") === ((2L, 5L)))
   }
 
+  test("checkUnique: NULL-keyed rows never conflict (ANSI UNIQUE) but stay in totals") {
+    // three rows sharing a NULL key component are LEGAL under
+    // ANSI/Postgres UNIQUE (NULLs are all distinct) — a violations===0
+    // gate must not fail a load the target warehouse would accept
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (CAST(NULL AS INT), 'a'), (CAST(NULL AS INT), 'a'),
+        | (1, CAST(NULL AS STRING)), (1, CAST(NULL AS STRING)),
+        | (2, 'b'), (2, 'b')
+        |AS t(k1, k2)""".stripMargin)
+    val m = report(Quality.checkUnique(df, Seq("k1", "k2"), "pk"))
+    // only the fully-non-null (2, 'b') pair duplicates; all 6 rows count
+    assert(m("pk") === ((1L, 6L)))
+  }
+
   test("checkRef flags non-null orphans only; null child keys pass") {
     val child = Seq[(java.lang.Long, String)](
       (1L, "x"), (2L, "y"), (99L, "orphan"), (null, "nullkey")
