@@ -86,7 +86,11 @@ object Dsir {
         .select(col(idCol),
           pmod(Text.md5Long63(col("__tok")), lit(buckets.toLong)).as("__bkt"))
 
-    val corpusBuckets = bucketed(corpus)
+    // NULL ids never leak (the Features.hashedFeatures policy): the
+    // groupBy below would otherwise collate EVERY keyless corpus row
+    // into one merged pseudo-document whose blended score can clear a
+    // selection cutoff — a garbage mega-document selected silently
+    val corpusBuckets = bucketed(corpus.filter(col(idCol).isNotNull))
     // only the target's bucket DISTRIBUTION survives — selecting idCol
     // would both crash an id-less curated target (the documented
     // "needs only a text column" contract) and be dead weight

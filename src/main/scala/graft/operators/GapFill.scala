@@ -45,6 +45,14 @@ object GapFill {
     val reserved = Seq("__gf_bucket", "__gf_rn")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input already has a column named $c (reserved)"))
+    // OUTPUT names guarded like the scratch names (the mergeIntervals
+    // convention): a key named "bucket"/"observed" (or a valCol whose
+    // _filled suffix lands on the key) would emit duplicate columns
+    // and die far downstream in AMBIGUOUS_REFERENCE
+    Seq("bucket", "observed", s"${valCol}_filled").foreach { c =>
+      require(key != c && tsCol != c,
+        s"column '$c' collides with fillGaps' output columns")
+    }
 
     val bucket = timestamp_seconds(
       floor(unix_timestamp(col(tsCol)) / stepSeconds).cast("long") * stepSeconds)
@@ -68,6 +76,11 @@ object GapFill {
       .withColumn("__gf_rn", row_number().over(perBucket))
       .filter(col("__gf_rn") === 1)
       .select(col(key), col("__gf_bucket"), col(valCol))
+      // materialized ONCE (the triangleStats rationale): obs feeds the
+      // spine's extent aggregate AND the left join — distinct subtrees
+      // exchange reuse cannot dedup, so a lazy chain runs the window
+      // sort + dedup over the corpus twice per call
+      .localCheckpoint(true)
 
     val spine = obs.groupBy(col(key))
       .agg(min(col("__gf_bucket")).as("__gf_lo"), max(col("__gf_bucket")).as("__gf_hi"))
@@ -123,6 +136,13 @@ object GapFill {
     val reserved = Seq("__ew_series", "__ew_out")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input already has a column named $c (reserved)"))
+    // output/scratch names: key = "e" would make col("e.ts") resolve
+    // against the key instead of the exploded struct; key = "ewma"
+    // would emit duplicate output columns
+    Seq("e", "ewma").foreach { c =>
+      require(key != c && tsCol != c,
+        s"column '$c' collides with ewma's output columns")
+    }
 
     val series = df
       // NULL series keys excluded — the fillGaps policy in this same

@@ -68,6 +68,12 @@ object ProductQuant {
   private def requireDim(
       df: DataFrame, vecCol: String, want: Int, who: String): Unit =
     df.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+      // NULL guard first: size(NULL) is NULL and a bare getInt throws
+      // an opaque NPE — and only when limit(1) happened to sample the
+      // null row (the Pca.topComponent probe bug, same fix)
+      require(!r.isNullAt(0),
+        s"$who got a NULL $vecCol — filter nulls upstream (they would " +
+          "otherwise encode to degenerate code 0 silently)")
       require(r.getInt(0) == want,
         s"$who expects vectors of dimension $want (m*subDim), " +
           s"got ${r.getInt(0)}")
@@ -238,6 +244,12 @@ object ProductQuant {
       probeVecCol: String, centroids: Array[(Long, Array[Float])],
       cb: Codebooks, nProbe: Int, kNN: Int): DataFrame = {
     require(nProbe > 0 && kNN > 0, s"nProbe/kNN must be positive: $nProbe/$kNN")
+    // probes are sliced into m subspaces exactly like the corpus was:
+    // a wrong-dimension probe makes FloatVecDot return NULL for the
+    // out-of-range subspaces, sum() silently skips them, and the
+    // rankings are plausible-looking garbage — the hazard requireDim's
+    // doc names, enforced on the corpus side but (pre-r9) not here
+    requireDim(probes, probeVecCol, cb.m * cb.subDim, "ProductQuant.ivfPqTopK")
     val scored = withNorms(centroids)
     val subs = probes.select(
       Seq(col(probeIdCol).as("probe_id"), col(probeVecCol).as("__pv"),
@@ -311,6 +323,8 @@ object ProductQuant {
   def adcTopK(encoded: DataFrame, probes: DataFrame, probeIdCol: String,
       probeVecCol: String, cb: Codebooks, kNN: Int): DataFrame = {
     require(kNN > 0, s"kNN must be positive, got $kNN")
+    // same probe-dimension contract as ivfPqTopK (see there)
+    requireDim(probes, probeVecCol, cb.m * cb.subDim, "ProductQuant.adcTopK")
     val subs = probes.select(
       Seq(col(probeIdCol).as("probe_id"),
         VectorOps.norm(col(probeVecCol)).as("__pq_pnorm")) ++

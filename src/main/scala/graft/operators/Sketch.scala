@@ -123,11 +123,19 @@ object Sketch {
   }
 
   /** Point estimates for the distinct keys of `probes`: min over the
-    * depth cells each key hashes to. Missing cells are true zeros
-    * (sparse matrix), so a key the sketch never saw estimates 0 unless
-    * every one of its cells collides with counted keys. The sketch side
-    * is ≤ depth×width rows — broadcast it; the probe side is never
-    * shuffled beyond its own distinct.
+    * depth cells each key hashes to. Missing CELLS in a sketch row are
+    * true zeros (sparse matrix), so a key the sketch never saw
+    * estimates 0 unless every one of its cells collides with counted
+    * keys. Missing ROWS are a different thing entirely — a caller
+    * `depth` larger than the build's would hash into rows no build
+    * wrote, and coalescing those phantom rows to 0 would estimate 0
+    * for genuinely heavy keys (the cmsJoinSize phantom-row hole). The
+    * probe therefore uses only rows PRESENT in the sketch (every build
+    * row holds >= 1 cell whenever anything was counted, so presence ==
+    * build depth): a depth mismatch degrades to min over the shared
+    * rows — still a valid one-sided >= bound — instead of inverting
+    * it. The sketch side is ≤ depth×width rows — broadcast it; the
+    * probe side is never shuffled beyond its own distinct.
     *
     * CONTRACT (the [[cmsJoinSize]] one): probe keys must have the SAME
     * data type the sketch was built over — cells key on the string
@@ -146,10 +154,16 @@ object Sketch {
       require(keyCol != c,
         s"probe key column '$c' collides with the sketch's columns")
     }
+    // rows the build actually wrote (bounded: <= depth values). Row 0
+    // exists in every non-empty build, so no probe key vanishes from
+    // the output; an EMPTY sketch estimates nothing — correctly, since
+    // nothing was counted. The inner join drops phantom depth rows.
+    val builtRows = cms.select(col("cms_row")).distinct()
     probes.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
       .select(col(keyCol),
         posexplode(array((0 until depth).map(i => position(col(keyCol), i, width)): _*))
           .as(Seq("cms_row", "cms_col")))
+      .join(broadcast(builtRows), Seq("cms_row"))
       .join(broadcast(cms), Seq("cms_row", "cms_col"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))

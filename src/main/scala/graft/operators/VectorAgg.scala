@@ -39,8 +39,15 @@ object VectorAgg {
       .groupBy(col(groupCol), col("pos"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        (sum(round(col("x").cast("double"), 6).cast(DecimalType(38, 12)))
-          .cast("double") / count(lit(1))).as("m"))
+        // divisor = NON-NULL elements, matching the NULL-skipping sum:
+        // dividing by count(*) silently averaged NULL elements as
+        // zeros, deflating every component of a group containing one
+        // corrupted vector. n_vecs still counts vectors seen (the
+        // report's denominator); try_divide covers the all-NULL
+        // dimension (0 divisor would ANSI-abort), yielding NULL comp.
+        try_divide(
+          sum(round(col("x").cast("double"), 6).cast(DecimalType(38, 12)))
+            .cast("double"), count(col("x"))).as("m"))
       .select(col(groupCol), col("n_vecs"), col("pos"),
         round(col("m"), 6).cast("float").as("comp"))
   }
@@ -81,10 +88,14 @@ object VectorAgg {
         round(col("x").cast("double"), 6).as("xr"))
     val stats = ex.groupBy(col("pos"))
       .agg(
-        (sum(col("xr").cast(DecimalType(38, 12))).cast("double")
-          / count(lit(1))).as("mean"),
-        (sum((col("xr") * col("xr")).cast(DecimalType(38, 12))).cast("double")
-          / count(lit(1))).as("ex2"))
+        // divisor = NON-NULL elements (the meanVectors rule): count(*)
+        // deflated both moments toward 0 in any dimension containing a
+        // NULL element, corrupting every z-score in that dimension
+        try_divide(sum(col("xr").cast(DecimalType(38, 12))).cast("double"),
+          count(col("xr"))).as("mean"),
+        try_divide(
+          sum((col("xr") * col("xr")).cast(DecimalType(38, 12))).cast("double"),
+          count(col("xr"))).as("ex2"))
       .select(col("pos"), col("mean"),
         // the two moments pass through decimal→double casts and
         // divisions, so a CONSTANT dimension's variance can land a
@@ -141,14 +152,24 @@ object VectorAgg {
       .agg(
         // null-safe label compares: meanVectors supports a NULL-label
         // group, and ===/=!= would give its members an all-NULL row
-        // while hiding its centroid from every real label's rivals
-        max(when(col("__clab") <=> col("__lab"), col("__cos"))).as("__own"),
-        max(when(!(col("__clab") <=> col("__lab")), col("__cos"))).as("__oth"))
+        // while hiding its centroid from every real label's rivals.
+        // guardCos's -2.0 RANKING sentinel (NULL/zero-norm/NaN vector)
+        // is excluded from the report's means — averaging an
+        // impossible-cosine sentinel into mean_own_cos would shift a
+        // 10-member label by ~-0.3 per corrupted member; such members
+        // still count in n_vecs (they are members, just unmeasurable).
+        max(when(col("__clab") <=> col("__lab")
+          && col("__cos") =!= graft.functions.VectorOps.DegenerateCos,
+          col("__cos"))).as("__own"),
+        max(when(!(col("__clab") <=> col("__lab"))
+          && col("__cos") =!= graft.functions.VectorOps.DegenerateCos,
+          col("__cos"))).as("__oth"))
     perVec.groupBy(col("__lab"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(sum(col("__own").cast(DecimalType(38, 6))).cast("double")
-          / count(lit(1)), 6).as("mean_own_cos"),
+        round(try_divide(
+          sum(col("__own").cast(DecimalType(38, 6))).cast("double"),
+          count(col("__own")).cast("double")), 6).as("mean_own_cos"),
         round(try_divide(
           sum(col("__oth").cast(DecimalType(38, 6))).cast("double"),
           count(col("__oth")).cast("double")), 6).as("mean_other_cos"))

@@ -2727,20 +2727,28 @@ object LlmQueries {
         |  COALESCE(m2.comp, c1.comp) AS component
         |FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
         |ORDER BY centroid_id, pos""".stripMargin,
+    // divisor COUNT(element), not COUNT(*): lockstep with meanVectors'
+    // NULL-element rule (NULLs are absent values, never zeros); the
+    // testdata's vectors are dense, so values are unchanged
     "q_embed_centroid" ->
       """SELECT label, COUNT(*) AS n_vecs, CAST(j AS INT) AS pos,
         |  CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
-        |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+        |    AS DECIMAL(38,12))) AS DOUBLE)
+        |    / COUNT(embedding[CAST(j AS INT) + 1]), 6) AS REAL) AS comp
         |FROM embeddings CROSS JOIN range(64) r(j)
         |-- NULLS FIRST: Spark ascending orderBy is nulls-first, DuckDB
         |-- defaults to nulls-last — a NULL-label group would sort to
         |-- opposite ends under the row-order-sensitive hash compare
         |GROUP BY label, j ORDER BY label NULLS FIRST, pos""".stripMargin,
+    // lockstep with r9's VectorAgg rules (dense testdata, values
+    // unchanged): centroid divisor COUNT(element); the -2.0 degenerate
+    // sentinel excluded from both means; own divisor COUNT(own_cos)
     "q_embed_separation" ->
       s"""WITH cm AS (
          |  SELECT label AS clab, CAST(j AS INT) AS pos,
          |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
-         |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
+         |      AS DECIMAL(38,12))) AS DOUBLE)
+         |      / COUNT(embedding[CAST(j AS INT) + 1]), 6) AS REAL) AS comp
          |  FROM embeddings CROSS JOIN range(64) r(j)
          |  GROUP BY label, j
          |), cent AS (
@@ -2755,13 +2763,15 @@ object LlmQueries {
          |  -- own_cos and its centroid counts as every real label's
          |  -- rival — plain =/!= silently dropped both
          |  SELECT vec_id, label,
-         |    MAX(CASE WHEN clab IS NOT DISTINCT FROM label THEN cs END) AS own_cos,
-         |    MAX(CASE WHEN clab IS DISTINCT FROM label THEN cs END) AS oth_cos
+         |    MAX(CASE WHEN clab IS NOT DISTINCT FROM label AND cs <> -2.0
+         |        THEN cs END) AS own_cos,
+         |    MAX(CASE WHEN clab IS DISTINCT FROM label AND cs <> -2.0
+         |        THEN cs END) AS oth_cos
          |  FROM sc GROUP BY vec_id, label
          |), agg AS (
          |  SELECT label, COUNT(*) AS n_vecs,
          |    ROUND(CAST(SUM(CAST(own_cos AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(*), 6) AS mean_own_cos,
+         |      / COUNT(own_cos), 6) AS mean_own_cos,
          |    ROUND(CAST(SUM(CAST(oth_cos AS DECIMAL(38,6))) AS DOUBLE)
          |      / COUNT(oth_cos), 6) AS mean_other_cos
          |  FROM pv GROUP BY label
@@ -3265,9 +3275,11 @@ object LlmQueries {
         |    ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6) AS xr
         |  FROM embeddings CROSS JOIN range(64) r(j)
         |), st AS (
+        |  -- COUNT(xr), not COUNT(*): lockstep with standardizeDims'
+        |  -- NULL-element rule (dense testdata, values unchanged)
         |  SELECT pos,
-        |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean,
-        |    CAST(SUM(CAST(xr * xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ex2
+        |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(xr) AS mean,
+        |    CAST(SUM(CAST(xr * xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(xr) AS ex2
         |  FROM ex GROUP BY pos
         |), sd AS (
         |  -- greatest(·,0) replays standardizeDims' floor: a constant

@@ -22,6 +22,17 @@ class DsirSpec extends SparkTestBase {
       s"fr mean ${means(true)} should exceed non-fr mean ${means(false)}")
   }
 
+  test("NULL-id corpus rows never merge into a scored pseudo-document") {
+    val withNulls = docs.limit(20).unionByName(
+      docs.limit(5).withColumn("doc_id", lit(null).cast("long")))
+    val scored = Dsir.importanceScores(
+      withNulls, docs.filter(col("lang") === "fr").limit(20),
+      "doc_id", "text", buckets = 256)
+    assert(rows(scored.filter(col("doc_id").isNull)).isEmpty,
+      "keyless rows must be excluded, not collated into one mega-doc")
+    assert(rows(scored).length === 20)
+  }
+
   test("''-artifacts from messy whitespace never become scored buckets or counts") {
     import spark.implicits._
     // 'alpha  beta' used to count 3 tokens with a third of its score

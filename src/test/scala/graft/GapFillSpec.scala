@@ -47,6 +47,19 @@ class GapFillSpec extends SparkTestBase {
     assert(e.getMessage.contains("__gf_bucket"))
   }
 
+  test("output-name collisions fail fast (key named like an output column)") {
+    val df = Seq(("A", ts(0), 1.0)).toDF("bucket", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      GapFill.fillGaps(df, "bucket", "t", "v", 600)
+    }
+    assert(e.getMessage.contains("bucket"))
+    val df2 = Seq(("A", ts(0), 1.0)).toDF("e", "t", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      GapFill.ewma(df2, "e", "t", "v", 0.5)
+    }
+    assert(e2.getMessage.contains("'e'"))
+  }
+
   test("ewma replays the sequential recursion per key, s_0 = x_0") {
     val df = Seq(
       ("A", ts(0), 8.0), ("A", ts(1), 4.0), ("A", ts(2), 2.0),

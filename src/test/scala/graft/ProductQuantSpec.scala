@@ -87,6 +87,25 @@ class ProductQuantSpec extends SparkTestBase {
     assert(ranked.last._2 === VectorOps.DegenerateCos)
   }
 
+  test("probes are dimension-checked like the corpus; NULL vecs name the problem") {
+    // half-dimension probes would slice empty tail subspaces whose
+    // NULL dots sum() silently skips — plausible-looking garbage ranks
+    val shortProbes = Seq((9L, Array(1f, 0f, 0f, 0f))).toDF("pid", "pv")
+    val enc = ProductQuant.encode(corpus, "id", "vec", cb)
+    val e1 = intercept[IllegalArgumentException] {
+      ProductQuant.adcTopK(enc, shortProbes, "pid", "pv", cb, 2).collect()
+    }
+    assert(e1.getMessage.contains("dimension 8"))
+    // NULL probe vec: a named message, not an opaque NPE (and never a
+    // silent pass that depends on which row limit(1) sampled)
+    val nullProbes = spark.sql(
+      "SELECT 9L AS pid, CAST(NULL AS ARRAY<FLOAT>) AS pv")
+    val e2 = intercept[IllegalArgumentException] {
+      ProductQuant.adcTopK(enc, nullProbes, "pid", "pv", cb, 2).collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
+
   test("encode fails fast on reserved scratch columns") {
     val e = intercept[IllegalArgumentException] {
       ProductQuant.encode(corpus.withColumn("__pq_sub0", lit(1)), "id", "vec", cb)

@@ -51,6 +51,19 @@ class SketchSpec extends SparkTestBase {
     assert(est === Map("absent1" -> 0L, "absent2" -> 0L)) // null probe dropped
   }
 
+  test("cmsEstimate under a DEPTH MISMATCH stays a one-sided bound (no phantom 0)") {
+    // build at depth 4, probe claiming depth 8: rows 4-7 exist in no
+    // sketch cell — coalescing those phantom rows to 0 would estimate
+    // 0 for genuinely heavy keys, inverting the >= guarantee; the
+    // row-intersection keeps the min over the 4 REAL rows
+    val cms = Sketch.cmsBuild(corpus, "k", 4, 1 << 14)
+    val est = Sketch.cmsEstimate(cms, corpus, "k", 8, 1 << 14)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"depth-mismatch probe underestimated $k: ${est(k)} < $c")
+    }
+  }
+
   test("cmsJoinSize is one-sided and exact at a collision-free width") {
     // Second relation: key k appears 3 times for k <= 10 — true join
     // size = sum over shared keys of c_a * c_b.
