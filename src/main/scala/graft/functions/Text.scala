@@ -20,6 +20,23 @@ object Text {
   def nonEmptyTokens(text: Column): Column =
     filter(tokens(text), t => t =!= "")
 
+  /** "a b" join keys for consecutive element pairs of an array column,
+    * as a map-side HOF (no explode-and-self-join): `zip_with` pads the
+    * shorter side with null, which null-propagates through concat, and
+    * the trailing null pair dies in the HOF filter. ONE definition for
+    * the BPE trainers' pair mining and the bigram LM — previously
+    * three hand-maintained copies in two files with two null-filter
+    * styles, where a semantics fix to one would silently desync the
+    * tokenizer trainers from the LM's bigram mining. Callers pass
+    * empty-filtered element arrays, so the space separator is
+    * unambiguous.
+    */
+  def adjacentPairs(t: Column): Column =
+    filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      p => p.isNotNull)
+
   /** Whitespace-robust token split (multiple spaces / tabs collapse).
     * The empty-token filter covers the edges Spark's primitives leak:
     * trim strips only the SPACE character (a tab/newline-edged string

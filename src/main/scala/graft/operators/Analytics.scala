@@ -131,8 +131,14 @@ object Analytics {
     // ascending window, so an untimed event minted a fabricated
     // "NULL-ts -> first real event" transition (and untimed events
     // chained among themselves in tiebreak order) — no known ordering,
-    // no transition; drop them like the user key
-    val pairs = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    // no transition; drop them like the user key. NULL EVENT TYPES the
+    // same: kept, a typeless event minted a (prev -> NULL) transition
+    // that deflated every real p_trans in prev's row AND broke the
+    // real prev -> next chain — and downstream, markovStationary's
+    // equi-joins never match the NULL state, so mass routed to it
+    // silently vanished from the vector each iteration.
+    val pairs = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(typeCol).isNotNull)
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))

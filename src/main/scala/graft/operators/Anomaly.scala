@@ -30,6 +30,12 @@ object Anomaly {
     * history, read NULL z and never flag (a constant history makes
     * "sigmas" meaningless — the NULL is the audit, not a silent 0).
     * Output: input columns + (mean_prior, z, is_anomaly).
+    *
+    * `bucketCol` must be UNIQUE within each key (the cusumChangePoints
+    * contract): duplicate (key, bucket) rows make the rows-based
+    * trailing frame — and therefore z and is_anomaly — depend on the
+    * nondeterministic tie order. The input is the per-(key, bucket)
+    * AGGREGATE by construction; aggregate before calling.
     */
   def trailingZscores(
       series: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
@@ -47,17 +53,23 @@ object Anomaly {
     // handling): kept, they would occupy slots in the rows-based frame
     // and silently displace real history — 13 NULL buckets among the
     // prior 24 rows starve __n below minPrior and a genuine spike
-    // never flags. Values that cannot survive the DECIMAL(38,0) cast
-    // below (NaN, ±Inf, or a finite corrupt 1e40 — each an ANSI
-    // job-kill) are treated the same as NULL: the corrupt reading
-    // costs its own row, never the detector run (Num.finiteWithin at
-    // the decimal ceiling).
+    // never flags. Values that cannot survive the DECIMAL ARITHMETIC
+    // below are treated the same as NULL: the corrupt reading costs
+    // its own row, never the detector run. The bound covers the whole
+    // expression chain, not just the single cast (the r9 hole: 2e19
+    // passes a 9e37 single-cast bound but x*x = 4e38 overflows
+    // DECIMAL(38,0) and ANSI-kills the job): with |x| <= 9e18/window,
+    // the largest intermediate — n·Σx² and (Σx)², both <=
+    // (window·B)² = 8.1e37 — stays under the type's 10^38−1 ceiling.
+    // For a count series (this operator's domain) the bound excludes
+    // nothing real: 9e18/window is the long range divided by the
+    // window length.
     val x = col(valueCol).cast(DecimalType(38, 0))
     val n = count(col(valueCol)).over(w)
     val sx = sum(x).over(w)
     val sxx = sum(x * x).over(w)
     val withStats = series.filter(
-      graft.functions.Num.finiteWithin(col(valueCol), graft.functions.Num.Decimal38Bound))
+      graft.functions.Num.finiteWithin(col(valueCol), 9e18 / window))
       .withColumn("__n", n).withColumn("__sx", sx).withColumn("__sxx", sxx)
     val nD = col("__n").cast(DecimalType(38, 0))
     val mean = col("__sx").cast("double") / col("__n").cast("double")
@@ -112,11 +124,17 @@ object Anomaly {
       "__cusum_d").foreach(c =>
       require(!series.columns.contains(c),
         s"input column '$c' collides with cusumChangePoints' columns"))
-    // same guard as trailingZscores: the decimal cast below is an ANSI
-    // job-kill on a NaN/Inf/over-magnitude leak, and a dropped corrupt
-    // row is the documented no-measurement semantic, not silent change
+    // same guard class as trailingZscores, bounded for the whole
+    // expression chain: the largest intermediates are n·Σx and t·Σx,
+    // both <= n²·B for partition length n and |x| <= B. At B = 9e18
+    // (the long range — the operator's contract is an INTEGER series)
+    // the DECIMAL(38,0) ceiling holds for spines up to ~3e9 buckets
+    // per key (n²·B < 10^38 ⇔ n < 3.3e9) — far past any real
+    // per-bucket aggregate; a longer spine needs coarser buckets, not
+    // a wider decimal. NaN/Inf/over-magnitude rows cost themselves,
+    // never the run (the no-measurement semantic).
     val series0 = series.filter(
-      graft.functions.Num.finiteWithin(col(valueCol), graft.functions.Num.Decimal38Bound))
+      graft.functions.Num.finiteWithin(col(valueCol), 9e18))
     // Window is imported at file scope (trailingZscores uses it bare)
     val base = if (partCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(partCols.map(col): _*)

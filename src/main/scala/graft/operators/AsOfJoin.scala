@@ -208,7 +208,12 @@ object AsOfJoin {
     matched
       .select(
         (Seq(col(key), col("__ts")) ++ leftValueCols.map(col) ++
-          carried.map(c => col(s"__r.$c").as(c))): _*)
+          // col("__r")(c), not col(s"__r.$c"): the string form parses a
+          // dot in the carried name as struct nesting, so a legal
+          // rename target like "station.status" failed analysis with a
+          // message pointing nowhere near the cause; the apply form
+          // treats the field name literally
+          carried.map(c => col("__r")(c).as(c))): _*)
       .withColumnRenamed("__ts", leftTs)
   }
 }

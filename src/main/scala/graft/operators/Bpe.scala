@@ -185,10 +185,9 @@ object Bpe {
         round += 1
         val counts = cur
           .select(col("cnt"),
-            explode(zip_with(col("syms"),
-              slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-              (a, b) => concat(a, lit(" "), b))).as("p"))
-          .filter(col("p").isNotNull)
+            // shared pair mining (Text.adjacentPairs): one definition
+            // with the bigram LM — see the helper's doc
+            explode(Text.adjacentPairs(col("syms"))).as("p"))
           .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
           .select(split(col("p"), " ", 2).getItem(0).as("x"),
             split(col("p"), " ", 2).getItem(1).as("y"),
@@ -223,7 +222,11 @@ object Bpe {
           }
           val picks = roundPicks.result()
           if (picks.isEmpty) exhausted = true
-          else {
+          else if (nPicked < k) {
+            // rewrite only when another round will MINE from it: with
+            // the quota already filled the rewrite + persist + count
+            // barrier is one whole wasted distributed pass — the exact
+            // per-round cost the round ceiling exists to bound
             val applyUdf = udf((s: Seq[String]) =>
               picks.foldLeft(s) { case (acc, (x, y)) => applyMerge(acc, x, y) })
             val next = cur.select(col("cnt"), applyUdf(col("syms")).as("syms"))
@@ -269,10 +272,7 @@ object Bpe {
       while (r <= k && !exhausted) {
         val top = cur
           .select(col("cnt"),
-            explode(zip_with(col("syms"),
-              slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-              (a, b) => concat(a, lit(" "), b))).as("p"))
-          .filter(col("p").isNotNull)
+            explode(Text.adjacentPairs(col("syms"))).as("p"))
           .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
           .orderBy(col("pc").desc, col("p").asc)
           .limit(1).collect()
@@ -282,12 +282,16 @@ object Bpe {
           val pc = top(0).getLong(1)
           val Array(x, y) = pair.split(" ", 2)
           merges += ((r, x, y, x + y, pc))
-          val applyUdf = udf((s: Seq[String]) => applyMerge(s, x, y))
-          val next = cur.select(col("cnt"), applyUdf(col("syms")).as("syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          cur.unpersist()
-          cur = next
+          if (r < k) {
+            // the final pick needs no rewrite — nothing mines from it
+            // (one full UDF pass + persist barrier saved per call)
+            val applyUdf = udf((s: Seq[String]) => applyMerge(s, x, y))
+            val next = cur.select(col("cnt"), applyUdf(col("syms")).as("syms"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            cur.unpersist()
+            cur = next
+          }
           r += 1
         }
       }

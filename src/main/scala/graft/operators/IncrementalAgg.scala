@@ -30,7 +30,13 @@ object IncrementalAgg {
     */
   def buildState(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "buildState needs at least one group column")
-    df.groupBy(groupCols.map(col): _*)
+    // entry guard (the Num.finiteWithin class): cast(NaN/Inf/1e27 AS
+    // DECIMAL(28,2)) ANSI-kills the whole state build on ONE corrupt
+    // row; bounded at the type's actual ceiling (10^26), the row costs
+    // itself — consistent with the count/min/max NULL-skip support
+    df.filter(graft.functions.Num.finiteWithin(col(valueCol), 9e25)
+        || col(valueCol).isNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col(valueCol).cast(DecimalType(28, 2))).as("sum_v"),
         count(col(valueCol)).as("n_v"),
@@ -104,7 +110,12 @@ object IncrementalAgg {
         "groups (re-run buildState on their base slice) before " +
         "retracting again; chained retracts would silently un-flag " +
         "stale min/max")
-    val del = deletes.groupBy(groupCols.map(col): _*)
+    // same entry guard as buildState — a corrupt delete row would
+    // ANSI-kill the retract job at the decimal cast
+    val del = deletes
+      .filter(graft.functions.Num.finiteWithin(col(valueCol), 9e25)
+        || col(valueCol).isNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col(valueCol).cast(DecimalType(28, 2))).as("__d_sum"),
         count(col(valueCol)).as("__d_n"),

@@ -152,17 +152,11 @@ object LangModel {
     BigramModel(vocab, biCounts, total)
   }
 
-  /** "w1 w2" join keys for consecutive token pairs, as a map-side
-    * array HOF (no explode-and-self-join). `zip_with` pads the shorter
-    * side with null, which null-propagates through concat — the
-    * trailing null pair is filtered out. Callers pass empty-filtered
-    * token arrays, so the space separator is unambiguous.
+  /** "w1 w2" consecutive-pair keys — the shared
+    * [[graft.functions.Text.adjacentPairs]] (one definition with the
+    * BPE trainers' pair mining).
     */
-  private def bigramPairs(t: Column): Column =
-    filter(
-      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      p => p.isNotNull)
+  private def bigramPairs(t: Column): Column = Text.adjacentPairs(t)
 
   /** Score each document: (idCol, n_tokens, avg_logprob) with
     * avg_logprob = round(sum of bigram ln-probs / (n_tokens - 1), 6),

@@ -114,6 +114,23 @@ class AnalyticsSpec extends SparkTestBase {
     // no cross-user pair: user 2's 'a' never pairs with user 1's trailing 'b'
   }
 
+  test("eventTransitions: NULL event types never mint transitions or break chains") {
+    // user 1: a, <null-type>, b — a (prev -> NULL) pair would deflate
+    // every real a->x probability, and downstream markovStationary's
+    // equi-joins silently leak mass routed to a NULL state
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), null.asInstanceOf[String]),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val t = rows(Analytics.eventTransitions(ev, "user_id", "ts", "event_type",
+        "event_id"))
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the typeless event is nonexistent: the chain continues across it
+    assert(t === Map(("a", "b") -> ((1L, 1.0))))
+  }
+
   test("eventTransitions: equal timestamps break ties by the tiebreak column") {
     val ev = Seq(
       (1L, 2L, ts("2024-01-01 10:00:00"), "b"),

@@ -72,6 +72,22 @@ class AnomalySpec extends SparkTestBase {
     assert(cus.size === 2 && cus.count(_.getBoolean(5)) === 1)
   }
 
+  test("finite-but-huge values cannot overflow the decimal CHAIN (x*x, n*sxx, n*cum)") {
+    // 2e19 passes a single-cast bound (9e37) but x*x = 4e38 overflows
+    // DECIMAL(38,0) — the r9 hole: the guard must bound the whole
+    // expression chain, so the corrupt row costs itself, not the job
+    val series = (Seq(("a", ts(1), 10.0), ("a", ts(2), 12.0), ("a", ts(3), 8.0))
+      :+ (("a", ts(4), 2e19)) :+ (("a", ts(5), 50.0))).toDF("k", "bucket", "cnt")
+    val out = rows(Anomaly.trailingZscores(series, "k", "bucket", "cnt",
+      window = 3, minPrior = 3, threshold = 3.0).orderBy(col("bucket")))
+    assert(out.size === 4, "the 2e19 row is excluded, the job survives")
+    assert(out.last.getBoolean(5), "the real spike still flags")
+    val cus = rows(Anomaly.cusumChangePoints(
+      Seq(("a", 1, 10.0), ("a", 2, 2e19), ("a", 3, 50.0))
+        .toDF("k", "b", "v"), Seq("k"), "b", "v"))
+    assert(cus.size === 2 && cus.count(_.getBoolean(5)) === 1)
+  }
+
   test("cusumChangePoints pins the regime boundary; per-key peaks independent") {
     import spark.implicits._
     // 10 days at 10, then 10 days at 50: |cusum| maximal at the last

@@ -68,6 +68,12 @@ class AsOfJoinSpec extends SparkTestBase {
 
   test("name collisions fail fast instead of emitting duplicate or clobbered columns") {
     val right = Seq(("u1", 90L, 1.0)).toDF("user_id", "ts", "v")
+    // a DOTTED carried destination is legal (struct field names may
+    // contain dots): the old col("__r.name") projection parsed the dot
+    // as struct nesting and failed analysis far from the cause
+    val dotted = rows(AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("v" -> "station.status")))
+    assert(dotted.head.schema.fieldNames.contains("station.status"))
     // carried destination shadows an existing left column
     val e1 = intercept[IllegalArgumentException] {
       AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("v" -> "payload"))

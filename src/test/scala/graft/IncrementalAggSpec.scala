@@ -69,6 +69,22 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(b.isNullAt(1) && b.getLong(2) === 0L && b.isNullAt(3) && b.isNullAt(5))
   }
 
+  test("NaN/Inf/over-magnitude values cost their row, never the state build") {
+    import spark.implicits._
+    // cast(NaN AS DECIMAL(28,2)) ANSI-kills the job unguarded; the
+    // all-NULL group must still emit its state row (n=0), not vanish
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", Double.NaN), ("a", 3.0),
+      ("a", Double.PositiveInfinity), ("a", 1e27),
+      ("b", null)).toDF("k", "v")
+    val out = rows(IncrementalAgg.finish(
+      IncrementalAgg.buildState(df, Seq("k"), "v")).orderBy(col("k")))
+    assert(out.map(_.getString(0)) === Seq("a", "b"))
+    assert(out.head.getDecimal(1).doubleValue() === 4.0 &&
+      out.head.getLong(2) === 2L)
+    assert(out(1).getLong(2) === 0L, "all-null group keeps its state row")
+  }
+
   test("joinDelta: old view + delta equals the full recompute for any split") {
     import spark.implicits._
     val aAll = (1L to 40L).map(i => (i % 12, s"a$i")).toDF("k", "av")
