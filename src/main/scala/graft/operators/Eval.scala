@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -35,15 +35,40 @@ object Eval {
     * NULL scores or labels are dropped (no rank identity); `labelCol`
     * is boolean-ish (cast to int 0/1).
     */
+  /** Shared entry filter for the binary-metric family (AUC / PR /
+    * Brier / ECE — five hand-maintained copies had already diverged):
+    * drops rows with NULL scores or labels (no observation), NaN
+    * scores (passes isNotNull and sorts LARGEST — a NaN-scored
+    * positive takes the top average rank and silently inflates AUC),
+    * and optionally ±Inf scores (whose infinite square kills
+    * Brier/ECE's decimal cast under ANSI).
+    */
+  private def scoredRows(
+      scoreCol: String, labelCol: String, excludeInfScore: Boolean): Column = {
+    val sd = col(scoreCol).cast("double")
+    col(scoreCol).isNotNull && col(labelCol).isNotNull && !isnan(sd) &&
+      (if (excludeInfScore) abs(sd) < Double.PositiveInfinity else lit(true))
+  }
+
+  /** The label as int 0/1, FAILING LOUD on anything else: a -1/+1 or
+    * multiclass corpus makes `sum(__y)` read `#pos − #neg` and every
+    * metric silently wrong — no filter semantics can rescue wholesale
+    * mislabeling, so it is a caller bug, not a row to quarantine
+    * (the KMeans raise_error convention). A fractional 0.7 "label"
+    * previously cast silently to int 0; it raises now too.
+    */
+  private def binaryLabel(labelCol: String): Column =
+    when(col(labelCol).cast("double").isin(0.0, 1.0),
+      col(labelCol).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("Eval: label must be 0/1, got "),
+        col(labelCol).cast("string"))).cast("int"))
+
   def aucByRank(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
-      // NaN passes isNotNull and sorts LARGEST: a NaN-scored positive
-      // would take the top average rank and silently inflate AUC (the
-      // ece guard, applied to its siblings)
-      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
-        !isnan(col(scoreCol).cast("double")))
+      .filter(scoredRows(scoreCol, labelCol, excludeInfScore = false))
       .select(col(scoreCol).cast("double").as("__s"),
-        col(labelCol).cast("int").as("__y"))
+        binaryLabel(labelCol).as("__y"))
     // Per-score combine FIRST (map-side partial), so the only ordered
     // window runs over |distinct scores| rows — the operator's real
     // state bound. A continuous score at corpus scale should be
@@ -90,10 +115,9 @@ object Eval {
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
       // NaN would form a bogus first threshold point (desc-sorts first)
-      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
-        !isnan(col(scoreCol).cast("double")))
+      .filter(scoredRows(scoreCol, labelCol, excludeInfScore = false))
       .select(col(scoreCol).cast("double").as("threshold"),
-        col(labelCol).cast("int").as("__y"))
+        binaryLabel(labelCol).as("__y"))
     val perScore = scored.groupBy(col("threshold"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
     val desc = Window.orderBy(col("threshold").desc)
@@ -130,11 +154,10 @@ object Eval {
       scoreCol: String, labelCol: String): DataFrame = {
     val scored = df
       .filter(col(groupCol).isNotNull &&
-        col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
-        !isnan(col(scoreCol).cast("double")))
+        scoredRows(scoreCol, labelCol, excludeInfScore = false))
       .select(col(groupCol).as("__g"),
         col(scoreCol).cast("double").as("__s"),
-        col(labelCol).cast("int").as("__y"))
+        binaryLabel(labelCol).as("__y"))
     val perScore = scored.groupBy(col("__g"), col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
     val before = Window.partitionBy(col("__g")).orderBy(col("__s"))
@@ -171,11 +194,9 @@ object Eval {
       // a NaN residual kills the DECIMAL(38,12) cast under ANSI — and
       // so does an INFINITE score's infinite square; neither carries
       // calibration signal, both are excluded
-      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
-        !isnan(col(scoreCol).cast("double")) &&
-        (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
+      .filter(scoredRows(scoreCol, labelCol, excludeInfScore = true))
       .select(col(scoreCol).cast("double").as("__p"),
-        col(labelCol).cast("int").as("__y"))
+        binaryLabel(labelCol).as("__y"))
     scored
       .select(((col("__p") - col("__y")) * (col("__p") - col("__y")))
         .cast(DecimalType(38, 12)).as("__sq"))
@@ -204,11 +225,9 @@ object Eval {
       // and their decimal cast in the bin-mean sum dies under ANSI —
       // a probability column's NaNs carry no calibration signal.
       // Infinite scores die on the same cast (brier's guard).
-      .filter(col(scoreCol).isNotNull && Num.finiteWithin(col(labelCol), Int.MaxValue.toDouble) &&
-        !isnan(col(scoreCol).cast("double")) &&
-        (abs(col(scoreCol).cast("double")) < Double.PositiveInfinity))
+      .filter(scoredRows(scoreCol, labelCol, excludeInfScore = true))
       .select(col(scoreCol).cast("double").as("score"),
-        col(labelCol).cast("int").as("__y"))
+        binaryLabel(labelCol).as("__y"))
     val perBin = Profile.quantileBucket(scored, "score", bins)
       .groupBy(col("score_qbucket").cast("long").as("__bin"))
       .agg(count(lit(1)).as("__n"),
@@ -240,6 +259,16 @@ object Eval {
     * (n_items, p_observed, p_chance, kappa).
     */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the label keys compare via their STRING renderings (class labels
+    // can be any type): an INT rater against a DOUBLE rater renders
+    // "1" vs "1.0" and two numerically identical verdicts never agree
+    // — kappa reads strongly negative for perfect agreement, silently.
+    // Identical types make the renderings agree; refuse anything else
+    // up front (the Bloom.prunedSemiJoin convention).
+    require(df.schema(aCol).dataType == df.schema(bCol).dataType,
+      s"rater column types must match exactly (labels compare as " +
+        s"strings): ${df.schema(aCol).dataType.simpleString} vs " +
+        s"${df.schema(bCol).dataType.simpleString}")
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).cast("string").as("__a"),

@@ -93,8 +93,13 @@ object Geo {
       graft.functions.Num.finiteWithin(c, 9.0e18 * radius)
     val probesClean =
       probes.filter(inDomain(col(px)) && inDomain(col(py)))
+    // candId NULL-checked like the coordinates: a keyless candidate
+    // row would WIN distance ties in min(struct(dist_sq, candId)) —
+    // NULL sorts first in struct ordering — and probes would report
+    // nearest = NULL while a real candidate sat at the same distance
     val candsClean =
-      cands.filter(inDomain(col(cx)) && inDomain(col(cy)))
+      cands.filter(col(candId).isNotNull &&
+        inDomain(col(cx)) && inDomain(col(cy)))
     val p = probesClean.select(
       col(probeId), col(px), col(py),
       explode(array(offsets.map { case (dx, dy) =>

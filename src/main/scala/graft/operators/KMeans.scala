@@ -84,8 +84,20 @@ object KMeans {
       // (All-ZERO vectors stay legal: they deterministically join the
       // tie-break centroid — filter upstream if unwanted.)
       val dim = codebook.head._2.length
+      // the NULL-VEC guard rides the vec column ITSELF, not the score
+      // chain: size(NULL) is NULL so neither sibling condition fires,
+      // and a guard only on the score column never evaluates — the
+      // update step explodes vec, the optimizer hoists the Generate
+      // above the projection, and a NULL array emits zero rows BEFORE
+      // the score is computed (probed; the row silently vanished from
+      // training). Guarding the exploded column forces evaluation per
+      // input row.
+      val guardedVec = when(col("vec").isNull,
+        raise_error(lit("KMeans: NULL vector in training corpus"))
+          .cast("array<float>"))
+        .otherwise(col("vec"))
       val assigned = corpus
-        .select(col("vec"), VectorOps.norm(col("vec")).as("_n"))
+        .select(guardedVec.as("vec"), VectorOps.norm(col("vec")).as("_n"))
         .select(col("vec"),
           when(size(col("vec")) =!= dim,
             raise_error(concat(lit("KMeans: vector of dimension "),

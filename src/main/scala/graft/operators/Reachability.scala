@@ -74,11 +74,14 @@ object Reachability {
     var reachCache: DataFrame = null
     var ok = false
     try {
-      val (reach0, rc0, _) = materialize(e.withColumn("hops", lit(1L)))
+      val (reach0, rc0, n0) = materialize(e.withColumn("hops", lit(1L)))
       var reach = reach0
       reachCache = rc0
       var frontier = reach
-      var frontierSize = 1L
+      // seed from the count the materialize already ran: a hardcoded 1
+      // forced one full (empty) join/distinct/anti-join round on an
+      // edgeless graph before the loop noticed
+      var frontierSize = n0
       var h = 1
       while (h < maxHops && frontierSize > 0) {
         val (next, nextCache, n) = materialize(frontier.alias("f")

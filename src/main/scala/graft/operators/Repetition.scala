@@ -188,7 +188,11 @@ object Repetition {
       count(lit(1)).as("uniq"),
       max(col("cnt")).as("mx"),
       sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    // distinct spine (the oovRate/vocabGrowth convention — whose
+    // comments cite THIS operator for it): duplicate doc_id input rows
+    // would emit each doc's stats row once per duplicate and
+    // double-weight it in any downstream corpus-level average
+    docs.select(col("doc_id")).distinct().join(agg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("total"), lit(0L)).cast("int").as("n_grams"),

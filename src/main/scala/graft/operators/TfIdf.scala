@@ -189,15 +189,23 @@ object TfIdf {
     val grams = docs.select(col("doc_id").as("__id"),
       explode(Text.nonEmptyTokens(col("text"))).as("__tok")).distinct()
     val firstDoc = grams.groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
-    grams.join(firstDoc, Seq("__tok"))
+    val perDoc = grams.join(firstDoc, Seq("__tok"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_distinct_tokens"),
         sum(when(col("__fd") === col("__id"), 1L).otherwise(0L))
           .as("n_novel"))
-      .select(col("__id").as("doc_id"), col("n_distinct_tokens"),
-        col("n_novel"),
-        round(col("n_novel").cast("double")
-          / col("n_distinct_tokens").cast("double"), 6).as("novelty"))
+    // doc spine (the oovRate/vocabGrowth convention): a blank or
+    // NULL-text doc explodes to zero rows and would VANISH from the
+    // output — a caller joining novelty back onto the corpus loses it
+    // with no NULL-novelty row to see. Tokenless docs read (0, 0,
+    // NULL): no tokens, no novelty measurement.
+    docs.select(col("doc_id").as("__id")).distinct()
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(try_divide(col("n_novel").cast("double"),
+          col("n_distinct_tokens").cast("double")), 6).as("novelty"))
       .orderBy(col("doc_id"))
   }
   /** Okapi BM25 scoring of the corpus against a fixed query-term set —

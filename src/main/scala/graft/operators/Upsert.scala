@@ -94,6 +94,16 @@ object Upsert {
     val attrCols = changes.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     require(attrCols.nonEmpty, "changes carry no attribute columns")
+    // the REVERSE of the valid_from/valid_to guard: a changes column
+    // absent from history (ingestion metadata, a renamed attribute)
+    // would influence the max(struct(attrCols)) dedup tie-break and
+    // then be silently DROPPED by the final history-shaped projection
+    // — nondeterministic-looking winner selection plus silent loss
+    attrCols.foreach { c =>
+      require(history.columns.contains(c),
+        s"changes column '$c' is absent from history — drop it (or add " +
+          "it to the history schema) before merging")
+    }
 
     val keyTs = (keys :+ tsCol).map(col)
     // a NULL change timestamp has no place on a validity timeline: it
@@ -161,14 +171,17 @@ object Upsert {
       require(!df.columns.contains("__cdc_rn"),
         s"$side column '__cdc_rn' collides with applyCdc's scratch column")
     }
-    // A NULL op or NULL ts is a malformed change row, quarantined like
-    // scd2Apply's NULL keys/timestamps: a NULL op used to DELETE the
-    // base row silently (its key entered the anti-join set while
-    // `op =!= 'D'` read NULL and excluded it from survivors too), and
-    // a NULL ts has no place in a latest-wins ordering. Route them to
-    // a dead-letter upstream; don't apply them.
+    // A NULL op, an op outside the 'I'/'U'/'D' domain, or a NULL ts is
+    // a malformed change row, quarantined like scd2Apply's NULL
+    // keys/timestamps: a NULL op used to DELETE the base row silently
+    // (its key entered the anti-join set while `op =!= 'D'` read NULL
+    // and excluded it from survivors too); an off-domain op — a
+    // lowercase 'd', 'DELETE', 'D ' with a stray space — would apply a
+    // delete as an UPSERT (`op =!= "D"` keeps it as a survivor); and a
+    // NULL ts has no place in a latest-wins ordering. Route them to a
+    // dead-letter upstream; don't apply them.
     val wellFormed = changes.filter(
-      col(opCol).isNotNull && col(tsCol).isNotNull)
+      col(opCol).isin("I", "U", "D") && col(tsCol).isNotNull)
     // The ordering must be TOTAL or the winner is shuffle-order
     // dependent: after (ts, op), fully tied rows resolve by the
     // lexicographically greatest attribute tuple (the scd2Apply

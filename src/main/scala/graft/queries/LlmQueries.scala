@@ -3654,6 +3654,8 @@ object LlmQueries {
         |    - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
         |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+    // doc-spine left join replays noveltyRates' r9 fix: a tokenless
+    // doc reads (0, 0, NULL) instead of vanishing from the output
     "q_text_novelty" ->
       """WITH tok0 AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -3663,14 +3665,20 @@ object LlmQueries {
         |  SELECT DISTINCT doc_id, tok FROM tok0
         |), fd AS (
         |  SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok
+        |), per AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_distinct_tokens,
+        |    CAST(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM tok t JOIN fd f ON f.tok = t.tok
+        |  GROUP BY t.doc_id
         |)
-        |SELECT t.doc_id, COUNT(*) AS n_distinct_tokens,
-        |  CAST(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_novel,
-        |  ROUND(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END)::DOUBLE
-        |    / COUNT(*), 6) AS novelty
-        |FROM tok t JOIN fd f ON f.tok = t.tok
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  COALESCE(per.n_novel, 0) AS n_novel,
+        |  ROUND(per.n_novel::DOUBLE / per.n_distinct_tokens, 6) AS novelty
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -94,6 +94,35 @@ class EvalSpec extends SparkTestBase {
     assert(e.getLong(1) === 4L, "NaN score row must drop from n_rows")
   }
 
+  test("labels outside {0,1} fail loud — a -1/+1 corpus corrupted every metric silently") {
+    import spark.implicits._
+    // sum(__y) over -1/+1 labels read n_pos = #pos − #neg: AUC/PR/
+    // Brier were arbitrarily wrong with no error. Mislabeled data is a
+    // caller bug, not a row to quarantine.
+    val pm = Seq((0.9, 1), (0.1, -1)).toDF("s", "y")
+    val e = intercept[Exception] { rows(Eval.aucByRank(pm, "s", "y")) }
+    assert(exMessageChain(e).exists(_.contains("label must be 0/1")),
+      s"got: ${e.getMessage}")
+    val frac = Seq((0.9, 0.7)).toDF("s", "y") // silently cast to int 0 before
+    val e2 = intercept[Exception] { rows(Eval.brier(frac, "s", "y")) }
+    assert(exMessageChain(e2).exists(_.contains("label must be 0/1")))
+  }
+
+  test("cohensKappa fails fast on mismatched rater column types") {
+    import spark.implicits._
+    // int 1 renders "1", double 1.0 renders "1.0": two raters in
+    // perfect numeric agreement read kappa strongly negative, silently
+    val df = Seq((1, 1.0), (0, 0.0)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Eval.cohensKappa(df, "a", "b")
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
+  private def exMessageChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
   test("ece: perfectly calibrated bins score 0; a known gap scores exactly") {
     import spark.implicits._
     // 2 bins of 2: bin means 0.25/0.75, pos rates 0.5/0.5

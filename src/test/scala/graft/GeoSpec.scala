@@ -56,6 +56,20 @@ class GeoSpec extends SparkTestBase {
     assert(nearest(probes, cands, 2.0) === Seq((1L, 20L, 1.0)))
   }
 
+  test("NULL candidate ids are excluded — they would win every distance tie") {
+    // NULL sorts first in min(struct(dist_sq, candId)): a keyless
+    // candidate at the same distance as a real one used to make the
+    // probe report nearest = NULL
+    val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "px", "py")
+    val cands = spark.sql(
+      """SELECT * FROM VALUES (CAST(NULL AS LONG), 1.0D, 0.0D),
+        | (20L, -1.0D, 0.0D) AS t(cid, cx, cy)""".stripMargin)
+    val out = rows(Geo.nearestWithinRadius(
+      probes, "pid", "px", "py", cands, "cid", "cx", "cy", 2.0))
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out === Seq((1L, 20L)))
+  }
+
   test("probes with no candidate in range emit nothing; negative coords work") {
     val probes = Seq((1L, -20.0, -20.0), (2L, -1.0, -1.0))
     val cands = Seq((5L, -1.5, -1.5))

@@ -45,6 +45,21 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("a fully-NULL vector fails fast by name (size(NULL) dodged both sibling guards)") {
+    import spark.implicits._
+    // size(NULL) is NULL so neither the wrong-dim nor the
+    // corrupt-element branch fired — the row scored the -2 sentinel
+    // and silently joined centroid 0
+    val corpus = toDf(Seq(0L -> Array(1.0f, 0.1f), 1L -> Array(0.1f, 1.0f)))
+      .unionByName(spark.sql(
+        "SELECT 9L AS id, CAST(NULL AS ARRAY<FLOAT>) AS vec"))
+    val e = intercept[Exception] { KMeans.fit(corpus, k = 2, iters = 1) }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("NULL vector") ||
+        Option(e.getCause).exists(_.getMessage.contains("NULL vector"))),
+      s"expected the NULL-vector message, got: ${e.getMessage}")
+  }
+
   test("Lloyd iterations move centroids to their cluster means") {
     val cb = KMeans.fit(twoClusters, k = 2, iters = 2).toMap
     // cluster of centroid 0 = {0, 2, 4}: mean (1.0, 0.1)

@@ -395,6 +395,18 @@ class ProfileSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(n === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
+
+  test("noveltyRates: a tokenless doc keeps its spine row (0, 0, NULL novelty)") {
+    import spark.implicits._
+    // a blank doc explodes to zero rows and used to VANISH — a caller
+    // joining novelty back onto the corpus lost it with nothing to see
+    val docs = Seq((1L, "a b"), (2L, "   "), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val n = rows(graft.operators.TfIdf.noveltyRates(docs))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(n === Seq((1L, 2L, 2L, 1.0), (2L, 0L, 0L, null), (3L, 2L, 1L, 0.5)))
+  }
   test("jensenShannon: identical mixes read 0, disjoint mixes read ln 2") {
     import spark.implicits._
     val x = Seq("a", "a", "b").toDF("c")

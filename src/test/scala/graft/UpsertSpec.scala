@@ -61,6 +61,34 @@ class UpsertSpec extends SparkTestBase {
       "malformed change rows must leave the base untouched")
   }
 
+  test("applyCdc quarantines off-domain op codes instead of applying deletes as upserts") {
+    // a lowercase 'd' (or 'DELETE', or 'D ') used to pass op =!= 'D'
+    // and land the delete as a SURVIVOR — the base row was replaced
+    // instead of removed, silently
+    val base = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 5L, "d", "z"),       // lowercase delete: malformed, quarantined
+      (2L, 5L, "DELETE", "w"))  // verbose delete: malformed, quarantined
+      .toDF("k", "ts", "op", "v")
+    val out = rows(Upsert.applyCdc(base, changes, Seq("k"), "ts", "op")
+      .orderBy(col("k"))).map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Seq((1L, "x"), (2L, "y")),
+      "off-domain op codes must leave the base untouched")
+  }
+
+  test("scd2Apply fails fast on a changes column absent from history") {
+    // such a column influences the dedup tie-break, then is silently
+    // dropped by the history-shaped projection — fail loud instead
+    val history = Seq((1L, "a", 1L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq((1L, "b", 2L, "meta"))
+      .toDF("k", "v", "ts", "_loaded_at")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(history, changes, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("_loaded_at"))
+  }
+
   test("scd2Apply: a NULL-key change cannot mint a second open version") {
     // the equi-joins never match a NULL key, so an unfiltered NULL-key
     // change appended a NEW open row while the existing NULL-key open
