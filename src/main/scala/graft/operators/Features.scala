@@ -33,6 +33,10 @@ object Features {
       df: DataFrame, idCol: String, featureCols: Seq[String],
       dim: Int): DataFrame = {
     require(featureCols.nonEmpty, "hashedFeatures needs feature columns")
+    // a repeated column would silently DOUBLE its feature counts (the
+    // categoricalProfile distinct-columns rule)
+    require(featureCols.distinct.size == featureCols.size,
+      s"featureCols must be distinct, got ${featureCols.mkString(", ")}")
     require(dim >= 2 && dim <= (1 << 20),
       s"dim must be in [2, 2^20], got $dim")
     // an idCol named like an OUTPUT column would emit two same-named
@@ -91,8 +95,13 @@ object Features {
     // NaN is MISSING here, like NULL: unguarded, cast(NaN as decimal)
     // kills the aggregate under ANSI (non-ANSI: a silently biased
     // mean), and coalesce(NaN, mean) would keep NaN un-imputed — the
-    // one value the downstream models can eat even less than NULL
-    val missing = col(valueCol).isNull || isnan(col(valueCol).cast("double"))
+    // one value the downstream models can eat even less than NULL.
+    // ±Inf and finite over-magnitude (>= 1e26, the DECIMAL(38,12)
+    // ceiling) are the same class: isnan(Inf) is false, so they passed
+    // the old guard and the decimal cast killed the whole imputation
+    // job — a value no model can eat is missing, and gets imputed.
+    val missing = !graft.functions.Num.finiteWithin(
+      col(valueCol).cast("double"), 9e25)
     val stats = df.filter(!missing)
       .groupBy(col(groupCol).as("__g"))
       .agg(round(sum(round(col(valueCol).cast("double"), 6)

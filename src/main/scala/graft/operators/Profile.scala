@@ -458,9 +458,13 @@ object Profile {
       .withColumn("__fb", sum(col("__cb")).over(w))
       .withColumn("__na", sum(col("__ca")).over(whole))
       .withColumn("__nb", sum(col("__cb")).over(whole))
+      // try_divide, not / : with one EMPTY slice (all NULL/NaN scores)
+      // __na or __nb is 0 — non-null — and plain 0/0 ANSI-kills the
+      // drift check on exactly the degenerate feed it should flag;
+      // the NULL it yields instead surfaces as a NULL ks_stat
       .withColumn("__d",
-        abs(col("__fa").cast("double") / col("__na").cast("double")
-          - col("__fb").cast("double") / col("__nb").cast("double")))
+        abs(try_divide(col("__fa").cast("double"), col("__na").cast("double"))
+          - try_divide(col("__fb").cast("double"), col("__nb").cast("double"))))
     steps
       .agg(
         max(struct(col("__d").as("d"), (-col("__x")).as("negx"))).as("__best"),
@@ -730,13 +734,17 @@ object Profile {
     // unguarded count(lit(1)) would mix an all-rows n with
     // paired-rows sums, emitting a wrong non-NULL correlation (and a
     // NaN would kill the decimal cast under ANSI). The magnitude bound
-    // is the linearFit guard: |v| >= 1e36 (or Infinity) overflows the
-    // DECIMAL(38,0) cast below and kills the job under ANSI — on the
-    // untrusted feeds a profiler exists to examine.
+    // covers the PRODUCTS, not just the cast (the r9 Anomaly lesson —
+    // a 1e36 bound let x*x overflow DECIMAL(38,0) at |v| >= ~3.2e16
+    // and ANSI-kill the job the guard's comment claimed to protect):
+    // at |v| < 9e11 the scaled square (9e13)² = 8.1e27 times up to
+    // 1e10 window/corpus rows stays under the 10^38−1 ceiling. A
+    // profiler's measurement columns live many decades below 9e11;
+    // rows beyond it are unmeasurable and cost themselves.
     val paired = col(xCol).isNotNull && col(yCol).isNotNull &&
       !isnan(col(xCol).cast("double")) && !isnan(col(yCol).cast("double")) &&
-      abs(col(xCol).cast("double")) < 1e36 &&
-      abs(col(yCol).cast("double")) < 1e36
+      abs(col(xCol).cast("double")) < 9e11 &&
+      abs(col(yCol).cast("double")) < 9e11
     val x = when(paired,
       round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0)))
     val y = when(paired,
@@ -964,13 +972,15 @@ object Profile {
   def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val scaled = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      // NaN/Infinity would kill the DECIMAL(38,0) cast under ANSI and
-      // |x| >= 1e36 overflows it after *100 (the rollingCorr/benford
-      // hazard) — a trend fit over an untrusted feed drops them
+      // NaN/Infinity would kill the DECIMAL(38,0) cast under ANSI, and
+      // the bound covers the SQUARED sums, not just the cast (the
+      // rollingCorr rationale, same 9e11 bound: the scaled square
+      // times up to 1e10 corpus rows stays under 10^38−1) — a trend
+      // fit over an untrusted feed drops unmeasurable rows
       .filter(!isnan(col(xCol).cast("double")) &&
         !isnan(col(yCol).cast("double")) &&
-        abs(col(xCol).cast("double")) < lit(1e36) &&
-        abs(col(yCol).cast("double")) < lit(1e36))
+        abs(col(xCol).cast("double")) < lit(9e11) &&
+        abs(col(yCol).cast("double")) < lit(9e11))
       .select(
         round(col(xCol).cast("double") * 100, 0).cast(DecimalType(38, 0))
           .as("__x"),

@@ -311,7 +311,15 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
-    df.withColumn("recency_rank", row_number().over(w))
+    // NULL timestamps have no place in a recency ordering: desc sorts
+    // them LAST, so an untimed event silently ranked as its key's
+    // OLDEST and landed in "train" — if it actually happened after the
+    // holdout events (fresh ingest missing timestamps is the common
+    // case), the training slice contains the eval slice's future,
+    // exactly the leakage this protocol exists to prevent. Untimed
+    // events are excluded (neither split); route them to a quarantine.
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("recency_rank", row_number().over(w))
       .withColumn("split",
         when(col("recency_rank") <= holdoutLast, lit("holdout"))
           .otherwise(lit("train")))
@@ -627,11 +635,19 @@ object Sampling {
     // NULL ids sort FIRST ascending, so a NULL id (or a non-numeric
     // id the cast nulls) would be picked as the seed and NPE on the
     // driver's getLong; NULL vectors can't be selected or covered.
-    // Keyless/vectorless rows are excluded, not crashed on.
+    // DEGENERATE vectors (zero norm, NULL/NaN elements) are excluded
+    // with them: guardCos pins their coverage to the -2 sentinel,
+    // and this operator's argmin runs ASCENDING — "least covered
+    // wins" — so every corrupt row would be selected BEFORE any real
+    // row (k corrupt rows = an all-garbage "diverse coreset"), and a
+    // degenerate SEED would pin every row's cover at -2 and collapse
+    // the sample to the k lowest ids. Unmeasurable rows are excluded,
+    // not crashed on.
     val base = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         VectorOps.norm(col(vecCol)).as("__n"))
-      .filter(col("id").isNotNull && col("__v").isNotNull)
+      .filter(col("id").isNotNull && col("__v").isNotNull &&
+        col("__n").isNotNull && !isnan(col("__n")) && col("__n") > 0.0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRow = base.orderBy(col("id")).limit(1)
@@ -725,11 +741,19 @@ object Sampling {
     // NULL ids sort FIRST ascending, so a NULL id (or a non-numeric
     // id the cast nulls) would be picked as the seed and NPE on the
     // driver's getLong; NULL vectors can't be selected or covered.
-    // Keyless/vectorless rows are excluded, not crashed on.
+    // DEGENERATE vectors (zero norm, NULL/NaN elements) are excluded
+    // with them: guardCos pins their coverage to the -2 sentinel,
+    // and this operator's argmin runs ASCENDING — "least covered
+    // wins" — so every corrupt row would be selected BEFORE any real
+    // row (k corrupt rows = an all-garbage "diverse coreset"), and a
+    // degenerate SEED would pin every row's cover at -2 and collapse
+    // the sample to the k lowest ids. Unmeasurable rows are excluded,
+    // not crashed on.
     val base = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         VectorOps.norm(col(vecCol)).as("__n"))
-      .filter(col("id").isNotNull && col("__v").isNotNull)
+      .filter(col("id").isNotNull && col("__v").isNotNull &&
+        col("__n").isNotNull && !isnan(col("__n")) && col("__n") > 0.0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRow = base.orderBy(col("id")).limit(1)

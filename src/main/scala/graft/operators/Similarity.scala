@@ -204,6 +204,13 @@ object Similarity {
     val nBands = nPlanes / bitsPerBand
     embs
       .select(packedSignBits(col("vec"), planes).as("sig"))
+      // NULL signatures (NULL-vec rows) are excluded: kept, they form
+      // a phantom NULL bucket that inflates n_buckets and adds c² to
+      // self_join_pairs — but the banded self-joins this diagnostic
+      // predicts generate ZERO candidates from NULL keys, so the
+      // "exactly the pair count the self-join would generate" contract
+      // broke and the stats falsely predicted a shuffle explosion
+      .filter(col("sig").isNotNull)
       .select(explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           bucketOfBits(col("sig"), b, bitsPerBand).as("bucket"))): _*)).as("bb"))

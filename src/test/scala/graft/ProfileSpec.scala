@@ -308,6 +308,29 @@ class ProfileSpec extends SparkTestBase {
     assert(m.getDouble(0) === 0.5 && m.getDouble(1) === 1.0)
   }
 
+  test("ksTwoSample: an empty slice reads NULL ks_stat, not an ANSI divide-by-zero") {
+    import spark.implicits._
+    val lo = Seq(1.0, 2.0, 3.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val d = rows(Profile.ksTwoSample(lo, empty, "v")).head
+    assert(d.isNullAt(0), "degenerate feed flags as NULL, never kills the job")
+    assert(d.getLong(2) === 3L && d.getLong(3) === 0L)
+  }
+
+  test("rollingCorr/linearFit: a finite-but-huge row costs itself, not the job") {
+    import spark.implicits._
+    // 1e20 passed the old 1e36 single-cast bound, but its scaled
+    // square overflowed DECIMAL(38,0) in sum(x*x) and ANSI-killed the
+    // profile — the chain bound (9e11) drops the row instead
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 1e20, 1e20)).toDF("t", "x", "y")
+    val fit = rows(Profile.linearFit(df, "x", "y")).head
+    assert(fit.getLong(0) === 3L, "the huge row is excluded from n")
+    assert(math.abs(fit.getDouble(1) - 2.0) < 1e-9)
+    val rc = rows(Profile.rollingCorr(df, Seq.empty, "t", "x", "y", 3, 2))
+    assert(rc.size === 4, "all rows emit; the huge row just contributes no moment")
+  }
+
   test("psi: identical slices ~0, planted shift alarms, empty slice reads NULL") {
     import spark.implicits._
     val base = (1 to 200).map(_.toDouble).toDF("v")

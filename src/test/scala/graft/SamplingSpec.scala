@@ -292,6 +292,43 @@ class SamplingSpec extends SparkTestBase {
     assert(picks.map(_._2) === Seq(0L, 2L, 3L))
   }
 
+  test("farthestPointSample: degenerate vectors are excluded, never selected first") {
+    import spark.implicits._
+    // guardCos pins zero-norm/NULL-element rows to cover = -2, and the
+    // ASCENDING argmin read -2 as "least covered" — corrupt rows were
+    // picked before any real row, and a degenerate SEED (lowest id)
+    // collapsed the whole sample to the k lowest ids
+    val base = Seq(
+      (3L, Array(1f, 0f, 0f)), (4L, Array(0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 1f))).toDF("id", "vec")
+    val corrupt = spark.sql(
+      """SELECT * FROM VALUES
+        | (0L, array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        | (1L, array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        | (2L, CAST(NULL AS ARRAY<FLOAT>))
+        |AS t(id, vec)""".stripMargin)
+    val picks = rows(graft.operators.Sampling
+      .farthestPointSample(base.unionByName(corrupt), "id", "vec", k = 3)
+      .orderBy(col("sel_rank"))).map(_.getLong(1))
+    assert(picks === Seq(3L, 4L, 5L),
+      "only measurable vectors may seed or be selected")
+  }
+
+  test("temporalHoldout: NULL-timestamp events join neither split (no future-in-train)") {
+    import spark.implicits._
+    // desc ordering sorted NULLs LAST: untimed events ranked as the
+    // key's OLDEST and landed in train — if they actually happened
+    // after the holdout events, training contained the eval's future
+    val ev = Seq(
+      ("k", Some(3L), 1L), ("k", Some(2L), 2L), ("k", Some(1L), 3L),
+      ("k", None: Option[Long], 4L)).toDF("key", "ts", "tb")
+    val out = rows(graft.operators.Sampling
+      .temporalHoldout(ev, "key", "ts", "tb", holdoutLast = 1))
+      .map(r => (r.getLong(2), r.getString(4)))
+    assert(out.size === 3, "the untimed event is excluded, not ranked oldest")
+    assert(out.toMap === Map(1L -> "holdout", 2L -> "train", 3L -> "train"))
+  }
+
   test("farthestPointSample: k=1 returns just the seed; k > corpus fails fast") {
     import spark.implicits._
     val vecs = Seq((7L, Array(1f, 0f)), (9L, Array(0f, 1f))).toDF("id", "vec")
