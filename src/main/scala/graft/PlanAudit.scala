@@ -1,12 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // the ONE session recipe (Harness.newSession) — a hand-inlined
+    // builder here had already drifted (log level, hardcoded core
+    // count) and would silently miss any future plan-affecting conf,
+    // making the audited exchange counts reflect plans the verified
+    // mains never run
+    val spark = Harness.newSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val dir = "/root/testdata/sf0.01"
     val targets = Seq("q_agg_stats", "q_agg_conditional", "q_agg_collect",
       "q_window_nav", "q_join_range_binned", "q_join_overlap", "q_dedup_edit",

@@ -246,8 +246,32 @@ object Dedup {
       newDocs: DataFrame, threshold: Double): DataFrame = {
     val newShingles = newDocs.select(
       col("doc_id"), shingles(col("text"), 3).as("sh"))
+    minhashNearDuplicatesAgainstBands(
+      corpusSigs, corpusDocs, newDocs, bandedKeys(newShingles), threshold)
+  }
+
+  /** [[minhashNearDuplicatesAgainstSigs]] with the NEW side's banded
+    * keys SUPPLIED by the caller — the (doc_id, bk) frame
+    * [[minhashNearDuplicatesWithBands]] already computed and cached.
+    * The streaming admission loop runs this every micro-batch: the
+    * plain variant re-derived bandedKeys(newShingles) on a fresh plan
+    * subtree that can never hit the cached frame, so the full
+    * shingle + 128-minimum signature pass ran TWICE per batch for the
+    * stream's lifetime. `newBands` is semi-joined onto `newDocs`' ids,
+    * so a superset cache (the whole batch's bands vs the post-exact
+    * survivors) is fine. The exact-jaccard verify still shingles the
+    * new side — shingling alone is the cheap prefix of the signature
+    * pass.
+    */
+  def minhashNearDuplicatesAgainstBands(
+      corpusSigs: DataFrame, corpusDocs: DataFrame,
+      newDocs: DataFrame, newBands: DataFrame, threshold: Double): DataFrame = {
+    val newShingles = newDocs.select(
+      col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val bands = newBands.join(
+      newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val candidates = corpusSigs.select(col("doc_id"), col("bk")).as("x")
-      .join(bandedKeys(newShingles).as("y"), Seq("bk"))
+      .join(bands.as("y"), Seq("bk"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

@@ -160,12 +160,18 @@ object Sinks {
       "input already has a column named __z (reserved)")
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
-    // bounds over NON-NaN values only: max() returns NaN for a
+    // bounds over FINITE values only: max() returns NaN for a
     // NaN-bearing double column (NaN orders largest), which poisons
     // the scale to NaN and floor(NaN).cast(long) SILENTLY collapses
-    // every row's rank to 0 — the write "succeeds" with the promised
-    // 2D clustering gone on that dimension
-    def finiteOnly(c: Column) = when(!isnan(c.cast("double")), c)
+    // every row's rank to 0 — and ±Infinity does the same one step
+    // later (maxA = Inf makes the scale factor 0.0, ranking every
+    // finite row 0; -Inf poisons lo symmetrically). Either way the
+    // write "succeeds" with the promised 2D clustering gone on that
+    // dimension.
+    def finiteOnly(c: Column) = {
+      val d = c.cast("double")
+      when(!isnan(d) && abs(d) < Double.PositiveInfinity, c)
+    }
     val Seq(minA, maxA, minB, maxB) =
       df.agg(
           min(finiteOnly(col(colA))).cast("double"),
@@ -176,11 +182,18 @@ object Sinks {
 
     def rank16(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      // NaN rows take rank 0 EXPLICITLY (they cluster at one end and
-      // keep the other dimension's clustering intact)
-      else when(isnan(c.cast("double")), lit(0L)).otherwise(
-        least(lit(65535L), greatest(lit(0L),
-          floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long"))))
+      // non-finite rows take explicit edge ranks (NaN/-Inf low, +Inf
+      // high): they cluster at one end and keep the other dimension's
+      // clustering intact — and floor(Inf).cast(long) would otherwise
+      // ANSI-abort the write the bounds exclusion just saved
+      else {
+        val d = c.cast("double")
+        when(isnan(d) || d === Double.NegativeInfinity, lit(0L))
+          .when(d === Double.PositiveInfinity, lit(65535L))
+          .otherwise(
+            least(lit(65535L), greatest(lit(0L),
+              floor((d - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long"))))
+      }
 
     // spread the low 16 bits of x to the even bit positions of a long
     def spread(x: Column): Column = {

@@ -481,10 +481,17 @@ object Streams {
         val merged = target.unionByName(batch)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        // Materialize before writing: when replaying after a crash
-        // between write and pointer swing, the straggler dir being
-        // (re)written may share files with the lineage just read.
-        merged.localCheckpoint(true).write.mode("overwrite")
+        // No materialization barrier needed: the read dir (the CURRENT
+        // pointer target) and the write dir (v<batchId>) are provably
+        // distinct in this branch — it only runs when
+        // !current.contains(version), and parquet files never cross
+        // version dirs, so even the crash-between-write-and-swing
+        // replay reads v_old while rewriting v_new with zero shared
+        // files. The localCheckpoint that used to sit here doubled
+        // every merge's I/O (full extra materialization + re-read) and
+        // truncated lineage, turning a lost-executor recomputation
+        // into a failed batch.
+        merged.write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
         val tmp = new org.apache.hadoop.fs.Path(root, "_LATEST.tmp")
         val out = fs.create(tmp, true)
@@ -657,14 +664,17 @@ object Streams {
       import graft.operators.Dedup
       val spark = batch.sparkSession
       val sigsDir = acceptedDir.stripSuffix("/") + "_sigs"
-      // NULL-text rows are excluded EXPLICITLY (same contract as
-      // Dedup.exactDuplicateGroups): md5(NULL) is NULL and the keepFp
-      // equi-join below never matches NULL keys, so such rows were
-      // silently neither admitted nor rejected — rows with no content
-      // belong in a quality gate, not an admission store, and the
-      // exclusion must be a stated rule, not a join accident
+      // NULL-text AND NULL-id rows are excluded EXPLICITLY (same
+      // contract as Dedup.exactDuplicateGroups): md5(NULL) is NULL and
+      // the keepFp equi-join below never matches NULL keys — and a
+      // NULL doc_id made min(doc_id) read NULL for its fingerprint
+      // group, so `doc_id === __keep` evaluated NULL and the row was
+      // silently neither admitted nor rejected, the precise join
+      // accident this comment forbids. Keyless/contentless rows belong
+      // in a quality gate, not an admission store; the exclusion is a
+      // stated rule, not a join accident.
       val b = batch.select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .withColumn("__fp",
           graft.functions.Text.normalizedFingerprint(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -715,10 +725,14 @@ object Streams {
                 sigs.select(col("fp").as("__fp")).distinct(),
                 Seq("__fp"), "left_anti")
               // (2b) near-dup channel vs the persisted signature table
-              val corpusDupes = Dedup.minhashNearDuplicatesAgainstSigs(
+              // — the new side's bands come from the ALREADY-CACHED
+              // batchBands (the AgainstSigs variant re-derived them on
+              // a fresh subtree, paying the full shingle + 128-minimum
+              // pass a second time per batch)
+              val corpusDupes = Dedup.minhashNearDuplicatesAgainstBands(
                   sigs.filter(col("bk").isNotNull),
                   spark.read.parquet(acceptedDir),
-                  afterExact, threshold)
+                  afterExact, batchBands, threshold)
                 .select(col("doc_b").as("doc_id")).distinct()
               afterExact.join(corpusDupes, Seq("doc_id"), "left_anti")
             }
