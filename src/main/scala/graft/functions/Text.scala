@@ -222,7 +222,12 @@ object Text {
     * '?' (e.g. "really?utm_source=x") keeps its tail untouched.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    // (?s): Java '.' excludes \n and '$' won't match mid-string, so a
+    // fragment containing a newline (scraped junk) survived the strip
+    // and the head regex then swallowed it into the "host" — the same
+    // resource canonicalized to two different dedup keys (firstUrl /
+    // urlDomain harden against this corrupted-input class already)
+    val noFrag = regexp_replace(url, "(?s)#.*", "")
     val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
     val tail = substring(noFrag, length(head) + 1, lit(1 << 30))
     val path = substring_index(tail, "?", 1)
@@ -230,8 +235,21 @@ object Text {
       regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
     val kept = filter(split(rawQuery, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    // lowercase ONLY scheme and host[:port] — the documented contract.
+    // A blanket lower(head) also rewrote case-sensitive userinfo
+    // ("Alice:SeCrEt@...") so the canonical URL no longer dereferenced
+    // to the same resource, and distinct-credential URLs collapsed.
+    // Userinfo splits at the LAST '@' (RFC 3986: '@' may appear inside
+    // userinfo, never in host).
+    val scheme = regexp_extract(head, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1)
+    val auth = substring(head, length(scheme) + 1, lit(1 << 30))
+    val canonHead = concat(lower(scheme),
+      when(auth.contains("@"),
+        concat(regexp_replace(auth, "@[^@]*$", ""), lit("@")))
+        .otherwise(lit("")),
+      lower(regexp_extract(auth, "([^@]*)$", 1)))
     when(length(head) > 0,
-      concat(lower(head), path,
+      concat(canonHead, path,
         when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
           .otherwise(lit(""))))
       .otherwise(noFrag)

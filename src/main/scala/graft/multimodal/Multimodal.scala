@@ -41,6 +41,27 @@ object Multimodal {
     *    reader claims. The payload is already fully in memory.
     */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    withImageReader(payload) { reader =>
+      // declared-dimensions bound BEFORE the raster allocates —
+      // the decodeFrames guard applied to the single-frame path:
+      // a crafted header claiming 40000×40000 would OOM inside
+      // reader.read, and OutOfMemoryError is an Error the
+      // NonFatal degradation cannot catch
+      if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxTotalPixels)
+        None
+      else Option(reader.read(0))
+    }
+
+  /** The ImageIO reader-protocol dance — stream open, reader lookup,
+    * setInput flags, dispose/close ordering, NonFatal degradation —
+    * in ONE place: three hand-maintained copies had already drifted in
+    * their close-exception handling, and every future robustness fix
+    * (a reader-leak guard, a new setInput flag) had to land three
+    * times or silently miss a path. `body` returns None to degrade;
+    * any NonFatal throw degrades identically.
+    */
+  private def withImageReader[A](payload: Array[Byte])(
+      body: javax.imageio.ImageReader => Option[A]): Option[A] =
     try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -51,18 +72,20 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis, false, true)
-            // declared-dimensions bound BEFORE the raster allocates —
-            // the decodeFrames guard applied to the single-frame path:
-            // a crafted header claiming 40000×40000 would OOM inside
-            // reader.read, and OutOfMemoryError is an Error the
-            // NonFatal degradation cannot catch
-            if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxTotalPixels)
-              None
-            else Option(reader.read(0))
+            body(reader)
           } finally reader.dispose()
         }
       } finally { try iis.close() catch { case _: java.io.IOException => () } }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Dims-only header probe: declared (width, height) of frame 0
+    * WITHOUT the full-stream `getNumImages(true)` marker scan
+    * [[imageHeader]] pays — the per-chunk budget probe of an MJPEG AVI
+    * needs only geometry, and re-scanning every chunk's whole payload
+    * before decode even starts doubled the container's read cost.
+    */
+  private def imageDims(payload: Array[Byte]): Option[(Int, Int)] =
+    withImageReader(payload)(r => Some((r.getWidth(0), r.getHeight(0))))
 
   /** Header-only probe: declared (width, height, n_frames) without
     * allocating any raster — what [[decodeMeta]] needs. n_frames comes
@@ -87,21 +110,9 @@ object Multimodal {
               if (i.totalFrameChunks > 0) i.totalFrameChunks
               else i.declaredFrames)
         }
-      } else {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis, false, true)
-            Some((reader.getWidth(0), reader.getHeight(0),
-              reader.getNumImages(true)))
-          } finally reader.dispose()
-        }
-      } finally { try iis.close() catch { case _: java.io.IOException => () } }
+      } else withImageReader(payload) { reader =>
+        Some((reader.getWidth(0), reader.getHeight(0),
+          reader.getNumImages(true)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -290,27 +301,15 @@ object Multimodal {
       payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
     try {
       if (isAvi(payload)) decodeAviFrames(payload)
-      else {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis, false, true)
-            val n = reader.getNumImages(true)
-            val declaredPixels =
-              if (n < 1 || n > MaxFrames) Long.MaxValue
-              else (0 until n).iterator
-                .map(i => reader.getWidth(i).toLong * reader.getHeight(i))
-                .sum
-            if (declaredPixels > MaxTotalPixels) None
-            else Some((0 until n).map(reader.read).toVector)
-          } finally reader.dispose()
-        }
-      } finally { try iis.close() catch { case _: java.io.IOException => () } }
+      else withImageReader(payload) { reader =>
+        val n = reader.getNumImages(true)
+        val declaredPixels =
+          if (n < 1 || n > MaxFrames) Long.MaxValue
+          else (0 until n).iterator
+            .map(i => reader.getWidth(i).toLong * reader.getHeight(i))
+            .sum
+        if (declaredPixels > MaxTotalPixels) None
+        else Some((0 until n).map(reader.read).toVector)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -515,17 +514,36 @@ object Multimodal {
     * (a mismatch means one of the two headers lies — degrade, don't
     * pick one and silently hash misaligned rows).
     */
+  /** Frame-chunk classification — the SINGLE definition the pixel
+    * budget ([[declaredFrameDims]]) and the decoder ([[decodeAviFrame]])
+    * both branch on. Duplicated predicates let the two drift: a fix to
+    * one arm (accepting 32-bit DIBs, tightening the avih-agreement
+    * rule) would make the budget admit frames the decoder rejects — or
+    * vice versa — silently flipping whole payloads between decoded and
+    * stubbed.
+    */
+  private def isJpegChunk(p: Array[Byte], off: Int, len: Int): Boolean =
+    len >= 2 && (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
+
+  /** The raw-DIB acceptance rule: uncompressed 24-bit with the strf
+    * geometry AGREEING with avih (a mismatch means one of the two
+    * headers lies — degrade, never pick a side and hash misaligned
+    * rows). */
+  private def isRawDib(info: AviInfo): Boolean =
+    info.biCompression == 0L && info.biBitCount == 24 &&
+      info.biWidth == info.width &&
+      math.abs(info.biHeight) == info.height
+
   private def declaredFrameDims(
       p: Array[Byte], off: Int, len: Int,
       info: AviInfo): Option[(Int, Int)] = {
-    val isJpeg = len >= 2 &&
-      (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
-    if (isJpeg)
-      imageHeader(java.util.Arrays.copyOfRange(p, off, off + len))
-        .map { case (w, h, _) => (w, h) }
-    else if (info.biCompression == 0L && info.biBitCount == 24 &&
-        info.biWidth == info.width &&
-        math.abs(info.biHeight) == info.height)
+    if (isJpegChunk(p, off, len))
+      // dims-only probe: the budget needs geometry, not the frame
+      // count — imageHeader's getNumImages(true) marker-scans the
+      // whole chunk, which doubled the container's read cost before
+      // decode even started
+      imageDims(java.util.Arrays.copyOfRange(p, off, off + len))
+    else if (isRawDib(info))
       Some((info.biWidth, math.abs(info.biHeight)))
     else None
   }
@@ -533,14 +551,10 @@ object Multimodal {
   private def decodeAviFrame(
       p: Array[Byte], off: Int, len: Int,
       info: AviInfo): Option[java.awt.image.BufferedImage] = {
-    val isJpeg = len >= 2 &&
-      (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
-    if (isJpeg)
+    if (isJpegChunk(p, off, len))
       // ImageIO path reuses decodeImage's own per-frame guards
       decodeImage(java.util.Arrays.copyOfRange(p, off, off + len))
-    else if (info.biCompression == 0L && info.biBitCount == 24 &&
-        info.biWidth == info.width &&
-        math.abs(info.biHeight) == info.height) {
+    else if (isRawDib(info)) {
       // raster geometry from the stream's OWN BITMAPINFOHEADER:
       // biHeight < 0 is the standard top-down convention (capture
       // tools write it) — rows then run first-to-last instead of the
@@ -607,12 +621,7 @@ object Multimodal {
                 FrameHash(r.doc_id, i, frames.length, dHash63(imageCells(f)))
               }
             case None =>
-              val cells = Array.tabulate(64) { j =>
-                digest.reset()
-                digest.update(r.payload)
-                digest.update(s"_p$j".getBytes("UTF-8"))
-                digest.digest()(0) & 0xff
-              }
+              val cells = stubCells(digest, r.payload)
               // n_frames must agree with decodeMeta for rejected-but-
               // readable containers (a hardcoded 1 re-created the
               // cross-operator contradiction imageHeader's docstring
@@ -655,16 +664,30 @@ object Multimodal {
           val cells: Array[Int] = decodeImage(r.payload)
             .filter(i => i.getWidth >= 8 && i.getHeight >= 8)
             .map(imageCells)
-            .getOrElse(Array.tabulate(64) { j =>
-              digest.reset()
-              digest.update(r.payload)
-              digest.update(s"_p$j".getBytes("UTF-8"))
-              digest.digest()(0) & 0xff
-            })
+            .getOrElse(stubCells(digest, r.payload))
           MediaHash(r.doc_id, dHash63(cells))
         }
       }
   }
+
+  /** The md5 brightness stand-in for undecodable payloads — 64 cells
+    * of (first md5 byte of payload ++ "_p<j>") — in ONE definition:
+    * [[frameHashes]]' stub row must stay bit-compatible with
+    * [[perceptualHash]]'s whole-payload path (a stated invariant), and
+    * two literal copies kept that true only by hand — a salt or
+    * byte-index tweak applied to one would silently desync frame-level
+    * and whole-payload hashes for every stubbed row. DuckDB rebuilds
+    * the same cells, which is what upgrades the stub from filler to a
+    * replayable oracle value.
+    */
+  private def stubCells(
+      digest: java.security.MessageDigest, payload: Array[Byte]): Array[Int] =
+    Array.tabulate(64) { j =>
+      digest.reset()
+      digest.update(payload)
+      digest.update(s"_p$j".getBytes("UTF-8"))
+      digest.digest()(0) & 0xff
+    }
 
   /** Near-duplicate media pairs by perceptual-hash hamming distance:
     * 4 × 16-bit band buckets generate candidates (two hashes within
@@ -858,6 +881,10 @@ object Multimodal {
     */
   def resize(
       spark: SparkSession, withPayload: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    // a zero/negative box (typo'd config) would silently degrade the
+    // whole corpus to 1x1 — fail at plan time with an actionable
+    // message, not mid-scan (the sampleFrames stride convention)
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[BinRow]
       .mapPartitions { rows =>

@@ -118,9 +118,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import graft.functions.Text
         def rr(e: Expression, pat: String): Expression =
           RegExpReplace(e, Literal(pat), Literal(" "))
-        val noBlocks = Text.HtmlSubtreePatterns.foldLeft(children.head)(rr)
-        val noTags = rr(rr(noBlocks,
-          Text.HtmlCommentPattern), Text.HtmlTagPattern)
+        // comments strip FIRST, subtrees second, tags last — the
+        // DSL's order (Text.stripHtml documents why: a commented-out
+        // "<!-- <script> -->" opener would otherwise pair with a later
+        // REAL </script> and delete the prose in between, and the
+        // orphaned "<!--" leaks). The SQL chain had inverted the first
+        // two steps, diverging from the DSL on exactly that input.
+        val noComments = rr(children.head, Text.HtmlCommentPattern)
+        val noBlocks = Text.HtmlSubtreePatterns.foldLeft(noComments)(rr)
+        val noTags = rr(noBlocks, Text.HtmlTagPattern)
         val decoded = Text.HtmlEntities.foldLeft(noTags) {
           case (e, (ent, ch)) => StringReplace(e, Literal(ent), Literal(ch))
         }

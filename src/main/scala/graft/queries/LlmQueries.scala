@@ -3580,7 +3580,7 @@ object LlmQueries {
         |         THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
         |  FROM documents
         |), c AS (
-        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+        |  SELECT doc_id, url, regexp_replace(url, '(?s)#.*', '') AS nofrag
         |  FROM u
         |), h AS (
         |  SELECT doc_id, url, nofrag,
@@ -3605,7 +3605,19 @@ object LlmQueries {
         |  FROM pq
         |)
         |SELECT doc_id, url,
-        |  lower(head) || path || CASE WHEN len(kept) > 0
+        |  -- lockstep with canonicalizeUrl's r9 rules: lowercase only
+        |  -- scheme + host[:port], preserve userinfo case (no userinfo
+        |  -- in these constructed URLs, so values are unchanged)
+        |  lower(regexp_extract(head, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1))
+        |  || CASE WHEN contains(substr(head,
+        |         length(regexp_extract(head, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1)) + 1), '@')
+        |       THEN regexp_replace(substr(head,
+        |         length(regexp_extract(head, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1)) + 1),
+        |         '@[^@]*$', '') || '@' ELSE '' END
+        |  || lower(regexp_extract(substr(head,
+        |       length(regexp_extract(head, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1)) + 1),
+        |       '([^@]*)$', 1))
+        |  || path || CASE WHEN len(kept) > 0
         |    THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
         |FROM k ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->

@@ -77,6 +77,20 @@ class ExtensionsSpec extends SparkTestBase {
         .collect().head.getString(0)
       assert(viaSqlHtml === viaDslHtml)
       assert(viaSqlHtml === "T & t ok")
+
+      // the COMMENT-order divergence: a commented-out <script> opener
+      // pairing with a later REAL </script> — the SQL chain used to
+      // strip subtrees BEFORE comments, deleting 'keep' and leaking
+      // the orphaned '<!--' where the DSL returned 'keep'
+      val tricky = "<!-- <script> -->keep<script>x</script>"
+      val sqlTricky = s.sql(
+        s"""SELECT strip_html('${tricky.replace("'", "''")}') AS t""")
+        .collect().head.getString(0)
+      val dslTricky = s.range(1)
+        .select(graft.functions.Text.stripHtml(lit(tricky)).as("t"))
+        .collect().head.getString(0)
+      assert(sqlTricky === dslTricky)
+      assert(sqlTricky === "keep")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
