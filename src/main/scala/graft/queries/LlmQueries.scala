@@ -512,7 +512,7 @@ object LlmQueries {
       // NULL label would skew its bin's n vs pos_rate — calibration is
       // defined over scored, labeled rows
       val scored = embs(s, dir).select(
-        element_at(col("embedding"), 2).cast("double").as("score"),
+        try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
         (col("label") % 2).as("y"))
         .filter(col("score").isNotNull && col("y").isNotNull)
       Profile.quantileBucket(scored, "score", 10)
@@ -527,7 +527,7 @@ object LlmQueries {
 
     "q_eval_auc" -> ((s, dir) => {
       Eval.aucByRank(embs(s, dir).select(
-        element_at(col("embedding"), 2).cast("double").as("score"),
+        try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
         (col("label") % 2).as("y")), "score", "y")
     }),
 
@@ -537,7 +537,7 @@ object LlmQueries {
     "q_eval_sliced" -> ((s, dir) => {
       Eval.aucByRankGrouped(embs(s, dir).select(
         (col("vec_id") % 3).as("segment"),
-        element_at(col("embedding"), 2).cast("double").as("score"),
+        try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
         (col("label") % 2).as("y")), "segment", "score", "y")
         .orderBy(col("segment"))
     }),
@@ -616,7 +616,7 @@ object LlmQueries {
     // probability MSE; residual squares sum as exact decimals.
     "q_eval_brier" -> ((s, dir) => {
       Eval.brier(embs(s, dir).select(
-        ((element_at(col("embedding"), 2).cast("double") + 1.0) / 2.0)
+        ((try_element_at(col("embedding"), lit(2)).cast("double") + 1.0) / 2.0)
           .as("score"),
         (col("label") % 2).as("y")), "score", "y")
     }),
@@ -642,7 +642,7 @@ object LlmQueries {
       // same pre-filter as q_eval_calibration (the oracle excludes
       // NULL scores/labels before bucketing)
       Eval.ece(embs(s, dir).select(
-          element_at(col("embedding"), 2).cast("double").as("score"),
+          try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
           (col("label") % 2).as("y"))
           .filter(col("score").isNotNull && col("y").isNotNull),
         "score", "y", bins = 10)
@@ -669,7 +669,7 @@ object LlmQueries {
     }),
     "q_eval_pr" -> ((s, dir) => {
       Eval.prCurve(embs(s, dir).select(
-        element_at(col("embedding"), 2).cast("double").as("score"),
+        try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
         (col("label") % 2).as("y")), "score", "y")
         .orderBy(col("threshold").desc)
     }),
@@ -3513,13 +3513,18 @@ object LlmQueries {
         |  SELECT lang, quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS cuts
         |  FROM d GROUP BY lang
         |), b AS (
+        |  -- LEFT join: the Spark side's cuts join is a plain equality
+        |  -- left join, so a NULL-lang doc matches nothing and keeps a
+        |  -- (NULL, NULL) bucket row — an inner join here dropped the
+        |  -- whole NULL-lang slice from the oracle only
         |  SELECT d.lang, d.n_tok,
         |    len(list_filter(q.cuts, c -> d.n_tok > c)) AS qb
-        |  FROM d JOIN q USING (lang)
+        |  FROM d LEFT JOIN q USING (lang)
         |)
         |SELECT lang, CAST(qb AS BIGINT) AS qbucket, COUNT(*) AS cnt,
         | CAST(MIN(n_tok) AS BIGINT) AS lo, CAST(MAX(n_tok) AS BIGINT) AS hi
-        |FROM b GROUP BY lang, qb ORDER BY lang, qbucket""".stripMargin,
+        |FROM b GROUP BY lang, qb
+        |ORDER BY lang NULLS FIRST, qbucket NULLS FIRST""".stripMargin,
     "q_vocab_oov" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),

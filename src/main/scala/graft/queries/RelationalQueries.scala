@@ -743,9 +743,19 @@ object RelationalQueries {
     // is the original columns (doubles round-trip exactly through
     // shortest-repr toString/parse).
     "q_fn_csv" -> ((s, dir) => {
+      // explicit concat with per-field coalesce, NOT concat_ws:
+      // concat_ws silently SKIPS null parts, so one NULL column would
+      // shift every following field left and the parse would invert a
+      // DIFFERENT line than construction wrote (status reading the
+      // price, etc.). A NULL field renders as an EMPTY field, which
+      // from_csv's default nullValue ("") parses back to NULL — the
+      // identity holds per field on any data.
+      def f(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit(""))
       val src = table(s, dir, "orders").select(col("o_orderkey"),
-        concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate").cast("date")).as("line"))
+        concat(f(col("o_orderkey")), lit(","), f(col("o_orderstatus")),
+          lit(","), f(col("o_totalprice")), lit(","),
+          f(col("o_orderdate").cast("date"))).as("line"))
       src.select(col("o_orderkey"),
           from_csv(col("line"),
             org.apache.spark.sql.types.StructType.fromDDL(
@@ -2113,7 +2123,9 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice")).as("price_floor"),
         ceil(col("l_discount") * 100).as("disc_pct_ceil"),
-        sqrt(col("l_quantity")).as("qty_sqrt"),
+        // greatest(·, 0) on BOTH sides (the q_agg_stats convention): a
+        // negative quantity reads sqrt NaN in Spark but ABORTS DuckDB
+        sqrt(greatest(col("l_quantity"), lit(0.0))).as("qty_sqrt"),
         abs(col("l_extendedprice") - 500.0).as("abs_diff"),
         (col("l_orderkey") % 7).as("key_mod"),
         col("l_linenumber").cast("string").as("line_str"))
@@ -2247,13 +2259,16 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // F5 array access + higher-order-function norm.
+    // F5 array access + higher-order-function norm. try_element_at:
+    // under ANSI a short/empty array would ABORT the whole query where
+    // the oracle's DuckDB indexing reads NULL — the NULL is the
+    // documented semantics for both engines.
     "q_fn_array" -> ((s, dir) => {
       table(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).cast("double").as("first_val"),
-        element_at(col("embedding"), -1).cast("double").as("last_val"),
+        try_element_at(col("embedding"), lit(1)).cast("double").as("first_val"),
+        try_element_at(col("embedding"), lit(-1)).cast("double").as("last_val"),
         round(VectorOps.norm(col("embedding")), 6).as("l2_norm"),
         col("label"))
         .orderBy(col("vec_id"))
@@ -2672,7 +2687,7 @@ object RelationalQueries {
         |           >= INTERVAL 30 MINUTE OR
         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), i AS (
         |  SELECT user_id, ts, value,
         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -2685,16 +2700,21 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM i GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // ts IS NOT NULL replays Catalyst's TimeWindowing rule, which
+    // injects an isnotnull(ts) filter under window()/session_window()
+    // — the oracle would otherwise keep a NULL-bucket group Spark
+    // silently drops (same filter on q_agg_sliding/q_agg_session)
     "q_agg_timebucket" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q_agg_sliding" ->
       """WITH b AS (
         |  SELECT unnest([date_trunc('hour', ts),
         |    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, value
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |)
         |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
         | COUNT(*) AS n_events,
@@ -2746,6 +2766,11 @@ object RelationalQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
         |   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_v
         |FROM lineitem WHERE l_orderkey % 5 <> 0
+        |  -- replay buildState's entry guard: NULL stays (its group
+        |  -- keeps a state row), non-finite/over-magnitude rows cost
+        |  -- themselves (NaN fails <= under DuckDB's total order too)
+        |  AND (l_extendedprice IS NULL
+        |       OR (l_extendedprice >= -9e25 AND l_extendedprice <= 9e25))
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_incremental" ->
@@ -2756,7 +2781,10 @@ object RelationalQueries {
         | MAX(l_extendedprice) AS max_v,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
         |   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_v
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_extendedprice IS NULL
+        |   OR (l_extendedprice >= -9e25 AND l_extendedprice <= 9e25)
+        |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice
@@ -2903,7 +2931,11 @@ object RelationalQueries {
         |SELECT c.o_orderpriority, c.key, c.cnt,
         |  ROUND(c.cnt::DOUBLE / t.total, 6) AS share
         |FROM c JOIN t USING (o_orderpriority)
-        |WHERE c.cnt > t.total * 0.03
+        |-- CAST AS DOUBLE: a bare 0.03 parses as DECIMAL and computes
+        |-- total*0.03 EXACTLY, while the Spark side multiplies by the
+        |-- double 0.03 (= 0.029999...96) — a count sitting exactly on
+        |-- the share boundary would pass one engine and fail the other
+        |WHERE c.cnt > t.total * CAST(0.03 AS DOUBLE)
         |ORDER BY o_orderpriority, key""".stripMargin,
     "q_fn_csv" ->
       """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS status,
@@ -2918,7 +2950,9 @@ object RelationalQueries {
         |c AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY 1)
         |SELECT key, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
         |FROM c CROSS JOIN t
-        |WHERE cnt > total * 0.02
+        |-- CAST AS DOUBLE: lockstep with the Spark side's double
+        |-- threshold (see q_sketch_heavy_group's note)
+        |WHERE cnt > total * CAST(0.02 AS DOUBLE)
         |ORDER BY key""".stripMargin,
     "q_profile_stats" ->
       """SELECT * FROM (
@@ -3611,12 +3645,16 @@ object RelationalQueries {
         |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
         |  SUM(gap)::DOUBLE / COUNT(*)::DOUBLE AS mean_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // user_id IS NOT NULL replays GapFill.ewma's keyless-series rule —
+    // the oracle's NULL-user partition would otherwise emit a phantom
+    // smoothed series Spark never produces (q_ts_gapfill already has it)
     "q_ts_ewma" ->
       """WITH RECURSIVE ranked AS (
         |  SELECT user_id, ts, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
         |  FROM events
-        |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL
         |), r AS (
         |  SELECT user_id, ts, rn, value::DOUBLE AS ewma FROM ranked WHERE rn = 1
         |  UNION ALL
@@ -3692,7 +3730,12 @@ object RelationalQueries {
         |)
         |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal FROM (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
-        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  -- NOT EXISTS with IS NOT DISTINCT FROM, not NOT IN: the
+        |  -- operator's anti join is NULL-SAFE (<=>), so a NULL-keyed
+        |  -- base row is KEPT — NOT IN would three-value it away
+        |  FROM customer c WHERE NOT EXISTS (
+        |    SELECT 1 FROM upd u
+        |    WHERE u.c_custkey IS NOT DISTINCT FROM c.c_custkey)
         |  UNION ALL
         |  SELECT * FROM upd
         |) ORDER BY c_custkey""".stripMargin,
@@ -3780,7 +3823,11 @@ object RelationalQueries {
         |)
         |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
-        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  -- null-safe anti semantics, lockstep with applyCdc (see
+        |  -- q_upsert's note)
+        |  FROM customer c WHERE NOT EXISTS (
+        |    SELECT 1 FROM latest l
+        |    WHERE l.c_custkey IS NOT DISTINCT FROM c.c_custkey)
         |  UNION ALL
         |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op != 'D'
         |) ORDER BY c_custkey""".stripMargin,
@@ -3853,18 +3900,23 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber,
         | CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
         | CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
-        | SQRT(l_quantity) AS qty_sqrt,
+        | SQRT(GREATEST(l_quantity, 0.0)) AS qty_sqrt,
         | ABS(l_extendedprice - 500.0) AS abs_diff,
         | l_orderkey % 7 AS key_mod,
         | CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price_floor, disc_pct_ceil,
         |  qty_sqrt, abs_diff""".stripMargin,
+    // v_isnull is a DATA property, not an engine constant: Spark's
+    // is_variant_null is TRUE for the JSON null literal and NULL for a
+    // SQL-NULL props — a pinned FALSE only held while the fixture had
+    // neither; the CASE replays both
     "q_fn_variant" ->
       """SELECT event_id,
         | TRY_CAST(props->>'$.k' AS INT) AS vk,
         | TRY_CAST(props->>'$.missing' AS INT) AS v_missing,
-        | FALSE AS v_isnull
+        | CASE WHEN props IS NULL THEN NULL
+        |      ELSE (trim(props) = 'null') END AS v_isnull
         |FROM events ORDER BY event_id""".stripMargin,
     "q_fn_map" ->
       """WITH c AS (
