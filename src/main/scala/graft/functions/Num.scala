@@ -38,6 +38,56 @@ object Num {
   def finite(c: Column): Column =
     finiteWithin(c, Double.MaxValue)
 
+  /** Largest |x| [[portableRound6]] rounds rather than passes through:
+    * keeps `x * 1e6 + 0.5` inside 2^53 (every intermediate integer
+    * exact in a double on BOTH engines) and inside Spark's ANSI
+    * floor→BIGINT range. Past it a double's ulp already exceeds 1e-6,
+    * so 6-place rounding is a no-op anyway.
+    */
+  val PortableRoundBound: Double = 9e9
+
+  /** Engine-portable 6-place rounding of a double: the SAME IEEE ops
+    * (`floor(x * 1e6 + 0.5) / 1e6`) on every engine, so the result is
+    * bit-identical for the same input double — the property the
+    * registry's final-projection rounds actually need.
+    *
+    * Why not round(x, 6) on each side (the r9 sf0.1 incident — four
+    * rows across q_embed_centroid/q_sample_dsir, hash-red at sf0.1
+    * only): the built-in ROUNDs decide ties on DIFFERENT views of the
+    * same double. Spark rounds the SHORTEST DECIMAL REPR
+    * (BigDecimal.valueOf: 1.0079725 → 1.007973) while DuckDB rounds
+    * the SCALED DOUBLE (floor-ish of x*1e6: 1.0079725*1e6 lands below
+    * .5 → 1.007972), so any mean/ratio whose true value sits within
+    * ~1 ulp of a .5e-6 boundary diverges — data-dependent, invisible
+    * at small SF. This form makes both engines evaluate the identical
+    * multiply/add/floor/divide chain (each correctly rounded by
+    * IEEE 754, floor exact) — agreement by construction on ANY data,
+    * not by each engine's tie convention. Ties resolve toward +inf
+    * (floor(±x.5 + 0.5)), a documented difference from HALF_UP for
+    * negative ties.
+    *
+    * NULL, NaN, ±Inf, and |x| > [[PortableRoundBound]] pass through
+    * unchanged (`between` is false for all of them, in both engines'
+    * NaN-total-order semantics) — never an ANSI abort, and both
+    * engines take the same branch. Oracle side: the lockstep fragment
+    * is [[portableRound6Sql]].
+    */
+  def portableRound6(c: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit, when}
+    val x = c.cast("double")
+    when(x.between(-PortableRoundBound, PortableRoundBound),
+      floor(x * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+      .otherwise(x)
+  }
+
+  /** DuckDB fragment computing exactly [[portableRound6]] — `inner`
+    * is referenced three times, so bind it to a cheap column (an extra
+    * nested SELECT) at the call site rather than pasting an aggregate.
+    */
+  def portableRound6Sql(inner: String): String =
+    s"(CASE WHEN ($inner) BETWEEN -9e9 AND 9e9" +
+      s" THEN FLOOR(($inner) * 1e6 + 0.5) / 1e6 ELSE ($inner) END)"
+
   /** Exact floor-division bin id `floor(v / w)` over a LONG-typed
     * expression — ONE definition for the DataFrame range join
     * ([[graft.operators.RangeJoin]]) and the SQL optimizer rewrite

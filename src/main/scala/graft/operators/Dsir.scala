@@ -121,10 +121,13 @@ object Dsir {
     // overflows outright (ANSI: job error); at that scale compute the
     // ratio as ln-difference of per-side doubles instead.
     val b = lit(buckets.toLong)
-    val ratio = round(
+    // portableRound6 (not round) here and on the final mean: the
+    // smoothed quotient can land within an ulp of a .5e-6 boundary,
+    // where engines' ROUND tie conventions diverge (Num's doc)
+    val ratio = graft.functions.Num.portableRound6(
       ((coalesce(col("__tcnt"), lit(0L)) + lit(1L)) * (col("__stot") + b))
         .cast("double") /
-        ((col("__scnt") + lit(1L)) * (col("__ttot") + b)).cast("double"), 6)
+        ((col("__scnt") + lit(1L)) * (col("__ttot") + b)).cast("double"))
     val bucketScores = src.join(tgt, Seq("__bkt"), "left")
       .crossJoin(broadcast(totals))
       .select(col("__bkt"), ratio.cast(DecimalType(28, 6)).as("__ratio"))
@@ -135,9 +138,13 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(
         sum(col("__cnt")).as("n_tokens"),
-        round(
+        // portableRound6, not round: the weighted mean can land within
+        // an ulp of a .5e-6 boundary, where engines' ROUND tie
+        // conventions diverge (the r9 sf0.1 q_sample_dsir incident —
+        // three boundary rows; mechanism in Num's doc)
+        graft.functions.Num.portableRound6(
           sum(col("__cnt") * col("__ratio")).cast("double") /
-            sum(col("__cnt")).cast("double"), 6).as("dsir_score"))
+            sum(col("__cnt")).cast("double")).as("dsir_score"))
   }
 
   /** The selection step: keep documents whose score clears `cutoff` —

@@ -46,10 +46,20 @@ object VectorAgg {
         // report's denominator); try_divide covers the all-NULL
         // dimension (0 divisor would ANSI-abort), yielding NULL comp.
         try_divide(
-          sum(round(col("x").cast("double"), 6).cast(DecimalType(38, 12)))
+          // input quantization via portableRound6 too (not just the
+          // final mean): a float element's scaled multiply can land
+          // exactly on .5e-6 in one engine's ROUND and not the
+          // other's — same tie-convention class, lower incidence
+          sum(graft.functions.Num.portableRound6(col("x").cast("double"))
+            .cast(DecimalType(38, 12)))
             .cast("double"), count(col("x"))).as("m"))
       .select(col(groupCol), col("n_vecs"), col("pos"),
-        round(col("m"), 6).cast("float").as("comp"))
+        // portableRound6, not round: the component mean can land
+        // within an ulp of a .5e-6 boundary, where Spark's and an
+        // external engine's ROUND tie conventions diverge (the r9
+        // sf0.1 q_embed_centroid incident — mechanism in Num's doc);
+        // the shared-IEEE form is bit-identical on any data
+        graft.functions.Num.portableRound6(col("m")).cast("float").as("comp"))
   }
 
   /** Per-dimension z-score standardization of the corpus — the feature

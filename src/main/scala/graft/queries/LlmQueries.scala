@@ -1680,6 +1680,15 @@ object LlmQueries {
     s"(('0x' || substr(md5($seed || '_' || j || '_' || d), 1, 8))::UBIGINT" +
       " / 4294967296.0 - 0.5)"
 
+  /** DuckDB replay of [[graft.functions.Num.portableRound6]] — the
+    * engine-portable 6-place round every meanVectors/DSIR replay must
+    * use in lockstep with the Spark side (tie-convention mechanism in
+    * Num's doc). `inner` is referenced three times: bind it to a
+    * cheap column via a nested SELECT at the call site.
+    */
+  private def duckRound6(inner: String): String =
+    graft.functions.Num.portableRound6Sql(inner)
+
   /** Shared DuckDB CTE: left-fold cosine of two embedding columns —
     * same arithmetic as the Spark side's FloatVecDot / norm product.
     */
@@ -1734,10 +1743,11 @@ object LlmQueries {
        |    )
        |  ) WHERE rn = 1
        |), m$s AS (
-       |  SELECT cid, j AS pos,
-       |    CAST(ROUND(CAST(SUM(CAST(ROUND(sub[CAST(j AS INT) + 1], 6)
-       |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
-       |  FROM a$s CROSS JOIN range(16) r(j) GROUP BY cid, j
+       |  SELECT cid, pos, CAST(${duckRound6("m")} AS REAL) AS comp FROM (
+       |    SELECT cid, j AS pos,
+       |      CAST(SUM(CAST(${duckRound6(s"sub[CAST(j AS INT) + 1]")}
+       |        AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM a$s CROSS JOIN range(16) r(j) GROUP BY cid, j)
        |), cb$s AS (
        |  SELECT sd.cid, r.j AS pos,
        |    COALESCE(m$s.comp, CAST(sd.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
@@ -1827,10 +1837,11 @@ object LlmQueries {
          |    )
          |  ) WHERE rn = 1
          |), mR$s AS (
-         |  SELECT cid, j AS pos,
-         |    CAST(ROUND(CAST(SUM(CAST(ROUND(sub[CAST(j AS INT) + 1], 6)
-         |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
-         |  FROM aR$s CROSS JOIN range(16) r(j) GROUP BY cid, j
+         |  SELECT cid, pos, CAST(${duckRound6("m")} AS REAL) AS comp FROM (
+         |    SELECT cid, j AS pos,
+         |      CAST(SUM(CAST(${duckRound6(s"sub[CAST(j AS INT) + 1]")}
+         |        AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM aR$s CROSS JOIN range(16) r(j) GROUP BY cid, j)
          |), cbR$s AS (
          |  SELECT sd.cid, r.j AS pos,
          |    COALESCE(mR$s.comp, CAST(sd.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
@@ -2670,7 +2681,7 @@ object LlmQueries {
           |SELECT probe_id, id AS neighbor_id, pq_score FROM r WHERE rn <= 3
           |ORDER BY probe_id, pq_score DESC, neighbor_id""".stripMargin),
     "q_ivf_train" ->
-      """WITH seed AS (
+      s"""WITH seed AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
         |), n1 AS (
@@ -2691,10 +2702,11 @@ object LlmQueries {
         |    FROM embeddings e CROSS JOIN n1n n
         |  ) WHERE rn = 1
         |), m1 AS (
-        |  SELECT cid, j AS pos,
-        |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(emb[CAST(j AS INT) + 1] AS DOUBLE), 6)
-        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
-        |  FROM a1 CROSS JOIN range(64) r(j) GROUP BY cid, j
+        |  SELECT cid, pos, CAST(${duckRound6("m")} AS REAL) AS comp FROM (
+        |    SELECT cid, j AS pos,
+        |      CAST(SUM(CAST(${duckRound6("CAST(emb[CAST(j AS INT) + 1] AS DOUBLE)")}
+        |        AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |    FROM a1 CROSS JOIN range(64) r(j) GROUP BY cid, j)
         |), c1 AS (
         |  SELECT s.cid, r.j AS pos,
         |    COALESCE(m1.comp, CAST(s.ce[CAST(r.j AS INT) + 1] AS REAL)) AS comp
@@ -2718,10 +2730,11 @@ object LlmQueries {
         |    FROM embeddings e CROSS JOIN n2n n
         |  ) WHERE rn = 1
         |), m2 AS (
-        |  SELECT cid, j AS pos,
-        |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(emb[CAST(j AS INT) + 1] AS DOUBLE), 6)
-        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS REAL) AS comp
-        |  FROM a2 CROSS JOIN range(64) r(j) GROUP BY cid, j
+        |  SELECT cid, pos, CAST(${duckRound6("m")} AS REAL) AS comp FROM (
+        |    SELECT cid, j AS pos,
+        |      CAST(SUM(CAST(${duckRound6("CAST(emb[CAST(j AS INT) + 1] AS DOUBLE)")}
+        |        AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |    FROM a2 CROSS JOIN range(64) r(j) GROUP BY cid, j)
         |)
         |SELECT c1.cid AS centroid_id, CAST(c1.pos AS INT) AS pos,
         |  COALESCE(m2.comp, c1.comp) AS component
@@ -2731,26 +2744,33 @@ object LlmQueries {
     // NULL-element rule (NULLs are absent values, never zeros); the
     // testdata's vectors are dense, so values are unchanged
     "q_embed_centroid" ->
-      """SELECT label, COUNT(*) AS n_vecs, CAST(j AS INT) AS pos,
-        |  CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
-        |    AS DECIMAL(38,12))) AS DOUBLE)
-        |    / COUNT(embedding[CAST(j AS INT) + 1]), 6) AS REAL) AS comp
-        |FROM embeddings CROSS JOIN range(64) r(j)
+      s"""SELECT label, n_vecs, pos, CAST(${duckRound6("m")} AS REAL) AS comp
+        |FROM (
+        |  SELECT label, COUNT(*) AS n_vecs, CAST(j AS INT) AS pos,
+        |    CAST(SUM(CAST(${duckRound6(
+             "CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)")}
+        |      AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(embedding[CAST(j AS INT) + 1]) AS m
+        |  FROM embeddings CROSS JOIN range(64) r(j)
+        |  GROUP BY label, j
+        |)
         |-- NULLS FIRST: Spark ascending orderBy is nulls-first, DuckDB
         |-- defaults to nulls-last — a NULL-label group would sort to
         |-- opposite ends under the row-order-sensitive hash compare
-        |GROUP BY label, j ORDER BY label NULLS FIRST, pos""".stripMargin,
+        |ORDER BY label NULLS FIRST, pos""".stripMargin,
     // lockstep with r9's VectorAgg rules (dense testdata, values
     // unchanged): centroid divisor COUNT(element); the -2.0 degenerate
     // sentinel excluded from both means; own divisor COUNT(own_cos)
     "q_embed_separation" ->
       s"""WITH cm AS (
-         |  SELECT label AS clab, CAST(j AS INT) AS pos,
-         |    CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6)
-         |      AS DECIMAL(38,12))) AS DOUBLE)
-         |      / COUNT(embedding[CAST(j AS INT) + 1]), 6) AS REAL) AS comp
-         |  FROM embeddings CROSS JOIN range(64) r(j)
-         |  GROUP BY label, j
+         |  SELECT clab, pos, CAST(${duckRound6("m")} AS REAL) AS comp FROM (
+         |    SELECT label AS clab, CAST(j AS INT) AS pos,
+         |      CAST(SUM(CAST(${duckRound6(
+              "CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)")}
+         |        AS DECIMAL(38,12))) AS DOUBLE)
+         |        / COUNT(embedding[CAST(j AS INT) + 1]) AS m
+         |    FROM embeddings CROSS JOIN range(64) r(j)
+         |    GROUP BY label, j)
          |), cent AS (
          |  SELECT clab, list(comp ORDER BY pos) AS cvec FROM cm GROUP BY clab
          |), sc AS (
@@ -3421,7 +3441,7 @@ object LlmQueries {
     // tok filters ''-artifacts in lockstep with Dsir's nonEmptyTokens
     // (the term-level tokenizer contract)
     "q_sample_dsir" ->
-      """WITH tok0 AS (
+      s"""WITH tok0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
         |), tok AS (
         |  SELECT * FROM tok0 WHERE t <> ''
@@ -3439,17 +3459,20 @@ object LlmQueries {
         |    (SELECT COUNT(*) FROM bk JOIN documents USING (doc_id)
         |     WHERE lang = 'fr') AS tt
         |), r AS (
-        |  SELECT src.bkt, CAST(ROUND(
-        |    ((COALESCE(tgt.t, 0) + 1) * (tots.st + 256))::DOUBLE /
-        |    ((src.s + 1) * (tots.tt + 256))::DOUBLE, 6) AS DECIMAL(28,6)) AS ratio
-        |  FROM src LEFT JOIN tgt USING (bkt) CROSS JOIN tots
+        |  SELECT bkt, CAST(${duckRound6("m")} AS DECIMAL(28,6)) AS ratio FROM (
+        |    SELECT src.bkt,
+        |      ((COALESCE(tgt.t, 0) + 1) * (tots.st + 256))::DOUBLE /
+        |      ((src.s + 1) * (tots.tt + 256))::DOUBLE AS m
+        |    FROM src LEFT JOIN tgt USING (bkt) CROSS JOIN tots)
         |), dc AS (
         |  SELECT doc_id, bkt, COUNT(*) AS c FROM bk GROUP BY 1, 2
         |)
-        |SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
-        |  ROUND(SUM(dc.c * r.ratio)::DOUBLE / SUM(dc.c)::DOUBLE, 6) AS dsir_score
-        |FROM dc JOIN r USING (bkt)
-        |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_tokens, ${duckRound6("m")} AS dsir_score FROM (
+        |  SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+        |    SUM(dc.c * r.ratio)::DOUBLE / SUM(dc.c)::DOUBLE AS m
+        |  FROM dc JOIN r USING (bkt)
+        |  GROUP BY dc.doc_id
+        |) ORDER BY doc_id""".stripMargin,
     "q_sample_mix" ->
       // the lang IN (...) filter replays mixtureResample's drop policy:
       // a group ABSENT from the target-share map leaves the output

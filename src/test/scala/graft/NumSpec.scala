@@ -68,4 +68,59 @@ class NumSpec extends SparkTestBase {
     // a value the LONG pmod tree used to underflow on
     assert(df.count() === 500000L)
   }
+
+  /** Driver replay of the shared-IEEE form both engines evaluate —
+    * the reference portableRound6 must match bit-for-bit.
+    */
+  private def refRound6(x: Double): Double =
+    if (x >= -Num.PortableRoundBound && x <= Num.PortableRoundBound)
+      math.floor(x * 1e6 + 0.5) / 1e6
+    else x
+
+  test("portableRound6 equals the floor form everywhere, incl. the sf0.1 incident rows") {
+    // the three doubles whose built-in ROUNDs diverged between engines
+    // at sf0.1 (q_sample_dsir/q_embed_centroid r9 incident), plus tie,
+    // negative-tie, and plain values
+    val incident = Seq(1.0079725, 0.9950734999999999, 0.9942394999999999,
+      0.0032135000000000001)
+    val vals = incident ++ Seq(2.5e-6, -2.5e-6, -1.0079725, 0.0, -0.0,
+      1.0, 123.4567894, -123.4567895, 8.9e9, 1.23456789)
+    val got = vals.toDF("x")
+      .select(col("x"), Num.portableRound6(col("x")).as("r"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    vals.foreach { v =>
+      assert(java.lang.Double.doubleToRawLongBits(got(v)) ===
+        java.lang.Double.doubleToRawLongBits(refRound6(v) + 0.0),
+        s"portableRound6($v) = ${got(v)}, reference ${refRound6(v)}")
+    }
+    // the incident values land on the DuckDB side of the old split
+    // (the floor form), proving both engines now take the same branch
+    assert(got(1.0079725) === 1.007972)
+    assert(got(0.9950734999999999) === 0.995074)
+    assert(got(0.9942394999999999) === 0.99424)
+  }
+
+  test("portableRound6 passes NULL/NaN/Inf/over-bound through, never an ANSI error") {
+    val df = Seq[java.lang.Double](null, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1e300,
+      -1e300, Num.PortableRoundBound * 2).toDF("x")
+      .select(Num.portableRound6(col("x")).as("r"))
+    val out = df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == null)
+    assert(out(1).asInstanceOf[Double].isNaN)
+    assert(out(2) === Double.PositiveInfinity)
+    assert(out(3) === Double.NegativeInfinity)
+    assert(out(4) === 1e300)
+    assert(out(5) === -1e300)
+    assert(out(6) === Num.PortableRoundBound * 2)
+  }
+
+  test("portableRound6Sql mirrors the Column form structurally") {
+    val frag = Num.portableRound6Sql("m")
+    // the lockstep contract: same guard bound, same scaled-floor chain
+    assert(frag.contains("BETWEEN -9e9 AND 9e9"))
+    assert(frag.contains("FLOOR((m) * 1e6 + 0.5) / 1e6"))
+    assert(frag.contains("ELSE (m)"))
+  }
 }
