@@ -24,8 +24,10 @@ import graft.functions.VectorOps
   * Determinism & portability: seeds are the k lowest-id vectors
   * (relabeled 0..k-1 in id order); assignment breaks score ties toward
   * the lowest centroid id; and each updated component is
-  * round(decimalSum(round(x, 6)) / n, 6) cast to float — every step a
-  * correctly-rounded IEEE op or an exact decimal sum, so an external
+  * portableRound6(decimalSum(portableRound6(x)) / n) cast to float
+  * (meanVectors' kernel — portableRound6, not built-in round, since
+  * the r9 ROUND-tie incident) — every step a correctly-rounded IEEE
+  * op, an exact decimal sum, or an exact floor, so an external
   * engine (the DuckDB oracle) replays the whole training run
   * bit-for-bit. The 6-place quantization of means is the documented
   * price of engine-portable training; it perturbs centroids by < 1e-6

@@ -14,10 +14,13 @@ import org.apache.spark.sql.types.DecimalType
   * corpus size, and the corpus itself is never shuffled (the
   * [[KMeans]] update-step shape, exposed as a standalone operator).
   *
-  * Portability: each component is `round(decimalSum(round(x, 6)) / n,
-  * 6)` cast to float — exact decimal accumulation (double sums are
-  * partition-order dependent) with 6-place quantization, so an
-  * external engine replays every component bit-for-bit.
+  * Portability: each component is
+  * `portableRound6(decimalSum(portableRound6(x)) / n)` cast to float —
+  * exact decimal accumulation (double sums are partition-order
+  * dependent) with 6-place quantization through the shared-IEEE
+  * [[graft.functions.Num.portableRound6]] (built-in ROUNDs decide
+  * .5e-6 ties differently per engine — the r9 sf0.1 incident), so an
+  * external engine replays every component bit-for-bit on any data.
   */
 object VectorAgg {
 
