@@ -228,17 +228,25 @@ object Eval {
       .filter(scoredRows(scoreCol, labelCol, excludeInfScore = true))
       .select(col(scoreCol).cast("double").as("score"),
         binaryLabel(labelCol).as("__y"))
+    // portableRound6 on every bin mean and the final ratio (not
+    // built-in round): these are 6dp-quantized sums over SMALL counts,
+    // the exact shape whose quotients land on .5e-6 boundaries at
+    // ~1/n incidence — where the engines' ROUND tie conventions
+    // diverge (Num's doc, the r9 sf0.1 incident class)
+    import graft.functions.Num.portableRound6
     val perBin = Profile.quantileBucket(scored, "score", bins)
       .groupBy(col("score_qbucket").cast("long").as("__bin"))
       .agg(count(lit(1)).as("__n"),
-        round(sum(round(col("score"), 6).cast(DecimalType(38, 6)))
-          .cast("double") / count(lit(1)), 6).as("__mean"),
-        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("__pos"))
+        portableRound6(sum(portableRound6(col("score"))
+            .cast(DecimalType(38, 6)))
+          .cast("double") / count(lit(1))).as("__mean"),
+        portableRound6(sum(col("__y")).cast("double") / count(lit(1)))
+          .as("__pos"))
     perBin.agg(
-      round(
+      portableRound6(
         sum(abs(col("__pos").cast(DecimalType(18, 6))
             - col("__mean").cast(DecimalType(18, 6))) * col("__n"))
-          .cast("double") / sum(col("__n")).cast("double"), 6).as("ece"),
+          .cast("double") / sum(col("__n")).cast("double")).as("ece"),
       sum(col("__n")).as("n_rows"),
       count(lit(1)).as("n_bins"))
   }

@@ -49,8 +49,13 @@ object Profile {
         count(when(col(c).isNull, lit(1))).as(s"${c}__nn"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__mn"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__mx"),
-        round(sum(when(finite, d.cast(DecimalType(28, 6)))).cast("double")
-          / count(when(finite, lit(1))), 6).as(s"${c}__av"))
+        // portableRound6: a 6dp-quantized sum over the row count is
+        // the .5e-6 boundary class where built-in ROUNDs tie-diverge
+        // between engines (Num's doc) — live here whenever the count
+        // is 10-smooth
+        graft.functions.Num.portableRound6(
+          sum(when(finite, d.cast(DecimalType(28, 6)))).cast("double")
+            / count(when(finite, lit(1)))).as(s"${c}__av"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // Reshape the 1-row wide frame to per-column rows with an inline

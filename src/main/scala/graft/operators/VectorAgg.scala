@@ -180,12 +180,17 @@ object VectorAgg {
     perVec.groupBy(col("__lab"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(try_divide(
+        // portableRound6 on the per-label means (the meanVectors rule):
+        // 6dp-cosine sums over small member counts are the .5e-6
+        // boundary class where built-in ROUNDs tie-diverge. The
+        // `separation` difference below keeps built-in round — its
+        // input sits ON the 6dp grid (within an ulp), never at a half
+        graft.functions.Num.portableRound6(try_divide(
           sum(col("__own").cast(DecimalType(38, 6))).cast("double"),
-          count(col("__own")).cast("double")), 6).as("mean_own_cos"),
-        round(try_divide(
+          count(col("__own")).cast("double"))).as("mean_own_cos"),
+        graft.functions.Num.portableRound6(try_divide(
           sum(col("__oth").cast(DecimalType(38, 6))).cast("double"),
-          count(col("__oth")).cast("double")), 6).as("mean_other_cos"))
+          count(col("__oth")).cast("double"))).as("mean_other_cos"))
       .select(col("__lab").as(labelCol), col("n_vecs"),
         col("mean_own_cos"), col("mean_other_cos"),
         round(col("mean_own_cos") - col("mean_other_cos"), 6)

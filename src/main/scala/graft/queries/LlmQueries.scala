@@ -515,13 +515,18 @@ object LlmQueries {
         try_element_at(col("embedding"), lit(2)).cast("double").as("score"),
         (col("label") % 2).as("y"))
         .filter(col("score").isNotNull && col("y").isNotNull)
+      // portableRound6 on both bin means (the Eval.ece kernel's rule):
+      // 6dp-quantized sums over small bin counts are the .5e-6
+      // boundary class where built-in ROUNDs tie-diverge (Num's doc)
       Profile.quantileBucket(scored, "score", 10)
         .groupBy(col("score_qbucket").cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
-          round(sum(round(col("score"), 6)
+          graft.functions.Num.portableRound6(
+            sum(graft.functions.Num.portableRound6(col("score"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .cast("double") / count(lit(1)), 6).as("mean_score"),
-          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+            .cast("double") / count(lit(1))).as("mean_score"),
+          graft.functions.Num.portableRound6(
+            sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
         .orderBy(col("bin"))
     }),
 
@@ -2788,13 +2793,17 @@ object LlmQueries {
          |    MAX(CASE WHEN clab IS DISTINCT FROM label AND cs <> -2.0
          |        THEN cs END) AS oth_cos
          |  FROM sc GROUP BY vec_id, label
-         |), agg AS (
+         |), agg0 AS (
          |  SELECT label, COUNT(*) AS n_vecs,
-         |    ROUND(CAST(SUM(CAST(own_cos AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(own_cos), 6) AS mean_own_cos,
-         |    ROUND(CAST(SUM(CAST(oth_cos AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(oth_cos), 6) AS mean_other_cos
+         |    CAST(SUM(CAST(own_cos AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(own_cos) AS mo,
+         |    CAST(SUM(CAST(oth_cos AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(oth_cos) AS mt
          |  FROM pv GROUP BY label
+         |), agg AS (
+         |  SELECT label, n_vecs, ${duckRound6("mo")} AS mean_own_cos,
+         |    ${duckRound6("mt")} AS mean_other_cos
+         |  FROM agg0
          |)
          |SELECT label, n_vecs, mean_own_cos, mean_other_cos,
          |  ROUND(mean_own_cos - mean_other_cos, 6) AS separation
@@ -2832,7 +2841,7 @@ object LlmQueries {
          |  CAST(SUM(c * c) AS BIGINT) AS self_join_pairs
          |FROM c GROUP BY band ORDER BY band""".stripMargin),
     "q_eval_calibration" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
         |  FROM embeddings
         |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
@@ -2845,11 +2854,15 @@ object LlmQueries {
         |    AS bin, s.score, s.y
         |  FROM s CROSS JOIN q
         |)
-        |SELECT bin, COUNT(*) AS n,
-        |  ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(38,6))) AS DOUBLE)
-        |    / COUNT(*), 6) AS mean_score,
-        |  ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS pos_rate
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+        |SELECT bin, n, ${duckRound6("ms")} AS mean_score,
+        |  ${duckRound6("pr")} AS pos_rate
+        |FROM (
+        |  SELECT bin, COUNT(*) AS n,
+        |    CAST(SUM(CAST(${duckRound6("score")} AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS ms,
+        |    SUM(y)::DOUBLE / COUNT(*) AS pr
+        |  FROM b GROUP BY bin
+        |) ORDER BY bin""".stripMargin,
     "q_eval_mrr" ->
       """WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
@@ -2909,7 +2922,7 @@ object LlmQueries {
         |  CAST(SUM(n - np) AS BIGINT) AS n_neg
         |FROM r GROUP BY seg ORDER BY segment""".stripMargin,
     "q_eval_ece" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
         |  FROM embeddings
         |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
@@ -2921,19 +2934,26 @@ object LlmQueries {
         |  SELECT CAST(len(list_filter(q.cuts, c -> s.score > c)) AS BIGINT)
         |    AS bin, s.score, s.y
         |  FROM s CROSS JOIN q
-        |), pb AS (
+        |), pb0 AS (
         |  SELECT bin, COUNT(*) AS n,
-        |    CAST(ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(38,6)))
-        |      AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS mean6,
-        |    CAST(ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS DECIMAL(18,6)) AS pos6
+        |    CAST(SUM(CAST(${duckRound6("score")} AS DECIMAL(38,6)))
+        |      AS DOUBLE) / COUNT(*) AS ms,
+        |    SUM(y)::DOUBLE / COUNT(*) AS pr
         |  FROM b GROUP BY bin
+        |), pb AS (
+        |  SELECT bin, n,
+        |    CAST(${duckRound6("ms")} AS DECIMAL(18,6)) AS mean6,
+        |    CAST(${duckRound6("pr")} AS DECIMAL(18,6)) AS pos6
+        |  FROM pb0
         |)
-        |SELECT
-        |  ROUND(CAST(SUM(ABS(pos6 - mean6) * n) AS DOUBLE)
-        |    / CAST(SUM(n) AS DOUBLE), 6) AS ece,
-        |  CAST(SUM(n) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(*) AS BIGINT) AS n_bins
-        |FROM pb""".stripMargin,
+        |SELECT ${duckRound6("e")} AS ece, n_rows, n_bins FROM (
+        |  SELECT
+        |    CAST(SUM(ABS(pos6 - mean6) * n) AS DOUBLE)
+        |      / CAST(SUM(n) AS DOUBLE) AS e,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins
+        |  FROM pb
+        |)""".stripMargin,
     "q_eval_annrecall" ->
       s"""WITH pw AS (
          |  SELECT j, d, ${duckPlaneW(42L)} AS w

@@ -2954,26 +2954,31 @@ object RelationalQueries {
         |-- threshold (see q_sketch_heavy_group's note)
         |WHERE cnt > total * CAST(0.02 AS DOUBLE)
         |ORDER BY key""".stripMargin,
+    // avg_val rounds through the portableRound6 fragment (lockstep
+    // with Profile's Spark side): a 6dp-decimal sum over the row count
+    // is the .5e-6 boundary class where built-in ROUNDs tie-diverge
     "q_profile_stats" ->
-      """SELECT * FROM (
+      s"""SELECT col_name, n_rows, n_null, min_val, max_val,
+        |  ${graft.functions.Num.portableRound6Sql("av")} AS avg_val
+        |FROM (
         |  SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
         |    COUNT(*) - COUNT(l_discount) AS n_null,
         |    ROUND(MIN(l_discount), 6) AS min_val,
         |    ROUND(MAX(l_discount), 6) AS max_val,
-        |    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
-        |      / COUNT(l_discount), 6) AS avg_val
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_discount) AS av
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
         |    ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6),
-        |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-        |      / COUNT(l_extendedprice), 6)
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_extendedprice)
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
         |    ROUND(MIN(l_quantity), 6), ROUND(MAX(l_quantity), 6),
-        |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-        |      / COUNT(l_quantity), 6)
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(l_quantity)
         |  FROM lineitem
         |) ORDER BY col_name""".stripMargin,
     "q_diag_bloomfpr" ->
