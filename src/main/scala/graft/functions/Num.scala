@@ -72,11 +72,25 @@ object Num {
     * engines take the same branch. Oracle side: the lockstep fragment
     * is [[portableRound6Sql]].
     */
-  def portableRound6(c: Column): Column = {
+  def portableRound6(c: Column): Column = portableRound(c, 6)
+
+  /** [[portableRound6]] at an arbitrary scale 1..6: the identical
+    * floor(x·10^p + 0.5)/10^p chain at 10^p ∈ {10, …, 1e6}. The
+    * pass-through bound stays [[PortableRoundBound]] for every scale —
+    * conservative below 6 places (2^53/10^p admits more at p < 6), but
+    * ONE bound means one documented domain and both engines branch
+    * identically at every scale. Needed the day q_window_movavg's
+    * 4-place round hit the same tie class: a 2dp-grid DECIMAL sum over
+    * a window COUNT lands exactly on .5e-4 boundaries (odd cents
+    * summed over 8 rows), so the 6-place-only helper left the class
+    * live at other scales.
+    */
+  def portableRound(c: Column, places: Int): Column = {
     import org.apache.spark.sql.functions.{floor, lit, when}
+    val p = pow10(places)
     val x = c.cast("double")
     when(x.between(-PortableRoundBound, PortableRoundBound),
-      floor(x * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+      floor(x * lit(p) + lit(0.5)).cast("double") / lit(p))
       .otherwise(x)
   }
 
@@ -84,9 +98,29 @@ object Num {
     * is referenced three times, so bind it to a cheap column (an extra
     * nested SELECT) at the call site rather than pasting an aggregate.
     */
-  def portableRound6Sql(inner: String): String =
+  def portableRound6Sql(inner: String): String = portableRoundSql(inner, 6)
+
+  /** Scale-parameterized [[portableRound6Sql]] — the oracle lockstep of
+    * [[portableRound]]. The literal is rendered as `1e<p>` so both the
+    * Spark literal and the SQL literal parse to the SAME double (exact
+    * for p <= 15).
+    */
+  def portableRoundSql(inner: String, places: Int): String = {
+    pow10(places) // validates the range
     s"(CASE WHEN ($inner) BETWEEN -9e9 AND 9e9" +
-      s" THEN FLOOR(($inner) * 1e6 + 0.5) / 1e6 ELSE ($inner) END)"
+      s" THEN FLOOR(($inner) * 1e$places + 0.5) / 1e$places ELSE ($inner) END)"
+  }
+
+  /** 10^places as an exact double, range-checked once for both the
+    * Column and SQL renderers (past 6 the helper's shared bound no
+    * longer keeps x·10^p inside 2^53 — widen deliberately, not by
+    * accident).
+    */
+  private def pow10(places: Int): Double = {
+    require(places >= 1 && places <= 6,
+      s"portableRound supports 1..6 places, got $places")
+    math.pow(10.0, places)
+  }
 
   /** Exact floor-division bin id `floor(v / w)` over a LONG-typed
     * expression — ONE definition for the DataFrame range join

@@ -78,8 +78,12 @@ object Features {
     * the group's mean over OBSERVED values — the standard feature-prep
     * step before models that cannot eat NULLs, grouped so a sparse
     * segment borrows from its own distribution, not the global one.
-    * The mean is the exact-decimal portable contract (6-dp inputs sum
-    * exactly; one final division, round 6); the tiny per-group stats
+    * The mean is the exact-decimal portable contract (portableRound6
+    * quantizes inputs so they sum exactly in decimal; one final
+    * division, portableRound6 again — both rounds the engine-portable
+    * floor-chain, since a 6dp-quantized sum over a small count is
+    * exactly the cross-engine ROUND-tie hot shape the r9 sf0.1
+    * incident pinned, see Num.portableRound6); the tiny per-group stats
     * frame broadcasts back, the fill is map-side — the rows never
     * shuffle. A group with NO observed values keeps its NULLs (no
     * mean exists — silence would fabricate data); `was_imputed`
@@ -104,9 +108,10 @@ object Features {
       col(valueCol).cast("double"), 9e25)
     val stats = df.filter(!missing)
       .groupBy(col(groupCol).as("__g"))
-      .agg(round(sum(round(col(valueCol).cast("double"), 6)
+      .agg(graft.functions.Num.portableRound6(
+        sum(graft.functions.Num.portableRound6(col(valueCol))
           .cast(DecimalType(38, 12))).cast("double")
-        / count(lit(1)), 6).as("__gmean"))
+        / count(lit(1))).as("__gmean"))
     df.join(broadcast(stats), col(groupCol) <=> col("__g"), "left")
       .withColumn(outCol, when(missing, col("__gmean")).otherwise(col(valueCol)))
       .withColumn("was_imputed", missing && col("__gmean").isNotNull)

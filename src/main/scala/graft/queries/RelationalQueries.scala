@@ -1046,10 +1046,15 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(unix_timestamp(col("o_orderdate")))
         .rangeBetween(-604800L, 0L)
+      // portableRound, not round: a 2dp-grid decimal sum over a window
+      // COUNT lands exactly on .5e-4 boundaries (odd cents over 8
+      // rows), the same engine tie-divergence class as the 6dp means —
+      // at 4 places (ADVICE r9)
       table(s, dir, "orders").select(
         col("o_custkey"), col("o_orderdate"),
-        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-          .cast("double") / count(lit(1)).over(w), 4).as("avg_7d"))
+        graft.functions.Num.portableRound(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double") / count(lit(1)).over(w), 4).as("avg_7d"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("avg_7d"))
     }),
 
@@ -3336,12 +3341,16 @@ object RelationalQueries {
         |FROM range(20) r LEFT JOIN c ON r.range = c.bucket
         |ORDER BY bucket""".stripMargin,
     "q_window_movavg" ->
-      """SELECT o_custkey, o_orderdate,
-        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-        |   / COUNT(*) OVER w, 4) AS avg_7d
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      s"""SELECT o_custkey, o_orderdate,
+        | ${graft.functions.Num.portableRoundSql("raw", 4)} AS avg_7d
+        |FROM (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w AS raw
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |)
         |ORDER BY o_custkey, o_orderdate, avg_7d""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
@@ -4107,17 +4116,24 @@ object RelationalQueries {
         |SELECT day, rank, event_type, cnt7 FROM r
         |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     "q_feat_impute" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT event_id, event_type,
         |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
         |  FROM events
-        |), m AS (
+        |), m0 AS (
         |  -- NaN is MISSING like NULL (the engine's contract): excluded
-        |  -- from the mean, imputed in the output
+        |  -- from the mean, imputed in the output. Input quantization is
+        |  -- the portable floor-chain (lockstep with Num.portableRound6:
+        |  -- a 6dp-quantized sum over a small count is the ROUND-tie hot
+        |  -- shape, so the built-in ROUNDs may disagree on .5e-6 ties)
         |  SELECT event_type AS g,
-        |    ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
-        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS gmean
+        |    CAST(SUM(CAST(${graft.functions.Num.portableRound6Sql(
+             "CAST(value AS DOUBLE)")}
+        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS raw
         |  FROM s WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+        |), m AS (
+        |  SELECT g, ${graft.functions.Num.portableRound6Sql("raw")} AS gmean
+        |  FROM m0
         |)
         |SELECT s.event_id, s.event_type, s.value,
         |  CASE WHEN s.value IS NULL OR isnan(s.value) THEN m.gmean

@@ -123,4 +123,31 @@ class NumSpec extends SparkTestBase {
     assert(frag.contains("FLOOR((m) * 1e6 + 0.5) / 1e6"))
     assert(frag.contains("ELSE (m)"))
   }
+
+  test("portableRound at 4 places pins the q_window_movavg tie class") {
+    def ref4(x: Double): Double =
+      if (x >= -Num.PortableRoundBound && x <= Num.PortableRoundBound)
+        math.floor(x * 1e4 + 0.5) / 1e4
+      else x
+    // the hot shape at 4 places: a 2dp-grid sum over small counts —
+    // odd-cents / 8 sits EXACTLY on a .5e-4 boundary (e.g. 1.00044 /
+    // 8 = 0.12505500...), where the built-in ROUNDs may tie-diverge
+    val vals = Seq(1.00044 / 8, 3.00012 / 8, -1.00044 / 8, 0.12345,
+      0.00005, -0.00005, 123.45675, 8.9e9, 0.0)
+    val got = vals.toDF("x")
+      .select(col("x"), Num.portableRound(col("x"), 4).as("r"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    vals.foreach { v =>
+      assert(java.lang.Double.doubleToRawLongBits(got(v)) ===
+        java.lang.Double.doubleToRawLongBits(ref4(v) + 0.0),
+        s"portableRound($v, 4) = ${got(v)}, reference ${ref4(v)}")
+    }
+    // and the SQL fragment renders the SAME scale literal and bound
+    val frag = Num.portableRoundSql("m", 4)
+    assert(frag.contains("BETWEEN -9e9 AND 9e9"))
+    assert(frag.contains("FLOOR((m) * 1e4 + 0.5) / 1e4"))
+    // scale range is guarded on both renderers
+    intercept[IllegalArgumentException](Num.portableRound(col("x"), 0))
+    intercept[IllegalArgumentException](Num.portableRoundSql("m", 7))
+  }
 }
