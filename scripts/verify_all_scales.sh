@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Cross-scale oracle gate: full registry dumped at sf0.001/0.01/0.1
+# (graft.tools.VerifyAllScales) + the DuckDB checker per scale.
+# This is the gate that caught the r9 cross-engine ROUND-tie class —
+# the driver's sf0.01-only gate structurally cannot see it.
+# Usage: scripts/verify_all_scales.sh [outRoot]   (default /tmp/verify_all)
+# STATUS.md quotes the three summary lines per round.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/verify_all}"
+
+sbt -batch compile >/dev/null
+
+JOPTS=""
+for m in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+  java.util java.util.concurrent java.util.concurrent.atomic; do
+  JOPTS="$JOPTS --add-opens=java.base/$m=ALL-UNNAMED"
+done
+JOPTS="$JOPTS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+ --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+ --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+ --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $JOPTS \
+  graft.tools.VerifyAllScales "$OUT" 2>&1 | grep -E "\[verify" || true
+
+status=0
+for sf in sf0.001 sf0.01 sf0.1; do
+  out=$(python3 .claude/skills/verify/check_oracle.py "/root/testdata/$sf" "$OUT/$sf")
+  echo "$out" | grep "^FAIL" | sed "s/^/$sf /" || true
+  line=$(echo "$out" | tail -1)
+  echo "$sf: $line"
+  case "$line" in
+    *" hash-match") n="${line%%/*}"; d="${line#*/}"; d="${d%% *}"
+      [ "$n" = "$d" ] || status=1 ;;
+    *) status=1 ;;
+  esac
+done
+exit $status

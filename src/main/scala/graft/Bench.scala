@@ -100,10 +100,11 @@ object Bench {
     val names = Harness.selectedNames("bench")
 
     val passes = (1 to Passes).map { p =>
-      // Each pass re-mines the shared near-dup pair set once: carrying
-      // the cache across passes would let min-of-passes erase mining
-      // from the totals (see LlmQueries.resetMinedPairsCache).
-      graft.queries.LlmQueries.resetMinedPairsCache()
+      // Each pass re-derives every shared scratch set (mined pairs,
+      // shingles, pair stats, gram hashes) once: carrying any cache
+      // across passes would let min-of-passes erase its derivation
+      // cost from the totals (see LlmQueries.sharedScratchCaches).
+      graft.queries.LlmQueries.resetSharedScratch()
       timeChunk(names, s"p$p", sfDir, cpus)
     }
 
@@ -117,19 +118,21 @@ object Bench {
       else {
         System.err.println(
           s"[bench] retrying high-spread queries: ${noisy.mkString(", ")}")
-        // Cache policy for the retry: non-first pair consumers were
-        // WARM in the main passes, so the retry stays warm for them
-        // (a reset would charge them mining they never paid, inflating
-        // the retry time and the reported spread). Only when the
-        // retried set contains the FIRST consumer — the query mining
-        // is attributed to — must the retry re-mine, or its warm
-        // re-time would beat the honest main-pass minimum and drop
-        // mining from the total. `noisy` preserves `names` order, so
-        // that consumer also runs first within the retry.
-        val firstConsumer =
-          names.find(graft.queries.LlmQueries.minedPairConsumers)
-        if (firstConsumer.exists(noisy.contains))
-          graft.queries.LlmQueries.resetMinedPairsCache()
+        // Cache policy for the retry, PER shared-scratch cache:
+        // non-first consumers were WARM in the main passes, so the
+        // retry stays warm for them (a reset would charge them a
+        // derivation they never paid, inflating the retry time and
+        // the reported spread). Only when the retried set contains a
+        // cache's FIRST consumer — the query its derivation is
+        // attributed to — must the retry re-derive that cache, or its
+        // warm re-time would beat the honest main-pass minimum and
+        // drop the derivation from the total. `noisy` preserves
+        // `names` order, so that consumer also runs first within the
+        // retry.
+        graft.queries.LlmQueries.sharedScratchCaches.foreach {
+          case (_, reset, consumers) =>
+            if (names.find(consumers).exists(noisy.contains)) reset()
+        }
         timeChunk(noisy, "retry", sfDir, cpus)
       }
 

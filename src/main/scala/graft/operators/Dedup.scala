@@ -304,12 +304,40 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = Long.MaxValue): DataFrame =
-    invertedIndexCommon(docs, n, maxDocFreq)
+    jaccardFromStats(invertedIndexCommon(withShingles(docs, n), maxDocFreq),
+      threshold)
+
+  /** The Jaccard tail of [[ngramJaccardPairs]] over a pre-computed
+    * pair-stats frame (the [[pairStats]] shape): threshold-independent
+    * stats are the SHARED artifact — mine them once, filter per
+    * threshold. |A∪B| = |A| + |B| - |A∩B| over distinct-shingle
+    * counts, same arithmetic as the one-call path.
+    */
+  def jaccardFromStats(stats: DataFrame, threshold: Double): DataFrame =
+    stats
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_sh_a") + col("n_sh_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** The per-doc distinct-shingle frame (doc_id, sh) every n-gram
+    * miner starts from — ONE definition so the shared-scratch path
+    * (see [[graft.queries.Scratch]]) and the one-call paths cannot
+    * drift on tokenization or distinctness.
+    */
+  def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+
+  /** Exact threshold-independent pair statistics over a pre-shingled
+    * frame: (doc_a, doc_b, n_common, n_sh_a, n_sh_b) for every
+    * co-occurring pair — the write-once artifact both the Jaccard and
+    * the containment miners filter. Exact semantics (no stop-shingle
+    * cap); a capped deployment calls the one-call miners with
+    * `maxDocFreq` and accepts their documented lower-bound trade-off.
+    */
+  def pairStats(withSh: DataFrame): DataFrame =
+    invertedIndexCommon(withSh, Long.MaxValue)
 
   /** Shared core of [[ngramJaccardPairs]] and [[containmentPairs]]:
     * the exploded (shingle, doc) inverted index, the opt-in
@@ -326,9 +354,7 @@ object Dedup {
     * the exact path carries no window operator at all.
     */
   private def invertedIndexCommon(
-      docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame = {
-    val withShingles = docs.select(
-      col("doc_id"), shingles(col("text"), n).as("sh"))
+      withShingles: DataFrame, maxDocFreq: Long): DataFrame = {
     val sizes = withShingles.select(
       col("doc_id"), size(col("sh")).as("n_sh"))
     val index = withShingles.select(
@@ -368,9 +394,18 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    containmentFromStats(
+      invertedIndexCommon(withShingles(docs, n), maxDocFreq), threshold)
+  }
+
+  /** The containment tail of [[containmentPairs]] over a pre-computed
+    * [[pairStats]] frame — the shared-artifact companion of
+    * [[jaccardFromStats]] (one stats mine feeds both measures).
+    */
+  def containmentFromStats(stats: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1]")
-    invertedIndexCommon(docs, n, maxDocFreq)
+    stats
       .withColumn("contain_a", col("n_common").cast("double") / col("n_sh_a"))
       .withColumn("contain_b", col("n_common").cast("double") / col("n_sh_b"))
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
@@ -400,10 +435,19 @@ object Dedup {
     * for the exact verify — every one an equi hash operation; nothing
     * is all-pairs.
     */
-  def prefixFilterPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def prefixFilterPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    prefixFilterPairsShingled(withShingles(docs, n), threshold)
+
+  /** [[prefixFilterPairs]] over a pre-shingled (doc_id, sh) frame —
+    * the shared-scratch entry point: the shingle set is the expensive
+    * per-doc derivation every n-gram miner repeats, so the registry
+    * reads it from the run's shared parquet (see
+    * [[graft.queries.Scratch]]) and only the PPJoin itself runs here.
+    */
+  def prefixFilterPairsShingled(
+      withShingles: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1]")
-    val withShingles = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val index = withShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val dfreq = index.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
 
@@ -551,17 +595,35 @@ object Dedup {
   def decontaminateNgrams(
       corpus: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    decontaminateNgramsFromGrams(corpus,
+      gramHashes(corpus, n, col("doc_id")),
+      gramHashes(evalSet, n).select(col("__gram_h")))
+  }
+
+  /** [[decontaminateNgrams]] over pre-computed gram-hash frames — the
+    * shared-scratch entry point: when corpus and eval slices come from
+    * ONE table, their (doc_id, __gram_h) sets are two filters of the
+    * same shared gram parquet (see [[graft.queries.Scratch]]), so the
+    * n-gram explode+hash pass over the full text runs once per run,
+    * not once per screen. `corpusGrams` is (doc_id, __gram_h);
+    * `evalGrams` needs only __gram_h. Both are distinct'd here, so
+    * callers may pass raw exploded rows.
+    */
+  def decontaminateNgramsFromGrams(
+      corpus: DataFrame, corpusGrams: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
     require(!corpus.columns.contains("__gram_h"),
       "input column '__gram_h' collides with decontaminateNgrams' column")
-    val evalGrams = gramHashes(evalSet, n).distinct()
-    val contaminated = gramHashes(corpus, n, col("doc_id")).distinct()
-      .join(evalGrams, Seq("__gram_h"), "left_semi")
+    val contaminated = corpusGrams.distinct()
+      .join(evalGrams.distinct(), Seq("__gram_h"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Word n-grams of `text`, md5-hashed to 63-bit keys. */
-  private def gramHashes(df: DataFrame, n: Int, cols: Column*): DataFrame =
+  /** Word n-grams of `text`, md5-hashed to 63-bit keys — (cols*,
+    * __gram_h), one row per OCCURRENCE (callers distinct as needed).
+    */
+  def gramHashes(df: DataFrame, n: Int, cols: Column*): DataFrame =
     df.select(cols :+
       explode(graft.functions.Text.ngrams(col("text"), n)).as("__g"): _*)
       .select(cols :+ graft.functions.Text.md5Long63(col("__g"))
@@ -587,13 +649,25 @@ object Dedup {
   def decontaminateByOverlap(
       corpus: DataFrame, evalSet: DataFrame, n: Int, maxOverlap: Double): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    decontaminateByOverlapFromGrams(corpus,
+      gramHashes(corpus, n, col("doc_id")),
+      gramHashes(evalSet, n).select(col("__gram_h")), maxOverlap)
+  }
+
+  /** [[decontaminateByOverlap]] over pre-computed gram-hash frames —
+    * same shared-scratch contract as
+    * [[decontaminateNgramsFromGrams]] (inputs distinct'd here).
+    */
+  def decontaminateByOverlapFromGrams(
+      corpus: DataFrame, corpusGrams: DataFrame, evalGrams: DataFrame,
+      maxOverlap: Double): DataFrame = {
     require(maxOverlap >= 0.0 && maxOverlap <= 1.0,
       s"maxOverlap must be in [0,1], got $maxOverlap")
     require(!corpus.columns.contains("__gram_h"),
       "input column '__gram_h' collides with decontaminateByOverlap's column")
-    val evalGrams = gramHashes(evalSet, n).distinct()
-    val dropped = gramHashes(corpus, n, col("doc_id")).distinct()
-      .join(evalGrams.withColumn("__hit", lit(1)), Seq("__gram_h"), "left")
+    val dropped = corpusGrams.distinct()
+      .join(evalGrams.distinct().withColumn("__hit", lit(1)),
+        Seq("__gram_h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__total"),
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))

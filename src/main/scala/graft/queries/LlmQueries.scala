@@ -40,6 +40,40 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = table(s, dir, "embeddings")
 
+  /** Per-doc distinct 3-word shingle sets (doc_id, sh), derived once
+    * per run into shared scratch parquet — the base working set of the
+    * whole n-gram dedup family (Jaccard, containment, PPJoin). See
+    * [[Scratch]] for the cache/fingerprint/bench-honesty contract.
+    */
+  private def shingles3(s: SparkSession, dir: String) =
+    Scratch.cached(s, "shingles3", dir, "n=3") {
+      Dedup.withShingles(docs(s, dir), 3)
+    }
+
+  /** Threshold-independent exact 3-gram pair statistics
+    * (doc_a, doc_b, n_common, n_sh_a, n_sh_b), derived once per run
+    * FROM the shared shingle parquet — q_dedup_ngram and
+    * q_dedup_contain are then each a map-side filter over this file
+    * (two similarity measures, ONE inverted-index mine). The shingle
+    * set is primed BEFORE entering the stats builder:
+    * [[Scratch.cached]] is non-reentrant by contract.
+    */
+  private def pairStats3(s: SparkSession, dir: String) = {
+    val sh = shingles3(s, dir)
+    Scratch.cached(s, "pairstats3", dir, "n=3") { Dedup.pairStats(sh) }
+  }
+
+  /** Distinct (doc_id, __gram_h) 8-gram hashes over the FULL docs
+    * table, derived once per run — both decontamination screens
+    * (any-overlap and overlap-fraction) read their corpus and eval
+    * sides as doc_id filters of this one file, so the full-text
+    * explode+hash pass runs once, not twice per screen.
+    */
+  private def grams8(s: SparkSession, dir: String) =
+    Scratch.cached(s, "grams8", dir, "n=8") {
+      Dedup.gramHashes(docs(s, dir), 8, col("doc_id")).distinct()
+    }
+
   /** embeddings with ANN column names; probes = 5 smallest vec_ids. */
   private def corpus(s: SparkSession, dir: String) =
     embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -80,7 +114,7 @@ object LlmQueries {
     * point.
     */
   private val minedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, String), String]()
 
   /** Drop the cross-query pair cache. Bench calls this at the start of
     * every timing pass so each pass pays mining exactly ONCE — without
@@ -89,6 +123,28 @@ object LlmQueries {
     * phantom speed-up the artifact's trend would misread as real).
     */
   def resetMinedPairsCache(): Unit = minedPairsCache.clear()
+
+  /** Every shared-scratch cache with its bench-honesty metadata:
+    * (label, reset, consumer registry names). ONE list so Bench and
+    * VerifyTwice reset ALL caches per pass (no cache can silently
+    * carry across passes and erase its derivation cost from
+    * min-of-passes), and Bench's targeted-retry pass can re-prime
+    * exactly the caches whose cost-bearing FIRST consumer is being
+    * re-timed — warm for everyone else, exactly like the main passes.
+    */
+  // lazy: refers to minedPairConsumers, declared further down — an
+  // eager val would capture null during object initialization
+  lazy val sharedScratchCaches: Seq[(String, () => Unit, Set[String])] = Seq(
+    ("pairs", () => resetMinedPairsCache(), minedPairConsumers),
+    ("shingles3", () => Scratch.resetKind("shingles3"),
+      Set("q_dedup_ngram", "q_dedup_contain", "q_dedup_prefix")),
+    ("pairstats3", () => Scratch.resetKind("pairstats3"),
+      Set("q_dedup_ngram", "q_dedup_contain")),
+    ("grams8", () => Scratch.resetKind("grams8"),
+      Set("q_decon_ngram", "q_decon_overlap")))
+
+  /** Reset every shared-scratch cache — the per-pass call. */
+  def resetSharedScratch(): Unit = sharedScratchCaches.foreach(_._2())
 
   /** Registry names that consume the shared mined pair set — the
     * queries whose timings depend on cache state. Bench uses this to
@@ -107,7 +163,14 @@ object LlmQueries {
     * operator's union/select-star path.
     */
   private def minedPairsFull(s: SparkSession, dir: String, threshold: Double) = {
-    val path = minedPairsCache.computeIfAbsent((dir, threshold), { key =>
+    // The key carries the docs table's file-listing fingerprint (the
+    // Scratch contract): a harness that rewrites documents.parquet in
+    // place mid-process invalidates the entry and the next consumer
+    // re-mines — the bare (dir, threshold) key only IMPLIED that dirs
+    // are immutable for a process lifetime (r9 verdict, "What's
+    // wrong" #2). ScratchSpec pins the invalidation.
+    val fp = Scratch.tableFingerprint(dir, "documents")
+    val path = minedPairsCache.computeIfAbsent((dir, threshold, fp), { key =>
       val (pairs, release) =
         Dedup.minhashNearDuplicatesReleasable(docs(s, key._1), key._2)
       val out = QueryUtil.scratchDir("graft_pairs_") + "/pairs"
@@ -130,17 +193,22 @@ object LlmQueries {
 
     // Exact trigram-jaccard near-dup pairs via the inverted index —
     // exact semantics by default (the opt-in hot-shingle cap is
-    // exercised in DedupSpec).
+    // exercised in DedupSpec). Reads the run's shared
+    // threshold-independent pair-stats parquet (pairStats3): the
+    // inverted-index mine runs once per run and this query is its
+    // Jaccard filter.
     "q_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
+      Dedup.jaccardFromStats(pairStats3(s, dir), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Asymmetric CONTAINMENT pairs over the same inverted index — the
     // sub-document duplicate detector Jaccard structurally misses (a
-    // page quoted whole inside a much larger page).
+    // page quoted whole inside a much larger page). Same shared
+    // pair-stats file as q_dedup_ngram; this query is its containment
+    // filter.
     "q_dedup_contain" -> ((s, dir) => {
-      Dedup.containmentPairs(docs(s, dir), 3, 0.6)
+      Dedup.containmentFromStats(pairStats3(s, dir), 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -150,8 +218,10 @@ object LlmQueries {
     // answer to hot-shingle skew (vs the lossy maxDocFreq cap). The
     // lower threshold (0.4) exercises a different pair set than
     // q_dedup_ngram's 0.5.
+    // Reads the shared shingle parquet (shingles3) — only the PPJoin
+    // itself runs per query.
     "q_dedup_prefix" -> ((s, dir) => {
-      Dedup.prefixFilterPairs(docs(s, dir), 3, 0.4)
+      Dedup.prefixFilterPairsShingled(shingles3(s, dir), 0.4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -202,10 +272,15 @@ object LlmQueries {
     // n=8 here to fit the corpus): drop every corpus doc sharing ANY
     // 8-gram with the eval slice — catches partial leaks the
     // fingerprint and near-dup channels of q_decontaminate miss.
+    // Corpus and eval gram sets are doc_id filters of the run's ONE
+    // shared 8-gram parquet (grams8).
     "q_decon_ngram" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.decontaminateNgrams(
-        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 8)
+      val g = grams8(s, dir)
+      Dedup.decontaminateNgramsFromGrams(
+        d.filter(col("doc_id") < 400),
+        g.filter(col("doc_id") < 400),
+        g.filter(col("doc_id") >= 400).select(col("__gram_h")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -215,10 +290,14 @@ object LlmQueries {
     // eval slice, so partially-overlapping docs that the any-overlap
     // screen (q_decon_ngram) kills survive here. The drop decision is
     // a multiply (hits > total * 0.5), bit-identical cross-engine.
+    // Same shared 8-gram parquet as q_decon_ngram.
     "q_decon_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.decontaminateByOverlap(
-        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 8, 0.5)
+      val g = grams8(s, dir)
+      Dedup.decontaminateByOverlapFromGrams(
+        d.filter(col("doc_id") < 400),
+        g.filter(col("doc_id") < 400),
+        g.filter(col("doc_id") >= 400).select(col("__gram_h")), 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -491,13 +570,17 @@ object LlmQueries {
       val firstRel = ranked
         .groupBy(col("probe_id"))
         .agg(min(when(col("__nl") === col("__pl"), col("rank"))).as("__frk"))
+      // portableRound6, not round: a 12dp-quantized decimal sum over a
+      // count is the cross-engine ROUND-tie hot shape (see Num) — the
+      // 12dp grid makes .5e-6 ties rare, not impossible (1/64 ends in
+      // ...5625e-6-grid digits under division by small counts).
       firstRel.agg(
-          round(sum(coalesce(
+          graft.functions.Num.portableRound6(sum(coalesce(
               try_divide(lit(1.0), col("__frk"))
                 .cast(org.apache.spark.sql.types.DecimalType(38, 12)),
               lit(java.math.BigDecimal.ZERO)
                 .cast(org.apache.spark.sql.types.DecimalType(38, 12))))
-            .cast("double") / count(lit(1)), 6).as("mrr"),
+            .cast("double") / count(lit(1))).as("mrr"),
           count(lit(1)).as("n_probes"), count(col("__frk")).as("n_hit"))
     }),
 
@@ -2864,7 +2947,7 @@ object LlmQueries {
         |  FROM b GROUP BY bin
         |) ORDER BY bin""".stripMargin,
     "q_eval_mrr" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5
         |), s AS (
         |  SELECT p.pid AS probe_id, e.vec_id AS neighbor_id,
@@ -2894,11 +2977,13 @@ object LlmQueries {
         |    JOIN lab pl ON pl.vec_id = t.probe_id
         |  WHERE nl.label = pl.label GROUP BY t.probe_id
         |), pp AS (SELECT DISTINCT probe_id FROM rk)
-        |SELECT
-        |  ROUND(CAST(SUM(COALESCE(CAST(1.0 / frk AS DECIMAL(38,12)),
-        |    CAST(0 AS DECIMAL(38,12)))) AS DOUBLE) / COUNT(*), 6) AS mrr,
-        |  COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
-        |FROM pp LEFT JOIN rel USING (probe_id)""".stripMargin,
+        |SELECT ${graft.functions.Num.portableRound6Sql("raw_mrr")} AS mrr,
+        |  n_probes, n_hit FROM (
+        |  SELECT
+        |    CAST(SUM(COALESCE(CAST(1.0 / frk AS DECIMAL(38,12)),
+        |      CAST(0 AS DECIMAL(38,12)))) AS DOUBLE) / COUNT(*) AS raw_mrr,
+        |    COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
+        |  FROM pp LEFT JOIN rel USING (probe_id))""".stripMargin,
     "q_eval_sliced" ->
       """WITH s AS (
         |  SELECT (vec_id % 3) AS seg, CAST(embedding[2] AS DOUBLE) AS sc,

@@ -2472,9 +2472,13 @@ object RelationalQueries {
         .groupBy(col("channel"))
         .agg(
           count(lit(1)).as("n_touches"),
-          round(sum((col("value") / col("n_touch"))
+          // portableRound6, not round: the 12dp-quantized sum is off
+          // the 6dp grid (0.01 split over 32 touches = 0.0003125 — an
+          // exact .5e-6 tie), the cross-engine ROUND-tie hot shape
+          graft.functions.Num.portableRound6(
+            sum((col("value") / col("n_touch"))
               .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-            .cast("double"), 6).as("revenue_credit"))
+            .cast("double")).as("revenue_credit"))
         .orderBy(col("channel"))
     }),
 
@@ -4425,7 +4429,7 @@ object RelationalQueries {
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, ts, value""".stripMargin,
     "q_attr_linear" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT user_id, ts, event_id AS conv_id, value
         |  FROM events WHERE event_type = 'purchase'
         |), t AS (
@@ -4438,12 +4442,17 @@ object RelationalQueries {
         |), n AS (
         |  SELECT conv_id, COUNT(*) AS nt FROM j GROUP BY conv_id
         |)
-        |SELECT channel,
-        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
-        |  ROUND(CAST(SUM(CAST(j.value / n.nt AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |SELECT channel, n_touches,
+        |  ${graft.functions.Num.portableRound6Sql("raw_credit")}
         |    AS revenue_credit
-        |FROM j JOIN n USING (conv_id)
-        |GROUP BY channel ORDER BY channel""".stripMargin,
+        |FROM (
+        |  SELECT channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    CAST(SUM(CAST(j.value / n.nt AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS raw_credit
+        |  FROM j JOIN n USING (conv_id)
+        |  GROUP BY channel)
+        |ORDER BY channel""".stripMargin,
     "q_attr_lasttouch" ->
       """WITH conv AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'

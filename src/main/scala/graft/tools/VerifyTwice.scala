@@ -38,11 +38,11 @@ object VerifyTwice {
     val names = Harness.selectedNames("verify2")
 
     def onePass(pass: Int): Map[String, Either[String, String]] = {
-      // Re-mine the shared near-dup pair set per pass: letting run 2
-      // read run 1's parquet would exempt the whole mining pipeline
-      // from exactly the cross-run stability check this tool exists
-      // to perform.
-      graft.queries.LlmQueries.resetMinedPairsCache()
+      // Re-derive EVERY shared scratch set per pass (mined pairs,
+      // shingles, pair stats, gram hashes): letting run 2 read run 1's
+      // parquet would exempt those pipelines from exactly the
+      // cross-run stability check this tool exists to perform.
+      graft.queries.LlmQueries.resetSharedScratch()
       names.grouped(Harness.RecycleEvery).flatMap { chunk =>
         val spark = Harness.newSession(cpus)
         val rs = chunk.map { name =>

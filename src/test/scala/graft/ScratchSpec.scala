@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Scratch
+
+/** The shared-scratch cache's INVALIDATION contract (r9 verdict item:
+  * the bare (dir, threshold) key only implied that a dir's contents
+  * are immutable for a process lifetime): rewriting the source table
+  * under the SAME path must change the fingerprint and force the next
+  * consumer to re-derive — stale pairs from the previous corpus must
+  * never ship.
+  */
+class ScratchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, texts: Seq[(Long, String)]): Unit =
+    texts.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("tableFingerprint: stable on identical listing, changes on rewrite, absent-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toString
+    assert(Scratch.tableFingerprint(dir, "documents").startsWith("absent:"))
+    writeDocs(dir, Seq((1L, "alpha beta gamma delta")))
+    val fp1 = Scratch.tableFingerprint(dir, "documents")
+    val fp1again = Scratch.tableFingerprint(dir, "documents")
+    assert(fp1 === fp1again, "listing unchanged => fingerprint unchanged")
+    // a rewrite with different content changes part-file length (and
+    // mtime) — the fingerprint must move
+    writeDocs(dir, Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val fp2 = Scratch.tableFingerprint(dir, "documents")
+    assert(fp1 !== fp2, "rewritten table => new fingerprint")
+  }
+
+  test("registry consumers re-derive after an in-place docs rewrite (pairs + shingles + grams)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inval_").toString
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    // corpus A: docs 1 and 2 identical (jaccard 1.0); doc 7 unrelated
+    writeDocs(dir, Seq(
+      (1L, base), (2L, base),
+      (7L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12")))
+
+    def pairKeys(name: String): Set[(Long, Long)] =
+      rows(SparkEntry.queries(name)(spark, dir))
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    assert(pairKeys("q_dedup_minhash") === Set((1L, 2L)))
+    assert(pairKeys("q_dedup_ngram") === Set((1L, 2L)))
+
+    // rewrite IN PLACE: now docs 2 and 7 are the identical pair
+    writeDocs(dir, Seq(
+      (1L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 extra tail"),
+      (2L, base), (7L, base)))
+
+    // without fingerprinted keys both reads below would return the
+    // STALE (1,2) pair set from the first corpus
+    assert(pairKeys("q_dedup_minhash") === Set((2L, 7L)))
+    assert(pairKeys("q_dedup_ngram") === Set((2L, 7L)))
+  }
+}
