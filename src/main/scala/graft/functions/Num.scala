@@ -38,6 +38,38 @@ object Num {
   def finite(c: Column): Column =
     finiteWithin(c, Double.MaxValue)
 
+  /** WHEN a built-in round(x, 6) is cross-engine safe and when it is
+    * not — the completed triage (r9 incident + r10 sweep), used by
+    * RoundTriageSpec's tripwire:
+    *
+    * A divergence needs the TRUE value exactly on a .5e-6 boundary,
+    * i.e. (2m+1)/2e6 with 2e6 = 2^7·5^6, so the value's reduced
+    * denominator must be 2^7·5^j (j in 0..6).
+    *  - j = 0 (denominator 2^7·odd — dyadic): the boundary IS exactly
+    *    representable, both engines compute it exactly and HALF_UP
+    *    identically — safe.
+    *  - j >= 1 (640, 3200, 16000, …): NOT representable; the two
+    *    engines tie-break different views of the nearest double and
+    *    CAN disagree — the r9 sf0.1 incident class.
+    * Consequences:
+    *  - integer/quantized-grid SINGLE ratios k/n with n < 640 can
+    *    never hit a divergent boundary — built-in round stays;
+    *  - single ratios over UNBOUNDED data-dependent denominators
+    *    (table totals, degree sums, document frequencies) are
+    *    converted to [[portableRound6]] with the oracle in lockstep
+    *    (r10: shares, retention, transition/assoc/markov, AUC/PR/
+    *    kappa/brier, KS, gini/hhi/top-share/k-anon/benford, tf-idf,
+    *    vocab rate, pagerank/triangles kernels);
+    *  - COMPOSITE rationals (sums of many heterogeneous rational
+    *    terms: chi², PSI/MI/JSD log terms, OLS covariance ratios,
+    *    percentile interpolation) keep built-in round: the sum's
+    *    reduced denominator is an lcm over many terms and cannot
+    *    collapse to 2^7·5^j except on degenerate inputs, and the log/
+    *    sqrt families are irrational (ties measure-zero);
+    *  - values already ON the 1e-6 grid (re-rounds of 6dp decimals,
+    *    min/max of 2dp data) make round an identity — safe.
+    */
+
   /** Largest |x| [[portableRound6]] rounds rather than passes through:
     * keeps `x * 1e6 + 0.5` inside 2^53 (every intermediate integer
     * exact in a double on BOTH engines) and inside Spark's ANSI

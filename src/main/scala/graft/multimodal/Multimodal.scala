@@ -760,9 +760,17 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val f = ais.getFormat
+        // sample-rate gate: the WAV fmt rate field is a raw uint32 the
+        // JDK reader passes through unvalidated — a corrupted header
+        // yields 0, a NaN-ish float, or (via float→int overflow) a
+        // NEGATIVE rate, which downstream duration math divides by
+        // (found by the header-stomp fuzz sweep). 8 Hz .. 10 MHz
+        // brackets every real format (DSD tops out ~2.8 MHz).
+        val rate = f.getSampleRate
         if (f.getEncoding !=
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16 || f.getChannels < 1) None
+            f.getSampleSizeInBits != 16 || f.getChannels < 1 ||
+            !(rate >= 8f && rate <= 1e7f)) None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2

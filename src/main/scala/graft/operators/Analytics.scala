@@ -101,7 +101,11 @@ object Analytics {
       .agg(count(lit(1)).as("cohort_size"))
     cells.join(broadcast(sizes), Seq("cohort_week"))
       .withColumn("retention",
-        round(col("n_active").cast("double") / col("cohort_size"), 6))
+        // portableRound6, not round: n_active/cohort_size is an integer
+        // ratio over an unbounded cohort size — 2^7·5^j sizes (640,
+        // 3200, …) land exactly on .5e-6 ties (see Num)
+        graft.functions.Num.portableRound6(
+          col("n_active").cast("double") / col("cohort_size")))
   }
 
   /** First-order transition matrix over each user's event sequence:
@@ -145,7 +149,9 @@ object Analytics {
       .agg(count(lit(1)).as("n_trans"))
     val wp = Window.partitionBy(col("prev_type"))
     pairs.withColumn("p_trans",
-      round(col("n_trans").cast("double") / sum(col("n_trans")).over(wp), 6))
+      // same tie class: integer ratio over an unbounded row total
+      graft.functions.Num.portableRound6(
+        col("n_trans").cast("double") / sum(col("n_trans")).over(wp)))
   }
   /** Stationary distribution of the per-user behavior Markov chain —
     * the long-run companion to [[eventTransitions]]: the matrix says
@@ -188,8 +194,11 @@ object Analytics {
       val contrib = withP
         .join(x.withColumnRenamed("state", "prev_type"), Seq("prev_type"))
         .select(col("next_type").as("state"),
-          round(col("x") * (col("n_trans").cast("double")
-            / col("__rowsum").cast("double")), 6)
+          // portableRound6: a 6dp-grid x times an exact integer ratio
+          // reaches .5e-6 ties (the PageRank contribution class)
+          graft.functions.Num.portableRound6(
+            col("x") * (col("n_trans").cast("double")
+              / col("__rowsum").cast("double")))
             .cast(DecimalType(38, 6)).as("__c"))
       x = states
         .join(contrib.groupBy(col("state")).agg(sum(col("__c")).as("__s")),
@@ -200,7 +209,9 @@ object Analytics {
     x.withColumn("__mass",
         sum(col("x").cast(DecimalType(38, 6))).over(wAll).cast("double"))
       .select(col("state"), col("x").as("stationary"),
-        round(try_divide(col("x"), col("__mass")), 6).as("share"))
+        // portableRound6: 6dp-grid over 6dp-grid ratio — tie-reachable
+        graft.functions.Num.portableRound6(
+          try_divide(col("x"), col("__mass"))).as("share"))
   }
   /** Pairwise association rules over per-user item sets (market-basket
     * support / confidence / lift) — "users who touch A also touch B",
@@ -238,16 +249,22 @@ object Analytics {
       .crossJoin(broadcast(nUsers))
       .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
         col("n_ab"),
-        round(col("n_ab").cast("double") / col("__n").cast("double"), 6)
+        // portableRound6 on all four: integer ratios over unbounded
+        // user/item totals — the .5e-6 tie class (see Num)
+        graft.functions.Num.portableRound6(
+          col("n_ab").cast("double") / col("__n").cast("double"))
           .as("support"),
-        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+        graft.functions.Num.portableRound6(
+          col("n_ab").cast("double") / col("n_a").cast("double"))
           .as("conf_a_b"),
-        round(col("n_ab").cast("double") / col("n_b").cast("double"), 6)
+        graft.functions.Num.portableRound6(
+          col("n_ab").cast("double") / col("n_b").cast("double"))
           .as("conf_b_a"),
-        round((col("n_ab").cast(DecimalType(38, 0))
+        graft.functions.Num.portableRound6(
+          (col("n_ab").cast(DecimalType(38, 0))
             * col("__n").cast(DecimalType(38, 0))).cast("double")
           / (col("n_a").cast(DecimalType(38, 0))
-            * col("n_b").cast(DecimalType(38, 0))).cast("double"), 6)
+            * col("n_b").cast(DecimalType(38, 0))).cast("double"))
           .as("lift"))
   }
   /** Exact trailing-window distinct users per day ("7-day rolling

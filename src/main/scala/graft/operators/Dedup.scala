@@ -564,10 +564,29 @@ object Dedup {
     val evalTagged = evalSet.select(
       (-col("doc_id") - 1).as("doc_id"), col("text"))
     val nearIds = minhashNearDuplicatesAgainst(corpus, evalTagged, threshold)
-      .select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_a").as("doc_id"))
+    decontaminateFromNearIds(corpus, evalSet, nearIds)
+  }
+
+  /** The anti-join tail of [[decontaminate]] over a PRE-MINED
+    * contaminated-id set — the shared-scratch entry point: when the
+    * corpus-vs-eval near-dup pairs are already on disk (the same set
+    * an incremental-dedup consumer reads), decontamination is this
+    * pair-file projection plus the fingerprint channel, with no second
+    * mining pass. `nearIds` is (doc_id) — corpus docs with a near-dup
+    * in the eval set (distinct'd here; callers may pass raw pair
+    * projections). NOTE: callers own the id-collision defense the
+    * one-call path gets from its negative remap — pass nearIds mined
+    * over id-DISJOINT sides (the registry's split-by-doc_id slices are
+    * disjoint by construction).
+    */
+  def decontaminateFromNearIds(
+      corpus: DataFrame, evalSet: DataFrame, nearIds: DataFrame): DataFrame = {
+    require(!corpus.columns.contains("__eval_fp"),
+      "input column '__eval_fp' collides with decontaminate's scratch column")
     val fp = graft.functions.Text.normalizedFingerprint(col("text"))
     corpus
-      .join(nearIds, Seq("doc_id"), "left_anti")
+      .join(nearIds.distinct(), Seq("doc_id"), "left_anti")
       .join(evalSet.select(fp.as("__eval_fp")).distinct(),
         fp === col("__eval_fp"), "left_anti")
   }

@@ -92,11 +92,14 @@ object Eval {
         // try_divide: a single-class input (n_pos or n_neg = 0) reads
         // NULL, matching aucByRankGrouped's documented contract — the
         // plain division would emit NaN/Infinity into downstream gates
-        round(try_divide(
+        // portableRound6, not round: a 0.5-grid rank sum over the
+        // integer n_pos·n_neg product reaches .5e-6 ties at 2^7·5^j
+        // denominators (see Num)
+        graft.functions.Num.portableRound6(try_divide(
           col("__pos_rank_sum").cast("double")
             - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
               / lit(2.0),
-          col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }
@@ -134,8 +137,12 @@ object Eval {
       .withColumn("tp", sum(col("__np")).over(desc))
       .withColumn("__total_pos", sum(col("__np")).over(all))
       .select(col("threshold"), col("n_predicted"), col("tp"),
-        round(col("tp").cast("double") / col("n_predicted"), 6).as("precision"),
-        round(try_divide(col("tp").cast("double"), col("__total_pos")), 6)
+        // portableRound6: integer ratios over unbounded cumulative
+        // counts — the .5e-6 tie class (see Num)
+        graft.functions.Num.portableRound6(
+          col("tp").cast("double") / col("n_predicted")).as("precision"),
+        graft.functions.Num.portableRound6(
+          try_divide(col("tp").cast("double"), col("__total_pos")))
           .as("recall"))
   }
 
@@ -172,11 +179,14 @@ object Eval {
         sum(col("__np")).as("n_pos"),
         sum(col("__n") - col("__np")).as("n_neg"))
       .select(col(groupCol),
-        round(try_divide(
+        // portableRound6, not round: a 0.5-grid rank sum over the
+        // integer n_pos·n_neg product reaches .5e-6 ties at 2^7·5^j
+        // denominators (see Num)
+        graft.functions.Num.portableRound6(try_divide(
           col("__pos_rank_sum").cast("double")
             - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
               / lit(2.0),
-          col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }
@@ -201,7 +211,11 @@ object Eval {
       .select(((col("__p") - col("__y")) * (col("__p") - col("__y")))
         .cast(DecimalType(38, 12)).as("__sq"))
       .agg(
-        round(sum(col("__sq")).cast("double") / count(lit(1)), 6).as("brier"),
+        // portableRound6: scores can arrive grid-quantized, making
+        // the squared-error sum a grid value over a count — the same
+        // tie class as every other mean kernel (see Num)
+        graft.functions.Num.portableRound6(
+          sum(col("__sq")).cast("double") / count(lit(1))).as("brier"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -301,13 +315,16 @@ object Eval {
       sum(col("__c")).as("__n"))
     diagAndN.crossJoin(prodSum).select(
       col("__n").cast("long").as("n_items"),
-      round(col("__diag").cast("double") / col("__n").cast("double"), 6)
+      // portableRound6 on all three: integer ratios over unbounded
+      // item totals — the .5e-6 tie class (see Num)
+      graft.functions.Num.portableRound6(
+        col("__diag").cast("double") / col("__n").cast("double"))
         .as("p_observed"),
-      round(col("__rc").cast("double")
-        / (col("__n") * col("__n")).cast("double"), 6).as("p_chance"),
-      round(try_divide(
+      graft.functions.Num.portableRound6(col("__rc").cast("double")
+        / (col("__n") * col("__n")).cast("double")).as("p_chance"),
+      graft.functions.Num.portableRound6(try_divide(
         (col("__n") * col("__diag") - col("__rc")).cast("double"),
-        (col("__n") * col("__n") - col("__rc")).cast("double")), 6)
+        (col("__n") * col("__n") - col("__rc")).cast("double")))
         .as("kappa"))
   }
 }

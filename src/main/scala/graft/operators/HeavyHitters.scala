@@ -164,7 +164,11 @@ object HeavyHitters {
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(total) * lit(minShare))
       .select(col("key"), col("cnt"),
-        round(col("cnt").cast("double") / lit(total), 6).as("share"))
+        // portableRound6, not round: cnt/total is an integer ratio
+        // over an unbounded stream total — 2^7·5^j totals (640, 3200,
+        // …) put the true share exactly on a .5e-6 tie (see Num)
+        graft.functions.Num.portableRound6(
+          col("cnt").cast("double") / lit(total)).as("share"))
   }
 
   /** [[heavyHitters]] per group: keys exceeding `minShare` of THEIR
@@ -214,6 +218,8 @@ object HeavyHitters {
       .join(totals.as("t"), col("x.grp") <=> col("t.grp"))
       .filter(col("cnt") > col("total") * lit(minShare))
       .select(col("x.grp").as(groupCol), col("key"), col("cnt"),
-        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        // same tie class as heavyHitters' share, per-group totals
+        graft.functions.Num.portableRound6(
+          col("cnt").cast("double") / col("total")).as("share"))
   }
 }

@@ -78,15 +78,23 @@ object PageRank {
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .join(deg, "src")
           .select(col("dst"),
-            round(col("rank") / col("__pr_deg"), 6)
+            // portableRound6, not round: a 6dp rank over an integer
+            // degree lands EXACTLY on .5e-6 ties (odd numerator / even
+            // degree — rank 0.333333 over degree 2 is a real cluster
+            // shape), the cross-engine ROUND tie-divergence class (see
+            // Num); the oracle replays the identical floor chain
+            graft.functions.Num.portableRound6(
+              col("rank") / col("__pr_deg"))
               .cast(DecimalType(28, 6)).as("__pr_c"))
           .groupBy(col("dst"))
           .agg(sum(col("__pr_c")).cast("double").as("__pr_s"))
         ranks = vertices
           .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
           .select(col("id"),
-            round(lit(1.0 - damping) +
-              lit(damping) * coalesce(col("__pr_s"), lit(0.0)), 6).as("rank"))
+            // same class: 0.85·(6dp sum) hits .5e-6 whenever the
+            // summed grid value ≡ 10 (mod 20) in 1e-6 units
+            graft.functions.Num.portableRound6(lit(1.0 - damping) +
+              lit(damping) * coalesce(col("__pr_s"), lit(0.0))).as("rank"))
       }
       ranks.localCheckpoint(true)
     } finally e.unpersist()

@@ -351,7 +351,10 @@ object Profile {
           .orderBy(col("cnt").desc, col("val").asc)))
       .filter(col("val_rank") <= k)
     ranked.select(col("col_name"), col("val"), col("cnt"),
-      round(try_divide(col("cnt"), col("n_nonnull")), 6).as("share"),
+      // portableRound6: integer ratio over an unbounded column total —
+      // the .5e-6 tie class (see Num)
+      graft.functions.Num.portableRound6(
+        try_divide(col("cnt"), col("n_nonnull"))).as("share"),
       col("val_rank"), col("n_null"), col("n_distinct"))
   }
 
@@ -476,7 +479,9 @@ object Profile {
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"))
       .select(
-        round(col("__best.d"), 6).as("ks_stat"),
+        // portableRound6: the KS sup-gap is a difference of two exact
+        // integer ratios — tie-reachable at 2^7·5^j slice totals
+        graft.functions.Num.portableRound6(col("__best.d")).as("ks_stat"),
         (-col("__best.negx")).as("at_value"),
         col("n_a"), col("n_b"))
   }
@@ -571,14 +576,18 @@ object Profile {
     sums.select(
       col("n_groups"),
       col("__sx").cast("long").as("total"),
-      round(try_divide(
+      // portableRound6 on all three: exact integer ratios over
+      // unbounded corpus totals — the .5e-6 tie class (see Num)
+      graft.functions.Num.portableRound6(try_divide(
         (lit(2).cast(DecimalType(38, 0)) * col("__six")
           - (nD + lit(1)) * col("__sx")).cast("double"),
-        (nD * col("__sx")).cast("double")), 6).as("gini"),
-      round(try_divide(col("__sxx").cast("double"),
-        (col("__sx") * col("__sx")).cast("double")), 6).as("hhi"),
-      round(try_divide(col("__mx").cast("double"),
-        col("__sx").cast("double")), 6).as("top_share"))
+        (nD * col("__sx")).cast("double"))).as("gini"),
+      graft.functions.Num.portableRound6(try_divide(
+        col("__sxx").cast("double"),
+        (col("__sx") * col("__sx")).cast("double"))).as("hhi"),
+      graft.functions.Num.portableRound6(try_divide(
+        col("__mx").cast("double"),
+        col("__sx").cast("double"))).as("top_share"))
   }
 
   /** k-anonymity audit over a quasi-identifier combination — the
@@ -610,8 +619,10 @@ object Profile {
           .as("rows_at_risk"))
       .select(col("n_rows"), col("n_groups"), col("min_group"),
         col("n_small_groups"), col("rows_at_risk"),
-        round(col("rows_at_risk").cast("double")
-          / col("n_rows").cast("double"), 6).as("risk_share"))
+        // portableRound6: integer ratio over the table total
+        graft.functions.Num.portableRound6(
+          col("rows_at_risk").cast("double")
+            / col("n_rows").cast("double")).as("risk_share"))
   }
 
   /** Quantile normalization map: project the CURRENT slice's value
@@ -830,12 +841,18 @@ object Profile {
       // __total = 0 — plain division would be an ANSI DIVIDE_BY_ZERO;
       // shares read NULL instead (DuckDB's 0/0 is NULL — parity holds)
       .select(col("digit"), col("n"),
-        round(try_divide(col("n").cast("double"),
-          col("__total").cast("double")), 6).as("obs_share"),
+        // portableRound6 on the two ratio columns: n/total is an
+        // integer ratio over the table total — the .5e-6 tie class
+        // (see Num); benford_share rounds an irrational log10 constant
+        // (tie measure-zero) and stays built-in
+        graft.functions.Num.portableRound6(
+          try_divide(col("n").cast("double"),
+            col("__total").cast("double"))).as("obs_share"),
         round(element_at(bLit, col("digit")), 6).as("benford_share"),
-        round(try_divide(col("n").cast("double"),
-            col("__total").cast("double"))
-          - element_at(bLit, col("digit")), 6).as("deviation"))
+        graft.functions.Num.portableRound6(
+          try_divide(col("n").cast("double"),
+              col("__total").cast("double"))
+            - element_at(bLit, col("digit"))).as("deviation"))
   }
 
   /** Jensen–Shannon divergence between two slices' CATEGORICAL

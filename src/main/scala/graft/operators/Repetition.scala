@@ -56,7 +56,13 @@ object Repetition {
         col("doc_id"),
         col("t").cast("int").as("n_tokens"),
         col("types").cast("int").as("n_types"),
-        round(col("c2").cast("double") / (col("t") * col("t")), 6).as("simpson"),
+        // portableRound6, not round: Σc²/t² is an integer ratio whose
+        // denominator is a SQUARE — v2(t²) reaches 7+ at t = 80-style
+        // token counts (2^8·5^2), putting a non-dyadic .5e-6 boundary
+        // in reach of real docs; the floor-chain round removes the
+        // engine tie-convention from the contract entirely (see Num)
+        graft.functions.Num.portableRound6(
+          col("c2").cast("double") / (col("t") * col("t"))).as("simpson"),
         round(log2(col("t").cast("double")) - col("clc") / col("t"), 6)
           .as("entropy"))
   }

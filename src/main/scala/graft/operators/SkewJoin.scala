@@ -100,7 +100,10 @@ object SkewJoin {
       .select(
         col(keyCol),
         col("cnt"),
-        round(col("cnt").cast("double") / col("__total"), 6).as("share"))
+        // portableRound6, not round: cnt/total over an unbounded table
+        // total — 2^7·5^j totals land exactly on .5e-6 ties (see Num)
+        graft.functions.Num.portableRound6(
+          col("cnt").cast("double") / col("__total")).as("share"))
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
   }

@@ -46,7 +46,10 @@ object TfIdf {
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * col("n_docs").cast("double") / col("df"), 6))
+        // portableRound6: tf·N/df is an integer ratio over an unbounded
+        // document frequency — the .5e-6 tie class (see Num)
+        graft.functions.Num.portableRound6(
+          col("tf") * col("n_docs").cast("double") / col("df")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     scored.withColumn("term_rank", row_number().over(w))
@@ -167,8 +170,11 @@ object TfIdf {
         // try_divide: a checkpoint before the first real token
         // (leading blank docs) is 0/0 — plain double division reads
         // NaN, which poisons downstream sorts; the house rule is NULL
-        round(try_divide(col("cum_vocab").cast("double"),
-          col("cum_tokens").cast("double")), 6).as("vocab_rate"))
+        // portableRound6: integer ratio over the growing corpus
+        // token total — the .5e-6 tie class (see Num)
+        graft.functions.Num.portableRound6(
+          try_divide(col("cum_vocab").cast("double"),
+            col("cum_tokens").cast("double"))).as("vocab_rate"))
       .orderBy(col("doc_id"))
   }
 

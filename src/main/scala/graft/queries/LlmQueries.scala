@@ -74,6 +74,21 @@ object LlmQueries {
       Dedup.gramHashes(docs(s, dir), 8, col("doc_id")).distinct()
     }
 
+  /** Corpus-vs-eval near-dup pairs (doc_a < 400 corpus, doc_b >= 400
+    * eval, jaccard >= 0.8), mined once per run — q_dedup_incremental
+    * ships the pairs and q_decontaminate projects its contaminated-id
+    * channel from the same file, so the cross-side LSH + exact-verify
+    * mine runs once, not twice. The two id spaces are disjoint by
+    * construction (one table split on doc_id), which is the collision
+    * precondition [[Dedup.decontaminateFromNearIds]] documents.
+    */
+  private def crossPairs(s: SparkSession, dir: String) =
+    Scratch.cached(s, "crosspairs", dir, "t=0.8;split=400") {
+      val d = docs(s, dir)
+      Dedup.minhashNearDuplicatesAgainst(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+    }
+
   /** embeddings with ANN column names; probes = 5 smallest vec_ids. */
   private def corpus(s: SparkSession, dir: String) =
     embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -141,7 +156,9 @@ object LlmQueries {
     ("pairstats3", () => Scratch.resetKind("pairstats3"),
       Set("q_dedup_ngram", "q_dedup_contain")),
     ("grams8", () => Scratch.resetKind("grams8"),
-      Set("q_decon_ngram", "q_decon_overlap")))
+      Set("q_decon_ngram", "q_decon_overlap")),
+    ("crosspairs", () => Scratch.resetKind("crosspairs"),
+      Set("q_decontaminate", "q_dedup_incremental")))
 
   /** Reset every shared-scratch cache — the per-pass call. */
   def resetSharedScratch(): Unit = sharedScratchCaches.foreach(_._2())
@@ -250,20 +267,22 @@ object LlmQueries {
     // first 400 — checked against the exact cross-boundary jaccard
     // oracle (the LSH recall argument of q_dedup_minhash applies
     // unchanged).
+    // Ships the run's shared cross-boundary pair parquet (crossPairs).
     "q_dedup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.minhashNearDuplicatesAgainst(
-        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+      crossPairs(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Benchmark decontamination: the first 400 docs minus everything
     // that leaks the "eval set" (docs >= 400) through the exact
     // normalized-fingerprint OR the near-duplicate channel.
+    // The near-dup channel reads the shared cross-pair parquet
+    // (crossPairs) — the fingerprint channel stays inline (map-side).
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.decontaminate(
-        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400), 0.8)
+      Dedup.decontaminateFromNearIds(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        crossPairs(s, dir).select(col("doc_a").as("doc_id")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -1961,7 +1980,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q_graph_triangles" ->
       (ShingleCte +
-        """, e AS (
+        s""", e AS (
           |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.8
           |), deg AS (
           |  SELECT v, COUNT(*) AS d FROM (
@@ -1980,12 +1999,13 @@ object LlmQueries {
           |SELECT st.n_nodes, ec.n_edges,
           |  CAST(st.w2 // 2 AS BIGINT) AS n_wedges,
           |  CAST(tri.t AS BIGINT) AS n_triangles,
-          |  ROUND(CAST(6 * tri.t AS DOUBLE) / CAST(st.w2 AS DOUBLE), 6)
+          |  ${graft.functions.Num.portableRound6Sql(
+              "CAST(6 * tri.t AS DOUBLE) / CAST(st.w2 AS DOUBLE)")}
           |    AS global_cc
           |FROM st, ec, tri""".stripMargin),
     "q_graph_pagerank" ->
       (ShingleCte +
-        """, e AS (
+        s""", e AS (
           |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
           |  UNION
           |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
@@ -1998,21 +2018,25 @@ object LlmQueries {
           |  SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM vtx
           |), c1 AS (
           |  SELECT e.v AS id,
-          |    CAST(SUM(CAST(ROUND(r.rank / deg.d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+          |    CAST(SUM(CAST(${graft.functions.Num.portableRound6Sql(
+              "r.rank / deg.d")} AS DECIMAL(28,6))) AS DOUBLE) AS s
           |  FROM e JOIN r0 r ON e.u = r.id JOIN deg ON e.u = deg.u
           |  GROUP BY e.v
           |), r1 AS (
-          |  SELECT v.id, ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |    + 0.85 * COALESCE(c1.s, 0.0), 6) AS rank
+          |  SELECT v.id, ${graft.functions.Num.portableRound6Sql(
+              "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) " +
+                "+ 0.85 * COALESCE(c1.s, 0.0)")} AS rank
           |  FROM vtx v LEFT JOIN c1 ON v.id = c1.id
           |), c2 AS (
           |  SELECT e.v AS id,
-          |    CAST(SUM(CAST(ROUND(r.rank / deg.d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+          |    CAST(SUM(CAST(${graft.functions.Num.portableRound6Sql(
+              "r.rank / deg.d")} AS DECIMAL(28,6))) AS DOUBLE) AS s
           |  FROM e JOIN r1 r ON e.u = r.id JOIN deg ON e.u = deg.u
           |  GROUP BY e.v
           |), r2 AS (
-          |  SELECT v.id, ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |    + 0.85 * COALESCE(c2.s, 0.0), 6) AS rank
+          |  SELECT v.id, ${graft.functions.Num.portableRound6Sql(
+              "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) " +
+                "+ 0.85 * COALESCE(c2.s, 0.0)")} AS rank
           |  FROM vtx v LEFT JOIN c2 ON v.id = c2.id
           |)
           |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin),
@@ -2102,7 +2126,7 @@ object LlmQueries {
       // list_filter(w <> '') replays Text.nonEmptyTokens: doubled /
       // leading / trailing spaces must not mint a '' term (it would
       // score and shift every df) — same fix as the four oracles below
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |    w -> w <> '')) AS term FROM documents
         |), tf AS (
@@ -2113,7 +2137,8 @@ object LlmQueries {
         |  SELECT COUNT(*) AS n_docs FROM documents
         |), scored AS (
         |  SELECT tf.doc_id, tf.term,
-        |    ROUND(tf.tf * (SELECT n_docs FROM n)::DOUBLE / dfreq.df, 6) AS score
+        |    ${graft.functions.Num.portableRound6Sql(
+            "tf.tf * (SELECT n_docs FROM n)::DOUBLE / dfreq.df")} AS score
         |  FROM tf JOIN dfreq USING (term)
         |), r AS (
         |  SELECT doc_id, term, score,
@@ -2292,15 +2317,19 @@ object LlmQueries {
          |SELECT chunk_key, n_docs, n_occurrences FROM g
          |WHERE n_docs >= 2 ORDER BY chunk_key""".stripMargin,
     "q_text_diversity" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY doc_id, tok
         |)
-        |SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_tokens,
-        | CAST(COUNT(*) AS INT) AS n_types,
-        | ROUND(SUM(cnt * cnt)::DOUBLE / (SUM(cnt) * SUM(cnt)), 6) AS simpson
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_tokens, n_types,
+        | ${graft.functions.Num.portableRound6Sql("raw_simpson")} AS simpson
+        |FROM (
+        |  SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_tokens,
+        |    CAST(COUNT(*) AS INT) AS n_types,
+        |    SUM(cnt * cnt)::DOUBLE / (SUM(cnt) * SUM(cnt)) AS raw_simpson
+        |  FROM c GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_domains" ->
       """WITH planted AS (
         |  SELECT CASE WHEN doc_id % 3 = 0
@@ -2985,7 +3014,7 @@ object LlmQueries {
         |    COUNT(*) AS n_probes, CAST(COUNT(frk) AS BIGINT) AS n_hit
         |  FROM pp LEFT JOIN rel USING (probe_id))""".stripMargin,
     "q_eval_sliced" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT (vec_id % 3) AS seg, CAST(embedding[2] AS DOUBLE) AS sc,
         |    (label % 2) AS y
         |  FROM embeddings
@@ -2999,13 +3028,16 @@ object LlmQueries {
         |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
         |  FROM g
         |)
-        |SELECT seg AS segment,
-        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
-        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
-        |    / NULLIF(SUM(np)::DOUBLE * SUM(n - np)::DOUBLE, 0), 6) AS auc,
-        |  CAST(SUM(np) AS BIGINT) AS n_pos,
-        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
-        |FROM r GROUP BY seg ORDER BY segment""".stripMargin,
+        |SELECT segment, ${graft.functions.Num.portableRound6Sql(
+            "raw_auc")} AS auc, n_pos, n_neg FROM (
+        |  SELECT seg AS segment,
+        |    (CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
+        |      - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
+        |      / NULLIF(SUM(np)::DOUBLE * SUM(n - np)::DOUBLE, 0) AS raw_auc,
+        |    CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n - np) AS BIGINT) AS n_neg
+        |  FROM r GROUP BY seg)
+        |ORDER BY segment""".stripMargin,
     "q_eval_ece" ->
       s"""WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS score, (label % 2) AS y
@@ -3260,7 +3292,7 @@ object LlmQueries {
          |  FROM terms GROUP BY probe_id) s ON s.probe_id = p.vec_id
          |ORDER BY probe_id""".stripMargin,
     "q_eval_kappa" ->
-      """WITH r AS (
+      s"""WITH r AS (
         |  SELECT CAST(label % 3 AS VARCHAR) AS a,
         |    CAST((label + CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) % 3
         |      AS VARCHAR) AS b
@@ -3279,15 +3311,18 @@ object LlmQueries {
         |  FROM c
         |)
         |SELECT CAST(d.n AS BIGINT) AS n_items,
-        |  ROUND(CAST(d.diag AS DOUBLE) / CAST(d.n AS DOUBLE), 6)
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(d.diag AS DOUBLE) / CAST(d.n AS DOUBLE)")}
         |    AS p_observed,
-        |  ROUND(CAST(rc.rc AS DOUBLE) / CAST(d.n * d.n AS DOUBLE), 6)
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(rc.rc AS DOUBLE) / CAST(d.n * d.n AS DOUBLE)")}
         |    AS p_chance,
-        |  ROUND(CAST(d.n * d.diag - rc.rc AS DOUBLE)
-        |    / CAST(d.n * d.n - rc.rc AS DOUBLE), 6) AS kappa
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(d.n * d.diag - rc.rc AS DOUBLE)" +
+              " / CAST(d.n * d.n - rc.rc AS DOUBLE)")} AS kappa
         |FROM d, rc""".stripMargin,
     "q_eval_auc" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS sc, (label % 2) AS y
         |  FROM embeddings
         |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
@@ -3300,15 +3335,17 @@ object LlmQueries {
         |      + (n + 1)::DOUBLE / 2.0 AS avg_rank
         |  FROM g
         |)
-        |SELECT
-        |  ROUND((CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
-        |    - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
-        |    / (SUM(np)::DOUBLE * SUM(n - np)::DOUBLE), 6) AS auc,
-        |  CAST(SUM(np) AS BIGINT) AS n_pos,
-        |  CAST(SUM(n - np) AS BIGINT) AS n_neg
-        |FROM r""".stripMargin,
+        |SELECT ${graft.functions.Num.portableRound6Sql("raw_auc")} AS auc,
+        |  n_pos, n_neg FROM (
+        |  SELECT
+        |    (CAST(SUM(CAST(np::DOUBLE * avg_rank AS DECIMAL(38,1))) AS DOUBLE)
+        |      - SUM(np)::DOUBLE * (SUM(np) + 1)::DOUBLE / 2.0)
+        |      / (SUM(np)::DOUBLE * SUM(n - np)::DOUBLE) AS raw_auc,
+        |    CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n - np) AS BIGINT) AS n_neg
+        |  FROM r)""".stripMargin,
     "q_eval_pr" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS threshold, (label % 2) AS y
         |  FROM embeddings
         |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL
@@ -3318,8 +3355,10 @@ object LlmQueries {
         |SELECT threshold,
         |  CAST(SUM(n) OVER w AS BIGINT) AS n_predicted,
         |  CAST(SUM(np) OVER w AS BIGINT) AS tp,
-        |  ROUND((SUM(np) OVER w)::DOUBLE / (SUM(n) OVER w), 6) AS precision,
-        |  ROUND((SUM(np) OVER w)::DOUBLE / t.total_pos, 6) AS recall
+        |  ${graft.functions.Num.portableRound6Sql(
+            "(SUM(np) OVER w)::DOUBLE / (SUM(n) OVER w)")} AS precision,
+        |  ${graft.functions.Num.portableRound6Sql(
+            "(SUM(np) OVER w)::DOUBLE / t.total_pos")} AS recall
         |FROM g CROSS JOIN t
         |WINDOW w AS (ORDER BY threshold DESC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3515,14 +3554,16 @@ object LlmQueries {
         |FROM r WHERE es_rank <= 3
         |ORDER BY lang, es_rank""".stripMargin,
     "q_eval_brier" ->
-      """SELECT
-        |  ROUND(CAST(SUM(CAST(
-        |    ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
-        |    * ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
-        |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS brier,
-        |  CAST(COUNT(*) AS BIGINT) AS n_rows
-        |FROM embeddings
-        |WHERE embedding[2] IS NOT NULL AND label IS NOT NULL""".stripMargin,
+      s"""SELECT ${graft.functions.Num.portableRound6Sql("raw_brier")} AS brier,
+        |  n_rows FROM (
+        |  SELECT
+        |    CAST(SUM(CAST(
+        |      ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
+        |      * ((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 - (label % 2))
+        |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS raw_brier,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM embeddings
+        |  WHERE embedding[2] IS NOT NULL AND label IS NOT NULL)""".stripMargin,
     "q_sample_reservoir" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -3668,7 +3709,7 @@ object LlmQueries {
         |   / COUNT(*), 6) AS oov_rate
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_growth" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |    w -> w <> '')) AS tok FROM documents
         |), pd AS (
@@ -3698,7 +3739,8 @@ object LlmQueries {
         |SELECT CAST(rk AS INT) AS n_docs, doc_id,
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
-        |  ROUND(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS vocab_rate
+        |  ${graft.functions.Num.portableRound6Sql(
+            "cum_vocab::DOUBLE / cum_tokens::DOUBLE")} AS vocab_rate
         |FROM r WHERE rk % 50 = 0 ORDER BY doc_id""".stripMargin,
     "q_text_urlcanon" ->
       """WITH u AS (

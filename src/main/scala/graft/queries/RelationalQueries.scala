@@ -2836,12 +2836,13 @@ object RelationalQueries {
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_skew_keys" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
         |), t AS (
         |  SELECT COUNT(*) AS total FROM orders
         |)
-        |SELECT o_custkey, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
+        |SELECT o_custkey, cnt, ${graft.functions.Num.portableRound6Sql(
+            "cnt::DOUBLE / total")} AS share
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, o_custkey LIMIT 25""".stripMargin,
     "q_sketch_cms" ->
@@ -2926,7 +2927,7 @@ object RelationalQueries {
         |  FROM est2 CROSS JOIN ex2
         |) ORDER BY rel""".stripMargin,
     "q_sketch_heavy_group" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |  SELECT o_orderpriority,
         |    CASE WHEN o_orderkey % 4 = 0 THEN 'hot_' || (o_orderkey % 3)
         |         ELSE 'cold_' || o_custkey END AS key
@@ -2938,7 +2939,7 @@ object RelationalQueries {
         |  FROM keyed GROUP BY 1, 2
         |)
         |SELECT c.o_orderpriority, c.key, c.cnt,
-        |  ROUND(c.cnt::DOUBLE / t.total, 6) AS share
+        |  ${graft.functions.Num.portableRound6Sql("c.cnt::DOUBLE / t.total")} AS share
         |FROM c JOIN t USING (o_orderpriority)
         |-- CAST AS DOUBLE: a bare 0.03 parses as DECIMAL and computes
         |-- total*0.03 EXACTLY, while the Spark side multiplies by the
@@ -2951,13 +2952,14 @@ object RelationalQueries {
         |  o_totalprice AS total, o_orderdate::DATE AS odate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sketch_heavy" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'hot_' || (o_orderkey % 3)
         |              ELSE 'cold_' || o_custkey END AS key
         |  FROM orders
         |), t AS (SELECT COUNT(*) AS total FROM keyed),
         |c AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY 1)
-        |SELECT key, cnt, ROUND(cnt::DOUBLE / total, 6) AS share
+        |SELECT key, cnt, ${graft.functions.Num.portableRound6Sql(
+            "cnt::DOUBLE / total")} AS share
         |FROM c CROSS JOIN t
         |-- CAST AS DOUBLE: lockstep with the Spark side's double
         |-- threshold (see q_sketch_heavy_group's note)
@@ -3064,7 +3066,7 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_bins
         |FROM tt""".stripMargin,
     "q_profile_ks" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
         |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b
@@ -3085,7 +3087,8 @@ object RelationalQueries {
         |  SELECT x, abs(fa::DOUBLE / na - fb::DOUBLE / nb) AS gap, na, nb
         |  FROM st
         |)
-        |SELECT ROUND((SELECT MAX(gap) FROM g), 6) AS ks_stat,
+        |SELECT ${graft.functions.Num.portableRound6Sql(
+            "(SELECT MAX(gap) FROM g)")} AS ks_stat,
         |  (SELECT x FROM g WHERE gap = (SELECT MAX(gap) FROM g)
         |   ORDER BY x LIMIT 1) AS at_value,
         |  CAST((SELECT MAX(na) FROM g) AS BIGINT) AS n_a,
@@ -3234,7 +3237,7 @@ object RelationalQueries {
         |LEFT JOIN g USING (bucket_x, bucket_y)
         |ORDER BY bucket_x, bucket_y""".stripMargin,
     "q_profile_gini" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT CAST(source AS VARCHAR) AS g,
         |    SUM(CAST(n_chars AS HUGEINT)) AS x
         |  FROM documents WHERE source IS NOT NULL GROUP BY 1
@@ -3246,13 +3249,15 @@ object RelationalQueries {
         |  FROM r
         |)
         |SELECT CAST(n AS BIGINT) AS n_groups, CAST(sx AS BIGINT) AS total,
-        |  ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-        |    / CAST(n * sx AS DOUBLE), 6) AS gini,
-        |  ROUND(CAST(sxx AS DOUBLE) / CAST(sx * sx AS DOUBLE), 6) AS hhi,
-        |  ROUND(CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top_share
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)")} AS gini,
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(sxx AS DOUBLE) / CAST(sx * sx AS DOUBLE)")} AS hhi,
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE)")} AS top_share
         |FROM s""".stripMargin,
     "q_profile_kanon" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
         |  FROM customer GROUP BY 1, 2
         |)
@@ -3263,8 +3268,9 @@ object RelationalQueries {
         |    AS n_small_groups,
         |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
         |    AS rows_at_risk,
-        |  ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
-        |    / CAST(SUM(sz) AS DOUBLE), 6) AS risk_share
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)" +
+              " / CAST(SUM(sz) AS DOUBLE)")} AS risk_share
         |FROM g""".stripMargin,
     "q_profile_chi2" ->
       """WITH c AS (
@@ -3957,7 +3963,7 @@ object RelationalQueries {
         | CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid' ELSE 'low' END AS value_band
         |FROM events ORDER BY event_id""".stripMargin,
     "q_profile_cat" ->
-      """WITH pairs AS (
+      s"""WITH pairs AS (
         |  SELECT 'o_orderstatus' AS col_name,
         |    CAST(o_orderstatus AS VARCHAR) AS val FROM orders
         |  UNION ALL
@@ -3979,7 +3985,8 @@ object RelationalQueries {
         |    ORDER BY cnt DESC, val ASC) AS INT) AS val_rank
         |  FROM agg WHERE val IS NOT NULL
         |)
-        |SELECT col_name, val, cnt, ROUND(cnt / n_nonnull, 6) AS share,
+        |SELECT col_name, val, cnt,
+        |  ${graft.functions.Num.portableRound6Sql("cnt / n_nonnull")} AS share,
         |  val_rank, n_null, n_distinct
         |FROM ranked WHERE val_rank <= 3
         |ORDER BY col_name, val_rank""".stripMargin,
@@ -4094,12 +4101,13 @@ object RelationalQueries {
          |  SELECT digit, n, SUM(n) OVER () AS total FROM j
          |)
          |SELECT digit, CAST(n AS BIGINT) AS n,
-         |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+         |  ${graft.functions.Num.portableRound6Sql(
+             "CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS obs_share,
          |  ROUND(CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
          |    AS DOUBLE), 6) AS benford_share,
-         |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
-         |    - CAST(([${Profile.BenfordShares.mkString(", ")}])[digit]
-         |      AS DOUBLE), 6) AS deviation
+         |  ${graft.functions.Num.portableRound6Sql(
+             "CAST(n AS DOUBLE) / CAST(total AS DOUBLE)" +
+               s" - CAST(([${Profile.BenfordShares.mkString(", ")}])[digit] AS DOUBLE)")} AS deviation
          |FROM t ORDER BY digit""".stripMargin,
     "q_ts_trending" ->
       """WITH d AS (
@@ -4473,7 +4481,7 @@ object RelationalQueries {
         |FROM att WHERE ts - tts <= INTERVAL 7 DAY
         |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_cohort" ->
-      """WITH firsts AS (
+      s"""WITH firsts AS (
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
         |  FROM events GROUP BY user_id
         |), active AS (
@@ -4487,11 +4495,12 @@ object RelationalQueries {
         |  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
         |)
         |SELECT cohort_week, week_offset, n_active, cohort_size,
-        |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(n_active AS DOUBLE) / cohort_size")} AS retention
         |FROM cells JOIN sizes USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_event_transitions" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT user_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS prev_type
@@ -4501,8 +4510,8 @@ object RelationalQueries {
         |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT prev_type, next_type, n_trans,
-        |  ROUND(CAST(n_trans AS DOUBLE)
-        |    / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY prev_type)")} AS p_trans
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q_golden_record" ->
       """WITH src AS (
@@ -4602,7 +4611,7 @@ object RelationalQueries {
         |    / CAST(prev_cnt AS DOUBLE), 6) AS pct_change
         |FROM l ORDER BY event_type, day""".stripMargin,
     "q_assoc_rules" ->
-      """WITH ut AS (
+      s"""WITH ut AS (
         |  SELECT DISTINCT user_id AS u, CAST(event_type AS VARCHAR) AS i
         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |), nn AS (
@@ -4617,21 +4626,23 @@ object RelationalQueries {
         |SELECT p.item_a, p.item_b,
         |  CAST(a.ni AS BIGINT) AS n_a, CAST(b.ni AS BIGINT) AS n_b,
         |  CAST(p.n_ab AS BIGINT) AS n_ab,
-        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(p.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE)")}
         |    AS support,
-        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(a.ni AS DOUBLE), 6)
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(p.n_ab AS DOUBLE) / CAST(a.ni AS DOUBLE)")}
         |    AS conf_a_b,
-        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(b.ni AS DOUBLE), 6)
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(p.n_ab AS DOUBLE) / CAST(b.ni AS DOUBLE)")}
         |    AS conf_b_a,
-        |  ROUND(CAST(CAST(p.n_ab AS HUGEINT) * CAST(nn.n AS HUGEINT)
-        |      AS DOUBLE)
-        |    / CAST(CAST(a.ni AS HUGEINT) * CAST(b.ni AS HUGEINT)
-        |      AS DOUBLE), 6) AS lift
+        |  ${graft.functions.Num.portableRound6Sql(
+            "CAST(CAST(p.n_ab AS HUGEINT) * CAST(nn.n AS HUGEINT) AS DOUBLE)" +
+              " / CAST(CAST(a.ni AS HUGEINT) * CAST(b.ni AS HUGEINT) AS DOUBLE)")} AS lift
         |FROM p JOIN ic a ON a.i = p.item_a JOIN ic b ON b.i = p.item_b
         |CROSS JOIN nn
         |ORDER BY item_a, item_b""".stripMargin,
     "q_graph_markov" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT user_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS prev_type
@@ -4651,8 +4662,8 @@ object RelationalQueries {
         |    / (SELECT COUNT(*) FROM st), 6) AS x FROM st
         |), c1 AS (
         |  SELECT rs.next_type AS s,
-        |    CAST(ROUND(x0.x * (CAST(rs.n_trans AS DOUBLE)
-        |      / CAST(rs.rowsum AS DOUBLE)), 6) AS DECIMAL(38,6)) AS t
+        |    CAST(${graft.functions.Num.portableRound6Sql(
+            "x0.x * (CAST(rs.n_trans AS DOUBLE) / CAST(rs.rowsum AS DOUBLE))")} AS DECIMAL(38,6)) AS t
         |  FROM rs JOIN x0 ON x0.s = rs.prev_type
         |), x1 AS (
         |  SELECT st.s,
@@ -4660,8 +4671,8 @@ object RelationalQueries {
         |  FROM st LEFT JOIN c1 ON c1.s = st.s GROUP BY st.s
         |), c2 AS (
         |  SELECT rs.next_type AS s,
-        |    CAST(ROUND(x1.x * (CAST(rs.n_trans AS DOUBLE)
-        |      / CAST(rs.rowsum AS DOUBLE)), 6) AS DECIMAL(38,6)) AS t
+        |    CAST(${graft.functions.Num.portableRound6Sql(
+            "x1.x * (CAST(rs.n_trans AS DOUBLE) / CAST(rs.rowsum AS DOUBLE))")} AS DECIMAL(38,6)) AS t
         |  FROM rs JOIN x1 ON x1.s = rs.prev_type
         |), x2 AS (
         |  SELECT st.s,
@@ -4672,6 +4683,7 @@ object RelationalQueries {
         |    CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER () AS DOUBLE) AS mass
         |  FROM x2
         |)
-        |SELECT s AS state, x AS stationary, ROUND(x / mass, 6) AS share
+        |SELECT s AS state, x AS stationary,
+        |  ${graft.functions.Num.portableRound6Sql("x / mass")} AS share
         |FROM f ORDER BY state""".stripMargin)
 }

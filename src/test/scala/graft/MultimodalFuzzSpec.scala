@@ -66,7 +66,26 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       rnd.nextBytes(tail)
       (s"append#$i+${tail.length}", orig ++ tail)
     }
-    flips ++ truncs ++ stomps ++ appends
+    // Deterministic HEADER-REGION sweep (r9 verdict asked whether
+    // truncations inside the strf header are exercised — the random
+    // truncations above only hit it by luck): every container header
+    // these fixtures carry (RIFF/avih/strh/strf, GIF LSD, BMP
+    // BITMAPINFOHEADER, WAV fmt) sits in the first few hundred bytes,
+    // so cut at EVERY 4-byte offset there, and stomp a random word at
+    // every 8-byte offset — a parser that trusts any header field
+    // without re-bounding against the real array fails one of these
+    // seeds reproducibly, not probabilistically.
+    val headerTruncs = (0 until math.min(orig.length, 512) by 4)
+      .map(n => (s"htrunc@$n", orig.take(n)))
+    val headerStomps = (0 until math.min(math.max(0, orig.length - 4), 256) by 8)
+      .map { off =>
+        val m = orig.clone()
+        val v = rnd.nextInt()
+        var j = 0
+        while (j < 4) { m(off + j) = ((v >>> (8 * j)) & 0xff).toByte; j += 1 }
+        (s"hstomp@$off=$v", m)
+      }
+    flips ++ truncs ++ stomps ++ appends ++ headerTruncs ++ headerStomps
   }
 
   private def assertFramesContract(label: String, payload: Array[Byte]): Unit = {

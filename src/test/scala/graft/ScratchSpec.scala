@@ -32,29 +32,35 @@ class ScratchSpec extends SparkTestBase {
     assert(fp1 !== fp2, "rewritten table => new fingerprint")
   }
 
-  test("registry consumers re-derive after an in-place docs rewrite (pairs + shingles + grams)") {
+  test("registry consumers re-derive after an in-place docs rewrite (pairs + shingles + cross-pairs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inval_").toString
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
-    // corpus A: docs 1 and 2 identical (jaccard 1.0); doc 7 unrelated
+    // corpus A: docs 1 and 2 identical (jaccard 1.0); doc 401 (the
+    // eval side of the 400 split) identical too — so the full-corpus
+    // pair set and the cross-boundary pair set both have known answers
     writeDocs(dir, Seq(
-      (1L, base), (2L, base),
+      (1L, base), (2L, base), (401L, base),
       (7L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12")))
 
     def pairKeys(name: String): Set[(Long, Long)] =
       rows(SparkEntry.queries(name)(spark, dir))
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
 
-    assert(pairKeys("q_dedup_minhash") === Set((1L, 2L)))
-    assert(pairKeys("q_dedup_ngram") === Set((1L, 2L)))
+    assert(pairKeys("q_dedup_minhash") === Set((1L, 2L), (1L, 401L), (2L, 401L)))
+    assert(pairKeys("q_dedup_ngram") === Set((1L, 2L), (1L, 401L), (2L, 401L)))
+    assert(pairKeys("q_dedup_incremental") === Set((1L, 401L), (2L, 401L)))
 
-    // rewrite IN PLACE: now docs 2 and 7 are the identical pair
+    // rewrite IN PLACE: now docs 2 and 7 are the identical pair and
+    // nothing matches the eval side
     writeDocs(dir, Seq(
       (1L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 extra tail"),
-      (2L, base), (7L, base)))
+      (2L, base), (7L, base),
+      (401L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")))
 
-    // without fingerprinted keys both reads below would return the
-    // STALE (1,2) pair set from the first corpus
+    // without fingerprinted keys the reads below would return the
+    // STALE pair sets from the first corpus
     assert(pairKeys("q_dedup_minhash") === Set((2L, 7L)))
     assert(pairKeys("q_dedup_ngram") === Set((2L, 7L)))
+    assert(pairKeys("q_dedup_incremental") === Set.empty)
   }
 }
