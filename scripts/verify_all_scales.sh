@@ -22,9 +22,20 @@ JOPTS="$JOPTS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 
 rm -rf "$OUT"
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+# The dump tool's exit status must not be masked by the log filter
+# (ADVICE r10: `| grep ... || true` defeated pipefail, so a mid-sweep
+# crash surfaced only as a confusing missing-dump-dir error from the
+# checker). Log to a file, fail fast on the tool's own status, THEN
+# filter the log for the summary lines.
+DUMP_LOG="$(mktemp /tmp/verify_all_dump.XXXXXX.log)"
+if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $JOPTS \
-  graft.tools.VerifyAllScales "$OUT" 2>&1 | grep -E "\[verify" || true
+  graft.tools.VerifyAllScales "$OUT" >"$DUMP_LOG" 2>&1; then
+  echo "VerifyAllScales failed; last log lines:" >&2
+  tail -30 "$DUMP_LOG" >&2
+  exit 1
+fi
+grep -E "\[verify" "$DUMP_LOG" || true
 
 status=0
 for sf in sf0.001 sf0.01 sf0.1; do

@@ -643,8 +643,11 @@ object Streams {
     * here: stored (doc_id, fp, bk) rows, so per-batch signature work
     * scales with the BATCH; re-deriving corpus signatures per batch
     * would grow every micro-batch linearly with corpus age) — and
-    * (3) the survivors are APPENDED to the accepted store and their
-    * fingerprint/signature rows to the sidecar table. A pre-sidecar
+    * (3) the survivors are COMMITTED to the accepted store — written
+    * once to a staging dir, file-renamed in, sidecar rows re-derived
+    * from the moved files (see the commit-step comment in the body
+    * for why this shape: the naive persist-and-append-twice commit
+    * executed the whole pipeline 2-3x per batch). A pre-sidecar
     * accepted store is migrated on first touch (one corpus pass).
     *
     * `foreachBatch` is the only tool that expresses this: the
@@ -652,8 +655,8 @@ object Streams {
     * cross-batch self-dependency outside any built-in stateful
     * operator; the checkpoint guarantees each batch is admitted
     * exactly once across restarts. Restart caveat: a crash between
-    * the parquet append and the checkpoint commit would re-admit the
-    * batch on replay; the production hardening is the versioned
+    * the staged-file moves and the checkpoint commit would re-admit
+    * the batch on replay; the production hardening is the versioned
     * snapshot + pointer-swing commit of [[streamingLatestMerge]] —
     * kept plain here so the admission logic stays the subject.
     */
@@ -687,9 +690,10 @@ object Streams {
         // (1) near-dup within the batch. Releasable variant: this loop
         // runs EVERY micro-batch, and the plain form would pin one
         // banded-signature cache per batch for the life of the stream.
-        // The banded frame comes back too — the sidecar write below
-        // reads survivors' signatures from this cache instead of
-        // re-paying the shingle + 128-minimum pass per batch.
+        // The banded frame comes back too — the corpus near-dup channel
+        // below reuses it for the batch side of its band join instead
+        // of re-deriving the shingle + 128-minimum pass on a fresh
+        // subtree.
         val (withinPairs, batchBands, releaseBands) =
           Dedup.minhashNearDuplicatesWithBands(exactSurvivors, threshold)
         try {
@@ -736,22 +740,54 @@ object Streams {
                 .select(col("doc_b").as("doc_id")).distinct()
               afterExact.join(corpusDupes, Seq("doc_id"), "left_anti")
             }
-          // (3) append docs (original schema) + their sidecar rows —
-          // signatures come from the ALREADY-CACHED batch bands (a
-          // survivors-filtered view), never a second signature pass.
-          // Survivors are PERSISTED across the two writes: both sinks
-          // consume the same admission pipeline, which would otherwise
-          // execute twice per batch (exact dedup, within-batch pairs,
-          // both corpus channels).
-          val surv = survivors
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            surv.drop("__fp").write
-              .mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptedDir)
-            surv.select(col("doc_id"), col("__fp").as("fp"))
-              .join(batchBands, Seq("doc_id"), "left")
-              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
-          } finally surv.unpersist()
+          // (3) commit: run the admission pipeline ONCE into a staging
+          // dir, MOVE the part files into the accepted store with
+          // filesystem renames, and derive the sidecar rows from the
+          // moved files. The r10 bench's only weak flag traced here —
+          // the previous persist-then-write-twice commit ran the FULL
+          // pipeline (exact dedup, within-batch LSH, both corpus
+          // channels — ~25 AQE stage-jobs) two to three times per
+          // micro-batch, through two stacked Spark behaviors measured
+          // with a per-job listener:
+          //   (a) a v1 file write does not POPULATE its source's cold
+          //       persist() cache — each write re-executed the
+          //       pipeline instead of materializing-once;
+          //   (b) even with the cache force-materialized by a count(),
+          //       the survivors append to acceptedDir INVALIDATES the
+          //       cache entry (CacheManager.recacheByPath — survivors'
+          //       lineage reads acceptedDir from batch 1 on), so the
+          //       sidecar write re-ran the pipeline regardless.
+          // File renames bypass both: no second consumer of the
+          // pipeline exists, so no cache is needed at all. Sidecar
+          // fp/bk rows are re-derived from the MOVED files by
+          // [[sidecarRows]] (the migration helper — one definition):
+          // a single tiny file-scan job per batch, deterministic, so
+          // values match what a batchBands join would have produced.
+          // S3-class stores pay a copy per rename; on HDFS/local the
+          // move is metadata-only.
+          val staging =
+            new org.apache.hadoop.fs.Path(acceptedDir + ".staging")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          survivors.drop("__fp").write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(staging.toString)
+          if (!fs.exists(path)) fs.mkdirs(path)
+          val moved = fs.listStatus(staging).toSeq
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .map { st =>
+              val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+              if (!fs.rename(st.getPath, dst))
+                throw new java.io.IOException(
+                  s"failed to move ${st.getPath} into $acceptedDir")
+              dst.toString
+            }
+          // Empty-survivor batches move nothing and must skip the
+          // sidecar write (a zero-path parquet read cannot infer a
+          // schema); an empty append would write no rows anyway.
+          if (moved.nonEmpty)
+            sidecarRows(spark.read.parquet(moved: _*)).write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+          fs.delete(staging, true)
         } finally releaseBands()
       } finally b.unpersist()
     }

@@ -480,6 +480,68 @@ class StreamsSpec extends SparkTestBase {
     assert(rows(Streams.readLatestMergeTarget(spark, target)).size === 3)
   }
 
+  test("ST11 commit: sidecar table equals re-derived rows of the accepted " +
+    "store; empty-survivor batch moves nothing; no staging residue") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("admit")
+    val drop = Files.createDirectories(base.resolve("drop"))
+    val accepted = base.resolve("accepted").toString
+    // One file per micro-batch (maxFilesPerTrigger=1), mtime-ordered:
+    //   b0: doc 1 (shingled) + doc 2 (2 words — NO shingles, exact
+    //       channel only; its sidecar row must carry bk NULL)
+    //   b1: doc 3 = exact dup of 1 (rejected), doc 4 admitted
+    //   b2: doc 5 = exact dup of 4 — ZERO survivors: the commit must
+    //       move no files and skip the sidecar append (the read-back
+    //       of zero paths would throw)
+    val longA = "alpha beta gamma delta epsilon zeta eta theta"
+    val longB = "one two three four five six seven eight nine"
+    Seq(
+      s"""{"doc_id":1,"text":"$longA"}""" + "\n" +
+        s"""{"doc_id":2,"text":"hi there"}""",
+      s"""{"doc_id":3,"text":"$longA"}""" + "\n" +
+        s"""{"doc_id":4,"text":"$longB"}""",
+      s"""{"doc_id":5,"text":"$longB"}"""
+    ).zipWithIndex.foreach { case (content, i) =>
+      val f = drop.resolve(s"b$i.json")
+      Files.writeString(f, content)
+      Files.setLastModifiedTime(f, FileTime.fromMillis(1700000000000L + i * 2000L))
+    }
+    val ckpt = Files.createTempDirectory("admitckpt").toString
+    val docs = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(drop.toString)
+    val q = Streams.streamingDedupAdmission(docs, accepted, ckpt).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val acc = spark.read.parquet(accepted)
+    assert(rows(acc.select("doc_id")).map(_.getLong(0)).sorted === Seq(1L, 2L, 4L))
+    // The invariant the per-batch commit must uphold for every FUTURE
+    // batch's two corpus channels: the sidecar equals the rows
+    // re-derived from the accepted store (fp for every doc; one bk
+    // row per band, bk NULL for shingle-less docs).
+    val expected = acc
+      .select(col("doc_id"),
+        graft.functions.Text.normalizedFingerprint(col("text")).as("fp"))
+      .join(graft.operators.Dedup.signatureRows(acc), Seq("doc_id"), "left")
+    val got = spark.read.parquet(accepted + "_sigs")
+    assert(got.columns.sorted === Array("bk", "doc_id", "fp"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        Option(r.getAs[Any]("bk")).map(_.toString).orNull)
+    assert(rows(got).map(key).sorted === rows(expected).map(key).sorted)
+    // doc 2 (no shingles) appears exactly once, with a NULL band key
+    assert(rows(got.filter(col("doc_id") === 2)).map(key) ===
+      Seq((2L, rows(expected.filter(col("doc_id") === 2)).head.getAs[String]("fp"), null)))
+    // staging is cleaned up even after the empty-survivor batch
+    assert(!Files.exists(Paths.get(accepted + ".staging")),
+      "staging dir left behind by the commit step")
+  }
+
   test("left-outer stream-stream join: unmatched report emits null weather " +
     "after the watermark passes; open sentinel stays buffered") {
     val out = rows(graft.SparkEntry.queries("q_stream_join_outer")(spark, ""))
