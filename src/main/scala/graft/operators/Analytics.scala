@@ -188,8 +188,13 @@ object Analytics {
       .unionByName(trans.select(col("next_type").as("state")))
       .distinct()
     val wAll = Window.partitionBy(lit(1))
+    // portableRound6 (r11 triage): the uniform init 1/N is an integer
+    // ratio over the data-dependent state count — N in the divergent
+    // 640-family (640, 3200, …) puts it exactly on a .5e-6 tie. Small
+    // here, unbounded in general; oracle x0 in lockstep.
     var x = states.withColumn("x",
-      round(lit(1.0) / count(lit(1)).over(wAll), 6))
+      graft.functions.Num.portableRound6(
+        lit(1.0) / count(lit(1)).over(wAll)))
     for (_ <- 1 to iters) {
       val contrib = withP
         .join(x.withColumnRenamed("state", "prev_type"), Seq("prev_type"))

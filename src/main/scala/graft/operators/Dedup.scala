@@ -319,7 +319,14 @@ object Dedup {
         col("n_common").cast("double") /
           (col("n_sh_a") + col("n_sh_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // portableRound6, not the builtin: an integer ratio over a
+      // data-dependent union size |A|+|B|-|A∩B| reaches .5e-6 ties
+      // whenever the reduced denominator is 2^7·5^j, j >= 1 (640,
+      // 3200, …) — the exact r9 cross-engine ROUND-tie class, live
+      // here because document shingle-set sizes are unbounded
+      // (ADVICE r10). Oracle lockstep: portableRound6Sql.
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Num.portableRound6(col("jaccard")).as("jaccard"))
 
   /** The per-doc distinct-shingle frame (doc_id, sh) every n-gram
     * miner starts from — ONE definition so the shared-scratch path
@@ -409,9 +416,12 @@ object Dedup {
       .withColumn("contain_a", col("n_common").cast("double") / col("n_sh_a"))
       .withColumn("contain_b", col("n_common").cast("double") / col("n_sh_b"))
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+      // portableRound6 for the same reason as [[jaccardFromStats]]:
+      // k/|A| with unbounded data-dependent |A| is the live ROUND-tie
+      // class. Oracle lockstep: portableRound6Sql.
       .select(col("doc_a"), col("doc_b"),
-        round(col("contain_a"), 6).as("contain_a"),
-        round(col("contain_b"), 6).as("contain_b"))
+        graft.functions.Num.portableRound6(col("contain_a")).as("contain_a"),
+        graft.functions.Num.portableRound6(col("contain_b")).as("contain_b"))
   }
 
   /** Exact Jaccard pair mining with PREFIX FILTERING (the PPJoin family
@@ -709,7 +719,12 @@ object Dedup {
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
           size(array_union(col("a.sh"), col("b.sh"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // portableRound6 like [[jaccardFromStats]]: |∩|/|∪| is an
+      // integer ratio over unbounded set sizes — the live ROUND-tie
+      // class (oracle lockstep in the minhash/prefix/incremental
+      // oracle SQL).
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Num.portableRound6(col("jaccard")).as("jaccard"))
 
   /** Connected components over a near-duplicate PAIR list — the step
     * that turns pairwise matches into dedup decisions. Every document

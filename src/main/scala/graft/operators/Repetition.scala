@@ -120,7 +120,12 @@ object Repetition {
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("cov"), lit(0L)).cast("int").as("covered_tokens"),
-        coalesce(round(col("cov").cast("double") / col("n_tokens"), 6), lit(0.0))
+        // portableRound6 (r11 triage): cov/n_tokens is an integer
+        // ratio over the doc's token count — <= 100 in the shipped
+        // testdata, unbounded for a real corpus, where the divergent
+        // 640-family denominator is reachable. Oracle in lockstep.
+        coalesce(graft.functions.Num.portableRound6(
+            col("cov").cast("double") / col("n_tokens")), lit(0.0))
           .as("dup_span_frac"))
   }
 
@@ -203,9 +208,14 @@ object Repetition {
         col("doc_id"),
         coalesce(col("total"), lit(0L)).cast("int").as("n_grams"),
         coalesce(col("uniq"), lit(0L)).cast("int").as("n_unique_grams"),
-        coalesce(round(col("mx").cast("double") / col("total"), 6), lit(0.0))
+        // portableRound6 (r11 triage): mx/total and dup/total are
+        // integer ratios over the doc's gram count — unbounded in a
+        // real corpus (the dupSpanStats rationale). Oracle in lockstep.
+        coalesce(graft.functions.Num.portableRound6(
+            col("mx").cast("double") / col("total")), lit(0.0))
           .as("top_gram_frac"),
-        coalesce(round(col("dup").cast("double") / col("total"), 6), lit(0.0))
+        coalesce(graft.functions.Num.portableRound6(
+            col("dup").cast("double") / col("total")), lit(0.0))
           .as("dup_gram_frac"))
   }
 }

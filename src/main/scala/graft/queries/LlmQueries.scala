@@ -819,10 +819,17 @@ object LlmQueries {
     // two exact decimal means is exact; ordering by it is total with
     // the pos tie-break.
     "q_embed_drift" -> ((s, dir) => {
+      // portableRound6 throughout (r11 triage): the per-(grp,pos) mean
+      // is a 6dp-quantized decimal sum over COUNT(*) — the r9 hot tie
+      // class, REACHABLE here (2000 embeddings split ~1000/grp: a sum
+      // ≡ 500 mod 1000 puts the mean exactly on a .5e-6 boundary with
+      // reduced denominator 2e6 = 2^7·5^6). Input quantization and the
+      // abs-difference convert in lockstep with the oracle.
+      import graft.functions.Num.portableRound6
       val ex = embs(s, dir).select((col("label") % 2).as("grp"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("grp"), col("pos"),
-          round(col("x").cast("double"), 6).as("xr"))
+          portableRound6(col("x").cast("double")).as("xr"))
       val m = ex.groupBy(col("grp"), col("pos"))
         .agg((sum(col("xr").cast(
             org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
@@ -830,9 +837,9 @@ object LlmQueries {
       m.filter(col("grp") === 0).select(col("pos"), col("mean").as("m0"))
         .join(m.filter(col("grp") === 1)
           .select(col("pos"), col("mean").as("m1")), Seq("pos"))
-        .select(col("pos"), round(col("m0"), 6).as("mean_a"),
-          round(col("m1"), 6).as("mean_b"),
-          round(abs(col("m0") - col("m1")), 6).as("abs_drift"))
+        .select(col("pos"), portableRound6(col("m0")).as("mean_a"),
+          portableRound6(col("m1")).as("mean_b"),
+          portableRound6(abs(col("m0") - col("m1"))).as("abs_drift"))
         .orderBy(col("abs_drift").desc, col("pos"))
     }),
 
@@ -1164,7 +1171,13 @@ object LlmQueries {
         Text.tokenCount(col("text")).as("n_tokens"),
         Text.uniqueTokenCount(col("text")).as("n_unique"),
         round(Text.typeTokenRatio(col("text")), 6).as("ttr"),
-        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        // punct_ratio: portableRound6 (r11 triage) — k/length(text) is
+        // an integer ratio over the CHAR length (577 max at sf0.1;
+        // the divergent 640-family is one data-growth step away).
+        // ttr/stopword_ratio keep the builtin: their denominator is
+        // the word count, capped at 100 < 128 (no reachable tie).
+        graft.functions.Num.portableRound6(
+          Text.punctRatio(col("text"))).as("punct_ratio"),
         round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         Text.qualityFlag(col("text")).as("quality_ok"))
         .orderBy(col("doc_id"))
@@ -2202,7 +2215,7 @@ object LlmQueries {
         |    AS INT) AS n_gpt2
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_text_dupspan" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g0 AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
         |    i -> struct_pack(p := i,
@@ -2222,7 +2235,8 @@ object LlmQueries {
         |)
         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
         |  CAST(COALESCE(cov.cov, 0) AS INT) AS covered_tokens,
-        |  COALESCE(ROUND(CAST(cov.cov AS DOUBLE) / len(w), 6), 0.0) AS dup_span_frac
+        |  COALESCE(${graft.functions.Num.portableRound6Sql(
+            "CAST(cov.cov AS DOUBLE) / len(w)")}, 0.0) AS dup_span_frac
         |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2274,7 +2288,7 @@ object LlmQueries {
         |   '[0-9]{9,}', '<ID>', 'g') AS masked_text
         |FROM planted ORDER BY doc_id""".stripMargin,
     "q_text_rep" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -2290,8 +2304,10 @@ object LlmQueries {
         |SELECT d.doc_id,
         | CAST(COALESCE(a.total, 0) AS INT) AS n_grams,
         | CAST(COALESCE(a.uniq, 0) AS INT) AS n_unique_grams,
-        | ROUND(COALESCE(a.mx::DOUBLE / a.total, 0.0), 6) AS top_gram_frac,
-        | ROUND(COALESCE(a.dup::DOUBLE / a.total, 0.0), 6) AS dup_gram_frac
+        | ${graft.functions.Num.portableRound6Sql(
+            "COALESCE(a.mx::DOUBLE / a.total, 0.0)")} AS top_gram_frac,
+        | ${graft.functions.Num.portableRound6Sql(
+            "COALESCE(a.dup::DOUBLE / a.total, 0.0)")} AS dup_gram_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_boilerplate" ->
@@ -2357,13 +2373,18 @@ object LlmQueries {
         | COUNT(*) AS n_copies
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY 1 ORDER BY content_key""".stripMargin,
+    // portableRound6Sql on j (integer ratio over unbounded union
+    // sizes — the r9 ROUND-tie class), lockstep with
+    // Dedup.jaccardFromStats / verifyJaccard.
     "q_dedup_ngram" ->
       (ShingleCte +
-        """
-          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+        s"""
+          |SELECT doc_a, doc_b,
+          |  ${graft.functions.Num.portableRound6Sql("j")} AS jaccard
+          |FROM pairs
           |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_contain" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), d AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -2378,8 +2399,9 @@ object LlmQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
         |)
-        |SELECT doc_a, doc_b, ROUND(ca, 6) AS contain_a,
-        |  ROUND(cb, 6) AS contain_b
+        |SELECT doc_a, doc_b,
+        |  ${graft.functions.Num.portableRound6Sql("ca")} AS contain_a,
+        |  ${graft.functions.Num.portableRound6Sql("cb")} AS contain_b
         |FROM pairs WHERE greatest(ca, cb) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab_bpe" -> DuckBpeOracle,
@@ -2440,18 +2462,24 @@ object LlmQueries {
          |ORDER BY id""".stripMargin,
     "q_dedup_prefix" ->
       (ShingleCte +
-        """
-          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+        s"""
+          |SELECT doc_a, doc_b,
+          |  ${graft.functions.Num.portableRound6Sql("j")} AS jaccard
+          |FROM pairs
           |WHERE j >= 0.4 ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_minhash" ->
       (ShingleCte +
-        """
-          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+        s"""
+          |SELECT doc_a, doc_b,
+          |  ${graft.functions.Num.portableRound6Sql("j")} AS jaccard
+          |FROM pairs
           |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_incremental" ->
       (ShingleCte +
-        """
-          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM pairs
+        s"""
+          |SELECT doc_a, doc_b,
+          |  ${graft.functions.Num.portableRound6Sql("j")} AS jaccard
+          |FROM pairs
           |WHERE j >= 0.8 AND doc_a < 400 AND doc_b >= 400
           |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_clusters" ->
@@ -3419,17 +3447,20 @@ object LlmQueries {
          |UNION ALL SELECT 2 + rk, id FROM r2
          |ORDER BY sel_rank""".stripMargin),
     "q_embed_drift" ->
-      """WITH ex AS (
+      s"""WITH ex AS (
         |  SELECT (label % 2) AS grp, CAST(j AS INT) AS pos,
-        |    ROUND(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE), 6) AS xr
+        |    ${graft.functions.Num.portableRound6Sql(
+              "CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)")} AS xr
         |  FROM embeddings CROSS JOIN range(64) r(j)
         |), m AS (
         |  SELECT grp, pos,
         |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean
         |  FROM ex GROUP BY grp, pos
         |)
-        |SELECT a.pos, ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
-        |  ROUND(ABS(a.mean - b.mean), 6) AS abs_drift
+        |SELECT a.pos,
+        |  ${graft.functions.Num.portableRound6Sql("a.mean")} AS mean_a,
+        |  ${graft.functions.Num.portableRound6Sql("b.mean")} AS mean_b,
+        |  ${graft.functions.Num.portableRound6Sql("ABS(a.mean - b.mean)")} AS abs_drift
         |FROM (SELECT pos, mean FROM m WHERE grp = 0) a
         |JOIN (SELECT pos, mean FROM m WHERE grp = 1) b USING (pos)
         |ORDER BY abs_drift DESC, pos""".stripMargin,
@@ -4017,21 +4048,22 @@ object LlmQueries {
         |    CASE WHEN NOT r_repetition THEN 'repetition' END) AS fail_reasons
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
         | ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS ttr,
-        | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        | ${graft.functions.Num.portableRound6Sql(
+            """CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |   (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
-        |   / length(text) END, 6) AS punct_ratio,
+        |   / length(text) END""")} AS punct_ratio,
         | ROUND(len(list_filter(string_split(text, ' '),
         |     t -> t IN ('the','a','an','of','to','and','in','is','for','on','with')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS stopword_ratio,
         | (len(string_split(text, ' ')) >= 10
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) >= 2.0
         |   AND length(text)::DOUBLE / len(string_split(text, ' ')) <= 12.0
-        |   AND (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+        |   AND (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
         |     / length(text) < 0.2) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_lang" ->

@@ -2588,9 +2588,14 @@ object RelationalQueries {
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       daily
         .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+        // portableRound6 (r11 triage): (cnt-prev)/prev is an integer
+        // ratio over an unbounded daily volume — daily counts reach
+        // 739 at sf0.1, so the divergent 640-family denominator is
+        // reachable. Oracle in lockstep.
         .withColumn("pct_change",
-          round(try_divide((col("cnt") - col("prev_cnt")).cast("double"),
-            col("prev_cnt").cast("double")), 6))
+          graft.functions.Num.portableRound6(
+            try_divide((col("cnt") - col("prev_cnt")).cast("double"),
+              col("prev_cnt").cast("double"))))
         .orderBy(col("event_type"), col("day"))
     }),
 
@@ -4597,7 +4602,7 @@ object RelationalQueries {
         |FROM votes v WHERE v.day IN (SELECT day FROM days)
         |GROUP BY v.day ORDER BY v.day""".stripMargin,
     "q_ts_daychange" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
         |    AS day, COUNT(*) AS cnt
         |  FROM events GROUP BY 1, 2
@@ -4607,8 +4612,8 @@ object RelationalQueries {
         |  FROM d
         |)
         |SELECT event_type, day, cnt, CAST(prev_cnt AS BIGINT) AS prev_cnt,
-        |  ROUND(CAST(cnt - prev_cnt AS DOUBLE)
-        |    / CAST(prev_cnt AS DOUBLE), 6) AS pct_change
+        |  ${graft.functions.Num.portableRound6Sql(
+             "CAST(cnt - prev_cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE)")} AS pct_change
         |FROM l ORDER BY event_type, day""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH ut AS (
@@ -4658,8 +4663,8 @@ object RelationalQueries {
         |  SELECT DISTINCT s FROM (
         |    SELECT prev_type AS s FROM c UNION ALL SELECT next_type FROM c)
         |), x0 AS (
-        |  SELECT s, ROUND(CAST(1 AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM st), 6) AS x FROM st
+        |  SELECT s, ${graft.functions.Num.portableRound6Sql(
+            "CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM st)")} AS x FROM st
         |), c1 AS (
         |  SELECT rs.next_type AS s,
         |    CAST(${graft.functions.Num.portableRound6Sql(

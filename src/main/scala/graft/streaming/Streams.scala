@@ -765,8 +765,8 @@ object Streams {
           // values match what a batchBands join would have produced.
           // S3-class stores pay a copy per rename; on HDFS/local the
           // move is metadata-only.
-          val staging =
-            new org.apache.hadoop.fs.Path(acceptedDir + ".staging")
+          val staging = new org.apache.hadoop.fs.Path(
+            acceptedDir.stripSuffix("/") + ".staging")
           if (fs.exists(staging)) fs.delete(staging, true)
           survivors.drop("__fp").write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)

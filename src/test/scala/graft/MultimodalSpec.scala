@@ -236,6 +236,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeAudio(payload.take(30)).isEmpty)
   }
 
+  test("WAV sample-rate gate: exact boundary values accept/reject (8 Hz .. 10 MHz)") {
+    // minimal canonical 44-byte PCM WAV with a parametric fmt rate +
+    // 4 16-bit samples — the r10 fuzz fix gated the raw uint32 rate
+    // field; this pins the gate's exact edges.
+    def wav(rate: Long): Array[Byte] = {
+      def le32(v: Long) = Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      val data = Array[Byte](0, 1, 0, 2, 0, 3, 0, 4)
+      val fmt = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+        le16(2) ++ le16(16)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
+        "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    assert(Multimodal.decodeAudio(wav(8L)).exists(_.sampleRate == 8),
+      "8 Hz is the inclusive lower edge")
+    assert(Multimodal.decodeAudio(wav(7L)).isEmpty, "7 Hz below the gate")
+    assert(Multimodal.decodeAudio(wav(10000000L)).exists(_.sampleRate == 10000000),
+      "10 MHz is the inclusive upper edge")
+    // NOT 10_000_001: the gate compares the JDK's FLOAT rate, and
+    // 10000001f rounds to exactly 1e7 (float spacing is 2 up here) —
+    // 10000002 is the smallest representable value above the edge
+    assert(Multimodal.decodeAudio(wav(10000002L)).isEmpty,
+      "first representable rate above 10 MHz rejects")
+    assert(Multimodal.decodeAudio(wav(0L)).isEmpty, "zero rate rejects")
+    // full-uint32 rate: the float->int overflow shape the fuzz sweep
+    // caught (reads as a huge/negative float) must reject, not crash
+    assert(Multimodal.decodeAudio(wav(0xFFFFFFFFL)).isEmpty)
+  }
+
   test("isqrt equals floor sqrt on exact squares, off-by-one bands, big longs") {
     val isqrtMax = 3037000499L // floor sqrt of Long.MaxValue
     for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 24L, 25L, 26L,

@@ -32,6 +32,42 @@ class ScratchSpec extends SparkTestBase {
     assert(fp1 !== fp2, "rewritten table => new fingerprint")
   }
 
+  test("cached: same fingerprint reuses; rewrite evicts the superseded scratch dir; nested call throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_").toString
+    writeDocs(dir, Seq((1L, "a b c d")))
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def scratchDirs(): Long = {
+      val s = java.nio.file.Files.list(tmpRoot)
+      try s.filter(_.getFileName.toString.startsWith("graft_testev_")).count()
+      finally s.close()
+    }
+    val docs = () => spark.read.parquet(s"$dir/documents.parquet")
+    val before = scratchDirs()
+    assert(rows(Scratch.cached(spark, "testev", dir, "p")(docs())).size === 1)
+    assert(scratchDirs() === before + 1)
+    // unchanged source: served from the stored file — the builder must
+    // not run (it would throw)
+    assert(rows(Scratch.cached(spark, "testev", dir, "p")(
+      sys.error("builder ran on an unchanged fingerprint"))).size === 1)
+    assert(scratchDirs() === before + 1)
+    // in-place rewrite: re-derives AND deletes the superseded scratch
+    // dir (ADVICE r10: entries/dirs used to accumulate per rewrite)
+    writeDocs(dir, Seq((1L, "x y z w"), (2L, "q r s t")))
+    assert(rows(Scratch.cached(spark, "testev", dir, "p")(docs())).size === 2)
+    assert(scratchDirs() === before + 1,
+      "superseded scratch dir not deleted on fingerprint change")
+    // nested cached call from inside a builder: loud failure, not a
+    // computeIfAbsent deadlock (r10 verdict item 4)
+    val e = intercept[IllegalStateException] {
+      Scratch.cached(spark, "testev_outer", dir, "p") {
+        Scratch.cached(spark, "testev_inner", dir, "p")(docs())
+      }
+    }
+    assert(e.getMessage.contains("nested Scratch.cached"))
+    // the guard resets: a top-level call after the failure still works
+    assert(rows(Scratch.cached(spark, "testev_inner", dir, "p")(docs())).size === 2)
+  }
+
   test("registry consumers re-derive after an in-place docs rewrite (pairs + shingles + cross-pairs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inval_").toString
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
