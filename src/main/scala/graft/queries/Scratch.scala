@@ -129,11 +129,18 @@ object Scratch {
     val path = cache.compute((kind, dir, param), { (_, prev) =>
       if (prev != null && prev._1 == fp) prev
       else {
-        if (prev != null) deleteRecursively(prev._2)
+        // Build the replacement FIRST, evict the superseded dir only
+        // after the write succeeds (ADVICE r11): deleting up front
+        // left a failed rebuild's mapping pointing at a deleted path,
+        // so the next consumer read FileNotFoundException instead of
+        // retrying the build. Frames handed out before the rewrite
+        // are invalidated by contract once the old dir goes — the
+        // fingerprint moved, so their source data is gone regardless.
         val out = QueryUtil.scratchDir(s"graft_${kind}_") + s"/$kind"
         inBuilder.set(java.lang.Boolean.TRUE)
         try build.write.mode("overwrite").parquet(out)
         finally inBuilder.set(java.lang.Boolean.FALSE)
+        if (prev != null) deleteRecursively(prev._2)
         (fp, out)
       }
     })._2

@@ -68,6 +68,49 @@ class ScratchSpec extends SparkTestBase {
     assert(rows(Scratch.cached(spark, "testev_inner", dir, "p")(docs())).size === 2)
   }
 
+  test("cached: a FAILED rebuild keeps the previous entry servable (build-then-evict order)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fail_").toString
+    writeDocs(dir, Seq((1L, "a b c d")))
+    val df1 = Scratch.cached(spark, "testfail", dir, "p")(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    assert(rows(df1).size === 1)
+    // in-place rewrite moves the fingerprint; the rebuild THROWS —
+    // before the ADVICE r11 fix the superseded dir was deleted up
+    // front, so df1 (and any retry that hit the stale mapping) read
+    // FileNotFoundException instead of the old data / a clean retry
+    writeDocs(dir, Seq((1L, "x y z w"), (2L, "q r s t")))
+    intercept[RuntimeException] {
+      Scratch.cached(spark, "testfail", dir, "p")(sys.error("rebuild boom"))
+    }
+    assert(rows(df1).size === 1,
+      "pre-rewrite frame lost its files after a FAILED rebuild")
+    // the retry builds cleanly and only THEN evicts the old dir
+    assert(rows(Scratch.cached(spark, "testfail", dir, "p")(
+      spark.read.parquet(s"$dir/documents.parquet"))).size === 2)
+  }
+
+  test("eviction is confined to the entry's own unique scratch parent (r11 verdict: pin the scratchDir coupling)") {
+    // deleteRecursively walks the WRITTEN PATH'S PARENT — correct only
+    // because scratchDir mints a fresh temp dir per call. A future
+    // refactor sharing one parent across entries must fail here, not
+    // silently nuke sibling caches on the first eviction.
+    val d1 = graft.queries.QueryUtil.scratchDir("graft_uniq_")
+    val d2 = graft.queries.QueryUtil.scratchDir("graft_uniq_")
+    assert(d1 !== d2, "scratchDir returned a shared directory")
+    val dir = java.nio.file.Files.createTempDirectory("graft_coup_").toString
+    writeDocs(dir, Seq((1L, "a b c d")))
+    val docs = () => spark.read.parquet(s"$dir/documents.parquet")
+    Scratch.cached(spark, "testcoupA", dir, "p")(docs())
+    val dfB = Scratch.cached(spark, "testcoupB", dir, "p")(docs())
+    assert(rows(dfB).size === 1)
+    // rewrite + rebuild kind A only: its eviction must not take kind
+    // B's files with it
+    writeDocs(dir, Seq((1L, "x y z w"), (2L, "q r s t")))
+    assert(rows(Scratch.cached(spark, "testcoupA", dir, "p")(docs())).size === 2)
+    assert(rows(dfB).size === 1,
+      "evicting kind A's scratch dir deleted kind B's files — shared parent")
+  }
+
   test("registry consumers re-derive after an in-place docs rewrite (pairs + shingles + cross-pairs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inval_").toString
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
