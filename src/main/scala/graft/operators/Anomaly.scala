@@ -77,10 +77,18 @@ object Anomaly {
     val varDen = (nD * nD).cast("double")
     val z = try_divide(col(valueCol).cast("double") - mean,
       sqrt(varNum / varDen))
+    // portableRound6, not builtin round (r11 verdict item 6): both
+    // mean and z are integer-ratio doubles (Σx/n; a fixed IEEE chain
+    // over exact integers), exactly the family whose representable
+    // half-ulp ties made Spark's HALF_UP and DuckDB's banker's ROUND
+    // disagree in r9/r10 — and because the ratios sit in plain Scala
+    // vals, this was the ONE site the RoundTriageSpec source scan
+    // could not see (its documented blind spot, closed by conversion).
     withStats
       .withColumn("mean_prior",
-        when(col("__n") >= minPrior, round(mean, 6)))
-      .withColumn("z", when(col("__n") >= minPrior, round(z, 6)))
+        when(col("__n") >= minPrior, graft.functions.Num.portableRound6(mean)))
+      .withColumn("z",
+        when(col("__n") >= minPrior, graft.functions.Num.portableRound6(z)))
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__n", "__sx", "__sxx")

@@ -4206,11 +4206,21 @@ object RelationalQueries {
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
         |      / CAST(n * n AS DOUBLE)) AS sd
         |  FROM s
+        |), z0 AS (
+        |  SELECT event_type, bucket, cnt, n, mu,
+        |    CASE WHEN sd <> 0 THEN num / sd END AS zraw
+        |  FROM t
         |), z AS (
         |  SELECT event_type, bucket, cnt,
-        |    CASE WHEN n >= 12 THEN ROUND(mu, 6) END AS mean_prior,
-        |    CASE WHEN n >= 12 AND sd <> 0 THEN ROUND(num / sd, 6) END AS zz
-        |  FROM t
+        |    CASE WHEN n >= 12 THEN
+        |      (CASE WHEN (mu) BETWEEN -9e9 AND 9e9
+        |        THEN FLOOR((mu) * 1e6 + 0.5) / 1e6 ELSE (mu) END)
+        |    END AS mean_prior,
+        |    CASE WHEN n >= 12 THEN
+        |      (CASE WHEN (zraw) BETWEEN -9e9 AND 9e9
+        |        THEN FLOOR((zraw) * 1e6 + 0.5) / 1e6 ELSE (zraw) END)
+        |    END AS zz
+        |  FROM z0
         |)
         |SELECT event_type, bucket, cnt, mean_prior, zz AS z,
         |  COALESCE(abs(zz) > 3.0, FALSE) AS is_anomaly
