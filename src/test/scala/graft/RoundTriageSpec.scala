@@ -23,8 +23,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * Known blind spot: a round over a plain Scala `val` whose definition
   * holds the ratio (e.g. `val mean = sum(..)/count(..); round(mean, 6)`)
   * is invisible to any local textual scan — the review waves own that
-  * shape; the one known instance (Anomaly's windowed trailing mean) is
-  * documented below with the pins.
+  * shape. The one known instance (Anomaly's windowed trailing
+  * mean/z) was converted to portableRound6 in oracle lockstep in r12,
+  * so there are currently ZERO known sites of the class.
   *
   * Documented-safe classes (r9/r10 triage, judge-adjudicated; the
   * number theory lives in Num's scaladoc):
@@ -44,11 +45,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RoundTriageSpec extends AnyFunSuite {
 
-  private def stripComments(text: String): String =
-    text.linesIterator.filterNot { l =>
+  /** Line-based comment stripping with REAL block-comment state
+    * (ADVICE r11): the previous version dropped any '*'-prefixed line,
+    * so a genuine round(...) site wrapped operator-first
+    * (`* col("x") / n` continuation style) was silently invisible —
+    * a second blind-spot class beyond the documented val-laundering
+    * one. Now a line is dropped only while inside a slash-star region
+    * (tracked across lines; this codebase's scaladoc style opens and
+    * closes block comments at line starts) or when it is a whole-line
+    * `//` comment. Residual (accepted): code trailing a same-line
+    * block-comment CLOSE is dropped with the line, and trailing
+    * end-of-line comments are kept (harmless: they can only ADD
+    * flagged text, never hide a code site).
+    */
+  private def stripComments(text: String): String = {
+    val out = Seq.newBuilder[String]
+    var inBlock = false
+    text.linesIterator.foreach { l =>
       val s = l.trim
-      s.startsWith("*") || s.startsWith("//") || s.startsWith("/*")
-    }.mkString("\n")
+      if (inBlock) { if (s.contains("*/")) inBlock = false }
+      else if (s.startsWith("/*")) { if (!s.contains("*/")) inBlock = true }
+      else if (!s.startsWith("//")) out += l
+    }
+    out.result().mkString("\n")
+  }
 
   /** Whitespace-normalized, margin-pipe-stripped view of a file: pins
     * survive rewrapping of both Scala expressions and `|`-margin SQL.
@@ -175,9 +195,7 @@ class RoundTriageSpec extends AnyFunSuite {
       ("RelationalQueries.scala",
         """round((syd - (num / vx) * sxd) / CAST(n AS DOUBLE) / 100.0, 6)"""),
       ("RelationalQueries.scala",
-        """round(num / sd, 6)"""), // slope: num/sd over ~1e10-scale 1e-4-grid sums
-      ("RelationalQueries.scala",
-        """round(num / vx, 6)"""),
+        """round(num / vx, 6)"""), // slope: num/vx over ~1e10-scale 1e-4-grid sums
 
       // ---- small denominator (n < 128 by construction or data contract) ----
       ("LlmQueries.scala",
@@ -234,8 +252,12 @@ class RoundTriageSpec extends AnyFunSuite {
       // ---- quantile interpolation (r9/r10-adjudicated percentile path) ----
       ("Profile.scala",
         """round(col("__q"), 6)"""),
+      // the r12 stripComments rebuild made this site's '*'-continuation
+      // lines visible (the exact ADVICE r11 false-negative class): the
+      // pin below is the FULL interpolation chain the old scanner
+      // truncated at the first operator-first line
       ("Profile.scala",
-        """round(col("__alo") + (col("__p") - col("__lo").cast("double")) .as("mapped"))"""))
+        """round(col("__alo") + (col("__p") - col("__lo").cast("double")) * (coalesce(col("__ahi"), col("__alo")) - col("__alo")), """))
 
     val found = scan()
     val untriaged = found.diff(pinnedSafe)
