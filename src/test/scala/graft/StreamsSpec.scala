@@ -542,6 +542,83 @@ class StreamsSpec extends SparkTestBase {
       "staging dir left behind by the commit step")
   }
 
+  test("ST11 replay: committed batch skips via its marker; a marker-less " +
+    "partial land is cleaned and redone — exactly-once either side of the crash") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("admitreplay")
+    val drop = Files.createDirectories(base.resolve("drop"))
+    val accepted = base.resolve("accepted").toString
+    val longA = "alpha beta gamma delta epsilon zeta eta theta"
+    val longB = "one two three four five six seven eight nine"
+    val longC = "red orange yellow green blue indigo violet umber"
+    Seq(
+      s"""{"doc_id":1,"text":"$longA"}""",
+      s"""{"doc_id":4,"text":"$longB"}""",
+      s"""{"doc_id":6,"text":"$longC"}""" // last batch LANDS files (6 is new)
+    ).zipWithIndex.foreach { case (content, i) =>
+      val f = drop.resolve(s"b$i.json")
+      Files.writeString(f, content)
+      Files.setLastModifiedTime(f, FileTime.fromMillis(1700000000000L + i * 2000L))
+    }
+    val ckpt = Files.createTempDirectory("admitreplayckpt").toString
+    def runOnce(): Unit = {
+      val docs = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(drop.toString)
+      val q = Streams.streamingDedupAdmission(docs, accepted, ckpt).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    def docIds = rows(spark.read.parquet(accepted).select("doc_id"))
+      .map(_.getLong(0)).sorted
+    def landedNames = new java.io.File(accepted).listFiles()
+      .filter(_.isFile).map(_.getName).sorted.toSeq
+    assert(docIds === Seq(1L, 4L, 6L))
+    val names0 = landedNames
+    val marker = new java.io.File(accepted, "_commits/batch-2")
+    assert(marker.exists, "commit marker for the last batch missing")
+
+    // (a) the checkpoint's OWN commit record for the last batch is
+    // lost, but the store marker survived: the replay must recognize
+    // the fully-committed batch and skip — doc 6 must not double-land
+    assert(new java.io.File(ckpt, "commits/2").delete())
+    new java.io.File(ckpt, "commits/.2.crc").delete()
+    runOnce()
+    assert(docIds === Seq(1L, 4L, 6L), "marker-committed batch re-landed on replay")
+    assert(landedNames === names0, "replay of a committed batch changed the store files")
+
+    // (b) crash BEFORE the marker: files landed, marker absent. The
+    // replay must delete the b2-* partial land and redo it — the
+    // deterministic names make the redo byte-identical, not additive.
+    assert(new java.io.File(ckpt, "commits/2").delete())
+    new java.io.File(ckpt, "commits/.2.crc").delete()
+    assert(marker.delete())
+    assert(names0.exists(_.startsWith("b2-")), "fixture should land b2-* files")
+    runOnce()
+    assert(docIds === Seq(1L, 4L, 6L), "partial-land replay duplicated the batch")
+    assert(landedNames === names0, "redo landed different file names")
+    assert(marker.exists, "redo did not rewrite the commit marker")
+    // the sidecar invariant holds through both replays
+    val acc = spark.read.parquet(accepted)
+    val expected = acc
+      .select(col("doc_id"),
+        graft.functions.Text.normalizedFingerprint(col("text")).as("fp"))
+      .join(graft.operators.Dedup.signatureRows(acc), Seq("doc_id"), "left")
+    val got = spark.read.parquet(accepted + "_sigs")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        Option(r.getAs[Any]("bk")).map(_.toString).orNull)
+    assert(rows(got).map(key).sorted === rows(expected).map(key).sorted)
+    assert(!Files.exists(Paths.get(accepted + ".staging")) &&
+      !Files.exists(Paths.get(accepted + ".sigstaging")),
+      "staging residue after replay")
+  }
+
   test("left-outer stream-stream join: unmatched report emits null weather " +
     "after the watermark passes; open sentinel stays buffered") {
     val out = rows(graft.SparkEntry.queries("q_stream_join_outer")(spark, ""))
