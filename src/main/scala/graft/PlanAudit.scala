@@ -1,5 +1,11 @@
 package graft
 
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
 /** Physical-plan audit over the FULL query registry: exchange counts +
   * join-strategy flags per query, so a shuffle regression or an
   * accidental BroadcastNestedLoopJoin/CartesianProduct is visible at a
@@ -7,6 +13,16 @@ package graft
   * an explicit exclusion map (r9 verdict item 6) — a newly registered
   * query cannot silently skip the audit, and a stale exclusion fails
   * loudly.
+  *
+  * BNLJ boundedness is ASSERTED, not just flagged (r11 verdict
+  * item 3 — "zero BNLJ" drifted into the r10 record while ~15
+  * bounded-broadcast shapes existed, because the flag carried no
+  * build-side judgment): every BroadcastNestedLoopJoin's build side
+  * must be a PROVABLY bounded subtree — a LocalTableScan, a global
+  * (no-grouping-key) aggregate, a small literal Range spine, or a
+  * limit — or the query must be listed in [[bnljAllowed]] with its
+  * reason (printed with the audit). Any other BNLJ build side — one
+  * that scans a data table — fails the audit.
   *
   * Reading the output: `veiled` flags a plan whose root is a
   * `Scan ExistingRDD` — iterative operators (PageRank, label
@@ -35,6 +51,83 @@ object PlanAudit {
       "reads parquet footers, no Spark scan at all); asserted in " +
       "SinksSpec — the audited plan would be an empty shell"))
 
+  /** BNLJ sites whose build side is bounded BY CONSTRUCTION but not
+    * provable from the plan shape alone (typically a parquet read of a
+    * k-row model/codebook file — the scan leaf looks like any data
+    * scan). Keep this list short and justified; an entry here is the
+    * audit's record of a deliberate bounded broadcast, and anything
+    * NOT listed with an unprovable build side is an audit failure.
+    */
+  val bnljAllowed: Map[String, String] = {
+    val probeReason =
+      "broadcasts the 5-row probe frame (embeddings filtered on the " +
+        "literal predicate vec_id < 5 over the unique key) — bounded " +
+        "by the probe-set contract, but plan-shaped as a filtered " +
+        "parquet scan the classifier cannot prove"
+    Map(
+      "q_ann_topk" -> probeReason,
+      "q_eval_mrr" -> probeReason,
+      "q_eval_ndcg" -> probeReason,
+      "q_eval_rbo" -> probeReason,
+      "q_eval_annrecall" -> probeReason,
+      "q_embed_separation" -> ("broadcasts the per-label centroid " +
+        "aggregate (one row per label; grouped aggregates are not " +
+        "provably bounded in general, but the label vocabulary is " +
+        "O(k) by the clusterSeparation contract — the corpus side " +
+        "never shuffles, which is the point of the broadcast)"))
+  }
+
+  /** True when `p` provably produces a BOUNDED (O(k), data-independent)
+    * row count from the plan shape alone: local/literal leaves, global
+    * aggregates (1 row), small literal Range spines, limits — or any
+    * composition of bounded children. A file/table scan leaf is NOT
+    * bounded, whatever its actual size: boundedness here means "cannot
+    * grow with the data", the property that keeps a broadcast build
+    * side scale-safe at 100 TB.
+    */
+  private[graft] def boundedSubtree(p: SparkPlan): Boolean = p match {
+    case _: LocalTableScanExec => true
+    case r: RangeExec => r.range.numElements <= BigInt(1000000)
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimitExec | _: CollectLimitExec |
+        _: TakeOrderedAndProjectExec => true
+    case a: AdaptiveSparkPlanExec => boundedSubtree(a.executedPlan)
+    case q: QueryStageExec => boundedSubtree(q.plan)
+    case r: ReusedExchangeExec => boundedSubtree(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(boundedSubtree)
+  }
+
+  /** Every BNLJ in `p` (wrappers and subqueries included) whose build
+    * side is not [[boundedSubtree]]-provable, rendered as a one-line
+    * description for the audit log.
+    */
+  private[graft] def unboundedBnljs(p: SparkPlan): Seq[String] = {
+    def expand(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => n.children
+    }
+    def walk(n: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+      val here = n match {
+        case j: BroadcastNestedLoopJoinExec => Seq(j)
+        case _ => Nil
+      }
+      here ++ (expand(n) ++ n.subqueries).flatMap(walk)
+    }
+    walk(p).flatMap { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      if (boundedSubtree(build)) None
+      else Some(s"BNLJ build side not provably bounded: " +
+        build.nodeName + " <- " +
+        build.collectLeaves().map(_.nodeName).distinct.mkString("/"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -43,9 +136,14 @@ object PlanAudit {
     require(stale.isEmpty,
       s"stale PlanAudit exclusions (not in the registry): ${stale.mkString(", ")}")
 
+    val staleAllow = bnljAllowed.keySet.diff(SparkEntry.queries.keySet)
+    require(staleAllow.isEmpty,
+      s"stale bnljAllowed entries (not in the registry): ${staleAllow.mkString(", ")}")
+
     val targets = Harness.selectedNames("planaudit")
       .filterNot(exclusions.contains)
     var errs = 0
+    val usedAllowances = scala.collection.mutable.Set[String]()
     targets.grouped(Harness.RecycleEvery).foreach { chunk =>
       // the ONE session recipe (Harness.newSession) — a hand-inlined
       // builder here had already drifted (log level, hardcoded core
@@ -56,11 +154,29 @@ object PlanAudit {
       val spark = Harness.newSession(cpus)
       chunk.foreach { n =>
         try {
-          val plan = SparkEntry.queries(n)(spark, dir)
-            .queryExecution.executedPlan.toString
+          val planTree = SparkEntry.queries(n)(spark, dir)
+            .queryExecution.executedPlan
+          val plan = planTree.toString
           val ex = "Exchange".r.findAllIn(plan).size
-          val flags = Seq(
-            "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+          // BNLJ verdict per query (r11 item 3): bounded build sides
+          // print as a flag; an unprovable build side is an ERROR
+          // unless the query carries an allowance (printed with its
+          // reason, so the allowed set can never drift from the log).
+          val unbounded = unboundedBnljs(planTree)
+          val bnljFlag =
+            if (unbounded.isEmpty)
+              if (plan.contains("BroadcastNestedLoopJoin"))
+                Seq("BNLJ-bounded") else Nil
+            else if (bnljAllowed.contains(n)) {
+              usedAllowances += n
+              println(s"$n ALLOWED-BNLJ: ${bnljAllowed(n)}")
+              Seq("BNLJ-allowed")
+            } else {
+              errs += 1
+              unbounded.foreach(u => println(s"$n AUDIT-ERR $u"))
+              Seq("BNLJ-UNBOUNDED")
+            }
+          val flags = bnljFlag ++ Seq(
             "cartesian" -> plan.contains("CartesianProduct"),
             "bcast" -> plan.contains("BroadcastHashJoin"),
             "window" -> plan.contains("Window"),
@@ -75,8 +191,20 @@ object PlanAudit {
       }
       Harness.recycle(spark)
     }
+    // an allowance that no audited query needed is stale — it would
+    // silently green a FUTURE unbounded BNLJ under that name. Only
+    // enforced on full sweeps (a SPARK_GRAFT_ONLY subset legitimately
+    // skips the allowed queries).
+    val unused = bnljAllowed.keySet.filter(targets.contains)
+      .diff(usedAllowances)
+    if (!Harness.isSubsetRun && unused.nonEmpty) {
+      unused.foreach(n => println(
+        s"$n AUDIT-ERR stale BNLJ allowance (no unprovable BNLJ in plan)"))
+      errs += unused.size
+    }
     println(s"[planaudit] audited=${targets.size} " +
-      s"excluded=${exclusions.size} errors=$errs")
+      s"excluded=${exclusions.size} errors=$errs " +
+      s"bnlj_allowed=${usedAllowances.toSeq.sorted.mkString(",")}")
     if (errs > 0) sys.exit(1)
   }
 }
