@@ -72,9 +72,12 @@ object Bench {
   }
 
   /** Quiet-host reference for [[hostIoProbe]] (same calibration
-    * protocol as [[ProbeQuietSec]]: in-run median on an idle host).
+    * protocol as [[ProbeQuietSec]]: measured 0.466-0.478 across three
+    * fresh ProbeCal sessions on an idle host, and unlike the CPU
+    * kernel this probe is shuffle/write-dominated, so the fresh-JVM
+    * vs in-run JIT gap is small).
     */
-  val IoProbeQuietSec = 0.55
+  val IoProbeQuietSec = 0.47
 
   /** Second host probe — shuffle + parquet write (r11 verdict item 5):
     * the CPU probe under-weights I/O co-load (its xxhash kernel touches
@@ -91,13 +94,15 @@ object Bench {
     */
   private[graft] def hostIoProbe(
       spark: org.apache.spark.sql.SparkSession): Double = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, max, xxhash64}
     val tmp = java.nio.file.Files.createTempDirectory("graft_ioprobe_")
     def once(): Double = {
       val t0 = System.nanoTime()
+      // max, not sum: an ANSI long sum of ~2k 64-bit hashes overflows
+      // (the hostSpeedProbe lesson, re-learned here at first run)
       spark.range(0L, 8000000L, 1L, 32)
         .select((col("id") % 4096L).as("k"), xxhash64(col("id")).as("v"))
-        .groupBy(col("k")).agg(sum(col("v")).as("s"))
+        .groupBy(col("k")).agg(max(col("v")).as("s"))
         .write.mode("overwrite").parquet(tmp.resolve("p").toString)
       (System.nanoTime() - t0) / 1e9
     }

@@ -11,8 +11,9 @@ object ProbeCal {
     (1 to 3).foreach { s =>
       val spark = graft.Harness.newSession(cpus)
       val t = graft.Bench.hostSpeedProbe(spark)
+      val io = graft.Bench.hostIoProbe(spark)
       graft.Harness.recycle(spark)
-      println(f"[probe-cal] session $s: $t%.3f s")
+      println(f"[probe-cal] session $s: cpu $t%.3f s  io $io%.3f s")
     }
   }
 }
