@@ -683,8 +683,34 @@ object Streams {
       // content lists the landed files for debugging and orphan
       // sweeps. Lives under _commits/ so parquet readers of the store
       // ignore it (underscore-prefixed = hidden to FileIndex).
-      val marker = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(path, "_commits"), s"batch-$batchId")
+      val commitsDir = new org.apache.hadoop.fs.Path(path, "_commits")
+      val marker = new org.apache.hadoop.fs.Path(commitsDir, s"batch-$batchId")
+      // Lineage guard (the streamingLatestMerge contract, which batch
+      // markers make NECESSARY here too): a FRESH checkpoint restarts
+      // batchIds at 0, and an existing batch-0 marker from the old
+      // lineage would silently skip the new stream's first batch —
+      // admission loss, the worst failure mode this operator has.
+      // The store records its checkpoint lineage once; a mismatched
+      // resume fails fast with the actionable choice instead.
+      val lineage = new org.apache.hadoop.fs.Path(commitsDir, "lineage")
+      if (fs.exists(lineage)) {
+        val in = fs.open(lineage)
+        val recorded =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (recorded != checkpoint)
+          throw new java.io.IOException(
+            s"admission store $acceptedDir belongs to checkpoint " +
+              s"lineage '$recorded', not '$checkpoint' — a fresh " +
+              "checkpoint replays batch ids the commit markers treat " +
+              "as already landed, silently dropping batches; resume " +
+              "with the original checkpoint or use a new store")
+      } else {
+        val lout = fs.create(lineage, true)
+        try lout.write(
+          checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally lout.close()
+      }
       if (fs.exists(marker)) {
         // replayed, fully-committed batch (checkpoint died before its
         // own commit record): the store already holds exactly this
@@ -699,11 +725,17 @@ object Streams {
       // the pipeline reads below is restored to the pre-batch state
       // first. (The dash in the prefix terminates the match: "b1-"
       // never sweeps "b12-*".)
+      // checksum siblings included: ChecksumFileSystem mirrors every
+      // b<id>-x as .b<id>-x.crc, and a stale crc surviving next to a
+      // redone same-named file whose bytes differ would fail reads
       def dropBatchFiles(dir: org.apache.hadoop.fs.Path): Unit =
         if (fs.exists(dir))
           fs.listStatus(dir)
-            .filter(st => st.isFile &&
-              st.getPath.getName.startsWith(s"b$batchId-"))
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && (n.startsWith(s"b$batchId-") ||
+                n.startsWith(s".b$batchId-"))
+            }
             .foreach(st => fs.delete(st.getPath, false))
       dropBatchFiles(path)
       dropBatchFiles(sigsPath)
