@@ -93,7 +93,13 @@ object LlmQueries {
   private def corpus(s: SparkSession, dir: String) =
     embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
   private def probes(s: SparkSession, dir: String) =
-    embs(s, dir).filter(col("vec_id") < 5)
+    // limit(5) is a semantic no-op (vec_id is unique, so the filter
+    // already yields <= 5 rows) but plants a GlobalLimit in the plan,
+    // making the probe frame PROVABLY bounded to PlanAudit's BNLJ
+    // build-side classifier — five allowance entries became one
+    // mechanical proof (r12; the broadcast side collects to the
+    // driver either way, so the limit costs nothing)
+    embs(s, dir).filter(col("vec_id") < 5).limit(5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("vec"))
 
   /** MinHash near-dup pairs (doc_a, doc_b) mined ONCE PER RUN and
