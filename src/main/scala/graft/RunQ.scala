@@ -23,6 +23,23 @@ object RunQ {
     // explain inside the timed window would bill plan formatting to
     // the reported write component (and eager queries would run their
     // work a third time)
+    if (sys.env.contains("SPARK_GRAFT_STAGELOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val m = i.taskMetrics
+            System.err.println(
+              f"[stagelog] stage=${i.stageId}%3d tasks=${i.numTasks}%3d " +
+                f"wall=${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%7.3f s " +
+                f"run=${m.executorRunTime / 1e3}%7.3f s " +
+                f"cpu=${m.executorCpuTime / 1e9}%7.3f s " +
+                f"shRead=${m.shuffleReadMetrics.totalBytesRead}%9d " +
+                f"shWrite=${m.shuffleWriteMetrics.bytesWritten}%9d  " +
+                i.name.take(100))
+          }
+        })
     if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {

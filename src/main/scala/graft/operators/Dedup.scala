@@ -459,24 +459,48 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold outside (0, 1]")
     val index = withShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfreq = index.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+    // Document frequency attached via ONE window count over the
+    // shingle-keyed exchange (identical df values to the former
+    // groupBy(shingle).count + re-join, which shuffled the full
+    // occurrence index TWICE — once into the count aggregation, once
+    // into the sort-merge join — r12 plan diff: 3 Exchanges + SMJ
+    // around the index became 1 Exchange + an in-partition sort).
+    val dfW = Window.partitionBy(col("shingle"))
 
     // Per doc: shingles ordered rare-first (ties on the shingle string =
-    // a total order), sliced to the prefix. sort_array on the collected
-    // (df, shingle) structs replaces a row_number window — one
-    // aggregation, no per-doc sort exchange. The 1e-9 nudge keeps
+    // a total order), sliced to the prefix — via row_number + count
+    // WINDOW functions over the doc_id partition, NOT the former
+    // collect_list + sort_array slice: sort_array on array<struct<long,
+    // string>> compares through an INTERPRETED row ordering (~1.5M
+    // struct comparisons at ~10µs each — the stage log showed ~16 s of
+    // CPU per downstream reference, twice, since the broadcast
+    // self-join recomputes its post-exchange subtree on both sides);
+    // the window sorts UnsafeRows through codegen'd comparators. Same
+    // (df asc, shingle asc) total order, same prefix membership, so
+    // the candidate set is unchanged. The 1e-9 nudge keeps
     // ceil(t·|x|) from rounding UP when t·|x| is mathematically integral
     // but lands a few ulps above it (0.4 × 10 → 4.0000000000000002):
     // a spuriously short prefix would break exact recall, a longer one
     // only costs a few extra candidates.
-    val prefixLen = (size(col("ord")) -
-      ceil(lit(threshold) * size(col("ord")) - lit(1e-9)) + 1).cast("int")
-    val prefixIndex = index.join(dfreq, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
-      .select(col("doc_id"), size(col("ord")).as("n_sh"),
-        explode(slice(col("ord").getField("shingle"), lit(1), prefixLen))
-          .as("shingle"))
+    val docW = Window.partitionBy(col("doc_id"))
+    val docOrd = docW.orderBy(col("df"), col("shingle"))
+    val prefixLen = (col("n_sh") -
+      ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1).cast("int")
+    // The exploded prefix tokens feed the candidate join as 64-bit
+    // xxhash64 keys, not strings: equal shingles hash equal, so every
+    // pair the string join met still meets (the PPJoin recall theorem
+    // is untouched — prefix SELECTION still orders by the exact
+    // (df, shingle-string) total order); a 64-bit collision can only
+    // ADD candidates, which the exact-Jaccard verify rejects — the
+    // result set is provably identical while the join shuffles and
+    // sorts 8-byte longs instead of ~25-byte strings.
+    val prefixIndex = index
+      .withColumn("df", count(lit(1)).over(dfW))
+      .withColumn("n_sh", count(lit(1)).over(docW))
+      .withColumn("__rn", row_number().over(docOrd))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
 
     // LENGTH filter (the PPJoin companion bound): J(a,b) <= min/max of
     // the set sizes, so J >= t needs min >= t·max — a pipelined
@@ -707,17 +731,36 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs: re-attach shingle
     * sets (two equi-joins on doc_id, one per side's shingle frame) and
-    * compute |∩|/|∪| with array built-ins.
+    * compute |∩|/|∪|.
+    *
+    * The per-pair kernel is a codegen'd sorted-merge count
+    * ([[graft.functions.SortedArrayCommonCount]]) over arrays sorted
+    * ONCE per doc below the join — `size(array_intersect)` +
+    * `size(array_union)` built a boxed hash set per PAIR (~10 µs;
+    * ~13 s of CPU on q_dedup_prefix's 444k candidates, r12 stage
+    * log), where the merge is ~100 binary string compares. Result-
+    * identical: the shingle sets are DISTINCT by construction
+    * (array_distinct upstream), so |∩| from the merge equals
+    * size(array_intersect) and |∪| IS |A| + |B| − |A∩B| — the same
+    * integers, hence the same IEEE quotient, as the builtin pair.
     */
   private def verifyJaccard(
       pairs: DataFrame, aShingles: DataFrame, bShingles: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    val aSorted = aShingles.select(col("doc_id"), array_sort(col("sh")).as("sh"))
+    val bSorted = bShingles.select(col("doc_id"), array_sort(col("sh")).as("sh"))
     pairs
-      .join(aShingles.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(bShingles.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(aSorted.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(bSorted.as("b"), col("doc_b") === col("b.doc_id"))
+      // the merge count is let-bound behind its own projection: the
+      // jaccard formula references it twice (numerator and union
+      // denominator) and Catalyst substitutes rather than let-binds
+      .select(col("doc_a"), col("doc_b"),
+        (size(col("a.sh")) + size(col("b.sh"))).as("__nab"),
+        graft.functions.SortedArrayCommonCount(col("a.sh"), col("b.sh"))
+          .as("__nc"))
       .withColumn("jaccard",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))))
+        col("__nc").cast("double") / (col("__nab") - col("__nc")))
       .filter(col("jaccard") >= threshold)
       // portableRound6 like [[jaccardFromStats]]: |∩|/|∪| is an
       // integer ratio over unbounded set sizes — the live ROUND-tie
@@ -725,6 +768,7 @@ object Dedup {
       // oracle SQL).
       .select(col("doc_a"), col("doc_b"),
         graft.functions.Num.portableRound6(col("jaccard")).as("jaccard"))
+  }
 
   /** Connected components over a near-duplicate PAIR list — the step
     * that turns pairwise matches into dedup decisions. Every document

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.FastPercentile.pctl
+
 /** Column profiling / data-quality statistics — the first pass any
   * pipeline runs over a new 100 TB drop before trusting it: row and
   * null counts, ranges, and value-distribution histograms.
@@ -111,7 +113,7 @@ object Profile {
     // for every missing value and the hi cut for every NaN — the
     // "clamping would lie" policy quantileBucket documents.
     val cuts = df.filter(!isnan(col(c).cast("double"))).agg(
-      percentile(col(c), array(lit(pLo), lit(pHi))).as("__q"))
+      pctl(col(c), array(lit(pLo), lit(pHi))).as("__q"))
       .select(element_at(col("__q"), 1).as("__lo"),
         element_at(col("__q"), 2).as("__hi"))
     df.crossJoin(broadcast(cuts))
@@ -150,7 +152,7 @@ object Profile {
     // a NaN share would make upper cut points NaN and the top buckets
     // permanently empty (value > NaN is false for every real value)
     val cuts = df.filter(!isnan(col(c).cast("double")))
-      .agg(percentile(col(c), array(ps: _*)).as("__q"))
+      .agg(pctl(col(c), array(ps: _*)).as("__q"))
     df.crossJoin(broadcast(cuts))
       .withColumn(outCol,
         when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
@@ -186,7 +188,7 @@ object Profile {
     // NaN excluded from cuts (the quantileBucket rationale, per group)
     val cuts = df.filter(!isnan(col(c).cast("double")))
       .groupBy(col(groupCol))
-      .agg(percentile(col(c), array(ps: _*)).as("__q"))
+      .agg(pctl(col(c), array(ps: _*)).as("__q"))
     df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn(outCol,
         when(col(c).isNull || isnan(col(c).cast("double")) ||
@@ -234,8 +236,8 @@ object Profile {
       val v = d.collect()(0).get(0) // 1 row by construction (global agg)
       if (v == null) lit(null).cast("double") else lit(v)
     }
-    val med = scalar(finite.agg(percentile(col(c), lit(0.5))))
-    val mad = scalar(finite.agg(percentile(abs(col(c) - med), lit(0.5))))
+    val med = scalar(finite.agg(pctl(col(c), lit(0.5))))
+    val mad = scalar(finite.agg(pctl(abs(col(c) - med), lit(0.5))))
     df.withColumn(outCols.head, abs(col(c) - med))
       .withColumn(outCols(1),
         when(col(c).isNull || isnan(col(c).cast("double")), lit(null))
@@ -398,7 +400,7 @@ object Profile {
       .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(valueCol).cast("double").as("__x"))
     val refC = clean(ref)
-    val cuts = refC.agg(percentile(col("__x"), array(ps: _*)).as("__q"))
+    val cuts = refC.agg(pctl(col("__x"), array(ps: _*)).as("__q"))
     def binned(df: DataFrame, cntCol: String) = df
       .crossJoin(broadcast(cuts))
       .select(size(filter(col("__q"), q => col("__x") > q)).as("__bin"))

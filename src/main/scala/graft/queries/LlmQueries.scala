@@ -244,8 +244,13 @@ object LlmQueries {
     // Reads the shared shingle parquet (shingles3) — only the PPJoin
     // itself runs per query.
     "q_dedup_prefix" -> ((s, dir) => {
-      Dedup.prefixFilterPairsShingled(shingles3(s, dir), 0.4)
-        .orderBy(col("doc_a"), col("doc_b"))
+      // sortedSmall, not orderBy: the PPJoin pipeline is broadcast-
+      // join/window work with no reusable shuffle stage below the
+      // sort, so orderBy's range sampler re-ran ALL of it (2x wall —
+      // r12 stage log); same rows, same global order.
+      QueryUtil.sortedSmall(
+        Dedup.prefixFilterPairsShingled(shingles3(s, dir), 0.4),
+        col("doc_a"), col("doc_b"))
     }),
 
     // SemDeDup semantic near-dup pruning: cluster the embedding space
@@ -415,8 +420,12 @@ object LlmQueries {
     // every qualifying pair — verified exhaustively against the exact
     // all-pairs set at sf 0.001/0.01/0.1, for eight different seeds.
     "q_embed_pairs" -> ((s, dir) => {
-      Similarity.lshSimilarPairs(corpus(s, dir), 0.45, dim = 64, nPlanes = 24)
-        .orderBy(col("id_a"), col("id_b"))
+      // sortedSmall: the banded self-join + exact verify is broadcast-
+      // shaped below the sort — orderBy's range sampler re-ran the
+      // whole mine (the q_dedup_prefix mechanism; same rows/order).
+      QueryUtil.sortedSmall(
+        Similarity.lshSimilarPairs(corpus(s, dir), 0.45, dim = 64, nPlanes = 24),
+        col("id_a"), col("id_b"))
     }),
 
     // Sign-LSH bucketed ANN (md5-derived hyperplanes — full DuckDB

@@ -182,6 +182,30 @@ object QueryUtil {
     * each round strands a dozen directories (including full CSV table
     * copies) on a long-lived host.
     */
+  /** Deterministic-order output tail for queries whose pipeline sits
+    * ABOVE no shuffle: `orderBy`'s RangePartitioning runs a SAMPLING
+    * job over its child before the real pass, and when the child is a
+    * broadcast-join/map-only cascade (the pair miners), there is no
+    * materialized shuffle stage for AQE to reuse — the entire mining
+    * pipeline executes TWICE (r12 stage log: two ~equal heavy stages,
+    * the first with zero shuffle write = the sampler). Queries with an
+    * aggregation exchange directly below their orderBy don't pay this
+    * (the sampler re-reads the materialized stage), so this helper is
+    * for the miner shape only.
+    *
+    * `repartitionByRange(1, cols)` + `sortWithinPartitions(cols)`
+    * produces the IDENTICAL rows in the IDENTICAL global order (one
+    * range partition = one total sort), but a 1-partition
+    * RangePartitioner needs no bounds, so NO sampling job runs and
+    * the child executes once. The single-task final sort is the
+    * deliberate trade: these outputs are oracle-sized (pair lists,
+    * survivor ids — thousands of rows), and the upstream pipeline
+    * keeps its full parallelism on the map side of the exchange.
+    * NOT for large outputs (full-table projections keep `orderBy`).
+    */
+  def sortedSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(1, cols: _*).sortWithinPartitions(cols: _*)
+
   def scratchDir(prefix: String): String = {
     scratchCleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)

@@ -325,7 +325,7 @@ object RelationalQueries {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"),
+          graft.functions.FastPercentile.pctl(col("l_extendedprice"),
             array(lit(0.49), lit(0.5), lit(0.51), lit(0.94), lit(0.95), lit(0.96)))
             .as("__px"),
           approx_percentile(col("l_extendedprice"),
@@ -499,8 +499,8 @@ object RelationalQueries {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+          round(graft.functions.FastPercentile.pctl(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+          round(graft.functions.FastPercentile.pctl(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1024,9 +1024,9 @@ object RelationalQueries {
         count(lit(1)).as("n_entered"),
         count(col("t_2")).as("n_step2"),
         count(col("t_4")).as("n_converted"),
-        round(percentile(l2, lit(0.5)), 4).as("p50_step2_us"),
-        round(percentile(l4, lit(0.5)), 4).as("p50_convert_us"),
-        round(percentile(l4, lit(0.9)), 4).as("p90_convert_us"))
+        round(graft.functions.FastPercentile.pctl(l2, lit(0.5)), 4).as("p50_step2_us"),
+        round(graft.functions.FastPercentile.pctl(l4, lit(0.5)), 4).as("p50_convert_us"),
+        round(graft.functions.FastPercentile.pctl(l4, lit(0.9)), 4).as("p90_convert_us"))
     }),
 
     // 2D heatmap bins: the joint quantity × discount distribution in
